@@ -1,0 +1,112 @@
+"""Parity of the TPU resample op vs the float64 oracle, plus signal-quality
+checks (alignment, DC gain, tone SNR) across the reference's supported rate
+family (Source/SettingsComponent.cpp:77-85: 44.1/48/88.2/96/176.4/192 kHz)."""
+
+import numpy as np
+import pytest
+
+from f9tpu.models.filters import design_cycle_bank, resolve_ratio
+from f9tpu.models.oracle import resample_oracle
+from f9tpu.ops.resample import resample_rates
+
+RATE_PAIRS = [
+    (44100, 48000),
+    (48000, 44100),
+    (44100, 96000),
+    (96000, 44100),
+    (88200, 96000),
+    (96000, 192000),
+    (192000, 44100),
+    (44100, 44100),
+]
+
+
+def rms_db(err, ref):
+    ref_rms = np.sqrt(np.mean(np.asarray(ref, np.float64) ** 2))
+    err_rms = np.sqrt(np.mean(np.asarray(err, np.float64) ** 2))
+    if err_rms == 0:
+        return -np.inf
+    return 20.0 * np.log10(err_rms / max(ref_rms, 1e-30))
+
+
+def make_signal(n, rate, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / rate
+    x = (
+        0.4 * np.sin(2 * np.pi * 440.0 * t)
+        + 0.2 * np.sin(2 * np.pi * 3301.0 * t + 0.3)
+        + 0.1 * rng.standard_normal(n)
+    )
+    return x.astype(np.float32)
+
+
+@pytest.mark.parametrize("rate_in,rate_out", RATE_PAIRS)
+def test_oracle_parity(rate_in, rate_out):
+    """Device path vs float64 oracle: <= -120 dB RMS (BASELINE.md target)."""
+    n = 8192
+    x = make_signal(n, rate_in)
+    y = np.asarray(resample_rates(x, rate_in, rate_out, quality="medium"))
+    ref = resample_oracle(x, rate_in, rate_out, quality="medium")
+    assert y.shape == ref.shape
+    assert rms_db(y - ref, ref) <= -120.0, f"{rate_in}->{rate_out}: {rms_db(y - ref, ref):.1f} dB"
+
+
+@pytest.mark.parametrize("rate_in,rate_out", [(44100, 48000), (96000, 44100)])
+def test_lagrange_parity(rate_in, rate_out):
+    n = 4096
+    x = make_signal(n, rate_in, seed=3)
+    y = np.asarray(resample_rates(x, rate_in, rate_out, kind="lagrange"))
+    ref = resample_oracle(x, rate_in, rate_out, kind="lagrange")
+    assert rms_db(y - ref, ref) <= -120.0
+
+
+def test_output_length():
+    L, M = resolve_ratio(44100, 48000)
+    assert (L, M) == (160, 147)
+    bank = design_cycle_bank(44100, 48000, quality="low")
+    assert bank.out_len(44100) == 48000
+    assert bank.out_len(147) == 160
+
+
+@pytest.mark.parametrize("rate_in,rate_out", [(44100, 48000), (48000, 44100), (96000, 192000)])
+def test_tone_alignment_and_snr(rate_in, rate_out):
+    """Resampled pure tone must match the analytically resampled tone: checks
+    zero-delay alignment (the latency-compensation contract) and passband SNR."""
+    f0 = 997.0
+    n = 1 << 15
+    t_in = np.arange(n) / rate_in
+    x = np.sin(2 * np.pi * f0 * t_in).astype(np.float32)
+    y = np.asarray(resample_rates(x, rate_in, rate_out, quality="high"))
+    n_out = len(y)
+    t_out = np.arange(n_out) / rate_out
+    expected = np.sin(2 * np.pi * f0 * t_out)
+    # Ignore filter-length edges.
+    bank = design_cycle_bank(rate_in, rate_out, quality="high")
+    edge = bank.taps_per_phase * 2
+    sl = slice(edge, n_out - edge)
+    err = rms_db(y[sl] - expected[sl], expected[sl])
+    assert err <= -90.0, f"tone SNR too low: {err:.1f} dB"
+
+
+def test_dc_gain():
+    x = np.ones(8192, np.float32) * 0.5
+    y = np.asarray(resample_rates(x, 44100, 48000, quality="high"))
+    mid = y[2000:-2000]
+    assert np.max(np.abs(mid - 0.5)) < 1e-4
+
+
+def test_batch_channels_shape():
+    x = make_signal(4096, 44100).reshape(1, -1) * np.ones((3, 2, 1), np.float32)
+    y = np.asarray(resample_rates(x, 44100, 48000, quality="low"))
+    assert y.shape[:2] == (3, 2)
+    ref = resample_oracle(np.asarray(x), 44100, 48000, quality="low")
+    assert rms_db(y - ref, ref) <= -120.0
+
+
+def test_identity_ratio():
+    """44.1 -> 44.1 must be (near-)identity: L=M=1 passthrough filter."""
+    x = make_signal(4096, 44100, seed=9)
+    y = np.asarray(resample_rates(x, 44100, 44100, quality="high"))
+    assert y.shape == x.shape
+    mid = slice(300, -300)
+    assert rms_db(y[mid] - x[mid], x[mid]) <= -90.0
