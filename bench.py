@@ -1,0 +1,107 @@
+"""Benchmark: audio-minutes resampled per second per chip (44.1->48 kHz stereo).
+
+Headline = the fused device graph (SRC + DC removal + trim + TPDF dither +
+24-bit quantize) on resident data — the replacement for the reference's
+~1.06x-real-time hardware loop (BASELINE.md).  Baseline target: 1000x real
+time per chip = 16.667 audio-min/s.  Accuracy: RMS error vs the float64
+oracle (the JUCE-oracle role, BASELINE.json) measured on the same graph.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "audio-min/s/chip", "vs_baseline": N, ...}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main() -> None:
+    from f9tpu.config import ProcessingConfig
+    from f9tpu.models.oracle import resample_oracle
+    from f9tpu.pipeline.graph import _cfg_key, _process_impl
+
+    dev = jax.devices()[0]
+    print(f"bench device: {dev}", file=sys.stderr)
+
+    rate_in, rate_out = 44100, 48000
+    files, channels, frames = 16, 2, 1 << 20     # ~23.8 s per file
+    cfg = ProcessingConfig(output_dir="/tmp/bench_out", target_rate=rate_out,
+                           quality="high")
+    cfg_key = _cfg_key(cfg, 0)
+
+    def step(x, valid, key):
+        return _process_impl(
+            x, valid, jnp.int32(0), jnp.float32(-96.0), key,
+            rate_in=rate_in, rate_out=rate_out, cfg_key=cfg_key,
+        )
+
+    rng = np.random.default_rng(0)
+    x_h = (0.25 * rng.standard_normal((files, channels, frames))).astype(np.float32)
+    x = jax.device_put(jnp.asarray(x_h), dev)
+    valid = jax.device_put(jnp.full((files,), frames, jnp.int32), dev)
+    key = jax.random.PRNGKey(0)
+
+    # warmup / compile
+    t0 = time.time()
+    out = step(x, valid, key)
+    jax.block_until_ready(out)
+    compile_s = time.time() - t0
+    print(f"compile+first run: {compile_s:.1f}s", file=sys.stderr)
+
+    iters = 10
+    t0 = time.time()
+    for i in range(iters):
+        out = step(x, valid, jax.random.fold_in(key, i))
+    jax.block_until_ready(out)
+    wall = (time.time() - t0) / iters
+
+    audio_seconds = files * frames / rate_in
+    x_rt = audio_seconds / wall
+    audio_min_per_s = x_rt / 60.0
+    print(f"device step: {wall*1000:.2f} ms for {audio_seconds:.1f} s audio "
+          f"-> {x_rt:.0f}x real time", file=sys.stderr)
+
+    # ---- accuracy vs float64 oracle (same graph, dither off for comparison) ----
+    acc_cfg = ProcessingConfig(output_dir="/tmp/bench_out", target_rate=rate_out,
+                               quality="high", dither=False, remove_dc=False)
+    n_acc = 1 << 15
+    xa_h = (0.25 * rng.standard_normal((1, 1, n_acc))).astype(np.float32)
+    res = _process_impl(
+        jax.device_put(jnp.asarray(xa_h), dev),
+        jnp.full((1,), n_acc, jnp.int32), jnp.int32(0), jnp.float32(-96.0),
+        jax.random.PRNGKey(1),
+        rate_in=rate_in, rate_out=rate_out, cfg_key=_cfg_key(acc_cfg, 0),
+    )
+    codes, out_frames = np.asarray(res[0]), int(np.asarray(res[1])[0])
+    got = codes[0, 0, :out_frames].astype(np.float64) / (1 << 23)
+    ref = resample_oracle(xa_h[0, 0], rate_in, rate_out, quality="high")
+    # compare above the 24-bit quantization floor: measure float-path parity
+    # via the dequantized codes (quantization adds ~-116 dB; report both)
+    err = got - ref[:out_frames]
+    rms_db = 20 * np.log10(np.sqrt((err**2).mean())
+                           / np.sqrt((ref**2).mean()) + 1e-30)
+    print(f"accuracy (24-bit codes vs float64 oracle): {rms_db:.1f} dB RMS",
+          file=sys.stderr)
+
+    baseline_x_rt = 1000.0  # north-star: 1000x real time per chip
+    print(json.dumps({
+        "metric": "audio-minutes resampled/sec/chip (44.1->48k stereo)",
+        "value": round(audio_min_per_s, 3),
+        "unit": "audio-min/s",
+        "vs_baseline": round(x_rt / baseline_x_rt, 3),
+        "x_realtime": round(x_rt, 1),
+        "accuracy_rms_db_vs_oracle": round(float(rms_db), 1),
+        "device": str(dev),
+        "compile_seconds": round(compile_s, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

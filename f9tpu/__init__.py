@@ -10,3 +10,4 @@ per-file status/progress/logging.  See SURVEY.md at the repo root.
 """
 
 from .version import __version__  # noqa: F401
+from .config import ProcessingConfig  # noqa: F401

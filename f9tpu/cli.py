@@ -1,0 +1,214 @@
+"""Command-line interface — the L6 layer (the reference's SwiftUI/JUCE GUI,
+SURVEY.md section 1, re-expressed as a CLI for a headless TPU pipeline).
+
+Subcommands mirror the app's user actions:
+  process   "Process All" batch run  (MainViewModel.processAllFiles)
+  preview   playlist render           (togglePreview / previewFiles)
+  measure   latency calibration       (measureLatency)
+  selftest  hardware loop test        (startHardwareTest)
+  probe     file metadata / validation (AudioFile metadata load)
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+from .config import ProcessingConfig
+from .io import codec, wav
+from .pipeline import (
+    BatchProcessor,
+    CalibrationCache,
+    StatusLog,
+    measure_latency,
+    render_playlist,
+    run_loop_test,
+)
+
+__all__ = ["main"]
+
+
+def _expand_inputs(inputs: list[str]) -> list[str]:
+    files: list[str] = []
+    for item in inputs:
+        if os.path.isdir(item):
+            for ext in codec.SUPPORTED_EXTENSIONS:
+                files.extend(sorted(glob.glob(os.path.join(item, f"*{ext}"))))
+        elif any(ch in item for ch in "*?["):
+            files.extend(sorted(glob.glob(item)))  # unmatched glob -> nothing
+        else:
+            files.append(item)  # literal path: let probe report the error
+    seen, out = set(), []
+    for f in files:
+        if f not in seen:
+            seen.add(f)
+            out.append(f)
+    return out
+
+
+def _add_common_src_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--rate", type=int, default=48000, help="target sample rate")
+    p.add_argument("--quality", default="high",
+                   choices=["low", "medium", "high", "ultra"])
+    p.add_argument("--kind", default="sinc", choices=["sinc", "lagrange"])
+
+
+def cmd_process(args) -> int:
+    files = _expand_inputs(args.inputs)
+    if not files:
+        print("error: no input files", file=sys.stderr)
+        return 2
+    cfg = ProcessingConfig(
+        target_rate=args.rate,
+        quality=args.quality,
+        kind=args.kind,
+        bits=args.bits,
+        dither=not args.no_dither,
+        remove_dc=not args.keep_dc,
+        output_dir=args.out,
+        postfix=args.postfix,
+        reverb_mode=args.reverb,
+        noise_floor_db=args.noise_floor,
+        noise_floor_margin_pct=args.margin,
+        require_input_rate=args.require_rate,
+        batch_size=args.batch_size,
+        gain_db=args.gain,
+    )
+    log = StatusLog(sink=lambda line: print(line, flush=True))
+    cal = CalibrationCache(os.path.join(args.out, ".calibration.json"))
+    bp = BatchProcessor(cfg, log=log, calibration=cal)
+    manifest_path = os.path.join(args.out, ".manifest.json") if args.resume else None
+    os.makedirs(args.out, exist_ok=True)
+    res = bp.run(files, manifest_path=manifest_path)
+    if args.json:
+        print(json.dumps({
+            "completed": res.completed,
+            "failed": res.failed,
+            "invalid_sample_rate": res.invalid,
+            "audio_seconds_out": res.audio_seconds_out,
+            "wall_seconds": res.wall_seconds,
+            "x_realtime": res.x_realtime,
+            "throughput": res.throughput,
+        }, indent=1))
+    return 0 if res.failed == 0 else 1
+
+
+def cmd_preview(args) -> int:
+    files = _expand_inputs(args.inputs)
+    if not files:
+        print("error: no input files", file=sys.stderr)
+        return 2
+    main_mix, monitor, items = render_playlist(
+        files, args.rate,
+        silence_ms=args.silence_ms,
+        output_channels=args.channels,
+        monitor=args.monitor,
+    )
+    wav.write_wav(args.out, main_mix, args.rate, bits=24)
+    print(f"rendered {len(items)} item(s), {main_mix.shape[-1]} frames -> {args.out}")
+    if monitor is not None and args.monitor_out:
+        wav.write_wav(args.monitor_out, monitor, args.rate, bits=24)
+        print(f"monitor mix -> {args.monitor_out}")
+    for it in items:
+        print(f"  @{it.start_frame:>10} {os.path.basename(it.path)} ({it.num_frames} frames)")
+    return 0
+
+
+def cmd_measure(args) -> int:
+    res = measure_latency(args.rate_in, args.rate, quality=args.quality, kind=args.kind)
+    status = "detected" if res.detected else "NOT DETECTED"
+    print(f"impulse {status}: latency {res.latency_frames} frames @ {args.rate} Hz, "
+          f"noise floor {res.noise_floor_db:.1f} dB, peak {res.peak_amplitude:.3f}")
+    return 0 if res.detected else 1
+
+
+def cmd_selftest(args) -> int:
+    rep = run_loop_test(args.rate_in, args.rate, quality=args.quality)
+    print(f"{rep.verdict.value}: {rep.detail}")
+    return 0 if rep.verdict.value == "loop_detected" else 1
+
+
+def cmd_probe(args) -> int:
+    code = 0
+    for f in _expand_inputs(args.inputs):
+        try:
+            info = codec.probe(f)
+        except (ValueError, OSError) as e:
+            print(f"{f}: ERROR {e}")
+            code = 1
+            continue
+        valid = ("" if args.require_rate is None else
+                 ("  [ok]" if info.is_valid_for_rate(args.require_rate)
+                  else f"  [INVALID: need {args.require_rate} Hz]"))
+        kind = "float" if info.is_float else "pcm"
+        print(f"{f}: {info.container} {info.sample_rate} Hz, "
+              f"{info.num_channels} ch, {info.num_frames} frames "
+              f"({info.duration_seconds:.3f} s), {info.bit_depth}-bit {kind}{valid}")
+    return code
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="f9tpu",
+        description="TPU-native batch audio resampler "
+                    "(capabilities of F9 JUCE Batch Resampler Studio)",
+    )
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("process", help="batch resample files")
+    p.add_argument("inputs", nargs="+", help="files, globs or directories")
+    p.add_argument("--out", required=True, help="output directory (mandatory)")
+    _add_common_src_args(p)
+    p.add_argument("--bits", type=int, default=24, choices=[16, 24, 32])
+    p.add_argument("--postfix", default="_processed")
+    p.add_argument("--no-dither", action="store_true")
+    p.add_argument("--keep-dc", action="store_true", help="skip DC offset removal")
+    p.add_argument("--gain", type=float, default=0.0, help="gain dB")
+    p.add_argument("--reverb", action="store_true",
+                   help="reverb mode: keep tails until below noise floor")
+    p.add_argument("--noise-floor", type=float, default=None,
+                   help="measured noise floor dB (default: -80 fallback)")
+    p.add_argument("--margin", type=float, default=10.0,
+                   help="noise floor margin %% (0-50)")
+    p.add_argument("--require-rate", type=int, default=None,
+                   help="strict mode: reject inputs not at this rate")
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--resume", action="store_true",
+                   help="persist a manifest and skip already-completed files")
+    p.add_argument("--json", action="store_true", help="print summary JSON")
+    p.set_defaults(fn=cmd_process)
+
+    p = sub.add_parser("preview", help="render a gapless playlist")
+    p.add_argument("inputs", nargs="+")
+    p.add_argument("--out", required=True, help="output WAV path")
+    p.add_argument("--rate", type=int, default=48000)
+    p.add_argument("--silence-ms", type=int, default=150)
+    p.add_argument("--channels", type=int, default=2)
+    p.add_argument("--monitor", action="store_true")
+    p.add_argument("--monitor-out", default=None)
+    p.set_defaults(fn=cmd_preview)
+
+    p = sub.add_parser("measure", help="measure chain latency (impulse test)")
+    p.add_argument("--rate-in", type=int, default=44100)
+    _add_common_src_args(p)
+    p.set_defaults(fn=cmd_measure)
+
+    p = sub.add_parser("selftest", help="device loop test (1 kHz tone)")
+    p.add_argument("--rate-in", type=int, default=48000)
+    _add_common_src_args(p)
+    p.set_defaults(fn=cmd_selftest)
+
+    p = sub.add_parser("probe", help="print file metadata")
+    p.add_argument("inputs", nargs="+")
+    p.add_argument("--require-rate", type=int, default=None)
+    p.set_defaults(fn=cmd_probe)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

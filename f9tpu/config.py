@@ -1,0 +1,107 @@
+"""Processing configuration — the TPU-native ``ProcessingSettings``.
+
+Mirrors the reference's single plain-struct settings object
+(Source/AppState.h:183-259; Models/ProcessingSettings.swift:23-89; field
+inventory at _Swift Docs/TECHNICAL_DOCUMENTATION.md:139-154) plus the
+batch/device knobs the TPU pipeline adds.  Same invalidation semantics for
+cached calibration: changing the rate pair or quality invalidates a measured
+latency (Models/ProcessingSettings.swift:60-65;
+Source/SettingsComponent.cpp:321-327).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+__all__ = ["ProcessingConfig", "RECORDING_LENGTH_LATENCY_FACTOR", "recording_length"]
+
+#: The reference's capture head-room rule: record source + latency + 4*latency
+#: frames (Source/AppState.h:240-243).
+RECORDING_LENGTH_LATENCY_FACTOR = 4
+
+
+def recording_length(source_frames: int, latency_frames: int) -> int:
+    """src + lat + 4*lat (Source/AppState.h:240-243)."""
+    return source_frames + latency_frames + RECORDING_LENGTH_LATENCY_FACTOR * latency_frames
+
+
+@dataclasses.dataclass
+class ProcessingConfig:
+    """Everything a batch run needs; plain data, UI/CLI-bindable."""
+
+    # --- core SRC (replaces the analog loop) ---
+    target_rate: int = 48000            # output ("session") rate
+    quality: str = "high"               # QUALITY_PRESETS key
+    kind: str = "sinc"                  # "sinc" | "lagrange"
+    bits: int = 24                      # output PCM depth (reference: 24)
+    dither: bool = True                 # TPDF dither before quantize
+    remove_dc: bool = True              # Source/MainComponent.cpp:884-902
+    gain_db: float = 0.0
+
+    # --- input validation ---
+    require_input_rate: int | None = None
+    """Strict reference semantics: only accept files at this rate ±1 Hz
+    (Source/AppState.h:137-141).  None = accept any rate and resample
+    (the mixed-rate library config, BASELINE.json config 5)."""
+
+    # --- output naming (OUTPUT_FOLDER_PROTECTION.md: out dir is mandatory,
+    # originals are never overwritten; postfix appended before extension) ---
+    output_dir: str = ""
+    postfix: str = "_processed"
+
+    # --- latency compensation (Source/MainComponent.cpp:824-861) ---
+    trim_enabled: bool = True
+    latency_frames: int | None = None   # None = auto-measure (calibration)
+
+    # --- reverb mode (tail termination; REVERB_MODE_IMPLEMENTATION.md) ---
+    reverb_mode: bool = False
+    noise_floor_db: float | None = None    # measured; None -> -80 dB fallback
+    noise_floor_margin_pct: float = 10.0   # 0-50 step 5 in the UI
+    tail_mode: str = "peak"                # "peak" (Swift) | "rms" (C++)
+    tail_window_ms: int = 100
+    tail_hop_ms: int = 50
+    tail_consecutive: int = 3
+    max_tail_seconds: float = 60.0         # the 60 s cap
+
+    # --- preview / playlist (AudioProcessingService.swift:539-876) ---
+    silence_between_files_ms: int = 150    # 0-2000, default 150
+    monitor_mixdown: bool = True
+
+    # --- routing (MCFX-style; Docs/MultiChannel MCFX with JUCE.md) ---
+    channel_routing: Sequence[int] | None = None   # out[i] <- in[routing[i]]
+    output_channels: int | None = None             # fan mono out to N
+
+    # --- TPU batch execution ---
+    batch_size: int = 8                 # files per compiled device step
+    bucket_frames: Sequence[int] = (
+        1 << 16, 1 << 18, 1 << 20, 1 << 22, 60 * 192000
+    )                                   # length buckets to bound recompiles
+    precision_mode: str = "highest"     # fp32 parity; "fast" = bf16 passes
+
+    def validate(self) -> None:
+        from .models.filters import QUALITY_PRESETS
+
+        if self.kind not in ("sinc", "lagrange"):
+            raise ValueError(f"kind must be sinc|lagrange, got {self.kind!r}")
+        if self.kind == "sinc" and self.quality not in QUALITY_PRESETS:
+            raise ValueError(f"unknown quality {self.quality!r}")
+        if self.bits not in (16, 24, 32):
+            raise ValueError(f"bits must be 16/24/32, got {self.bits}")
+        if not self.output_dir:
+            # mandatory, so originals can never be overwritten
+            # (AudioProcessingService.swift:664-667)
+            raise ValueError("output_dir is required")
+        if self.target_rate <= 0:
+            raise ValueError("target_rate must be positive")
+        if not 0 <= self.noise_floor_margin_pct <= 100:
+            raise ValueError("noise_floor_margin_pct out of range")
+
+    @property
+    def noise_floor_threshold_db(self) -> float:
+        """nf + nf*margin% with -80 dB fallback (Source/AppState.h:245-258;
+        AudioProcessingService.swift:710-737)."""
+        nf = self.noise_floor_db
+        if nf is None or nf >= 0:
+            return -80.0
+        return nf + nf * self.noise_floor_margin_pct / 100.0

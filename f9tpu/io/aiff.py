@@ -1,0 +1,160 @@
+"""AIFF / AIFF-C decode (and minimal encode) <-> planar float32.
+
+The reference accepts ``.wav``, ``.aif`` and ``.aiff`` drops
+(Source/FileListAndLogComponent.cpp:150-181) via JUCE's format manager; output
+is always WAV.  This module covers the same surface: read AIFF PCM 8/16/24/32
+big-endian, AIFF-C ``NONE``/``sowt``/``fl32``/``FL32``, and write basic AIFF
+PCM (for test symmetry and library completeness).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .wav import AudioFileInfo, _pack24
+
+__all__ = ["probe_aiff", "read_aiff", "write_aiff"]
+
+
+def _read_extended80(b: bytes) -> float:
+    """80-bit IEEE extended float (the COMM sample-rate field)."""
+    (se,) = struct.unpack(">H", b[0:2])
+    sign = -1.0 if se & 0x8000 else 1.0
+    exp = se & 0x7FFF
+    hi, lo = struct.unpack(">II", b[2:10])
+    mant = (hi << 32) | lo
+    if exp == 0 and mant == 0:
+        return 0.0
+    return sign * mant * 2.0 ** (exp - 16383 - 63)
+
+
+def _write_extended80(x: float) -> bytes:
+    if x == 0:
+        return b"\x00" * 10
+    sign = 0x8000 if x < 0 else 0
+    x = abs(x)
+    exp = 16383 + 63
+    while x >= 1 << 64:
+        x /= 2.0
+        exp += 1
+    while x < 1 << 63:
+        x *= 2.0
+        exp -= 1
+    mant = int(x)
+    return struct.pack(">HII", sign | exp, (mant >> 32) & 0xFFFFFFFF, mant & 0xFFFFFFFF)
+
+
+def _chunks(buf: memoryview, start: int, end: int):
+    pos = start
+    while pos + 8 <= end:
+        cid = bytes(buf[pos : pos + 4])
+        (size,) = struct.unpack_from(">I", buf, pos + 4)
+        yield cid, pos + 8, size
+        pos += 8 + size + (size & 1)
+
+
+def _parse(raw: bytes, path: str):
+    buf = memoryview(raw)
+    if bytes(buf[0:4]) != b"FORM" or bytes(buf[8:12]) not in (b"AIFF", b"AIFC"):
+        raise ValueError(f"{path}: not an AIFF/AIFC file")
+    is_aifc = bytes(buf[8:12]) == b"AIFC"
+    comm = None
+    ssnd = None
+    for cid, off, size in _chunks(buf, 12, len(buf)):
+        if cid == b"COMM":
+            channels, frames, bits = struct.unpack_from(">hIh", buf, off)
+            rate = _read_extended80(bytes(buf[off + 8 : off + 18]))
+            comp = bytes(buf[off + 18 : off + 22]) if (is_aifc and size >= 22) else b"NONE"
+            comm = (channels, frames, bits, rate, comp)
+        elif cid == b"SSND":
+            offset, _block = struct.unpack_from(">II", buf, off)
+            ssnd = (off + 8 + offset, size - 8 - offset)
+    if comm is None:
+        raise ValueError(f"{path}: missing COMM chunk")
+    return comm, ssnd
+
+
+def probe_aiff(path: str) -> AudioFileInfo:
+    with open(path, "rb") as f:
+        raw = f.read(1 << 16)
+    try:
+        comm, _ = _parse(raw, path)
+    except ValueError:
+        with open(path, "rb") as f:
+            raw = f.read()
+        comm, _ = _parse(raw, path)
+    channels, frames, bits, rate, comp = comm
+    return AudioFileInfo(
+        path=path,
+        sample_rate=int(round(rate)),
+        num_channels=channels,
+        num_frames=frames,
+        bit_depth=abs(bits),
+        is_float=comp in (b"fl32", b"FL32", b"fl64", b"FL64"),
+        container="aiff",
+    )
+
+
+def read_aiff(path: str) -> tuple[np.ndarray, int]:
+    """Decode to planar float32 ``(channels, frames)`` + rate."""
+    with open(path, "rb") as f:
+        raw = f.read()
+    comm, ssnd = _parse(raw, path)
+    channels, frames, bits, rate, comp = comm
+    if ssnd is None:
+        raise ValueError(f"{path}: missing SSND chunk")
+    off, size = ssnd
+    data = raw[off : off + size]
+    little = comp == b"sowt"
+    endian = "<" if little else ">"
+    if comp in (b"fl32", b"FL32"):
+        x = np.frombuffer(data, endian + "f4").astype(np.float32)
+    elif comp in (b"fl64", b"FL64"):
+        x = np.frombuffer(data, endian + "f8").astype(np.float32)
+    elif comp in (b"NONE", b"sowt"):
+        if bits == 16:
+            x = np.frombuffer(data, endian + "i2").astype(np.float32) / 32768.0
+        elif bits == 24:
+            b3 = np.frombuffer(data, np.uint8).reshape(-1, 3).astype(np.uint32)
+            if little:
+                v = b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16)
+            else:
+                v = b3[:, 2] | (b3[:, 1] << 8) | (b3[:, 0] << 16)
+            x = ((v.astype(np.int32) << 8) >> 8).astype(np.float32) / 8388608.0
+        elif bits == 32:
+            x = np.frombuffer(data, endian + "i4").astype(np.float32) / 2147483648.0
+        elif bits == 8:
+            x = np.frombuffer(data, np.int8).astype(np.float32) / 128.0
+        else:
+            raise ValueError(f"{path}: unsupported AIFF bit depth {bits}")
+    else:
+        raise ValueError(f"{path}: unsupported AIFC compression {comp!r}")
+    n = len(x) // channels
+    return np.ascontiguousarray(x[: n * channels].reshape(n, channels).T), int(round(rate))
+
+
+def write_aiff(path: str, x: np.ndarray, rate: int, bits: int = 24) -> None:
+    """Write planar float32 as big-endian AIFF PCM (16 or 24-bit)."""
+    x = np.asarray(x, np.float32)
+    if x.ndim == 1:
+        x = x[None, :]
+    channels, frames = x.shape
+    scale = float(1 << (bits - 1))
+    codes = np.clip(np.round(x * scale), -scale, scale - 1).astype(np.int32)
+    inter = np.ascontiguousarray(codes.T).reshape(-1)
+    if bits == 16:
+        payload = inter.astype(">i2").tobytes()
+    elif bits == 24:
+        le = _pack24(inter).reshape(-1, 3)
+        payload = le[:, ::-1].reshape(-1).tobytes()  # byte-swap to big-endian
+    else:
+        raise ValueError(f"unsupported AIFF bit depth {bits}")
+    comm = struct.pack(">hIh", channels, frames, bits) + _write_extended80(float(rate))
+    ssnd = struct.pack(">II", 0, 0) + payload
+    body = b"AIFF"
+    body += b"COMM" + struct.pack(">I", len(comm)) + comm
+    body += b"SSND" + struct.pack(">I", len(ssnd)) + ssnd + (b"\x00" if len(ssnd) & 1 else b"")
+    with open(path, "wb") as f:
+        f.write(b"FORM" + struct.pack(">I", len(body)) + body)

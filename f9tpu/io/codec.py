@@ -1,0 +1,37 @@
+"""Format dispatch: one entry point for .wav/.aif/.aiff, the drop-zone filter
+of the reference (Source/FileListAndLogComponent.cpp:150-181)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .aiff import probe_aiff, read_aiff
+from .wav import AudioFileInfo, probe_wav, read_wav
+
+__all__ = ["SUPPORTED_EXTENSIONS", "probe", "read_audio", "is_supported"]
+
+SUPPORTED_EXTENSIONS = (".wav", ".aif", ".aiff")
+
+
+def is_supported(path: str) -> bool:
+    return os.path.splitext(path)[1].lower() in SUPPORTED_EXTENSIONS
+
+
+def _kind(path: str) -> str:
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".wav":
+        return "wav"
+    if ext in (".aif", ".aiff"):
+        return "aiff"
+    raise ValueError(f"unsupported audio file type: {path}")
+
+
+def probe(path: str) -> AudioFileInfo:
+    return probe_wav(path) if _kind(path) == "wav" else probe_aiff(path)
+
+
+def read_audio(path: str) -> tuple[np.ndarray, int]:
+    """Decode any supported file to planar float32 (channels, frames) + rate."""
+    return read_wav(path) if _kind(path) == "wav" else read_aiff(path)

@@ -1,0 +1,229 @@
+"""WAV decode/encode: PCM 16/24/32-bit and float32/64 <-> planar float32.
+
+Host-side replacement for the reference's file-format layer
+(L0 in SURVEY.md section 1): JUCE ``AudioFormatManager``/``WavAudioFormat``
+(Source/MainComponent.cpp:13,718-742,784-801) and ``AVAudioFile``
+(Services/AudioProcessingService.swift:145-149,303-332).  Output default is
+24-bit PCM WAV, the reference's write format (Source/MainComponent.cpp:784-791).
+
+All sample conversion is vectorised NumPy (3-byte 24-bit pack/unpack via byte
+matrix tricks); arrays are planar ``(channels, frames)`` float32, the device
+layout.  Interleaving exists only at the container boundary, mirroring the
+reference's planar<->interleaved marshalling (CAAudioBridge.swift:555-624).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import struct
+
+import numpy as np
+
+__all__ = ["AudioFileInfo", "probe_wav", "read_wav", "write_wav", "write_wav_codes"]
+
+_RIFF = b"RIFF"
+_WAVE = b"WAVE"
+_FMT = b"fmt "
+_DATA = b"data"
+WAVE_FORMAT_PCM = 1
+WAVE_FORMAT_IEEE_FLOAT = 3
+WAVE_FORMAT_EXTENSIBLE = 0xFFFE
+
+
+@dataclasses.dataclass(frozen=True)
+class AudioFileInfo:
+    """File metadata, the equivalent of the reference's ``AudioFile`` metadata
+    load (Models/AudioFile.swift:11-50; Source/AppState.h:114-176)."""
+
+    path: str
+    sample_rate: int
+    num_channels: int
+    num_frames: int
+    bit_depth: int
+    is_float: bool
+    container: str  # "wav" | "aiff"
+
+    @property
+    def duration_seconds(self) -> float:
+        return self.num_frames / self.sample_rate if self.sample_rate else 0.0
+
+    def is_valid_for_rate(self, session_rate: float, tolerance: float = 1.0) -> bool:
+        """Sample-rate validation, ±1 Hz (Source/AppState.h:137-141;
+        Models/AudioFile.swift:31-34)."""
+        return abs(self.sample_rate - session_rate) <= tolerance
+
+
+def _iter_chunks(buf: memoryview, start: int, end: int):
+    pos = start
+    while pos + 8 <= end:
+        cid = bytes(buf[pos : pos + 4])
+        (size,) = struct.unpack_from("<I", buf, pos + 4)
+        yield cid, pos + 8, size
+        pos += 8 + size + (size & 1)
+
+
+def _parse_wav(buf: memoryview, path: str):
+    if bytes(buf[0:4]) != _RIFF or bytes(buf[8:12]) != _WAVE:
+        raise ValueError(f"{path}: not a RIFF/WAVE file")
+    fmt = None
+    data_off = data_size = None
+    for cid, off, size in _iter_chunks(buf, 12, len(buf)):
+        if cid == _FMT:
+            tag, channels, rate, _, block_align, bits = struct.unpack_from("<HHIIHH", buf, off)
+            if tag == WAVE_FORMAT_EXTENSIBLE and size >= 40:
+                (sub,) = struct.unpack_from("<H", buf, off + 24)
+                tag = sub
+            fmt = (tag, channels, rate, block_align, bits)
+        elif cid == _DATA:
+            data_off, data_size = off, min(size, len(buf) - off)
+    if fmt is None or data_off is None:
+        raise ValueError(f"{path}: missing fmt/data chunk")
+    return fmt, data_off, data_size
+
+
+def probe_wav(path: str) -> AudioFileInfo:
+    """Metadata without decoding samples."""
+    with open(path, "rb") as f:
+        head = f.read(1 << 16)
+    buf = memoryview(head)
+    if bytes(buf[0:4]) != _RIFF:
+        raise ValueError(f"{path}: not a WAV file")
+    # data chunk may be beyond the head for size purposes; use the declared size.
+    fmt = None
+    data_size = None
+    for cid, off, size in _iter_chunks(buf, 12, len(buf)):
+        if cid == _FMT:
+            tag, channels, rate, _, block_align, bits = struct.unpack_from("<HHIIHH", buf, off)
+            if tag == WAVE_FORMAT_EXTENSIBLE and size >= 40:
+                (sub,) = struct.unpack_from("<H", buf, off + 24)
+                tag = sub
+            fmt = (tag, channels, rate, block_align, bits)
+        elif cid == _DATA:
+            data_size = size
+            if fmt is not None:
+                break
+    if fmt is None:
+        raise ValueError(f"{path}: missing fmt chunk")
+    tag, channels, rate, block_align, bits = fmt
+    if data_size is None:
+        data_size = max(0, os.path.getsize(path) - 44)
+    bytes_per = max(1, bits // 8) * max(1, channels)
+    return AudioFileInfo(
+        path=path,
+        sample_rate=rate,
+        num_channels=channels,
+        num_frames=data_size // bytes_per,
+        bit_depth=bits,
+        is_float=(tag == WAVE_FORMAT_IEEE_FLOAT),
+        container="wav",
+    )
+
+
+def _unpack24(raw: np.ndarray) -> np.ndarray:
+    """(n*3,) uint8 little-endian -> (n,) int32, sign-extended, vectorised."""
+    b = raw.reshape(-1, 3).astype(np.uint32)
+    v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+    return (v.astype(np.int32) << 8) >> 8
+
+
+def _pack24(codes: np.ndarray) -> np.ndarray:
+    """(n,) int32 -> (n*3,) uint8 little-endian."""
+    v = codes.astype(np.uint32)
+    out = np.empty((len(v), 3), np.uint8)
+    out[:, 0] = v & 0xFF
+    out[:, 1] = (v >> 8) & 0xFF
+    out[:, 2] = (v >> 16) & 0xFF
+    return out.reshape(-1)
+
+
+def read_wav(path: str) -> tuple[np.ndarray, int]:
+    """Decode to planar float32 ``(channels, frames)`` in [-1, 1) + rate."""
+    with open(path, "rb") as f:
+        raw = f.read()
+    buf = memoryview(raw)
+    (tag, channels, rate, block_align, bits), off, size = _parse_wav(buf, path)
+    data = np.frombuffer(raw, np.uint8, count=size, offset=off)
+    if tag == WAVE_FORMAT_IEEE_FLOAT:
+        dt = np.float32 if bits == 32 else np.float64
+        x = np.frombuffer(data.tobytes(), dtype="<" + np.dtype(dt).char).astype(np.float32)
+    elif tag == WAVE_FORMAT_PCM:
+        if bits == 16:
+            x = np.frombuffer(data.tobytes(), "<i2").astype(np.float32) / 32768.0
+        elif bits == 24:
+            x = _unpack24(data).astype(np.float32) / 8388608.0
+        elif bits == 32:
+            x = np.frombuffer(data.tobytes(), "<i4").astype(np.float32) / 2147483648.0
+        elif bits == 8:
+            x = (np.frombuffer(data.tobytes(), np.uint8).astype(np.float32) - 128.0) / 128.0
+        else:
+            raise ValueError(f"{path}: unsupported PCM bit depth {bits}")
+    else:
+        raise ValueError(f"{path}: unsupported WAVE format tag {tag}")
+    frames = len(x) // channels
+    return np.ascontiguousarray(x[: frames * channels].reshape(frames, channels).T), rate
+
+
+def _wav_header(num_frames: int, channels: int, rate: int, bits: int, is_float: bool) -> bytes:
+    bytes_per_frame = channels * (bits // 8)
+    data_size = num_frames * bytes_per_frame
+    tag = WAVE_FORMAT_IEEE_FLOAT if is_float else WAVE_FORMAT_PCM
+    hdr = b"".join(
+        [
+            _RIFF,
+            struct.pack("<I", 36 + data_size),
+            _WAVE,
+            _FMT,
+            struct.pack("<IHHIIHH", 16, tag, channels, rate,
+                        rate * bytes_per_frame, bytes_per_frame, bits),
+            _DATA,
+            struct.pack("<I", data_size),
+        ]
+    )
+    return hdr
+
+
+def write_wav_codes(path: str, codes: np.ndarray, rate: int, bits: int = 24) -> None:
+    """Write pre-quantized signed PCM codes ``(channels, frames)`` int32.
+
+    This is the fast path fed by the on-device TPDF dither + quantize
+    (`f9tpu.ops.dither`): the host only interleaves and packs bytes.
+    """
+    codes = np.asarray(codes)
+    if codes.ndim == 1:
+        codes = codes[None, :]
+    channels, frames = codes.shape
+    inter = np.ascontiguousarray(codes.T).reshape(-1)  # interleave
+    if bits == 24:
+        payload = _pack24(inter).tobytes()
+    elif bits == 16:
+        payload = inter.astype("<i2").tobytes()
+    elif bits == 32:
+        payload = inter.astype("<i4").tobytes()
+    else:
+        raise ValueError(f"unsupported bit depth {bits}")
+    with open(path, "wb") as f:
+        f.write(_wav_header(frames, channels, rate, bits, is_float=False))
+        f.write(payload)
+
+
+def write_wav(path: str, x: np.ndarray, rate: int, bits: int = 24) -> None:
+    """Write planar float32 ``(channels, frames)`` (or mono ``(frames,)``).
+
+    ``bits``: 16/24/32 integer PCM (round-to-nearest, the reference's
+    behaviour — dithering happens on device via `ops.dither` + write_wav_codes)
+    or 32-float.
+    """
+    x = np.asarray(x, np.float32)
+    if x.ndim == 1:
+        x = x[None, :]
+    if bits == 32 and x.dtype == np.float32:
+        channels, frames = x.shape
+        inter = np.ascontiguousarray(x.T).reshape(-1)
+        with open(path, "wb") as f:
+            f.write(_wav_header(frames, channels, rate, 32, is_float=True))
+            f.write(inter.astype("<f4").tobytes())
+        return
+    scale = float(1 << (bits - 1))
+    codes = np.clip(np.round(x * scale), -scale, scale - 1).astype(np.int32)
+    write_wav_codes(path, codes, rate, bits=bits)

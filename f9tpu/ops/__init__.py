@@ -1,1 +1,14 @@
 from .resample import resample, resample_rates  # noqa: F401
+from .analysis import (  # noqa: F401
+    rms, rms_db, peak, peak_db, noise_floor_db, peak_position, first_above,
+    remove_dc_offset,
+)
+from .dither import tpdf_dither_quantize, quantize, dequantize  # noqa: F401
+from .trim import (  # noqa: F401
+    trim_latency, pad_tail, detect_tail_end, mask_beyond, interleaved_to_frames,
+)
+from .signal import sine, impulse, log_sweep  # noqa: F401
+from .routing import (  # noqa: F401
+    stereo_pairs, route_channels, fan_out_mono, mixdown_monitor, interleave,
+    deinterleave,
+)

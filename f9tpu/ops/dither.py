@@ -1,0 +1,60 @@
+"""TPDF dither + PCM quantization, fused into the device graph.
+
+The reference writes 24-bit PCM WAVs straight from float32 buffers via JUCE /
+AVFoundation (Source/MainComponent.cpp:784-801;
+Services/AudioProcessingService.swift:303-311).  The TPU-native pipeline adds
+the mastering-correct step the north star asks for (BASELINE.json): TPDF
+(triangular) dither of +-1 LSB before quantization, computed on device so the
+host only packs bytes.
+
+Quantized samples are returned as int32 holding the signed PCM code (e.g.
+[-2^23, 2^23-1] for 24-bit); byte-packing lives in `f9tpu.io.wav`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["tpdf_dither_quantize", "quantize", "dequantize"]
+
+
+def _scale(bits: int) -> float:
+    return float(1 << (bits - 1))
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "dither"))
+def tpdf_dither_quantize(
+    x: jax.Array,
+    key: jax.Array,
+    bits: int = 24,
+    dither: bool = True,
+) -> jax.Array:
+    """Quantize float32 in [-1, 1] to signed ``bits``-bit PCM codes (int32).
+
+    TPDF dither: the sum of two independent uniform [-0.5, 0.5) LSB variables,
+    giving a triangular PDF of +-1 LSB — decorrelates quantization error from
+    the signal.  ``dither=False`` gives plain round-to-nearest (the reference's
+    behaviour).
+    """
+    s = _scale(bits)
+    v = x * s
+    if dither:
+        u = jax.random.uniform(key, (2, *x.shape), dtype=x.dtype)
+        v = v + (u[0] - u[1])
+    q = jnp.round(v)
+    lo, hi = -s, s - 1.0
+    return jnp.clip(q, lo, hi).astype(jnp.int32)
+
+
+def quantize(x: jax.Array, bits: int = 24) -> jax.Array:
+    """Undithered round-to-nearest PCM quantization (reference behaviour)."""
+    s = _scale(bits)
+    return jnp.clip(jnp.round(x * s), -s, s - 1.0).astype(jnp.int32)
+
+
+def dequantize(q: jax.Array, bits: int = 24) -> jax.Array:
+    """PCM codes back to float32 in [-1, 1)."""
+    return q.astype(jnp.float32) / _scale(bits)

@@ -40,6 +40,34 @@ def cycle_matrix_f32(bank: CycleBank) -> np.ndarray:
     return _g_f32_cached(bank)
 
 
+def resample_presliced(xp: jax.Array, bank: CycleBank, num_cycles: int) -> jax.Array:
+    """Core cycle conv on an *already padded/haloed* signal: no implicit padding.
+
+    ``xp``: (..., T_padded) with T_padded >= (num_cycles-1)*M + W; returns
+    (..., num_cycles * L).  Used directly by the frames-sharded overlap-save
+    path (`f9tpu.parallel.sharding`), where halos arrive via ppermute instead
+    of zero padding.
+    """
+    L, M, W = bank.L, bank.M, bank.W
+    need = (num_cycles - 1) * M + W
+    if xp.shape[-1] < need:
+        raise ValueError(f"padded input too short: {xp.shape[-1]} < {need}")
+    lead = xp.shape[:-1]
+    xb = xp.reshape(-1, 1, xp.shape[-1])
+    g = jnp.asarray(cycle_matrix_f32(bank))
+    rhs = g.T.reshape(L, 1, W)
+    y = jax.lax.conv_general_dilated(
+        xb[..., : need],
+        rhs,
+        window_strides=(M,),
+        padding=((0, 0),),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return jnp.transpose(y, (0, 2, 1)).reshape(*lead, num_cycles * L)
+
+
 def resample(x: jax.Array, bank: CycleBank, out_len: int | None = None) -> jax.Array:
     """Resample the last axis of ``x`` by the rational ratio of ``bank``.
 

@@ -1,0 +1,175 @@
+"""Latency trimming, padding, and reverb-tail (noise-floor) termination.
+
+TPU-native forms of the reference's capture post-processing:
+
+- ``trim_latency`` — skip the measured round-trip delay at the head of a
+  capture, then take exactly the source length
+  (Source/MainComponent.cpp:824-861; Services/AudioProcessingService.swift:681-703).
+  The reference counts *interleaved samples* (latency = frames * channels —
+  the contract documented in _Swift Docs/LATENCY_TRIMMING_FIX.md:196-203); our
+  layout is planar ``(..., frames)`` so the API takes frames and offers a
+  converter for interleaved counts.
+
+- ``detect_tail_end`` — the reverb-mode termination rule as a vectorised scan
+  instead of a polling loop: peak (Swift, AudioProcessingService.swift:710-737)
+  or RMS (C++, Source/MainComponent.cpp:863-882) level of 100 ms windows
+  checked every 50 ms; silence confirmed after 3 consecutive quiet windows;
+  threshold = noise_floor + noise_floor * margin% (REVERB_MODE_IMPLEMENTATION.md:59-73);
+  open-ended capture capped at 60 s (AudioProcessingService.swift:449-452).
+  Returns a per-file end frame + termination flag, enabling per-file early-exit
+  masks in a fixed-shape batch.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "interleaved_to_frames",
+    "trim_latency",
+    "pad_tail",
+    "detect_tail_end",
+    "mask_beyond",
+]
+
+
+def interleaved_to_frames(latency_samples: jax.Array | int, num_channels: int) -> jax.Array:
+    """Interleaved-sample latency -> frames (LATENCY_TRIMMING_FIX.md:196-203)."""
+    return jnp.asarray(latency_samples) // num_channels
+
+
+def trim_latency(captured: jax.Array, latency_frames: jax.Array | int, out_frames: int) -> jax.Array:
+    """Drop ``latency_frames`` from the head of the last axis, return exactly
+    ``out_frames`` (zero-padded if the capture under-ran, mirroring the
+    reference's insufficient-capture warning path,
+    AudioProcessingService.swift:690-694).
+
+    ``latency_frames`` may be traced (measured on device); ``out_frames`` is
+    static so shapes stay fixed under jit.
+    """
+    t = captured.shape[-1]
+    lat = jnp.clip(jnp.asarray(latency_frames, jnp.int32), 0, max(t - 1, 0))
+    if t < out_frames:
+        captured = jnp.pad(captured, [(0, 0)] * (captured.ndim - 1) + [(0, out_frames - t)])
+        t = out_frames
+    # Shift left by `lat` along the last axis, keeping the first out_frames.
+    idx = (jnp.arange(out_frames, dtype=jnp.int32)[None, :]
+           + lat.reshape(-1, *([1] * 1)))                     # (B?, out)
+    flat = captured.reshape(-1, t)
+    b = flat.shape[0]
+    if idx.shape[0] == 1 and b > 1:
+        idx = jnp.broadcast_to(idx, (b, out_frames))
+    elif idx.shape[0] != b:
+        # per-file latency broadcast over channels
+        rep = b // idx.shape[0]
+        idx = jnp.repeat(idx, rep, axis=0)
+    valid = idx < t
+    got = jnp.take_along_axis(flat, jnp.minimum(idx, t - 1), axis=-1)
+    got = jnp.where(valid, got, 0.0)
+    return got.reshape(*captured.shape[:-1], out_frames)
+
+
+def pad_tail(x: jax.Array, frames: int) -> jax.Array:
+    """Append ``frames`` of silence (the silence-pad stage of the
+    latency-compensated render config, BASELINE.json config 4)."""
+    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, frames)])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("rate", "window_ms", "hop_ms", "consecutive", "min_frames", "mode"),
+)
+def detect_tail_end(
+    x: jax.Array,
+    noise_floor_db: jax.Array | float,
+    margin_pct: jax.Array | float,
+    rate: int,
+    window_ms: int = 100,
+    hop_ms: int = 50,
+    consecutive: int = 3,
+    min_frames: int = 0,
+    mode: str = "peak",
+) -> tuple[jax.Array, jax.Array]:
+    """Per-file reverb-tail end detection on a batch ``(files, channels, frames)``.
+
+    Returns ``(end_frame[int32 (files,)], terminated[bool (files,)])``:
+    the frame index at which 3 consecutive quiet windows confirmed silence
+    (i.e. capture may stop), or ``frames`` with ``terminated=False`` when the
+    tail never fell below the threshold (the reference's 60 s cap error path,
+    AudioProcessingService.swift:449-452).
+
+    threshold_db = nf + nf * margin/100 — e.g. -96 dB at 10 % margin gives
+    -105.6 dB (REVERB_MODE_IMPLEMENTATION.md:59-73); fallback -80 dB when no
+    noise floor was measured (AudioProcessingService.swift:710-737).
+    """
+    if x.ndim == 2:
+        x = x[:, None, :]
+    files, chans, frames = x.shape
+    win = max(1, rate * window_ms // 1000)
+    hop = max(1, rate * hop_ms // 1000)
+
+    nf = jnp.asarray(noise_floor_db, jnp.float32)
+    threshold_db = jnp.where(nf < 0, nf + nf * jnp.asarray(margin_pct, jnp.float32) / 100.0, -80.0)
+
+    mono = jnp.max(jnp.abs(x), axis=1)  # loudest channel governs, (files, frames)
+    # Two-level windowing instead of lax.reduce_window: a 100 ms window at 48 k
+    # is 4800 lanes of scoped VMEM per output in XLA's reduce-window lowering,
+    # which overflows the 16 MB budget on real TPUs.  Reduce per hop-chunk
+    # first (a reshape + small reduction), then combine ceil(win/hop) adjacent
+    # chunk results with shifted maxima/sums — identical hop-aligned windows,
+    # tiny VMEM footprint, and MXU/VPU-friendly shapes.
+    factor = -(-win // hop)               # chunks per window
+    n_hops = (frames - win) // hop + 1
+    if n_hops <= 0:  # capture shorter than one window: nothing to detect
+        return (jnp.full((files,), frames, jnp.int32),
+                jnp.zeros((files,), bool))
+    n_chunks = n_hops + factor - 1
+    pad_to = n_chunks * hop
+    mono_p = jnp.pad(mono, ((0, 0), (0, max(0, pad_to - frames))))[:, :pad_to]
+    chunks = mono_p.reshape(files, n_chunks, hop)
+
+    def _combine(per_chunk, reduce_fn):
+        out = per_chunk[:, 0:n_hops]
+        for s in range(1, factor):
+            out = reduce_fn(out, per_chunk[:, s : s + n_hops])
+        return out
+
+    if mode == "rms":
+        chunk_sum = jnp.sum(jnp.square(chunks), axis=-1)
+        energy = _combine(chunk_sum, jnp.add) / (factor * hop)
+        level_db = jnp.where(energy > 0, 10.0 * jnp.log10(jnp.maximum(energy, 1e-30)), -200.0)
+    elif mode == "peak":
+        chunk_max = jnp.max(chunks, axis=-1)
+        peaks = _combine(chunk_max, jnp.maximum)
+        level_db = jnp.where(peaks > 0, 20.0 * jnp.log10(jnp.maximum(peaks, 1e-30)), -200.0)
+    else:
+        raise ValueError(f"mode must be 'peak' or 'rms', got {mode!r}")
+
+    win = factor * hop                    # effective hop-aligned window length
+    n_win = level_db.shape[-1]
+    quiet = level_db < threshold_db                       # (files, n_win)
+    # Window w ends at frame w*hop + win; enforce the minimum capture length
+    # (source + latency; AudioProcessingService.swift:426-429).
+    ends = jnp.arange(n_win, dtype=jnp.int32) * hop + win
+    quiet = quiet & (ends[None, :] >= min_frames)
+    # 3-consecutive rule as a shifted AND (REVERB_MODE_IMPLEMENTATION.md:59-73).
+    run = quiet
+    for s in range(1, consecutive):
+        shifted = jnp.pad(quiet, ((0, 0), (s, 0)))[:, :n_win]
+        run = run & shifted
+    hit = jnp.any(run, axis=-1)
+    first = jnp.argmax(run, axis=-1).astype(jnp.int32)
+    end_frame = jnp.where(hit, jnp.minimum(first * hop + win, frames), frames).astype(jnp.int32)
+    return end_frame, hit
+
+
+def mask_beyond(x: jax.Array, end_frame: jax.Array) -> jax.Array:
+    """Zero samples at/after each file's ``end_frame`` (per-file early-exit mask
+    for fixed-shape batches; SURVEY.md section 7 'hard parts')."""
+    frames = x.shape[-1]
+    pos = jnp.arange(frames, dtype=jnp.int32)
+    shape = [x.shape[0]] + [1] * (x.ndim - 1)
+    return jnp.where(pos < end_frame.reshape(shape), x, 0.0)

@@ -1,1 +1,7 @@
-
+from .calibration import CalibrationCache, CalibrationResult, measure_latency  # noqa: F401
+from .graph import ProcessResult, build_process_fn, process_batch  # noqa: F401
+from .logbook import StatusLog, Throughput  # noqa: F401
+from .manifest import FileStatus, JobEntry, JobManifest  # noqa: F401
+from .preview import PlaylistItem, render_playlist  # noqa: F401
+from .scheduler import BatchProcessor, BatchResult, build_output_path  # noqa: F401
+from .selftest import LoopTestReport, LoopTestVerdict, run_loop_test  # noqa: F401

@@ -1,0 +1,144 @@
+"""Latency calibration: impulse -> chain -> peak find, with cached results.
+
+The reference measures round-trip latency by sending a 0.9-amplitude single-
+sample impulse through the hardware loop and locating the returned peak
+(Services/LatencyMeasurementService.swift:57-171; C++ flow
+Source/MainComponent.cpp:636-650,264-294), storing the measured latency plus
+the capture noise floor, and auto-re-measuring when invalidated by settings
+changes (MainViewModel.swift:195-206; Models/ProcessingSettings.swift:60-65).
+
+Here the "loop" is the SRC/effect chain on device.  The chain is group-delay
+compensated by construction, so the measured latency is ~0 — and measuring it
+*is* the calibration test (any nonzero result means a chain stage introduced
+uncompensated delay, e.g. a user FIR).  The same cache/invalidation semantics
+apply: results are keyed by the full chain signature and re-measured when the
+key changes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import analysis
+from ..ops.resample import resample_rates
+from ..ops.signal import impulse
+
+__all__ = ["CalibrationResult", "CalibrationCache", "measure_latency"]
+
+#: Reference impulse parameters (LatencyMeasurementService.swift:130-149).
+IMPULSE_AMP = 0.9
+PEAK_THRESHOLD = 0.1
+CAPTURE_FRAMES = 1 << 16   # ~1.4 s @ 48k; reference captures >= 100k samples
+
+
+@dataclasses.dataclass(frozen=True)
+class CalibrationResult:
+    latency_frames: int        # chain delay at the OUTPUT rate, in frames
+    noise_floor_db: float      # RMS dB of the response away from the peak
+    peak_amplitude: float      # detected peak (must exceed PEAK_THRESHOLD)
+
+    @property
+    def detected(self) -> bool:
+        return self.peak_amplitude > PEAK_THRESHOLD
+
+
+def measure_latency(
+    rate_in: int,
+    rate_out: int,
+    quality: str = "high",
+    kind: str = "sinc",
+    chain_fn=None,
+    capture_frames: int = CAPTURE_FRAMES,
+) -> CalibrationResult:
+    """Measure the group delay of the processing chain in output frames.
+
+    ``chain_fn(x) -> y`` defaults to the bare resampler; pass a custom chain to
+    measure user effect stacks.  The impulse is placed mid-buffer so acausal
+    (negative-delay) chains are measurable too.
+    """
+    pos = capture_frames // 2
+    x = impulse(capture_frames, amp=IMPULSE_AMP, position=pos)
+    if chain_fn is None:
+        y = resample_rates(x, rate_in, rate_out, quality=quality, kind=kind)
+    else:
+        y = chain_fn(x)
+    y = jnp.asarray(y)
+    peak_idx = int(analysis.peak_position(y))
+    peak_amp = float(jnp.abs(y[peak_idx]))
+    # Expected zero-delay landing position of the impulse at the output rate:
+    # exact rational mapping of `pos` (same integer math as the index path).
+    from ..models.filters import resolve_ratio
+
+    L, M = resolve_ratio(rate_in, rate_out)
+    expected = (pos * L) // M if (pos * L) % M == 0 else round(pos * L / M)
+    latency = peak_idx - int(expected)
+    # Noise floor: RMS away from the impulse response's main lobe
+    # (calculateNoiseFloor, LatencyMeasurementService.swift:173-181).
+    yn = np.asarray(y)
+    guard = 4096
+    mask = np.ones(len(yn), bool)
+    mask[max(0, peak_idx - guard): peak_idx + guard] = False
+    tail = yn[mask]
+    rms = float(np.sqrt(np.mean(tail**2))) if tail.size else 0.0
+    nf_db = 20.0 * np.log10(max(rms, 1e-30)) if rms > 0 else -200.0
+    return CalibrationResult(
+        latency_frames=int(latency),
+        noise_floor_db=nf_db,
+        peak_amplitude=peak_amp,
+    )
+
+
+class CalibrationCache:
+    """Persistent {chain-signature -> CalibrationResult} with the reference's
+    invalidation semantics: a changed signature simply misses the cache
+    (needsLatencyRemeasurement, Models/ProcessingSettings.swift:60-65)."""
+
+    def __init__(self, path: str | None = None):
+        self._path = path
+        self._lock = threading.Lock()
+        self._data: dict[str, CalibrationResult] = {}
+        if path and os.path.exists(path):
+            try:
+                with open(path) as f:
+                    raw = json.load(f)
+                self._data = {k: CalibrationResult(**v) for k, v in raw.items()}
+            except (json.JSONDecodeError, TypeError):
+                self._data = {}
+
+    @staticmethod
+    def key(rate_in: int, rate_out: int, quality: str, kind: str, chain_sig: str = "") -> str:
+        return f"{rate_in}->{rate_out}:{kind}:{quality}:{chain_sig}"
+
+    def get_or_measure(
+        self, rate_in: int, rate_out: int, quality: str = "high", kind: str = "sinc",
+        chain_fn=None, chain_sig: str = "",
+    ) -> CalibrationResult:
+        k = self.key(rate_in, rate_out, quality, kind, chain_sig)
+        with self._lock:
+            if k in self._data:
+                return self._data[k]
+        res = measure_latency(rate_in, rate_out, quality=quality, kind=kind, chain_fn=chain_fn)
+        with self._lock:
+            self._data[k] = res
+            self._save_locked()
+        return res
+
+    def invalidate(self, prefix: str = "") -> None:
+        with self._lock:
+            self._data = {k: v for k, v in self._data.items() if prefix and not k.startswith(prefix)}
+            self._save_locked()
+
+    def _save_locked(self) -> None:
+        if not self._path:
+            return
+        tmp = self._path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({k: dataclasses.asdict(v) for k, v in self._data.items()}, f, indent=1)
+        os.replace(tmp, self._path)

@@ -1,0 +1,207 @@
+"""The fused per-batch device graph: decode buffers in, PCM codes + metrics out.
+
+This is the TPU-native equivalent of the reference's per-file hot path
+(AudioProcessingService.swift:339-536: play -> capture -> wait -> trim ->
+write), collapsed into one jitted XLA graph over a fixed-shape batch
+``(files, channels, frames)``:
+
+    dc-remove -> [silence pad] -> SRC -> latency trim -> [tail detect] ->
+    gain -> metrics -> TPDF dither + quantize
+
+Everything fuses; the host only moves bytes.  Per-file variable lengths ride
+through as (frames_in[i], end_frame[i]) masks so one compiled graph serves a
+whole length bucket (SURVEY.md section 7, 'variable-length batches without
+recompiles').
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ProcessingConfig, recording_length
+from ..models.filters import design_cycle_bank
+from ..ops import analysis, dither
+from ..ops.resample import resample
+from ..ops.trim import detect_tail_end, mask_beyond, trim_latency
+
+__all__ = ["ProcessResult", "build_process_fn", "process_batch"]
+
+
+@dataclasses.dataclass
+class ProcessResult:
+    """Device outputs for one batch (host-side views)."""
+
+    codes: Any          # (files, channels, out_frames) int32 PCM codes
+    out_frames: Any     # (files,) int32 — valid output length per file
+    tail_terminated: Any  # (files,) bool — reverb-mode silence confirmed
+    peak_db: Any        # (files,) float32, pre-quantize
+    rms_db: Any         # (files,) float32
+    noise_floor_db: Any  # (files,) float32 (tail window RMS)
+
+
+def _metrics(y: jax.Array) -> tuple[jax.Array, jax.Array]:
+    flat = y.reshape(y.shape[0], -1)
+    return analysis.peak_db(flat), analysis.rms_db(flat)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("rate_in", "rate_out", "cfg_key"),
+)
+def _process_impl(
+    x: jax.Array,
+    frames_valid: jax.Array,
+    latency_frames: jax.Array,
+    noise_floor_db: jax.Array,
+    key: jax.Array,
+    *,
+    rate_in: int,
+    rate_out: int,
+    cfg_key: tuple,
+):
+    (quality, kind, bits, do_dither, remove_dc, gain_db, trim_enabled,
+     reverb_mode, margin_pct, tail_mode, tail_window_ms, tail_hop_ms,
+     tail_consecutive, pad_frames) = cfg_key
+
+    bank = design_cycle_bank(rate_in, rate_out, quality=quality, kind=kind)
+    files = x.shape[0]
+
+    # Zero out samples beyond each file's true length (bucket padding).
+    x = mask_beyond(x, frames_valid)
+    if pad_frames:
+        # Capture head-room for reverb tails: src + 5*latency rule
+        # (Source/AppState.h:240-243), as explicit silence padding.
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, pad_frames)))
+
+    y = resample(x, bank)
+
+    out_total = y.shape[-1]
+    if trim_enabled:
+        y = trim_latency(y, latency_frames, out_total)
+
+    # Valid output frames per file: ceil(n*L/M) in exact int32 split arithmetic
+    # (fp32 would drop frames for minute-long files: n*L exceeds 2^24).
+    q_div, r_mod = jnp.divmod(frames_valid, bank.M)
+    out_valid = (q_div * bank.L + (r_mod * bank.L + bank.M - 1) // bank.M).astype(jnp.int32)
+    out_valid = jnp.minimum(out_valid, out_total)
+
+    if reverb_mode:
+        end_frame, terminated = detect_tail_end(
+            y,
+            noise_floor_db,
+            margin_pct,
+            rate=rate_out,
+            window_ms=tail_window_ms,
+            hop_ms=tail_hop_ms,
+            consecutive=tail_consecutive,
+            min_frames=0,
+            mode=tail_mode,
+        )
+        # Tail may extend past the source length (that's the point) but never
+        # past the padded capture; if never silent, keep the full capture
+        # (the 60 s cap is enforced by the capture size upstream).
+        out_frames = jnp.maximum(jnp.minimum(end_frame, out_total), out_valid)
+    else:
+        end_frame = out_valid
+        terminated = jnp.ones((files,), bool)
+        out_frames = out_valid
+
+    y = mask_beyond(y, out_frames)
+
+    if remove_dc:
+        # DC removal comes AFTER tail detection, as in the reference (capture
+        # -> detect during capture -> trim -> DC-remove -> write,
+        # Source/MainComponent.cpp:751-805): subtracting the mean first would
+        # shift in-file silence off zero and defeat the noise-floor detector.
+        # Mean over each file's valid span only (masked samples contribute 0).
+        mean = (jnp.sum(y, axis=-1, keepdims=True)
+                / jnp.maximum(out_frames, 1).reshape(files, 1, 1).astype(jnp.float32))
+        y = mask_beyond(y - mean, out_frames)
+
+    if gain_db:
+        y = y * (10.0 ** (gain_db / 20.0))
+
+    pk_db, level_db = _metrics(y)
+    # Noise floor estimate: RMS of the last tail window of each file's valid
+    # span (the role of calculateNoiseFloor, LatencyMeasurementService.swift:173-181).
+    win = max(1, rate_out * tail_window_ms // 1000)
+    mono = jnp.max(jnp.abs(y), axis=1)                          # (files, out_total)
+    pos = jnp.clip(
+        out_frames[:, None] - win + jnp.arange(win, dtype=jnp.int32)[None, :],
+        0, out_total - 1,
+    )
+    nf_est = analysis.rms_db(jnp.take_along_axis(mono, pos, axis=-1))
+    codes = (dither.tpdf_dither_quantize(y, key, bits=bits)
+             if do_dither else dither.quantize(y, bits=bits))
+    codes = jnp.where(
+        (jnp.arange(out_total, dtype=jnp.int32) < out_frames[:, None, None]), codes, 0
+    )
+    return codes, out_frames, terminated, pk_db, level_db, nf_est
+
+
+def _cfg_key(cfg: ProcessingConfig, pad_frames: int) -> tuple:
+    return (
+        cfg.quality, cfg.kind, cfg.bits, cfg.dither, cfg.remove_dc,
+        float(cfg.gain_db), cfg.trim_enabled, cfg.reverb_mode,
+        float(cfg.noise_floor_margin_pct), cfg.tail_mode, cfg.tail_window_ms,
+        cfg.tail_hop_ms, cfg.tail_consecutive, pad_frames,
+    )
+
+
+def process_batch(
+    x: jax.Array,
+    frames_valid: jax.Array,
+    cfg: ProcessingConfig,
+    rate_in: int,
+    key: jax.Array,
+    latency_frames: int | jax.Array = 0,
+    pad_frames: int | None = None,
+) -> ProcessResult:
+    """Run one fixed-shape batch through the fused graph.
+
+    ``x``: (files, channels, frames_in) float32, zero-padded per file to the
+    bucket length; ``frames_valid``: (files,) int32 true lengths.
+    """
+    if pad_frames is None:
+        if cfg.reverb_mode:
+            # Capture head-room: the src + lat + 4*lat rule (recording_length,
+            # Source/AppState.h:240-243) plus filter ring-out; the 60 s cap
+            # bounds it (AudioProcessingService.swift:449-452).
+            lat = int(latency_frames) if isinstance(latency_frames, int) else 0
+            pad_frames = min(
+                recording_length(0, lat) + 4096,
+                int(cfg.max_tail_seconds * rate_in),
+            )
+        else:
+            pad_frames = 0
+    nf = jnp.float32(cfg.noise_floor_db if cfg.noise_floor_db is not None else 1.0)
+    codes, out_frames, terminated, pk, level, nf_est = _process_impl(
+        x,
+        jnp.asarray(frames_valid, jnp.int32),
+        jnp.asarray(latency_frames, jnp.int32),
+        nf,
+        key,
+        rate_in=rate_in,
+        rate_out=cfg.target_rate,
+        cfg_key=_cfg_key(cfg, pad_frames),
+    )
+    return ProcessResult(
+        codes=codes,
+        out_frames=out_frames,
+        tail_terminated=terminated,
+        peak_db=pk,
+        rms_db=level,
+        noise_floor_db=nf_est,
+    )
+
+
+def build_process_fn(cfg: ProcessingConfig, rate_in: int):
+    """Convenience: a partially-applied `process_batch` for one rate pair."""
+    def fn(x, frames_valid, key, latency_frames=0):
+        return process_batch(x, frames_valid, cfg, rate_in, key, latency_frames)
+    return fn

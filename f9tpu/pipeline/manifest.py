@@ -1,0 +1,170 @@
+"""Job manifest: per-file status machine with checkpoint/resume.
+
+The reference tracks each file through
+``pending -> processing -> completed | failed | invalidSampleRate``
+(Source/AppState.h:23-30; Models/AudioFile.swift:19-25) but keeps it only in
+memory — a killed batch restarts from scratch.  Here the manifest is persisted
+as JSON after every status change, so a batch resumes at file granularity
+(SURVEY.md section 5 'checkpoint/resume': the one aux subsystem the reference
+lacks outright).  A completed entry is trusted only if its recorded output
+file still exists with the recorded size.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import json
+import os
+import threading
+
+__all__ = ["FileStatus", "JobEntry", "JobManifest"]
+
+
+class FileStatus(str, enum.Enum):
+    PENDING = "pending"
+    PROCESSING = "processing"
+    COMPLETED = "completed"
+    FAILED = "failed"
+    INVALID_SAMPLE_RATE = "invalid_sample_rate"
+
+
+@dataclasses.dataclass
+class JobEntry:
+    path: str
+    status: FileStatus = FileStatus.PENDING
+    output_path: str | None = None
+    output_size: int | None = None
+    error: str | None = None
+    sample_rate: int | None = None
+    num_channels: int | None = None
+    num_frames: int | None = None
+    progress: float = 0.0   # per-file progress double (Source/AppState.h:294-298)
+
+    def to_json(self) -> dict:
+        d = dataclasses.asdict(self)
+        d["status"] = self.status.value
+        return d
+
+    @classmethod
+    def from_json(cls, d: dict) -> "JobEntry":
+        d = dict(d)
+        d["status"] = FileStatus(d["status"])
+        return cls(**d)
+
+
+class JobManifest:
+    """Thread-safe ordered collection of job entries with JSON persistence."""
+
+    def __init__(self, entries: list[JobEntry], path: str | None = None):
+        self._entries = {e.path: e for e in entries}
+        self._path = path
+        self._lock = threading.Lock()
+
+    # -- construction --------------------------------------------------------
+
+    @classmethod
+    def from_files(cls, files: list[str], manifest_path: str | None = None) -> "JobManifest":
+        return cls([JobEntry(path=p) for p in files], path=manifest_path)
+
+    @classmethod
+    def load(cls, manifest_path: str) -> "JobManifest":
+        with open(manifest_path) as f:
+            data = json.load(f)
+        return cls([JobEntry.from_json(d) for d in data["files"]], path=manifest_path)
+
+    @classmethod
+    def load_or_create(cls, files: list[str], manifest_path: str) -> "JobManifest":
+        """Resume semantics: reuse stored statuses for paths still in the file
+        list; verify completed outputs still exist; everything else pending."""
+        if os.path.exists(manifest_path):
+            old = cls.load(manifest_path)
+            entries = []
+            for p in files:
+                prev = old._entries.get(p)
+                if prev is not None and prev.status == FileStatus.COMPLETED:
+                    ok = (
+                        prev.output_path
+                        and os.path.exists(prev.output_path)
+                        and (prev.output_size is None
+                             or os.path.getsize(prev.output_path) == prev.output_size)
+                    )
+                    entries.append(prev if ok else JobEntry(path=p))
+                else:
+                    entries.append(JobEntry(path=p))
+            return cls(entries, path=manifest_path)
+        return cls.from_files(files, manifest_path)
+
+    # -- state transitions ---------------------------------------------------
+
+    def update(self, path: str, status: FileStatus, **fields) -> JobEntry:
+        with self._lock:
+            e = self._entries[path]
+            e.status = status
+            for k, v in fields.items():
+                setattr(e, k, v)
+            self._save_locked()
+            return e
+
+    def set_progress(self, path: str, progress: float) -> None:
+        with self._lock:
+            self._entries[path].progress = progress
+
+    def fail_remaining(self, error: str) -> None:
+        """Batch-failure semantics: mark every non-terminal file failed and
+        abort (MainViewModel.swift:233-250)."""
+        with self._lock:
+            for e in self._entries.values():
+                if e.status in (FileStatus.PENDING, FileStatus.PROCESSING):
+                    e.status = FileStatus.FAILED
+                    e.error = error
+            self._save_locked()
+
+    # -- queries -------------------------------------------------------------
+
+    def entries(self) -> list[JobEntry]:
+        with self._lock:
+            return list(self._entries.values())
+
+    def get(self, path: str) -> JobEntry:
+        with self._lock:
+            return self._entries[path]
+
+    def pending(self) -> list[JobEntry]:
+        with self._lock:
+            return [e for e in self._entries.values() if e.status == FileStatus.PENDING]
+
+    def counts(self) -> dict[str, int]:
+        with self._lock:
+            out: dict[str, int] = {}
+            for e in self._entries.values():
+                out[e.status.value] = out.get(e.status.value, 0) + 1
+            return out
+
+    @property
+    def overall_progress(self) -> float:
+        """Batch progress double (Source/AppState.h:294-298)."""
+        with self._lock:
+            if not self._entries:
+                return 0.0
+            done = sum(
+                1.0 if e.status in (FileStatus.COMPLETED, FileStatus.FAILED,
+                                    FileStatus.INVALID_SAMPLE_RATE)
+                else e.progress
+                for e in self._entries.values()
+            )
+            return done / len(self._entries)
+
+    # -- persistence ---------------------------------------------------------
+
+    def _save_locked(self) -> None:
+        if not self._path:
+            return
+        tmp = self._path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"files": [e.to_json() for e in self._entries.values()]}, f, indent=1)
+        os.replace(tmp, self._path)
+
+    def save(self) -> None:
+        with self._lock:
+            self._save_locked()

@@ -1,0 +1,90 @@
+"""Preview engine: gapless playlist rendering with monitoring mixdown.
+
+Offline-render form of the reference's preview path
+(AudioProcessingService.swift:539-647): per file decode -> expand to the
+selected output channel count -> concatenate with ``silenceBetweenFilesMs`` of
+zeros between items (and wrap-around looping handled by the caller), rendered
+simultaneously to the *selected output channels* and — when monitoring is on —
+mixed down to channels 1+2 (the dual-render design,
+_Swift Docs/Swift_claude.md:226-276; PreviewPlaybackContext.renderToChannels
+AudioProcessingService.swift:742-876).
+
+Instead of streaming through an RT callback, the whole playlist is produced as
+one planar array (or written to a WAV), with per-item start offsets returned
+so a UI can track progress.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..io import codec
+from ..ops.routing import stereo_pairs  # noqa: F401  (re-export convenience)
+
+__all__ = ["PlaylistItem", "render_playlist"]
+
+
+@dataclasses.dataclass
+class PlaylistItem:
+    path: str
+    start_frame: int
+    num_frames: int
+
+
+def _expand_channels(x: np.ndarray, num_out: int) -> np.ndarray:
+    """Mono -> N duplication; otherwise pad/truncate channel count
+    (AudioProcessingService.swift:554-588)."""
+    c = x.shape[0]
+    if c == num_out:
+        return x
+    if c == 1:
+        return np.broadcast_to(x, (num_out, x.shape[1])).copy()
+    if c > num_out:
+        return x[:num_out]
+    out = np.zeros((num_out, x.shape[1]), x.dtype)
+    out[:c] = x
+    return out
+
+
+def render_playlist(
+    files: list[str],
+    rate: int,
+    silence_ms: int = 150,
+    output_channels: int = 2,
+    monitor: bool = False,
+) -> tuple[np.ndarray, np.ndarray | None, list[PlaylistItem]]:
+    """Render ``files`` into one gapless (channels, frames) array.
+
+    Files not matching ``rate`` are resampled on device first (the TPU twist:
+    preview of a mixed-rate library is exact, where the reference requires
+    pre-matched rates).  Returns (main, monitor_stereo|None, items).
+    """
+    from ..ops.resample import resample_rates
+    from ..ops.routing import mixdown_monitor
+
+    silence = int(round(silence_ms * rate / 1000.0))
+    rendered: list[np.ndarray] = []
+    items: list[PlaylistItem] = []
+    cursor = 0
+    for i, path in enumerate(files):
+        x, r = codec.read_audio(path)
+        if r != rate:
+            x = np.asarray(resample_rates(x, r, rate))
+        x = _expand_channels(x, output_channels)
+        items.append(PlaylistItem(path=path, start_frame=cursor, num_frames=x.shape[1]))
+        rendered.append(x)
+        cursor += x.shape[1]
+        if i != len(files) - 1 and silence > 0:
+            rendered.append(np.zeros((output_channels, silence), np.float32))
+            cursor += silence
+    if not rendered:
+        return np.zeros((output_channels, 0), np.float32), None, []
+    main = np.concatenate(rendered, axis=1)
+    mon = None
+    if monitor:
+        import jax.numpy as jnp
+
+        mon = np.asarray(mixdown_monitor(jnp.asarray(main)))
+    return main, mon, items

@@ -1,0 +1,306 @@
+"""Batch scheduler: the throughput-oriented replacement for the app's
+message-thread batch driver.
+
+The reference drives a batch as: load next file -> run the RT loop -> poll a
+30 Hz timer -> save -> sleep the inter-file gap -> next
+(Source/MainComponent.cpp:174-313,581-621; AudioProcessingService.swift:65-113).
+Throughput is 1x real time because the "processing" is physical playback.
+
+Here the pipeline is: decode threads -> bucketed fixed-shape batches -> one
+fused device graph -> encode threads, with all three stages overlapped via
+queues (the double-buffered host<->device pipeline, SURVEY.md section 2.4).
+Files are grouped by (sample_rate, channels) and length-bucketed so a whole
+library compiles a handful of graphs (SURVEY.md section 7 'variable-length
+batches without recompiles').  Per-file status flows through the persistent
+`JobManifest` (resume at file granularity) and the `StatusLog`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import queue
+import threading
+import time
+
+import jax
+import numpy as np
+
+from ..config import ProcessingConfig
+from ..io import codec, wav
+from .calibration import CalibrationCache
+from .graph import process_batch
+from .logbook import StatusLog, Throughput
+from .manifest import FileStatus, JobManifest
+
+__all__ = ["BatchResult", "BatchProcessor", "build_output_path"]
+
+
+def build_output_path(src_path: str, output_dir: str, postfix: str) -> str:
+    """out_dir/<stem><postfix>.wav — mandatory output dir + postfix naming
+    (Source/MainComponent.cpp:807-819; AudioProcessingService.swift:652-672)."""
+    stem = os.path.splitext(os.path.basename(src_path))[0]
+    return os.path.join(output_dir, f"{stem}{postfix}.wav")
+
+
+@dataclasses.dataclass
+class BatchResult:
+    completed: int
+    failed: int
+    invalid: int
+    audio_seconds_in: float
+    audio_seconds_out: float
+    wall_seconds: float
+    throughput: dict
+
+    @property
+    def x_realtime(self) -> float:
+        return self.audio_seconds_out / self.wall_seconds if self.wall_seconds else 0.0
+
+
+@dataclasses.dataclass
+class _Decoded:
+    entry_path: str
+    data: np.ndarray      # (channels, frames) float32
+    rate: int
+
+
+class BatchProcessor:
+    """Orchestrates a whole batch: probe -> validate -> calibrate -> pipeline.
+
+    Single source of truth for a run, like ``MainViewModel``
+    (ViewModels/MainViewModel.swift:4-528), minus the UI.
+    """
+
+    def __init__(
+        self,
+        cfg: ProcessingConfig,
+        log: StatusLog | None = None,
+        calibration: CalibrationCache | None = None,
+        decode_workers: int = 4,
+        encode_workers: int = 4,
+        queue_depth: int = 16,
+    ):
+        cfg.validate()
+        self.cfg = cfg
+        self.log = log or StatusLog()
+        self.calibration = calibration or CalibrationCache()
+        self.decode_workers = decode_workers
+        self.encode_workers = encode_workers
+        self.queue_depth = queue_depth
+        self.throughput = Throughput()
+
+    # ------------------------------------------------------------------- run
+
+    def run(self, files: list[str], manifest_path: str | None = None) -> BatchResult:
+        t_start = time.time()
+        cfg = self.cfg
+        os.makedirs(cfg.output_dir, exist_ok=True)
+        manifest = (
+            JobManifest.load_or_create(files, manifest_path)
+            if manifest_path else JobManifest.from_files(files)
+        )
+        self.log.append(f"Batch start: {len(files)} file(s) -> {cfg.output_dir}")
+
+        # ---- probe + validate (drop-zone filter + rate validation) ----
+        groups: dict[tuple[int, int], list] = {}
+        for e in manifest.entries():
+            if e.status == FileStatus.COMPLETED:
+                self.log.append(f"Skip (already completed): {e.path}")
+                continue
+            if not codec.is_supported(e.path):
+                manifest.update(e.path, FileStatus.FAILED, error="unsupported file type")
+                continue
+            try:
+                info = codec.probe(e.path)
+            except (ValueError, OSError) as err:
+                manifest.update(e.path, FileStatus.FAILED, error=str(err))
+                self.log.append(f"Probe failed: {e.path}: {err}")
+                continue
+            if (cfg.require_input_rate is not None
+                    and not info.is_valid_for_rate(cfg.require_input_rate)):
+                manifest.update(e.path, FileStatus.INVALID_SAMPLE_RATE,
+                                sample_rate=info.sample_rate)
+                self.log.append(
+                    f"Invalid sample rate {info.sample_rate} (require "
+                    f"{cfg.require_input_rate}): {e.path}")
+                continue
+            manifest.update(e.path, FileStatus.PENDING,
+                            sample_rate=info.sample_rate,
+                            num_channels=info.num_channels,
+                            num_frames=info.num_frames)
+            groups.setdefault((info.sample_rate, info.num_channels), []).append(info)
+
+        # ---- auto-calibration per rate pair (MainViewModel.swift:195-206) ----
+        latencies: dict[int, int] = {}
+        for rate_in, _ in groups:
+            if rate_in in latencies:
+                continue
+            if cfg.latency_frames is not None:
+                latencies[rate_in] = cfg.latency_frames
+                continue
+            cal = self.calibration.get_or_measure(
+                rate_in, cfg.target_rate, quality=cfg.quality, kind=cfg.kind)
+            if not cal.detected:
+                raise RuntimeError(
+                    f"calibration impulse not detected for {rate_in}->{cfg.target_rate}")
+            latencies[rate_in] = cal.latency_frames
+            self.log.append(
+                f"Calibrated {rate_in}->{cfg.target_rate}: latency "
+                f"{cal.latency_frames} frames, noise floor {cal.noise_floor_db:.1f} dB")
+
+        # ---- pipeline stages ----
+        audio_in = audio_out = 0.0
+        stop_event = threading.Event()
+        errors: list[str] = []
+
+        def decode_stage(infos, out_q):
+            def worker(sub):
+                for info in sub:
+                    if stop_event.is_set():
+                        return
+                    try:
+                        t0 = time.time()
+                        data, rate = codec.read_audio(info.path)
+                        self.throughput.add("decode", data.shape[-1] / rate, time.time() - t0)
+                        manifest.update(info.path, FileStatus.PROCESSING)
+                        out_q.put(_Decoded(info.path, data, rate))
+                    except (ValueError, OSError) as err:
+                        manifest.update(info.path, FileStatus.FAILED, error=str(err))
+                        self.log.append(f"Decode failed: {info.path}: {err}")
+                out_q.put(None)
+
+            threads = []
+            chunks = [infos[i :: self.decode_workers] for i in range(self.decode_workers)]
+            for sub in chunks:
+                t = threading.Thread(target=worker, args=(sub,), daemon=True)
+                t.start()
+                threads.append(t)
+            return threads
+
+        def encode_stage(in_q):
+            def worker():
+                while True:
+                    item = in_q.get()
+                    if item is None:
+                        return
+                    path, codes, out_frames, rate_out, metrics = item
+                    try:
+                        t0 = time.time()
+                        out_path = build_output_path(path, cfg.output_dir, cfg.postfix)
+                        wav.write_wav_codes(
+                            out_path, codes[:, :out_frames], rate_out, bits=cfg.bits)
+                        self.throughput.add("encode", out_frames / rate_out, time.time() - t0)
+                        manifest.update(
+                            path, FileStatus.COMPLETED,
+                            output_path=out_path,
+                            output_size=os.path.getsize(out_path),
+                            progress=1.0)
+                        self.log.append(
+                            f"Completed: {os.path.basename(out_path)} "
+                            f"({out_frames} frames @ {rate_out} Hz, "
+                            f"peak {metrics['peak_db']:.1f} dB)")
+                    except (ValueError, OSError) as err:
+                        manifest.update(path, FileStatus.FAILED, error=str(err))
+                        self.log.append(f"Encode failed: {path}: {err}")
+                        errors.append(str(err))
+
+            threads = [threading.Thread(target=worker, daemon=True)
+                       for _ in range(self.encode_workers)]
+            for t in threads:
+                t.start()
+            return threads
+
+        key = jax.random.PRNGKey(int(time.time()) & 0x7FFFFFFF)
+
+        for (rate_in, channels), infos in groups.items():
+            infos = [i for i in infos
+                     if manifest.get(i.path).status == FileStatus.PENDING]
+            if not infos:
+                continue
+            lat = latencies[rate_in]
+            # bucket by padded length
+            cap = int(cfg.max_tail_seconds * rate_in)
+            by_bucket: dict[int, list] = {}
+            for info in infos:
+                n = min(info.num_frames, cap)
+                blen = next((b for b in sorted(cfg.bucket_frames) if n <= b), n)
+                blen = min(max(blen, n), max(cap, n))
+                by_bucket.setdefault(blen, []).append(info)
+
+            for blen, binfos in sorted(by_bucket.items()):
+                dec_q: queue.Queue = queue.Queue(maxsize=self.queue_depth)
+                enc_q: queue.Queue = queue.Queue(maxsize=self.queue_depth)
+                dec_threads = decode_stage(binfos, dec_q)
+                enc_threads = encode_stage(enc_q)
+
+                batch_x: list[_Decoded] = []
+                done_workers = 0
+
+                def flush():
+                    nonlocal audio_in, audio_out, key
+                    if not batch_x:
+                        return
+                    t0 = time.time()
+                    # Always submit full batch_size rows (zero-padded) so every
+                    # flush reuses the same compiled graph.
+                    bs = self.cfg.batch_size
+                    x = np.zeros((bs, channels, blen), np.float32)
+                    valid = np.zeros(bs, np.int32)
+                    for i, d in enumerate(batch_x):
+                        n = min(d.data.shape[-1], blen)
+                        x[i, :, :n] = d.data[:, :n]
+                        valid[i] = n
+                    key, sub = jax.random.split(key)
+                    res = process_batch(
+                        x, valid, cfg, rate_in, sub, latency_frames=lat)
+                    codes = np.asarray(res.codes)
+                    out_frames = np.asarray(res.out_frames)
+                    pk = np.asarray(res.peak_db)
+                    wall = time.time() - t0
+                    self.throughput.add("device", float(valid.sum()) / rate_in, wall)
+                    for i, d in enumerate(batch_x):
+                        audio_in += valid[i] / rate_in
+                        audio_out += int(out_frames[i]) / cfg.target_rate
+                        enc_q.put((
+                            d.entry_path,
+                            codes[i],
+                            int(out_frames[i]),
+                            cfg.target_rate,
+                            {"peak_db": float(pk[i])},
+                        ))
+                    batch_x.clear()
+
+                while done_workers < len(dec_threads):
+                    item = dec_q.get()
+                    if item is None:
+                        done_workers += 1
+                        continue
+                    batch_x.append(item)
+                    if len(batch_x) >= cfg.batch_size:
+                        flush()
+                flush()
+
+                for _ in enc_threads:
+                    enc_q.put(None)
+                for t in enc_threads:
+                    t.join()
+                for t in dec_threads:
+                    t.join()
+
+        counts = manifest.counts()
+        wall = time.time() - t_start
+        result = BatchResult(
+            completed=counts.get("completed", 0),
+            failed=counts.get("failed", 0),
+            invalid=counts.get("invalid_sample_rate", 0),
+            audio_seconds_in=audio_in,
+            audio_seconds_out=audio_out,
+            wall_seconds=wall,
+            throughput=self.throughput.summary(),
+        )
+        self.log.append(
+            f"Batch done in {wall:.2f}s: {result.completed} completed, "
+            f"{result.failed} failed, {result.invalid} invalid rate "
+            f"({result.x_realtime:.0f}x real time)")
+        return result

@@ -1,0 +1,75 @@
+"""Pipeline self-test: the hardware loop test, re-aimed at the device stack.
+
+The reference's 1 kHz loop test plays a sine out, meters both directions for
+5 s, and classifies: loop detected / output-but-no-input / nothing
+(Services/HardwareLoopTestService.swift:65-219).  The TPU equivalent validates
+the compute loop instead of a cable: generate the test tone on device, push it
+through the full SRC graph, and verify level, frequency and latency at the
+other end.  Same tri-state verdict so orchestration code can treat them alike.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..ops import analysis
+from ..ops.resample import resample_rates
+from ..ops.signal import DEFAULT_TEST_FREQ, sine
+
+__all__ = ["LoopTestVerdict", "LoopTestReport", "run_loop_test"]
+
+
+class LoopTestVerdict(enum.Enum):
+    LOOP_DETECTED = "loop_detected"       # output and matching input
+    NO_INPUT = "no_input"                 # generated but nothing came back
+    NO_OUTPUT = "no_output"               # generation itself failed
+
+
+@dataclasses.dataclass
+class LoopTestReport:
+    verdict: LoopTestVerdict
+    output_rms_db: float
+    input_rms_db: float
+    measured_freq_hz: float
+    detail: str
+
+
+def run_loop_test(
+    rate_in: int = 48000,
+    rate_out: int = 44100,
+    seconds: float = 1.0,
+    freq: float = DEFAULT_TEST_FREQ,
+    quality: str = "high",
+) -> LoopTestReport:
+    """Run the tone through the device SRC loop and classify the result."""
+    frames = int(seconds * rate_in)
+    tone, _ = sine(frames, rate_in, freq=freq)
+    out_rms = float(analysis.rms_db(tone))
+    if not np.isfinite(out_rms) or out_rms < -60:
+        return LoopTestReport(LoopTestVerdict.NO_OUTPUT, out_rms, -200.0, 0.0,
+                              "tone generation failed")
+    back = resample_rates(tone, rate_in, rate_out, quality=quality)
+    in_rms = float(analysis.rms_db(back))
+    if not np.isfinite(in_rms) or in_rms < out_rms - 20:
+        return LoopTestReport(LoopTestVerdict.NO_INPUT, out_rms, in_rms, 0.0,
+                              "signal lost through the device loop")
+    # Frequency check via zero-crossing count (mid 80 % to skip edges).
+    y = np.asarray(back)
+    n = len(y)
+    mid = y[n // 10 : -n // 10]
+    crossings = np.count_nonzero(np.diff(np.signbit(mid)))
+    measured = crossings / 2.0 * rate_out / len(mid)
+    ok = abs(measured - freq) < freq * 0.01
+    detail = (f"loop OK: {out_rms:.1f} dB out, {in_rms:.1f} dB back, "
+              f"{measured:.1f} Hz (expect {freq:.0f})")
+    if not ok:
+        detail = f"frequency mismatch: {measured:.1f} Hz vs {freq:.0f} Hz"
+    return LoopTestReport(
+        LoopTestVerdict.LOOP_DETECTED if ok else LoopTestVerdict.NO_INPUT,
+        out_rms, in_rms, measured, detail,
+    )

@@ -1,0 +1,80 @@
+"""CLI surface tests (the L6 layer), hermetic on CPU."""
+
+import os
+
+import numpy as np
+import pytest
+
+from f9tpu.cli import main
+from f9tpu.io import read_wav, write_wav
+
+
+def make_files(tmp_path, n=2, rate=44100):
+    paths = []
+    for i in range(n):
+        t = np.arange(int(rate * 0.1)) / rate
+        x = (0.3 * np.sin(2 * np.pi * 300 * t)).astype(np.float32)
+        p = str(tmp_path / f"f{i}.wav")
+        write_wav(p, np.stack([x, x]), rate, bits=24)
+        paths.append(p)
+    return paths
+
+
+def test_cli_probe(tmp_path, capsys):
+    paths = make_files(tmp_path, 1)
+    assert main(["probe", paths[0]]) == 0
+    out = capsys.readouterr().out
+    assert "44100 Hz" in out and "2 ch" in out
+
+
+def test_cli_probe_require_rate(tmp_path, capsys):
+    paths = make_files(tmp_path, 1)
+    main(["probe", paths[0], "--require-rate", "48000"])
+    assert "INVALID" in capsys.readouterr().out
+
+
+def test_cli_process_directory(tmp_path, capsys):
+    make_files(tmp_path, 2)
+    out_dir = str(tmp_path / "out")
+    rc = main([
+        "process", str(tmp_path), "--out", out_dir,
+        "--rate", "48000", "--quality", "low", "--json",
+    ])
+    assert rc == 0
+    outs = sorted(os.listdir(out_dir))
+    assert [o for o in outs if o.endswith(".wav")] == [
+        "f0_processed.wav", "f1_processed.wav"]
+    y, rate = read_wav(os.path.join(out_dir, "f0_processed.wav"))
+    assert rate == 48000
+    assert '"completed": 2' in capsys.readouterr().out
+
+
+def test_cli_process_no_inputs(tmp_path, capsys):
+    rc = main(["process", str(tmp_path / "empty_dir_glob*.wav"),
+               "--out", str(tmp_path / "o")])
+    assert rc == 2
+
+
+def test_cli_preview(tmp_path, capsys):
+    paths = make_files(tmp_path, 2)
+    out = str(tmp_path / "playlist.wav")
+    rc = main(["preview", *paths, "--out", out, "--rate", "44100",
+               "--silence-ms", "100"])
+    assert rc == 0
+    y, rate = read_wav(out)
+    n_item = int(44100 * 0.1)
+    assert y.shape[-1] == 2 * n_item + 4410  # two items + one gap
+
+
+def test_cli_measure(capsys):
+    rc = main(["measure", "--rate-in", "44100", "--rate", "48000",
+               "--quality", "low"])
+    assert rc == 0
+    assert "latency 0 frames" in capsys.readouterr().out
+
+
+def test_cli_selftest(capsys):
+    rc = main(["selftest", "--rate-in", "48000", "--rate", "44100",
+               "--quality", "low"])
+    assert rc == 0
+    assert "loop_detected" in capsys.readouterr().out

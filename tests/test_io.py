@@ -1,0 +1,104 @@
+"""WAV/AIFF codec round-trip and metadata tests (L0 layer, SURVEY.md section 1)."""
+
+import numpy as np
+import pytest
+
+from f9tpu.io import (
+    probe,
+    read_audio,
+    read_wav,
+    write_wav,
+    write_wav_codes,
+    write_aiff,
+    read_aiff,
+    is_supported,
+)
+
+
+def sig(channels=2, frames=4411, seed=0):
+    rng = np.random.default_rng(seed)
+    return np.clip(0.5 * rng.standard_normal((channels, frames)), -0.999, 0.999).astype(np.float32)
+
+
+@pytest.mark.parametrize("bits,tol", [(16, 2**-15), (24, 2**-23)])
+def test_wav_pcm_roundtrip(tmp_path, bits, tol):
+    x = sig()
+    p = str(tmp_path / f"t{bits}.wav")
+    write_wav(p, x, 44100, bits=bits)
+    y, rate = read_wav(p)
+    assert rate == 44100 and y.shape == x.shape
+    assert np.abs(y - x).max() <= tol
+
+
+def test_wav_float32_roundtrip(tmp_path):
+    x = sig(1, 1000)
+    p = str(tmp_path / "f.wav")
+    write_wav(p, x, 96000, bits=32)
+    y, rate = read_wav(p)
+    assert rate == 96000
+    assert np.array_equal(y, x)  # float path is bit-exact
+
+
+def test_wav_codes_24bit_exact(tmp_path):
+    """Pre-quantized device codes must round-trip bit-exactly (the reference's
+    24-bit output contract, Source/MainComponent.cpp:784-801)."""
+    rng = np.random.default_rng(1)
+    codes = rng.integers(-(2**23), 2**23, size=(2, 999), dtype=np.int32)
+    p = str(tmp_path / "codes.wav")
+    write_wav_codes(p, codes, 48000, bits=24)
+    y, rate = read_wav(p)
+    back = np.round(y * 8388608.0).astype(np.int32)
+    assert np.array_equal(back, codes)
+
+
+def test_probe_wav(tmp_path):
+    x = sig(2, 44100)
+    p = str(tmp_path / "probe.wav")
+    write_wav(p, x, 44100, bits=24)
+    info = probe(p)
+    assert info.sample_rate == 44100
+    assert info.num_channels == 2
+    assert info.num_frames == 44100
+    assert info.bit_depth == 24
+    assert abs(info.duration_seconds - 1.0) < 1e-9
+    # the ±1 Hz session-rate validation (Source/AppState.h:137-141)
+    assert info.is_valid_for_rate(44100)
+    assert not info.is_valid_for_rate(48000)
+
+
+@pytest.mark.parametrize("bits,tol", [(16, 2**-15), (24, 2**-23)])
+def test_aiff_roundtrip(tmp_path, bits, tol):
+    x = sig(2, 3001, seed=2)
+    p = str(tmp_path / f"t{bits}.aiff")
+    write_aiff(p, x, 88200, bits=bits)
+    y, rate = read_aiff(p)
+    assert rate == 88200 and y.shape == x.shape
+    assert np.abs(y - x).max() <= tol
+    info = probe(p)
+    assert info.sample_rate == 88200 and info.num_frames == 3001
+
+
+def test_codec_dispatch(tmp_path):
+    x = sig(1, 128, seed=3)
+    for name in ("a.wav", "b.aif"):
+        p = str(tmp_path / name)
+        (write_wav if name.endswith("wav") else write_aiff)(p, x, 44100, bits=24)
+        y, rate = read_audio(p)
+        assert rate == 44100 and y.shape == x.shape
+    assert is_supported("x.WAV") and is_supported("y.Aiff") and not is_supported("z.mp3")
+
+
+def test_mono_file(tmp_path):
+    x = sig(1, 777, seed=4)
+    p = str(tmp_path / "mono.wav")
+    write_wav(p, x[0], 44100)  # 1-D input accepted
+    y, _ = read_wav(p)
+    assert y.shape == (1, 777)
+
+
+def test_truncated_wav_raises(tmp_path):
+    p = str(tmp_path / "bad.wav")
+    with open(p, "wb") as f:
+        f.write(b"RIFF\x00\x00\x00\x00WAVE")
+    with pytest.raises(ValueError):
+        read_wav(p)

@@ -1,0 +1,229 @@
+"""Unit tests for the DSP ops, checked against the reference's documented
+semantics (file:line citations in each op's docstring)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+import jax
+
+from f9tpu import ops
+
+
+# ---------- analysis ----------
+
+def test_rms_peak_db():
+    x = jnp.asarray(np.array([[0.5, -0.5, 0.5, -0.5]], np.float32))
+    assert np.allclose(ops.rms(x), 0.5)
+    assert np.allclose(ops.peak(x), 0.5)
+    assert np.allclose(ops.rms_db(x), 20 * np.log10(0.5), atol=1e-5)
+    # silence hits the dB floor, not -inf/nan (log10 guard)
+    z = jnp.zeros((1, 8))
+    assert np.isfinite(float(ops.rms_db(z)[0]))
+    assert float(ops.rms_db(z)[0]) <= -200.0 + 1e-6
+
+
+def test_peak_position_and_first_above():
+    x = np.zeros(1000, np.float32)
+    x[423] = -0.9  # impulse, negative: |x| must be used
+    x[500] = 0.3
+    assert int(ops.peak_position(jnp.asarray(x))) == 423
+    # Swift detector: first |x| > 0.1 (LatencyMeasurementService.swift:147-171)
+    assert int(ops.first_above(jnp.asarray(x), 0.1)) == 423
+    assert int(ops.first_above(jnp.asarray(x), 0.95)) == -1
+
+
+def test_remove_dc_offset():
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal((2, 3, 512)) + 0.25).astype(np.float32)
+    y = np.asarray(ops.remove_dc_offset(jnp.asarray(x)))
+    assert np.abs(y.mean(axis=-1)).max() < 1e-6
+    assert np.allclose(y, x - x.mean(-1, keepdims=True), atol=1e-6)
+
+
+# ---------- dither / quantize ----------
+
+def test_quantize_roundtrip():
+    x = np.linspace(-1, 1, 1001).astype(np.float32)
+    q = np.asarray(ops.quantize(jnp.asarray(x), bits=24))
+    assert q.max() <= 2**23 - 1 and q.min() >= -(2**23)
+    back = np.asarray(ops.dequantize(jnp.asarray(q), bits=24))
+    assert np.abs(back - x).max() <= 2.0 ** -23
+
+
+def test_tpdf_dither_statistics():
+    key = jax.random.PRNGKey(0)
+    x = jnp.zeros((1 << 16,), jnp.float32) + 0.37 * 2.0 ** -23  # sub-LSB DC
+    q = np.asarray(ops.tpdf_dither_quantize(x, key, bits=24))
+    # TPDF dither spreads codes to {-1, 0, 1, 2}; mean must track the sub-LSB
+    # input (that's the point of dithering) with quantization noise ~LSB.
+    assert set(np.unique(q)).issubset({-2, -1, 0, 1, 2})
+    assert abs(q.mean() - 0.37) < 0.02
+    # undithered: plain rounding kills the sub-LSB signal entirely
+    q0 = np.asarray(ops.tpdf_dither_quantize(x, key, bits=24, dither=False))
+    assert np.all(q0 == 0)
+
+
+def test_dither_16bit():
+    key = jax.random.PRNGKey(1)
+    x = jnp.asarray(np.sin(np.linspace(0, 20, 4096)).astype(np.float32)) * 0.9
+    q = np.asarray(ops.tpdf_dither_quantize(x, key, bits=16))
+    assert q.max() <= 2**15 - 1 and q.min() >= -(2**15)
+    err = np.asarray(ops.dequantize(jnp.asarray(q), bits=16)) - np.asarray(x)
+    assert np.abs(err).max() < 3.0 * 2.0 ** -15  # within ~1.5 LSB + dither
+
+
+# ---------- trim ----------
+
+def test_trim_latency_exact():
+    """Reproduces the trim contract: skip latency, take src length
+    (Source/MainComponent.cpp:824-861)."""
+    src_len, lat = 1000, 137
+    x = np.zeros((1, 2, src_len + lat + 200), np.float32)
+    payload = np.arange(src_len, dtype=np.float32)[None, None, :] + 1
+    x[:, :, lat : lat + src_len] = payload
+    y = np.asarray(ops.trim_latency(jnp.asarray(x), lat, src_len))
+    assert y.shape == (1, 2, src_len)
+    assert np.array_equal(y, np.broadcast_to(payload, (1, 2, src_len)))
+
+
+def test_trim_latency_underrun_pads():
+    x = jnp.ones((1, 1, 50), jnp.float32)
+    y = np.asarray(ops.trim_latency(x, 10, 100))
+    assert y.shape == (1, 1, 100)
+    assert np.all(y[..., :40] == 1) and np.all(y[..., 40:] == 0)
+
+
+def test_interleaved_to_frames():
+    # 1024 interleaved samples stereo = 512 frames (LATENCY_TRIMMING_FIX.md)
+    assert int(ops.interleaved_to_frames(1024, 2)) == 512
+
+
+def test_per_file_latency_trim():
+    x = np.zeros((2, 1, 64), np.float32)
+    x[0, 0, 5] = 1.0
+    x[1, 0, 9] = 1.0
+    lats = jnp.asarray([5, 9], jnp.int32)
+    y = np.asarray(ops.trim_latency(jnp.asarray(x), lats, 8))
+    assert y[0, 0, 0] == 1.0 and y[1, 0, 0] == 1.0
+
+
+# ---------- reverb-tail detection ----------
+
+def _tail_signal(rate, loud_s, total_s, level_db=-6.0, tail_db=-120.0, seed=0):
+    rng = np.random.default_rng(seed)
+    n_loud = int(loud_s * rate)
+    n_total = int(total_s * rate)
+    x = np.zeros(n_total, np.float32)
+    x[:n_loud] = 10 ** (level_db / 20) * rng.standard_normal(n_loud)
+    x[n_loud:] = 10 ** (tail_db / 20) * rng.standard_normal(n_total - n_loud)
+    return x
+
+
+def test_detect_tail_end_basic():
+    rate = 44100
+    x = _tail_signal(rate, loud_s=0.5, total_s=2.0)
+    end, hit = ops.detect_tail_end(
+        jnp.asarray(x[None, None, :]), noise_floor_db=-96.0, margin_pct=10.0, rate=rate
+    )
+    assert bool(hit[0])
+    # threshold -105.6 dB: tail at -120 dB is quiet; detection needs 3 windows
+    # after the loud part: end in (0.5 s, 0.5 s + ~0.35 s]
+    assert 0.5 * rate < int(end[0]) <= 0.5 * rate + int(0.40 * rate)
+
+
+def test_detect_tail_never_quiet():
+    rate = 44100
+    x = (0.1 * np.random.default_rng(1).standard_normal(rate)).astype(np.float32)
+    end, hit = ops.detect_tail_end(
+        jnp.asarray(x[None, None, :]), noise_floor_db=-96.0, margin_pct=10.0, rate=rate
+    )
+    assert not bool(hit[0])
+    assert int(end[0]) == rate  # cap: full length (60 s rule upstream)
+
+
+def test_detect_tail_min_frames():
+    rate = 44100
+    x = np.zeros((1, 1, rate), np.float32)  # dead silent from t=0
+    min_frames = rate // 2
+    end, hit = ops.detect_tail_end(
+        jnp.asarray(x), noise_floor_db=-96.0, margin_pct=10.0, rate=rate,
+        min_frames=min_frames,
+    )
+    assert bool(hit[0])
+    assert int(end[0]) >= min_frames  # must wait out src+latency minimum
+
+
+def test_detect_tail_batch_and_threshold_margin():
+    rate = 44100
+    # peak mode: gaussian noise peaks ~11 dB above its RMS over 100 ms windows,
+    # so a "quiet" tail must sit well below threshold-11 dB to stay quiet.
+    quiet = _tail_signal(rate, 0.2, 1.0, tail_db=-125.0, seed=2)
+    loud_tail = _tail_signal(rate, 0.2, 1.0, tail_db=-100.0, seed=3)  # above -105.6
+    batch = jnp.asarray(np.stack([quiet, loud_tail])[:, None, :])
+    end, hit = ops.detect_tail_end(batch, -96.0, 10.0, rate=rate)
+    assert bool(hit[0]) and not bool(hit[1])
+    # rms mode (the C++ variant, MainComponent.cpp:863-882): -110 dB RMS tail
+    # is below the -105.6 dB threshold even though its peaks are not.
+    quiet110 = _tail_signal(rate, 0.2, 1.0, tail_db=-110.0, seed=4)
+    end2, hit2 = ops.detect_tail_end(
+        jnp.asarray(quiet110[None, None, :]), -96.0, 10.0, rate=rate, mode="rms"
+    )
+    assert bool(hit2[0])
+
+
+def test_mask_beyond():
+    x = jnp.ones((2, 1, 10), jnp.float32)
+    y = np.asarray(ops.mask_beyond(x, jnp.asarray([4, 10], jnp.int32)))
+    assert y[0].sum() == 4 and y[1].sum() == 10
+
+
+# ---------- signal ----------
+
+def test_sine_phase_continuity():
+    a, ph = ops.sine(256, 44100)
+    b, _ = ops.sine(256, 44100, phase0=ph)
+    joined = np.concatenate([np.asarray(a), np.asarray(b)])
+    whole, _ = ops.sine(512, 44100)
+    assert np.allclose(joined, np.asarray(whole), atol=1e-3)
+
+
+def test_impulse():
+    x = np.asarray(ops.impulse(100))
+    assert x[0] == np.float32(0.9) and np.count_nonzero(x) == 1  # amp 0.9 @ 0
+
+
+# ---------- routing ----------
+
+def test_stereo_pairs():
+    assert ops.stereo_pairs(8) == [(0, 1), (2, 3), (4, 5), (6, 7)]
+    assert ops.stereo_pairs(3) == [(0, 1)]
+
+
+def test_route_channels():
+    x = jnp.asarray(np.arange(12, np.float32).reshape(3, 4) if False else
+                    np.arange(12, dtype=np.float32).reshape(3, 4))
+    y = np.asarray(ops.route_channels(x, [2, -1, 0], num_out=3))
+    assert np.array_equal(y[0], np.asarray(x)[2])
+    assert np.all(y[1] == 0)
+    assert np.array_equal(y[2], np.asarray(x)[0])
+
+
+def test_fan_out_and_mixdown():
+    mono = jnp.asarray(np.arange(5, dtype=np.float32))
+    st = np.asarray(ops.fan_out_mono(mono, 2))
+    assert st.shape == (2, 5) and np.array_equal(st[0], st[1])
+    eight = jnp.asarray(np.random.default_rng(0).standard_normal((8, 16)).astype(np.float32))
+    mon = np.asarray(ops.mixdown_monitor(eight))
+    assert mon.shape == (2, 16)
+    assert np.allclose(mon[0], np.asarray(eight)[0::2].mean(0), atol=1e-6)
+
+
+def test_interleave_roundtrip():
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 7)).astype(np.float32))
+    inter = ops.interleave(x)
+    assert inter.shape == (14,)
+    # interleaved wire format: frame-major L,R,L,R...
+    assert np.allclose(np.asarray(inter)[0::2], np.asarray(x)[0])
+    back = ops.deinterleave(inter, 2)
+    assert np.allclose(np.asarray(back), np.asarray(x))

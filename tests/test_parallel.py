@@ -1,0 +1,108 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh
+(--xla_force_host_platform_device_count=8; SURVEY.md section 4 implication d)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from f9tpu.config import ProcessingConfig
+from f9tpu.models.filters import design_cycle_bank
+from f9tpu.models.oracle import resample_oracle
+from f9tpu.ops.resample import resample, resample_rates
+from f9tpu.parallel import (
+    files_sharding,
+    make_mesh,
+    process_files_sharded,
+    required_frames_padding,
+    resample_frames_sharded,
+)
+from f9tpu.pipeline import process_batch
+
+
+def test_virtual_devices_present():
+    assert len(jax.devices()) == 8
+
+
+def test_make_mesh_shapes():
+    m = make_mesh()
+    assert m.shape == {"files": 8, "frames": 1, "channels": 1}
+    m2 = make_mesh(num_files_shards=4, num_frames_shards=2)
+    assert m2.shape["frames"] == 2
+    with pytest.raises(ValueError):
+        make_mesh(num_files_shards=3)
+
+
+def test_files_dp_matches_single_device():
+    """The fused graph under files-axis sharding must produce bit-identical
+    results to single-device execution (pure DP, no cross-file math)."""
+    mesh = make_mesh()
+    rng = np.random.default_rng(0)
+    x = (0.3 * rng.standard_normal((8, 2, 4410))).astype(np.float32)
+    valid = np.full(8, 4410, np.int32)
+    cfg = ProcessingConfig(output_dir="/tmp/x", quality="low", dither=False,
+                           remove_dc=False)
+    key = jax.random.PRNGKey(0)
+
+    res_single = process_batch(x, valid, cfg, 44100, key)
+    codes_single = np.asarray(res_single.codes)
+
+    xs = jax.device_put(jnp.asarray(x), files_sharding(mesh))
+    res_sharded = process_batch(xs, valid, cfg, 44100, key)
+    codes_sharded = np.asarray(res_sharded.codes)
+
+    assert np.array_equal(codes_single, codes_sharded)
+    assert np.array_equal(np.asarray(res_single.out_frames),
+                          np.asarray(res_sharded.out_frames))
+
+
+@pytest.mark.parametrize("rate_in,rate_out", [(44100, 48000), (96000, 44100)])
+def test_frames_sp_matches_unsharded(rate_in, rate_out):
+    """Overlap-save frames sharding with ppermute halos == unsharded resample."""
+    n_frames_shards = 4
+    mesh = make_mesh(num_files_shards=2, num_frames_shards=n_frames_shards)
+    bank = design_cycle_bank(rate_in, rate_out, quality="low")
+    rng = np.random.default_rng(1)
+    T0 = 40000
+    pad = required_frames_padding(T0, bank, n_frames_shards)
+    T = T0 + pad
+    x = (0.3 * rng.standard_normal((T,))).astype(np.float32)
+
+    y_ref = np.asarray(resample(jnp.asarray(x), bank, out_len=T * bank.L // bank.M))
+    y_sh = np.asarray(resample_frames_sharded(
+        jnp.asarray(x), rate_in, rate_out, mesh, quality="low"))
+    assert y_sh.shape == y_ref.shape
+    err = y_sh - y_ref
+    denom = np.sqrt((y_ref.astype(np.float64) ** 2).mean())
+    rms_db = 20 * np.log10(np.sqrt((err.astype(np.float64) ** 2).mean()) / denom + 1e-30)
+    assert rms_db < -120.0, rms_db
+
+
+def test_frames_sp_matches_oracle():
+    mesh = make_mesh(num_files_shards=4, num_frames_shards=2)
+    bank = design_cycle_bank(44100, 48000, quality="low")
+    rng = np.random.default_rng(2)
+    T = 2 * bank.M * 100  # exact multiple
+    x = (0.3 * rng.standard_normal((T,))).astype(np.float32)
+    y = np.asarray(resample_frames_sharded(jnp.asarray(x), 44100, 48000, mesh,
+                                           quality="low"))
+    ref = resample_oracle(x, 44100, 48000, quality="low")
+    err = y[: len(ref)] - ref
+    rms_db = 20 * np.log10(
+        np.sqrt((err**2).mean()) / np.sqrt((ref**2).mean()) + 1e-30)
+    assert rms_db < -120.0
+
+
+def test_frames_sp_rejects_misaligned():
+    mesh = make_mesh(num_files_shards=2, num_frames_shards=4)
+    with pytest.raises(ValueError):
+        resample_frames_sharded(jnp.zeros(1001), 44100, 48000, mesh, quality="low")
+
+
+def test_process_files_sharded_helper():
+    mesh = make_mesh()
+    x = np.ones((8, 1, 147 * 4), np.float32)
+    out = process_files_sharded(
+        mesh, lambda a: resample_rates(a, 44100, 48000, quality="low"), x)
+    assert np.asarray(out).shape == (8, 1, 160 * 4)

@@ -1,0 +1,244 @@
+"""End-to-end pipeline tests: manifest/resume, calibration, fused graph,
+batch scheduler, preview renderer, self-test.  All hermetic on the CPU backend
+(the stub-bridge strategy, SURVEY.md section 4)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from f9tpu.config import ProcessingConfig, recording_length
+from f9tpu.io import read_wav, write_wav
+from f9tpu.models.oracle import resample_oracle
+from f9tpu.pipeline import (
+    BatchProcessor,
+    CalibrationCache,
+    FileStatus,
+    JobManifest,
+    LoopTestVerdict,
+    StatusLog,
+    build_output_path,
+    measure_latency,
+    process_batch,
+    render_playlist,
+    run_loop_test,
+)
+
+
+def make_lib(tmp_path, n=3, rate=44100, channels=2, seconds=0.25, seed=0):
+    rng = np.random.default_rng(seed)
+    paths = []
+    for i in range(n):
+        frames = int(seconds * rate) + 37 * i  # ragged lengths
+        t = np.arange(frames) / rate
+        x = np.stack([
+            (0.4 * np.sin(2 * np.pi * (220 + 110 * i) * t)).astype(np.float32)
+            for _ in range(channels)
+        ])
+        p = str(tmp_path / f"src_{i}.wav")
+        write_wav(p, x, rate, bits=24)
+        paths.append(p)
+    return paths
+
+
+# ---------- config ----------
+
+def test_config_validation(tmp_path):
+    cfg = ProcessingConfig(output_dir=str(tmp_path))
+    cfg.validate()
+    with pytest.raises(ValueError):
+        ProcessingConfig(output_dir="").validate()  # mandatory out dir
+    with pytest.raises(ValueError):
+        ProcessingConfig(output_dir=str(tmp_path), bits=20).validate()
+
+
+def test_recording_length_formula():
+    # src + lat + 4*lat (Source/AppState.h:240-243)
+    assert recording_length(1000, 100) == 1500
+
+
+def test_noise_floor_threshold():
+    cfg = ProcessingConfig(output_dir="x", noise_floor_db=-96.0,
+                           noise_floor_margin_pct=10.0)
+    assert abs(cfg.noise_floor_threshold_db - (-105.6)) < 1e-9
+    cfg2 = ProcessingConfig(output_dir="x", noise_floor_db=None)
+    assert cfg2.noise_floor_threshold_db == -80.0  # fallback
+
+
+# ---------- manifest ----------
+
+def test_manifest_resume(tmp_path):
+    mpath = str(tmp_path / "manifest.json")
+    files = ["a.wav", "b.wav"]
+    m = JobManifest.load_or_create(files, mpath)
+    out = str(tmp_path / "done.wav")
+    write_wav(out, np.zeros((1, 10), np.float32), 44100)
+    m.update("a.wav", FileStatus.COMPLETED, output_path=out,
+             output_size=os.path.getsize(out))
+    m2 = JobManifest.load_or_create(files, mpath)
+    assert m2.get("a.wav").status == FileStatus.COMPLETED  # resumed
+    assert m2.get("b.wav").status == FileStatus.PENDING
+    os.remove(out)  # output vanished -> must re-run
+    m3 = JobManifest.load_or_create(files, mpath)
+    assert m3.get("a.wav").status == FileStatus.PENDING
+
+
+def test_manifest_fail_remaining(tmp_path):
+    m = JobManifest.from_files(["a", "b", "c"])
+    m.update("a", FileStatus.COMPLETED)
+    m.fail_remaining("device lost")
+    assert m.get("b").status == FileStatus.FAILED
+    assert m.get("b").error == "device lost"
+    assert m.get("a").status == FileStatus.COMPLETED
+
+
+# ---------- calibration ----------
+
+def test_measured_latency_is_zero():
+    """The SRC chain is delay-compensated by construction; the impulse test
+    (reference: LatencyMeasurementService.swift:57-171) must find ~0 latency."""
+    res = measure_latency(44100, 48000, quality="medium")
+    assert res.detected
+    assert abs(res.latency_frames) <= 1
+    assert res.noise_floor_db < -100.0
+
+
+def test_calibration_cache(tmp_path):
+    cpath = str(tmp_path / "cal.json")
+    cache = CalibrationCache(cpath)
+    r1 = cache.get_or_measure(44100, 48000, quality="medium")
+    # second hit must come from cache (same object fields)
+    r2 = cache.get_or_measure(44100, 48000, quality="medium")
+    assert r1 == r2
+    # persisted across instances
+    cache2 = CalibrationCache(cpath)
+    assert cache2.get_or_measure(44100, 48000, quality="medium") == r1
+
+
+# ---------- fused graph ----------
+
+def test_process_batch_matches_oracle(tmp_path):
+    rng = np.random.default_rng(0)
+    frames = 8000
+    x = np.zeros((2, 1, 10000), np.float32)
+    # amplitude kept well under 1.0: resampling gaussian noise overshoots its
+    # sample peaks (Gibbs), and the 24-bit quantizer clips at full scale
+    sig0 = (0.15 * rng.standard_normal(frames)).astype(np.float32)
+    sig1 = (0.15 * rng.standard_normal(frames - 1111)).astype(np.float32)
+    x[0, 0, :frames] = sig0
+    x[1, 0, : frames - 1111] = sig1
+    cfg = ProcessingConfig(output_dir=str(tmp_path), quality="medium",
+                           dither=False, remove_dc=False)
+    res = process_batch(x, np.array([frames, frames - 1111], np.int32), cfg,
+                        44100, jax.random.PRNGKey(0))
+    codes = np.asarray(res.codes)
+    of = np.asarray(res.out_frames)
+    # per-file valid lengths: exact ceil(n*160/147)
+    assert of[0] == -(-frames * 160 // 147)
+    assert of[1] == -(-(frames - 1111) * 160 // 147)
+    # compare file 1 (shorter, padded) against the oracle on its own length
+    ref = resample_oracle(sig1, 44100, 48000, quality="medium")
+    got = codes[1, 0, : of[1]].astype(np.float64) / (1 << 23)
+    err = got - ref
+    rms_db = 20 * np.log10(np.sqrt((err**2).mean()) / np.sqrt((ref**2).mean()))
+    # quantization to 24-bit floors the error near -116 dB; parity of the
+    # float path itself is covered by test_resample_parity
+    assert rms_db < -100.0
+    # padding region must be exactly zero codes
+    assert np.all(codes[1, 0, of[1]:] == 0)
+
+
+def test_process_batch_reverb_truncates(tmp_path):
+    rate = 44100
+    frames = rate  # 1 s
+    rng = np.random.default_rng(1)
+    x = np.zeros((1, 1, frames), np.float32)
+    n_loud = rate // 4
+    x[0, 0, :n_loud] = 0.5 * rng.standard_normal(n_loud)
+    # silence afterwards: true digital zeros
+    cfg = ProcessingConfig(output_dir=str(tmp_path), quality="low",
+                           reverb_mode=True, noise_floor_db=-96.0,
+                           dither=False)
+    res = process_batch(x, np.array([frames], np.int32), cfg, rate,
+                        jax.random.PRNGKey(0))
+    of = int(np.asarray(res.out_frames)[0])
+    # must not truncate below the valid span scaled to 48k...
+    min_of = -(-frames * 160 // 147)
+    assert of >= min_of
+    assert bool(np.asarray(res.tail_terminated)[0])
+
+
+# ---------- scheduler end-to-end ----------
+
+def test_batch_processor_end_to_end(tmp_path):
+    (tmp_path / "in").mkdir(exist_ok=True)
+    src_files = make_lib(tmp_path / "in", n=3)
+    out_dir = str(tmp_path / "out")
+    # remove_dc off: DC removal subtracts the partial-period mean of a sine,
+    # which the bare oracle comparison below doesn't model
+    cfg = ProcessingConfig(output_dir=out_dir, target_rate=48000,
+                           quality="medium", batch_size=2, remove_dc=False,
+                           bucket_frames=(1 << 14, 1 << 16))
+    log = StatusLog()
+    bp = BatchProcessor(cfg, log=log, calibration=CalibrationCache())
+    res = bp.run(src_files, manifest_path=str(tmp_path / "manifest.json"))
+    assert res.completed == 3 and res.failed == 0
+    for p in src_files:
+        out = build_output_path(p, out_dir, cfg.postfix)
+        assert os.path.exists(out)
+        y, rate = read_wav(out)
+        assert rate == 48000
+        src, _ = read_wav(p)
+        assert y.shape[-1] == -(-src.shape[-1] * 160 // 147)
+        # content parity vs oracle at 24-bit depth
+        ref = resample_oracle(src[0], 44100, 48000, quality="medium")
+        err = y[0].astype(np.float64) - ref
+        assert 20 * np.log10(np.sqrt((err**2).mean()) / np.sqrt((ref**2).mean())) < -95
+    assert any("Batch done" in line for line in log.lines)
+    # re-run resumes: everything skipped
+    res2 = bp.run(src_files, manifest_path=str(tmp_path / "manifest.json"))
+    assert res2.completed == 3 and res2.audio_seconds_in == 0.0
+
+
+def test_batch_processor_invalid_rate(tmp_path):
+    files = make_lib(tmp_path, n=1, rate=48000)
+    cfg = ProcessingConfig(output_dir=str(tmp_path / "o"), target_rate=48000,
+                           require_input_rate=44100)
+    bp = BatchProcessor(cfg)
+    res = bp.run(files)
+    assert res.invalid == 1 and res.completed == 0
+
+
+def test_batch_processor_bad_file(tmp_path):
+    bad = str(tmp_path / "junk.wav")
+    with open(bad, "wb") as f:
+        f.write(b"not audio at all")
+    cfg = ProcessingConfig(output_dir=str(tmp_path / "o"), quality="low")
+    res = BatchProcessor(cfg).run([bad])
+    assert res.failed == 1
+
+
+# ---------- preview ----------
+
+def test_render_playlist(tmp_path):
+    files = make_lib(tmp_path, n=2, rate=44100, channels=1, seconds=0.1)
+    main, mon, items = render_playlist(files, 44100, silence_ms=100,
+                                       output_channels=2, monitor=True)
+    silence = 4410
+    n0 = items[0].num_frames
+    assert items[1].start_frame == n0 + silence
+    # the gap is digital silence
+    assert np.all(main[:, n0 : n0 + silence] == 0)
+    assert mon.shape[0] == 2
+    assert main.shape[0] == 2
+
+
+# ---------- self test ----------
+
+def test_loop_selftest():
+    rep = run_loop_test(48000, 44100, seconds=0.5, quality="medium")
+    assert rep.verdict == LoopTestVerdict.LOOP_DETECTED
+    assert abs(rep.measured_freq_hz - 1000.0) < 10.0
