@@ -1,13 +1,20 @@
 """Benchmark: audio-minutes resampled per second per chip (44.1->48 kHz stereo).
 
-Headline = the fused device graph (SRC + DC removal + trim + TPDF dither +
-24-bit quantize) on resident data — the replacement for the reference's
-~1.06x-real-time hardware loop (BASELINE.md).  Baseline target: 1000x real
-time per chip = 16.667 audio-min/s.  Accuracy: RMS error vs the float64
-oracle (the JUCE-oracle role, BASELINE.json) measured on the same graph.
+Headline = the fused device graph (SRC + tail windows + DC removal + TPDF
+dither + 24-bit quantize) on resident data — the replacement for the
+reference's ~1.06x-real-time hardware loop (BASELINE.md).  Baseline target:
+1000x real time per chip = 16.667 audio-min/s.  Accuracy: RMS error of the
+emitted 24-bit codes vs the float64 oracle (the JUCE-oracle role,
+BASELINE.json).
+
+Timing uses `f9tpu.utils.benchtime.measure_op`: this environment reaches the
+TPU through a tunnel whose block_until_ready resolves early and whose
+dispatch pays a large round trip, so the op is repeated inside one jitted
+fori_loop (iteration-perturbed input, full-output probe) and timed by the
+n=1 vs n=N slope.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "audio-min/s/chip", "vs_baseline": N, ...}
+  {"metric": ..., "value": N, "unit": "audio-min/s", "vs_baseline": N, ...}
 """
 
 from __future__ import annotations
@@ -26,6 +33,7 @@ def main() -> None:
     from f9tpu.config import ProcessingConfig
     from f9tpu.models.oracle import resample_oracle
     from f9tpu.pipeline.graph import _cfg_key, _process_impl
+    from f9tpu.utils.benchtime import measure_op
 
     dev = jax.devices()[0]
     print(f"bench device: {dev}", file=sys.stderr)
@@ -35,32 +43,21 @@ def main() -> None:
     cfg = ProcessingConfig(output_dir="/tmp/bench_out", target_rate=rate_out,
                            quality="high")
     cfg_key = _cfg_key(cfg, 0)
+    valid = jnp.full((files,), frames, jnp.int32)
+    key = jax.random.PRNGKey(0)
 
-    def step(x, valid, key):
+    def step(x):
         return _process_impl(
             x, valid, jnp.int32(0), jnp.float32(-96.0), key,
             rate_in=rate_in, rate_out=rate_out, cfg_key=cfg_key,
+            static_zero_latency=True,
         )
 
-    rng = np.random.default_rng(0)
-    x_h = (0.25 * rng.standard_normal((files, channels, frames))).astype(np.float32)
-    x = jax.device_put(jnp.asarray(x_h), dev)
-    valid = jax.device_put(jnp.full((files,), frames, jnp.int32), dev)
-    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (files, channels, frames), jnp.float32) * 0.25
 
-    # warmup / compile
     t0 = time.time()
-    out = step(x, valid, key)
-    jax.block_until_ready(out)
-    compile_s = time.time() - t0
-    print(f"compile+first run: {compile_s:.1f}s", file=sys.stderr)
-
-    iters = 10
-    t0 = time.time()
-    for i in range(iters):
-        out = step(x, valid, jax.random.fold_in(key, i))
-    jax.block_until_ready(out)
-    wall = (time.time() - t0) / iters
+    wall = measure_op(step, x, n=8, repeats=2)
+    print(f"measurement took {time.time()-t0:.1f}s total", file=sys.stderr)
 
     audio_seconds = files * frames / rate_in
     x_rt = audio_seconds / wall
@@ -71,6 +68,7 @@ def main() -> None:
     # ---- accuracy vs float64 oracle (same graph, dither off for comparison) ----
     acc_cfg = ProcessingConfig(output_dir="/tmp/bench_out", target_rate=rate_out,
                                quality="high", dither=False, remove_dc=False)
+    rng = np.random.default_rng(0)
     n_acc = 1 << 15
     xa_h = (0.25 * rng.standard_normal((1, 1, n_acc))).astype(np.float32)
     res = _process_impl(
@@ -78,12 +76,11 @@ def main() -> None:
         jnp.full((1,), n_acc, jnp.int32), jnp.int32(0), jnp.float32(-96.0),
         jax.random.PRNGKey(1),
         rate_in=rate_in, rate_out=rate_out, cfg_key=_cfg_key(acc_cfg, 0),
+        static_zero_latency=True,
     )
     codes, out_frames = np.asarray(res[0]), int(np.asarray(res[1])[0])
     got = codes[0, 0, :out_frames].astype(np.float64) / (1 << 23)
     ref = resample_oracle(xa_h[0, 0], rate_in, rate_out, quality="high")
-    # compare above the 24-bit quantization floor: measure float-path parity
-    # via the dequantized codes (quantization adds ~-116 dB; report both)
     err = got - ref[:out_frames]
     rms_db = 20 * np.log10(np.sqrt((err**2).mean())
                            / np.sqrt((ref**2).mean()) + 1e-30)
@@ -99,7 +96,6 @@ def main() -> None:
         "x_realtime": round(x_rt, 1),
         "accuracy_rms_db_vs_oracle": round(float(rms_db), 1),
         "device": str(dev),
-        "compile_seconds": round(compile_s, 1),
     }))
 
 

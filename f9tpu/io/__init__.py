@@ -1,3 +1,6 @@
-from .wav import AudioFileInfo, probe_wav, read_wav, write_wav, write_wav_codes  # noqa: F401
+from .wav import (  # noqa: F401
+    AudioFileInfo, WavReader, WavWriter, probe_wav, read_wav, write_wav,
+    write_wav_codes,
+)
 from .aiff import probe_aiff, read_aiff, write_aiff  # noqa: F401
 from .codec import SUPPORTED_EXTENSIONS, probe, read_audio, is_supported  # noqa: F401

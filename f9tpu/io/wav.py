@@ -76,7 +76,8 @@ def _parse_wav(buf: memoryview, path: str):
                 tag = sub
             fmt = (tag, channels, rate, block_align, bits)
         elif cid == _DATA:
-            data_off, data_size = off, min(size, len(buf) - off)
+            data_off, data_size = off, size  # declared size (file may extend
+            # beyond this buffer; callers clamp to what they actually hold)
     if fmt is None or data_off is None:
         raise ValueError(f"{path}: missing fmt/data chunk")
     return fmt, data_off, data_size
@@ -137,13 +138,31 @@ def _pack24(codes: np.ndarray) -> np.ndarray:
     return out.reshape(-1)
 
 
+def _unpack24_dispatch(data: np.ndarray) -> np.ndarray:
+    """24-bit bytes -> float32, via the C++ hot loop when available
+    (f9tpu.native; the JUCE sample-conversion role, SURVEY.md section 2.3)."""
+    from .. import native
+
+    if native.available():
+        return native.unpack24_to_f32(data)
+    return _unpack24(data).astype(np.float32) / 8388608.0
+
+
+def _pack24_dispatch(codes: np.ndarray) -> np.ndarray:
+    from .. import native
+
+    if native.available():
+        return native.pack24_from_i32(codes)
+    return _pack24(codes)
+
+
 def read_wav(path: str) -> tuple[np.ndarray, int]:
     """Decode to planar float32 ``(channels, frames)`` in [-1, 1) + rate."""
     with open(path, "rb") as f:
         raw = f.read()
     buf = memoryview(raw)
     (tag, channels, rate, block_align, bits), off, size = _parse_wav(buf, path)
-    data = np.frombuffer(raw, np.uint8, count=size, offset=off)
+    data = np.frombuffer(raw, np.uint8, count=min(size, len(raw) - off), offset=off)
     if tag == WAVE_FORMAT_IEEE_FLOAT:
         dt = np.float32 if bits == 32 else np.float64
         x = np.frombuffer(data.tobytes(), dtype="<" + np.dtype(dt).char).astype(np.float32)
@@ -151,7 +170,7 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
         if bits == 16:
             x = np.frombuffer(data.tobytes(), "<i2").astype(np.float32) / 32768.0
         elif bits == 24:
-            x = _unpack24(data).astype(np.float32) / 8388608.0
+            x = _unpack24_dispatch(data)
         elif bits == 32:
             x = np.frombuffer(data.tobytes(), "<i4").astype(np.float32) / 2147483648.0
         elif bits == 8:
@@ -195,7 +214,7 @@ def write_wav_codes(path: str, codes: np.ndarray, rate: int, bits: int = 24) -> 
     channels, frames = codes.shape
     inter = np.ascontiguousarray(codes.T).reshape(-1)  # interleave
     if bits == 24:
-        payload = _pack24(inter).tobytes()
+        payload = _pack24_dispatch(inter).tobytes()
     elif bits == 16:
         payload = inter.astype("<i2").tobytes()
     elif bits == 32:
@@ -227,3 +246,97 @@ def write_wav(path: str, x: np.ndarray, rate: int, bits: int = 24) -> None:
     scale = float(1 << (bits - 1))
     codes = np.clip(np.round(x * scale), -scale, scale - 1).astype(np.int32)
     write_wav_codes(path, codes, rate, bits=bits)
+
+
+class WavReader:
+    """Incremental frame reader (seek-based) for streaming hour-long files
+    through fixed-size device chunks (SURVEY.md section 5 'long-context':
+    block-based streaming, here with overlap-save halos)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        with open(path, "rb") as f:
+            head = f.read(1 << 16)
+        (tag, channels, rate, _block_align, bits), off, size = _parse_wav(
+            memoryview(head), path)
+        self._fmt = (tag, channels, rate, bits)
+        self._data_off = off
+        self.num_channels = channels
+        self.sample_rate = rate
+        self._bytes_per_frame = channels * (bits // 8)
+        actual = max(0, os.path.getsize(path) - off)
+        self.num_frames = min(size, actual) // self._bytes_per_frame
+        self._f = open(path, "rb")
+
+    def close(self):
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def read(self, start_frame: int, count: int) -> np.ndarray:
+        """Planar float32 (channels, n) for frames [start, start+count) clipped
+        to the file; shorter at EOF."""
+        tag, channels, rate, bits = self._fmt
+        start_frame = max(0, start_frame)
+        count = max(0, min(count, self.num_frames - start_frame))
+        if count == 0:
+            return np.zeros((channels, 0), np.float32)
+        self._f.seek(self._data_off + start_frame * self._bytes_per_frame)
+        raw = self._f.read(count * self._bytes_per_frame)
+        data = np.frombuffer(raw, np.uint8)
+        if tag == WAVE_FORMAT_IEEE_FLOAT:
+            dt = "<f4" if bits == 32 else "<f8"
+            x = np.frombuffer(data.tobytes(), dt).astype(np.float32)
+        elif bits == 16:
+            x = np.frombuffer(data.tobytes(), "<i2").astype(np.float32) / 32768.0
+        elif bits == 24:
+            x = _unpack24_dispatch(data)
+        elif bits == 32:
+            x = np.frombuffer(data.tobytes(), "<i4").astype(np.float32) / 2147483648.0
+        else:
+            raise ValueError(f"unsupported bit depth {bits}")
+        n = len(x) // channels
+        return np.ascontiguousarray(x[: n * channels].reshape(n, channels).T)
+
+
+class WavWriter:
+    """Incremental 16/24/32-bit PCM writer; the header is patched on close."""
+
+    def __init__(self, path: str, channels: int, rate: int, bits: int = 24):
+        self.path = path
+        self.channels = channels
+        self.rate = rate
+        self.bits = bits
+        self.frames_written = 0
+        self._f = open(path, "wb")
+        self._f.write(_wav_header(0, channels, rate, bits, is_float=False))
+
+    def append_codes(self, codes: np.ndarray) -> None:
+        """(channels, n) int32 PCM codes."""
+        codes = np.asarray(codes, np.int32)
+        inter = np.ascontiguousarray(codes.T).reshape(-1)
+        if self.bits == 24:
+            self._f.write(_pack24_dispatch(inter).tobytes())
+        elif self.bits == 16:
+            self._f.write(inter.astype("<i2").tobytes())
+        elif self.bits == 32:
+            self._f.write(inter.astype("<i4").tobytes())
+        else:
+            raise ValueError(f"unsupported bit depth {self.bits}")
+        self.frames_written += codes.shape[1]
+
+    def close(self) -> None:
+        self._f.seek(0)
+        self._f.write(_wav_header(self.frames_written, self.channels, self.rate,
+                                  self.bits, is_float=False))
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

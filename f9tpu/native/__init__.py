@@ -1,0 +1,154 @@
+"""Native C++ host kernels: lazy build + ctypes bindings.
+
+Builds ``f9native.cpp`` into a shared library on first use (g++ -O3, cached
+next to the source; rebuilt when the source is newer).  Falls back gracefully:
+callers check ``available()`` and keep a NumPy path, mirroring the reference's
+stub-bridge fallback when the real native layer can't load
+(CAAudioBridge.swift:126-134).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+__all__ = [
+    "available",
+    "resample_oracle_native",
+    "unpack24_to_f32",
+    "pack24_from_i32",
+    "interleave_f32",
+    "deinterleave_f32",
+]
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "f9native.cpp")
+_LIB = os.path.join(_DIR, "libf9native.so")
+_lock = threading.Lock()
+_lib: ctypes.CDLL | None = None
+_build_error: str | None = None
+
+
+def _build() -> str | None:
+    if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
+        return None
+    cmd = [
+        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+        "-o", _LIB, _SRC, "-lpthread",
+    ]
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+    except (OSError, subprocess.TimeoutExpired) as e:
+        return f"build failed: {e}"
+    if proc.returncode != 0:
+        return f"build failed: {proc.stderr[-2000:]}"
+    return None
+
+
+def _load() -> ctypes.CDLL | None:
+    global _lib, _build_error
+    with _lock:
+        if _lib is not None or _build_error is not None:
+            return _lib
+        err = _build()
+        if err:
+            _build_error = err
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB)
+        except OSError as e:
+            _build_error = str(e)
+            return None
+        c_i64 = ctypes.c_int64
+        c_i32 = ctypes.c_int32
+        pd = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        pf = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        pu8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        pi16 = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+        pi32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        lib.f9_resample_oracle_mt.argtypes = [
+            pd, c_i64, pd, c_i64, c_i64, c_i64, c_i64, pd, c_i64, c_i32]
+        lib.f9_unpack24_to_f32.argtypes = [pu8, c_i64, pf]
+        lib.f9_pack24_from_i32.argtypes = [pi32, c_i64, pu8]
+        lib.f9_i16_to_f32.argtypes = [pi16, c_i64, pf]
+        lib.f9_f32_to_i16.argtypes = [pf, c_i64, pi16]
+        lib.f9_interleave_f32.argtypes = [pf, c_i64, c_i64, pf]
+        lib.f9_deinterleave_f32.argtypes = [pf, c_i64, c_i64, pf]
+        lib.f9_native_abi_version.restype = c_i32
+        assert lib.f9_native_abi_version() == 1
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def build_error() -> str | None:
+    _load()
+    return _build_error
+
+
+def resample_oracle_native(
+    x: np.ndarray, H: np.ndarray, L: int, M: int, delay: int,
+    out_len: int, n_threads: int | None = None,
+) -> np.ndarray:
+    """Double-precision polyphase resample of 1-D ``x`` using phase bank ``H``."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native library unavailable: {_build_error}")
+    x = np.ascontiguousarray(x, np.float64)
+    H = np.ascontiguousarray(H, np.float64)
+    K = H.shape[1]
+    y = np.empty(out_len, np.float64)
+    if n_threads is None:
+        n_threads = min(8, os.cpu_count() or 1)
+    lib.f9_resample_oracle_mt(x, len(x), H, L, M, K, delay, y, out_len, n_threads)
+    return y
+
+
+def unpack24_to_f32(raw: np.ndarray) -> np.ndarray:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native library unavailable: {_build_error}")
+    raw = np.ascontiguousarray(raw, np.uint8)
+    n = len(raw) // 3
+    out = np.empty(n, np.float32)
+    lib.f9_unpack24_to_f32(raw, n, out)
+    return out
+
+
+def pack24_from_i32(codes: np.ndarray) -> np.ndarray:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native library unavailable: {_build_error}")
+    codes = np.ascontiguousarray(codes, np.int32)
+    out = np.empty(len(codes) * 3, np.uint8)
+    lib.f9_pack24_from_i32(codes, len(codes), out)
+    return out
+
+
+def interleave_f32(planar: np.ndarray) -> np.ndarray:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native library unavailable: {_build_error}")
+    planar = np.ascontiguousarray(planar, np.float32)
+    c, f = planar.shape
+    out = np.empty(c * f, np.float32)
+    lib.f9_interleave_f32(planar, c, f, out)
+    return out
+
+
+def deinterleave_f32(inter: np.ndarray, channels: int) -> np.ndarray:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native library unavailable: {_build_error}")
+    inter = np.ascontiguousarray(inter, np.float32)
+    frames = len(inter) // channels
+    out = np.empty((channels, frames), np.float32)
+    lib.f9_deinterleave_f32(inter, channels, frames, out)
+    return out

@@ -42,8 +42,13 @@ def tpdf_dither_quantize(
     s = _scale(bits)
     v = x * s
     if dither:
-        u = jax.random.uniform(key, (2, *x.shape), dtype=x.dtype)
-        v = v + (u[0] - u[1])
+        # One 32-bit draw per sample, split into two 16-bit uniforms: the
+        # difference of two independent U[-0.5, 0.5) LSB variables (triangular
+        # PDF) at half the RNG bandwidth of two full draws.
+        bits32 = jax.random.bits(key, x.shape, dtype=jnp.uint32)
+        u1 = (bits32 & jnp.uint32(0xFFFF)).astype(x.dtype) * (1.0 / 65536.0)
+        u2 = (bits32 >> 16).astype(x.dtype) * (1.0 / 65536.0)
+        v = v + (u1 - u2)
     q = jnp.round(v)
     lo, hi = -s, s - 1.0
     return jnp.clip(q, lo, hi).astype(jnp.int32)

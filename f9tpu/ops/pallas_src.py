@@ -1,0 +1,148 @@
+"""Pallas TPU kernel for the polyphase cycle resampler.
+
+The XLA strided-conv path (`f9tpu.ops.resample.resample`) materialises im2col
+patches in HBM for large strides (M ~ 147-640), costing ~3x the signal
+bandwidth.  This kernel streams the input once, as cycle rows of width ``M``:
+each grid step holds ``TQ`` cycles in VMEM plus an ``R``-row overlap from the
+next tile (``R = ceil((K-1)/M)``), and accumulates the output tile as R+1
+sublane-shifted MXU matmuls against the resident cycle matrix:
+
+    out (TQ, L) = sum_r  span[r : r+TQ, :] @ G[r*M : (r+1)*M, :]
+
+Sublane shifts are cheap VMEM relayouts; no lane-dim restructuring happens on
+the TPU (the (bc, T) -> (bc, rows, M) reshape is done once by XLA in HBM).
+Tile-to-tile overlap is fed through a second *non-overlapping* view of the
+same buffer (block index qt+1), so Pallas' automatic grid pipeline keeps the
+double-buffering (guide: Grid/BlockSpec pipelining) without manual DMA.
+
+Applicability: R must be small — true for every downsampling ratio and the
+whole 44.1<->48 k family.  For tiny M (pure upsampling, stride ~ 1) the XLA
+conv is already MXU-shaped, so `resample_auto` dispatches per bank.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.filters import CycleBank
+from .resample import cycle_matrix_f32, resample
+
+__all__ = ["pallas_applicable", "resample_pallas", "resample_auto"]
+
+#: Max overlap rows (extra input blocks) the kernel supports efficiently.
+_MAX_R = 8
+#: Sublane granularity of the overlap operand's block.
+_ROW_ALIGN = 8
+
+
+def _plan(bank: CycleBank, total_cycles: int) -> tuple[int, int, int]:
+    """Choose (TQ cycles/tile, R overlap rows, n_tiles)."""
+    M, L, K = bank.M, bank.L, bank.taps_per_phase
+    R = max(1, -(-(K - 1) // M))
+    # VMEM per tile ~ TQ*(Mpad + L) floats with M padded to the 128-lane tile.
+    # Tight budget: the span concat + per-shift slice relayouts roughly triple
+    # the live copies of an x tile, and Pallas double-buffers every operand.
+    m_pad = -(-M // 128) * 128
+    per_cycle = m_pad + L
+    budget = (1024 * 1024) // 4
+    tq = max(_ROW_ALIGN, min(1024, budget // max(per_cycle, 1)))
+    tq -= tq % (_ROW_ALIGN * max(1, R))   # row-aligned AND divisible by R
+    tq = max(tq, _ROW_ALIGN * max(1, R))
+    return tq, R, -(-total_cycles // tq)
+
+
+def pallas_applicable(bank: CycleBank) -> bool:
+    M, K = bank.M, bank.taps_per_phase
+    R = max(1, -(-(K - 1) // M))
+    return R <= _MAX_R and bank.L >= 8 and M >= 16
+
+
+def _kernel(x_ref, tail_ref, g_ref, o_ref, *, tq: int, r: int, m: int, ell: int):
+    # x_ref: (1, tq, m); tail_ref: (1, r_rows>=r, m); g_ref: ((r+1)*m, ell)
+    a = x_ref[0]
+    span = jnp.concatenate([a, tail_ref[0, :r, :]], axis=0)   # (tq + r, m)
+    acc = jnp.zeros((tq, ell), jnp.float32)
+    for shift in range(r + 1):
+        acc += jax.lax.dot_general(
+            span[shift : shift + tq, :],
+            g_ref[shift * m : (shift + 1) * m, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    o_ref[0] = acc
+
+
+def resample_pallas(
+    x: jax.Array,
+    bank: CycleBank,
+    out_len: int | None = None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Drop-in equivalent of `resample` via the Pallas kernel.
+
+    ``x``: (..., T) float32.  Semantics identical to `resample` (zero overall
+    delay, out_len = ceil(T*L/M) by default).  ``interpret`` defaults to True
+    on non-TPU backends (the hermetic-test path, SURVEY.md section 4).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    L, M, W = bank.L, bank.M, bank.W
+    T = x.shape[-1]
+    if out_len is None:
+        out_len = bank.out_len(T)
+    if T == 0 or out_len == 0:
+        return jnp.zeros((*x.shape[:-1], out_len), dtype=x.dtype)
+    Q = -(-out_len // L)
+    tq, R, n_tiles = _plan(bank, Q)
+    r_rows = -(-R // _ROW_ALIGN) * _ROW_ALIGN   # overlap block sublane size
+
+    lead = x.shape[:-1]
+    bc = int(np.prod(lead)) if lead else 1
+    xf = x.reshape(bc, T)
+
+    # Rows of width M: main tiles plus one aligned overlap block of lookahead.
+    n_rows = n_tiles * tq + r_rows
+    total = n_rows * M
+    pad_front = bank.pad_front
+    pad_back = total - pad_front - T
+    xp = jnp.pad(xf, ((0, 0), (pad_front, max(0, pad_back))))[:, :total]
+    xp3 = xp.reshape(bc, n_rows, M)
+
+    g = np.zeros(((R + 1) * M, L), np.float32)
+    g[:W, :] = cycle_matrix_f32(bank)
+    shift_blocks = tq // r_rows  # overlap block index stride (rows / r_rows)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, tq=tq, r=R, m=M, ell=L),
+        grid=(bc, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, tq, M), lambda b, q: (b, q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r_rows, M),
+                         lambda b, q: (b, (q + 1) * shift_blocks, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(((R + 1) * M, L), lambda b, q: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tq, L), lambda b, q: (b, q, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bc, n_tiles * tq, L), jnp.float32),
+        interpret=interpret,
+    )(xp3, xp3, jnp.asarray(g))
+
+    return out.reshape(bc, n_tiles * tq * L)[:, :out_len].reshape(*lead, out_len)
+
+
+def resample_auto(x: jax.Array, bank: CycleBank, out_len: int | None = None) -> jax.Array:
+    """Pick the fastest correct path for this bank (Pallas kernel when its
+    overlap plan applies, XLA conv otherwise)."""
+    if pallas_applicable(bank):
+        return resample_pallas(x, bank, out_len=out_len)
+    return resample(x, bank, out_len=out_len)

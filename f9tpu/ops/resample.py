@@ -117,6 +117,9 @@ def resample_rates(
     kind: str = "sinc",
     out_len: int | None = None,
 ) -> jax.Array:
-    """Jitted convenience wrapper: design (host, cached) + resample (device)."""
+    """Jitted convenience wrapper: design (host, cached) + resample (device),
+    dispatched to the fastest applicable path (Pallas kernel / XLA conv)."""
+    from .pallas_src import resample_auto  # local import: avoids a cycle
+
     bank = design_cycle_bank(rate_in, rate_out, quality=quality, kind=kind)
-    return resample(x, bank, out_len=out_len)
+    return resample_auto(x, bank, out_len=out_len)

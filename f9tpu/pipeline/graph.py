@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from ..config import ProcessingConfig, recording_length
 from ..models.filters import design_cycle_bank
 from ..ops import analysis, dither
-from ..ops.resample import resample
+from ..ops.pallas_src import resample_auto
 from ..ops.trim import detect_tail_end, mask_beyond, trim_latency
 
 __all__ = ["ProcessResult", "build_process_fn", "process_batch"]
@@ -51,7 +51,7 @@ def _metrics(y: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("rate_in", "rate_out", "cfg_key"),
+    static_argnames=("rate_in", "rate_out", "cfg_key", "static_zero_latency"),
 )
 def _process_impl(
     x: jax.Array,
@@ -63,6 +63,7 @@ def _process_impl(
     rate_in: int,
     rate_out: int,
     cfg_key: tuple,
+    static_zero_latency: bool = False,
 ):
     (quality, kind, bits, do_dither, remove_dc, gain_db, trim_enabled,
      reverb_mode, margin_pct, tail_mode, tail_window_ms, tail_hop_ms,
@@ -78,10 +79,13 @@ def _process_impl(
         # (Source/AppState.h:240-243), as explicit silence padding.
         x = jnp.pad(x, ((0, 0), (0, 0), (0, pad_frames)))
 
-    y = resample(x, bank)
+    y = resample_auto(x, bank)
 
     out_total = y.shape[-1]
-    if trim_enabled:
+    if trim_enabled and not static_zero_latency:
+        # Chain delay compensation.  Skipped entirely (statically) when the
+        # caller knows the chain is delay-free — the gather over the whole
+        # output is the single most expensive non-SRC stage.
         y = trim_latency(y, latency_frames, out_total)
 
     # Valid output frames per file: ceil(n*L/M) in exact int32 split arithmetic
@@ -189,6 +193,7 @@ def process_batch(
         rate_in=rate_in,
         rate_out=cfg.target_rate,
         cfg_key=_cfg_key(cfg, pad_frames),
+        static_zero_latency=isinstance(latency_frames, int) and latency_frames == 0,
     )
     return ProcessResult(
         codes=codes,

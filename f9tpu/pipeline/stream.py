@@ -1,0 +1,115 @@
+"""Streaming SRC for arbitrarily long files: chunked overlap-save through the
+device with constant memory.
+
+The reference caps captures at 60 s (Source/MainComponent.cpp:115) and streams
+in 128-1024-sample callback blocks; here a file of any length flows through
+fixed-shape device chunks aligned to whole cycles (multiples of M input
+frames), with the filter halo read directly from the file on both sides of
+each chunk — the host-side twin of the ppermute halo exchange in
+`f9tpu.parallel.sharding` (SURVEY.md section 5 'long-context').
+
+Output is written incrementally (24-bit codes per chunk), so peak memory is
+one chunk regardless of file length.  DC removal needs the whole-file mean
+(the reference computes it over the full capture,
+Source/MainComponent.cpp:884-902), so it runs as a cheap host pre-pass.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ProcessingConfig
+from ..io.wav import WavReader, WavWriter
+from ..models.filters import design_cycle_bank
+from ..ops import dither
+from ..ops.resample import resample_presliced
+
+__all__ = ["stream_resample_file", "stream_chunk_plan"]
+
+
+def stream_chunk_plan(bank, chunk_seconds: float, rate_in: int) -> int:
+    """Chunk length in input frames: whole cycles, ~chunk_seconds long."""
+    cycles = max(1, int(chunk_seconds * rate_in) // bank.M)
+    return cycles * bank.M
+
+
+@functools.partial(jax.jit, static_argnames=("cycles", "rate_in", "rate_out",
+                                             "quality", "kind", "bits", "do_dither"))
+def _stream_step(xp, mean, key, *, cycles, rate_in, rate_out, quality, kind,
+                 bits, do_dither):
+    bank = design_cycle_bank(rate_in, rate_out, quality=quality, kind=kind)
+    y = resample_presliced(xp - mean, bank, cycles)
+    if do_dither:
+        return dither.tpdf_dither_quantize(y, key, bits=bits)
+    return dither.quantize(y, bits=bits)
+
+
+def stream_resample_file(
+    in_path: str,
+    out_path: str,
+    cfg: ProcessingConfig,
+    chunk_seconds: float = 20.0,
+    progress_cb=None,
+) -> int:
+    """Resample ``in_path`` -> ``out_path`` at ``cfg.target_rate`` in constant
+    memory.  Returns output frames written.  Output length is exactly
+    ceil(in_frames * L / M), matching the whole-file path.
+    """
+    with WavReader(in_path) as reader:
+        rate_in = reader.sample_rate
+        bank = design_cycle_bank(rate_in, cfg.target_rate,
+                                 quality=cfg.quality, kind=cfg.kind)
+        L, M, W = bank.L, bank.M, bank.W
+        halo_left = bank.pad_front
+        halo_right = W - M - halo_left
+        chunk_in = stream_chunk_plan(bank, chunk_seconds, rate_in)
+        cycles = chunk_in // M
+        T = reader.num_frames
+        out_total = bank.out_len(T)
+
+        # DC pre-pass: whole-file mean per channel (host, streaming).
+        mean = np.zeros((reader.num_channels, 1), np.float32)
+        if cfg.remove_dc and T > 0:
+            acc = np.zeros(reader.num_channels, np.float64)
+            pos = 0
+            while pos < T:
+                blk = reader.read(pos, chunk_in)
+                acc += blk.sum(axis=1)
+                pos += blk.shape[1]
+            mean = (acc / T).astype(np.float32).reshape(-1, 1)
+
+        key = jax.random.PRNGKey(0)
+        written = 0
+        with WavWriter(out_path, reader.num_channels, cfg.target_rate,
+                       bits=cfg.bits) as writer:
+            start = 0
+            ci = 0
+            while start < T or (written < out_total and start == 0):
+                # chunk input span incl. halos, zero-padded at the ends
+                lo = start - halo_left
+                hi = start + chunk_in + halo_right
+                span = reader.read(max(0, lo), hi - max(0, lo))
+                pad_l = max(0, -lo)
+                pad_r = (hi - lo) - pad_l - span.shape[1]
+                xp = np.pad(span, ((0, 0), (pad_l, max(0, pad_r))))
+                key, sub = jax.random.split(key)
+                codes = np.asarray(_stream_step(
+                    jnp.asarray(xp), jnp.asarray(mean), sub,
+                    cycles=cycles, rate_in=rate_in, rate_out=cfg.target_rate,
+                    quality=cfg.quality, kind=cfg.kind, bits=cfg.bits,
+                    do_dither=cfg.dither,
+                ))
+                take = min(codes.shape[1], out_total - written)
+                writer.append_codes(codes[:, :take])
+                written += take
+                start += chunk_in
+                ci += 1
+                if progress_cb:
+                    progress_cb(min(1.0, start / max(T, 1)))
+                if written >= out_total:
+                    break
+        return written

@@ -1,0 +1,67 @@
+"""Trustworthy device timing over asynchronous/remote runtimes.
+
+On this environment the TPU is reached through a tunnel whose
+``block_until_ready`` resolves before execution finishes, and every dispatch
+pays a large HTTP round trip — naive wall-clock timing measures neither.
+Two fixes, both used by `measure_op`:
+
+1. every timed region ends by *downloading* a scalar (forces real completion);
+2. the op runs ``n`` times inside ONE dispatch (`lax.fori_loop` with an
+   iteration-dependent input perturbation so nothing hoists/CSEs), and the
+   per-op time is the slope between an n=1 and an n=N run — the round-trip
+   cancels.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["measure_op"]
+
+
+def _runner(op: Callable, n: int):
+    @jax.jit
+    def run(x, seed):
+        def body(i, carry):
+            acc, s = carry
+            # iteration-dependent input: defeats loop-invariant hoisting
+            y = op(x * (1.0 + (s + i).astype(jnp.float32) * 1e-12))
+            leaves = jax.tree_util.tree_leaves(y)
+            # consume EVERY output element: a partial probe (e.g. one lane)
+            # lets XLA dead-code-eliminate elementwise tails of the op
+            probe = sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
+            return acc + probe, s
+        acc, _ = jax.lax.fori_loop(0, n, body, (jnp.float32(0.0), seed))
+        return acc
+    return run
+
+
+def measure_op(
+    op: Callable,
+    x: jax.Array,
+    n: int = 16,
+    repeats: int = 3,
+) -> float:
+    """Median per-op device seconds for ``op(x)`` (shape-preserving input)."""
+    run1 = _runner(op, 1)
+    runn = _runner(op, n + 1)
+    seed = jnp.int32(0)
+    # warmup/compile both variants
+    float(run1(x, seed))
+    float(runn(x, seed))
+    samples = []
+    for r in range(repeats):
+        s = jnp.int32(r + 1)
+        t0 = time.time()
+        float(run1(x, s))
+        t1 = time.time() - t0
+        t0 = time.time()
+        float(runn(x, s))
+        tn = time.time() - t0
+        samples.append(max(1e-9, (tn - t1) / n))
+    samples.sort()
+    return samples[len(samples) // 2]

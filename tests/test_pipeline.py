@@ -242,3 +242,82 @@ def test_loop_selftest():
     rep = run_loop_test(48000, 44100, seconds=0.5, quality="medium")
     assert rep.verdict == LoopTestVerdict.LOOP_DETECTED
     assert abs(rep.measured_freq_hz - 1000.0) < 10.0
+
+
+# ---------- streaming ----------
+
+def test_stream_resample_matches_whole_file(tmp_path):
+    """Chunked overlap-save streaming must equal the whole-file path exactly
+    (same filter, same cycle alignment)."""
+    import jax.numpy as jnp
+    from f9tpu.io import WavReader, read_wav, write_wav
+    from f9tpu.ops.resample import resample_rates
+    from f9tpu.pipeline import stream_resample_file
+
+    rate = 44100
+    rng = np.random.default_rng(7)
+    frames = rate * 2 + 1234  # ~2 s, not cycle-aligned
+    x = (0.4 * rng.standard_normal((2, frames))).astype(np.float32)
+    src = str(tmp_path / "long.wav")
+    write_wav(src, x, rate, bits=24)
+
+    out = str(tmp_path / "long_out.wav")
+    cfg = ProcessingConfig(output_dir=str(tmp_path), target_rate=48000,
+                           quality="medium", dither=False, remove_dc=False)
+    n = stream_resample_file(src, out, cfg, chunk_seconds=0.5)  # ~5 chunks
+    assert n == -(-frames * 160 // 147)
+
+    y_stream, r = read_wav(out)
+    assert r == 48000 and y_stream.shape[1] == n
+
+    xq, _ = read_wav(src)  # compare from the quantized source, like streaming
+    y_ref = np.asarray(resample_rates(jnp.asarray(xq), rate, 48000,
+                                      quality="medium"))
+    ref_codes = np.clip(np.round(y_ref * (1 << 23)), -(1 << 23), (1 << 23) - 1)
+    got_codes = np.round(y_stream * (1 << 23))
+    # the streamed path (presliced conv) and whole-file path (pallas kernel)
+    # accumulate fp32 sums in different orders -> a few codes of difference on
+    # near-full-scale samples; require parity well beyond the -120 dB target
+    diff = got_codes - ref_codes
+    assert np.abs(diff).max() <= 16
+    rms_db = 20 * np.log10(np.sqrt((diff**2).mean())
+                           / np.sqrt((ref_codes**2).mean()) + 1e-30)
+    assert rms_db < -120.0
+
+
+def test_stream_resample_with_dc_and_dither(tmp_path):
+    from f9tpu.io import read_wav, write_wav
+    from f9tpu.pipeline import stream_resample_file
+
+    rate = 48000
+    rng = np.random.default_rng(8)
+    x = (0.2 * rng.standard_normal((1, rate)) + 0.1).astype(np.float32)  # DC!
+    src = str(tmp_path / "dc.wav")
+    write_wav(src, x, rate, bits=24)
+    out = str(tmp_path / "dc_out.wav")
+    cfg = ProcessingConfig(output_dir=str(tmp_path), target_rate=44100,
+                           quality="low")
+    stream_resample_file(src, out, cfg, chunk_seconds=0.25)
+    y, r = read_wav(out)
+    assert r == 44100
+    assert abs(float(y.mean())) < 1e-3  # DC removed across chunks
+
+
+def test_wav_reader_writer_roundtrip(tmp_path):
+    from f9tpu.io import WavReader, WavWriter, read_wav
+
+    rng = np.random.default_rng(9)
+    codes = rng.integers(-(2**23), 2**23, size=(2, 10000), dtype=np.int32)
+    p = str(tmp_path / "inc.wav")
+    with WavWriter(p, 2, 44100, bits=24) as w:
+        w.append_codes(codes[:, :3000])
+        w.append_codes(codes[:, 3000:])
+    with WavReader(p) as rd:
+        assert rd.num_frames == 10000 and rd.sample_rate == 44100
+        mid = rd.read(5000, 100)
+        assert mid.shape == (2, 100)
+        got = np.round(mid * (1 << 23)).astype(np.int32)
+        assert np.array_equal(got, codes[:, 5000:5100])
+        # EOF clamp
+        tail = rd.read(9990, 100)
+        assert tail.shape == (2, 10)
