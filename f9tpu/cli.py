@@ -3,10 +3,16 @@ SURVEY.md section 1, re-expressed as a CLI for a headless TPU pipeline).
 
 Subcommands mirror the app's user actions:
   process   "Process All" batch run  (MainViewModel.processAllFiles)
+  stream    constant-memory resample of one long file
   preview   playlist render           (togglePreview / previewFiles)
   measure   latency calibration       (measureLatency)
   selftest  hardware loop test        (startHardwareTest)
   probe     file metadata / validation (AudioFile metadata load)
+  devices   compute device enumeration (refreshDevices)
+
+``--config FILE`` loads defaults from JSON and ``--save-config FILE`` writes
+the resolved settings back — the settings persistence the reference lists as
+TODO (Docs/debug-notes.md:88).
 """
 
 from __future__ import annotations
@@ -56,7 +62,29 @@ def _add_common_src_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--kind", default="sinc", choices=["sinc", "lagrange"])
 
 
+def _load_config_defaults(args) -> None:
+    """Apply JSON config-file values for options the user left at defaults."""
+    if not getattr(args, "config", None):
+        return
+    with open(args.config) as f:
+        data = json.load(f)
+    for k, v in data.items():
+        if hasattr(args, k):
+            setattr(args, k, v)
+
+
+def _save_config(args, cfg: ProcessingConfig) -> None:
+    if not getattr(args, "save_config", None):
+        return
+    import dataclasses
+
+    with open(args.save_config, "w") as f:
+        json.dump(dataclasses.asdict(cfg), f, indent=1, default=list)
+    print(f"settings saved -> {args.save_config}")
+
+
 def cmd_process(args) -> int:
+    _load_config_defaults(args)
     files = _expand_inputs(args.inputs)
     if not files:
         print("error: no input files", file=sys.stderr)
@@ -77,6 +105,7 @@ def cmd_process(args) -> int:
         batch_size=args.batch_size,
         gain_db=args.gain,
     )
+    _save_config(args, cfg)
     log = StatusLog(sink=lambda line: print(line, flush=True))
     cal = CalibrationCache(os.path.join(args.out, ".calibration.json"))
     bp = BatchProcessor(cfg, log=log, calibration=cal)
@@ -131,6 +160,52 @@ def cmd_selftest(args) -> int:
     return 0 if rep.verdict.value == "loop_detected" else 1
 
 
+def cmd_stream(args) -> int:
+    from .pipeline.stream import stream_resample_file
+
+    cfg = ProcessingConfig(
+        target_rate=args.rate,
+        quality=args.quality,
+        kind=args.kind,
+        bits=args.bits,
+        dither=not args.no_dither,
+        remove_dc=not args.keep_dc,
+        output_dir=os.path.dirname(os.path.abspath(args.out)) or ".",
+    )
+    last = [0]
+
+    def progress(p):
+        pct = int(p * 100)
+        if pct >= last[0] + 10:
+            last[0] = pct
+            print(f"  {pct}%", flush=True)
+
+    n = stream_resample_file(args.input, args.out, cfg,
+                             chunk_seconds=args.chunk_seconds,
+                             progress_cb=progress)
+    print(f"wrote {n} frames @ {args.rate} Hz -> {args.out}")
+    return 0
+
+
+def cmd_devices(args) -> int:
+    """Device enumeration — the TPU analog of the reference's device scan
+    (Source/MainComponent.cpp:338-376; Services/AudioService.swift:26-52)."""
+    import jax
+
+    devs = jax.devices()
+    for d in devs:
+        mem = ""
+        try:
+            stats = d.memory_stats()
+            if stats and "bytes_limit" in stats:
+                mem = f", {stats['bytes_limit'] / 2**30:.1f} GiB"
+        except Exception:  # memory_stats unsupported on some backends
+            pass
+        print(f"[{d.id}] {d.device_kind} (platform {d.platform}{mem})")
+    print(f"{len(devs)} device(s)")
+    return 0
+
+
 def cmd_probe(args) -> int:
     code = 0
     for f in _expand_inputs(args.inputs):
@@ -179,7 +254,22 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--resume", action="store_true",
                    help="persist a manifest and skip already-completed files")
     p.add_argument("--json", action="store_true", help="print summary JSON")
+    p.add_argument("--config", default=None, help="load settings JSON")
+    p.add_argument("--save-config", default=None, help="save resolved settings JSON")
     p.set_defaults(fn=cmd_process)
+
+    p = sub.add_parser("stream", help="constant-memory resample of one long file")
+    p.add_argument("input")
+    p.add_argument("--out", required=True, help="output WAV path")
+    _add_common_src_args(p)
+    p.add_argument("--bits", type=int, default=24, choices=[16, 24, 32])
+    p.add_argument("--no-dither", action="store_true")
+    p.add_argument("--keep-dc", action="store_true")
+    p.add_argument("--chunk-seconds", type=float, default=20.0)
+    p.set_defaults(fn=cmd_stream)
+
+    p = sub.add_parser("devices", help="list compute devices")
+    p.set_defaults(fn=cmd_devices)
 
     p = sub.add_parser("preview", help="render a gapless playlist")
     p.add_argument("inputs", nargs="+")

@@ -137,8 +137,12 @@ def sinc_phase_bank(
         # normalised transition width ~ (A - 7.95) / (2.285 * 2*pi * N_eff)
         # where N_eff is the prototype length in limiting-rate samples.
         n_eff = N / max(L, M)
-        trans = (atten_db - 7.95) / (2.285 * 2.0 * math.pi * max(n_eff, 1.0))
-        rolloff = max(0.5, 1.0 - 2.0 * trans)
+        # Kaiser: transition width (Nyquist-normalised) ~ 2*(A-7.95)/(2.285*2*pi*N).
+        # Put the cutoff *midpoint* half a transition below the limiting
+        # Nyquist, so the stopband begins exactly at Nyquist and the passband
+        # extends to ~(1 - transition) — e.g. ~20.5 kHz for 44.1->48 k 'high'.
+        half_trans = (atten_db - 7.95) / (2.285 * 2.0 * math.pi * max(n_eff, 1.0))
+        rolloff = max(0.5, 1.0 - half_trans)
     # Cutoff in cycles per upsampled sample; limiting band edge is 0.5/max(L,M).
     wc = rolloff * 0.5 / max(L, M)
     n = np.arange(N, dtype=np.float64)

@@ -78,3 +78,44 @@ def test_cli_selftest(capsys):
                "--quality", "low"])
     assert rc == 0
     assert "loop_detected" in capsys.readouterr().out
+
+
+def test_cli_stream(tmp_path):
+    rng = np.random.default_rng(5)
+    x = (0.3 * rng.standard_normal((2, 44100))).astype(np.float32)
+    src = str(tmp_path / "long.wav")
+    write_wav(src, x, 44100, bits=24)
+    out = str(tmp_path / "long48.wav")
+    rc = main(["stream", src, "--out", out, "--rate", "48000",
+               "--quality", "low", "--chunk-seconds", "0.25"])
+    assert rc == 0
+    y, rate = read_wav(out)
+    assert rate == 48000 and y.shape == (2, 48000)
+
+
+def test_cli_devices(capsys):
+    rc = main(["devices"])
+    assert rc == 0
+    assert "device(s)" in capsys.readouterr().out
+
+
+def test_cli_config_roundtrip(tmp_path, capsys):
+    make_files(tmp_path, 1)
+    out_dir = str(tmp_path / "out")
+    cfgp = str(tmp_path / "settings.json")
+    rc = main(["process", str(tmp_path), "--out", out_dir, "--rate", "48000",
+               "--quality", "low", "--save-config", cfgp])
+    assert rc == 0 and os.path.exists(cfgp)
+    import json
+    with open(cfgp) as f:
+        saved = json.load(f)
+    assert saved["target_rate"] == 48000 and saved["quality"] == "low"
+    # config file supplies quality; CLI default would be "high"
+    with open(cfgp, "w") as f:
+        json.dump({"quality": "medium"}, f)
+    rc = main(["process", str(tmp_path), "--out", str(tmp_path / "o2"),
+               "--rate", "48000", "--config", cfgp, "--save-config",
+               str(tmp_path / "resolved.json")])
+    assert rc == 0
+    with open(str(tmp_path / "resolved.json")) as f:
+        assert json.load(f)["quality"] == "medium"
