@@ -104,6 +104,9 @@ def cmd_process(args) -> int:
         require_input_rate=args.require_rate,
         batch_size=args.batch_size,
         gain_db=args.gain,
+        channel_routing=(
+            [int(c) for c in args.routing.split(",")] if args.routing else None),
+        output_channels=args.channels,
     )
     _save_config(args, cfg)
     log = StatusLog(sink=lambda line: print(line, flush=True))
@@ -251,6 +254,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--require-rate", type=int, default=None,
                    help="strict mode: reject inputs not at this rate")
     p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--routing", default=None,
+                   help="MCFX channel routing map, e.g. '0,1,-1,2' "
+                        "(out[i] <- in[map[i]], -1 = silence)")
+    p.add_argument("--channels", type=int, default=None,
+                   help="fan mono inputs out to N channels")
     p.add_argument("--resume", action="store_true",
                    help="persist a manifest and skip already-completed files")
     p.add_argument("--json", action="store_true", help="print summary JSON")

@@ -67,10 +67,20 @@ def _process_impl(
 ):
     (quality, kind, bits, do_dither, remove_dc, gain_db, trim_enabled,
      reverb_mode, margin_pct, tail_mode, tail_window_ms, tail_hop_ms,
-     tail_consecutive, pad_frames) = cfg_key
+     tail_consecutive, pad_frames, routing, out_channels) = cfg_key
 
     bank = design_cycle_bank(rate_in, rate_out, quality=quality, kind=kind)
     files = x.shape[0]
+
+    # MCFX-style channel routing / mono fan-out BEFORE the SRC so every output
+    # bus is resampled exactly once (Docs/MultiChannel MCFX with JUCE.md:85-163;
+    # mono->stereo read path Source/MainComponent.cpp:727-739).
+    if out_channels is not None and x.shape[1] == 1 and out_channels != 1:
+        x = jnp.broadcast_to(x, (files, out_channels, x.shape[-1]))
+    if routing is not None:
+        from ..ops.routing import route_channels
+
+        x = route_channels(x, list(routing))
 
     # Zero out samples beyond each file's true length (bucket padding).
     x = mask_beyond(x, frames_valid)
@@ -154,6 +164,8 @@ def _cfg_key(cfg: ProcessingConfig, pad_frames: int) -> tuple:
         float(cfg.gain_db), cfg.trim_enabled, cfg.reverb_mode,
         float(cfg.noise_floor_margin_pct), cfg.tail_mode, cfg.tail_window_ms,
         cfg.tail_hop_ms, cfg.tail_consecutive, pad_frames,
+        tuple(cfg.channel_routing) if cfg.channel_routing is not None else None,
+        cfg.output_channels,
     )
 
 

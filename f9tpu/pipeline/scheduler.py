@@ -163,7 +163,10 @@ class BatchProcessor:
                         t0 = time.time()
                         data, rate = codec.read_audio(info.path)
                         self.throughput.add("decode", data.shape[-1] / rate, time.time() - t0)
-                        manifest.update(info.path, FileStatus.PROCESSING)
+                        # per-file progress stages (the reference's throttled
+                        # progress callbacks, AudioProcessingService.swift:209-214):
+                        # decoded 0.3 -> device done 0.7 -> encoded 1.0
+                        manifest.update(info.path, FileStatus.PROCESSING, progress=0.3)
                         out_q.put(_Decoded(info.path, data, rate))
                     except (ValueError, OSError) as err:
                         manifest.update(info.path, FileStatus.FAILED, error=str(err))
@@ -214,10 +217,15 @@ class BatchProcessor:
         key = jax.random.PRNGKey(int(time.time()) & 0x7FFFFFFF)
 
         for (rate_in, channels), infos in groups.items():
+            if stop_event.is_set():
+                break
             infos = [i for i in infos
                      if manifest.get(i.path).status == FileStatus.PENDING]
             if not infos:
                 continue
+            # NOTE: `channels` is the INPUT channel count (batch layout);
+            # routing / mono fan-out to cfg.channel_routing / output_channels
+            # happens inside the device graph.
             lat = latencies[rate_in]
             # bucket by padded length
             cap = int(cfg.max_tail_seconds * rate_in)
@@ -242,6 +250,7 @@ class BatchProcessor:
                     if not batch_x:
                         return
                     t0 = time.time()
+                    paths = [d.entry_path for d in batch_x]
                     # Always submit full batch_size rows (zero-padded) so every
                     # flush reuses the same compiled graph.
                     bs = self.cfg.batch_size
@@ -252,9 +261,22 @@ class BatchProcessor:
                         x[i, :, :n] = d.data[:, :n]
                         valid[i] = n
                     key, sub = jax.random.split(key)
-                    res = process_batch(
-                        x, valid, cfg, rate_in, sub, latency_frames=lat)
-                    codes = np.asarray(res.codes)
+                    try:
+                        res = process_batch(
+                            x, valid, cfg, rate_in, sub, latency_frames=lat)
+                        codes = np.asarray(res.codes)
+                    except Exception as err:  # device lost / compile failure:
+                        # abort the whole batch, marking every unfinished file
+                        # (the reference's interfaceDisconnected semantics,
+                        # MainViewModel.swift:233-250)
+                        stop_event.set()
+                        manifest.fail_remaining(f"device step failed: {err}")
+                        self.log.append(f"BATCH ABORT: device step failed: {err}")
+                        errors.append(str(err))
+                        batch_x.clear()
+                        return
+                    for p in paths:
+                        manifest.set_progress(p, 0.7)
                     out_frames = np.asarray(res.out_frames)
                     pk = np.asarray(res.peak_db)
                     wall = time.time() - t0
@@ -276,6 +298,8 @@ class BatchProcessor:
                     if item is None:
                         done_workers += 1
                         continue
+                    if stop_event.is_set():
+                        continue  # aborted: drain the queue, no more batches
                     batch_x.append(item)
                     if len(batch_x) >= cfg.batch_size:
                         flush()

@@ -321,3 +321,59 @@ def test_wav_reader_writer_roundtrip(tmp_path):
         # EOF clamp
         tail = rd.read(9990, 100)
         assert tail.shape == (2, 10)
+
+
+# ---------- MCFX routing through the batch pipeline ----------
+
+def test_process_batch_with_routing(tmp_path):
+    """BASELINE.json config 3: multichannel resample with a routing map."""
+    rng = np.random.default_rng(11)
+    frames = 4410
+    x = (0.2 * rng.standard_normal((1, 8, frames))).astype(np.float32)
+    cfg = ProcessingConfig(output_dir=str(tmp_path), target_rate=48000,
+                           quality="low", dither=False, remove_dc=False,
+                           channel_routing=[7, 0, -1, 3])
+    res = process_batch(x, np.array([frames], np.int32), cfg, 44100,
+                        jax.random.PRNGKey(0))
+    codes = np.asarray(res.codes)
+    assert codes.shape[1] == 4
+    # routed channel content: out ch0 == resample of in ch7, ch2 silent
+    ref7 = resample_oracle(x[0, 7], 44100, 48000, quality="low")
+    got0 = codes[0, 0, : len(ref7)].astype(np.float64) / (1 << 23)
+    err = got0 - ref7
+    assert 20 * np.log10(np.sqrt((err**2).mean())
+                         / np.sqrt((ref7**2).mean())) < -100
+    assert np.all(codes[0, 2] == 0)
+
+
+def test_process_batch_mono_fanout(tmp_path):
+    rng = np.random.default_rng(12)
+    frames = 2205
+    x = (0.2 * rng.standard_normal((2, 1, frames))).astype(np.float32)
+    cfg = ProcessingConfig(output_dir=str(tmp_path), target_rate=48000,
+                           quality="low", dither=False, remove_dc=False,
+                           output_channels=2)
+    res = process_batch(x, np.array([frames, frames], np.int32), cfg, 44100,
+                        jax.random.PRNGKey(0))
+    codes = np.asarray(res.codes)
+    assert codes.shape[1] == 2
+    assert np.array_equal(codes[:, 0], codes[:, 1])  # duplicated channels
+
+
+def test_batch_processor_routing_end_to_end(tmp_path):
+    (tmp_path / "in").mkdir(exist_ok=True)
+    files = make_lib(tmp_path / "in", n=1, channels=2, seconds=0.1)
+    out_dir = str(tmp_path / "out")
+    cfg = ProcessingConfig(output_dir=out_dir, target_rate=48000,
+                           quality="low", channel_routing=[1, 0],  # swap L/R
+                           dither=False, remove_dc=False)
+    bp = BatchProcessor(cfg)
+    res = bp.run(files)
+    assert res.completed == 1
+    y, _ = read_wav(build_output_path(files[0], out_dir, cfg.postfix))
+    src, _ = read_wav(files[0])
+    # swapped: output ch0 comes from input ch1
+    ref = resample_oracle(src[1], 44100, 48000, quality="low")
+    err = y[0].astype(np.float64) - ref
+    assert 20 * np.log10(np.sqrt((err**2).mean())
+                         / np.sqrt((ref**2).mean()) + 1e-30) < -95

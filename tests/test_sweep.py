@@ -91,3 +91,25 @@ def test_passband_flatness():
         mid = y[len(y) // 4 : -len(y) // 4].astype(np.float64)
         gain_db = 20 * np.log10(np.sqrt((mid**2).mean()) / (0.5 / np.sqrt(2)))
         assert abs(gain_db) < 0.05, (freq, gain_db)
+
+
+def test_varispeed_arbitrary_ratio():
+    """Non-standard ratios (varispeed) go through rational approximation with
+    drift-free integer index math thereafter."""
+    rng = np.random.default_rng(5)
+    x = (0.3 * rng.standard_normal(8192)).astype(np.float32)
+    # a 3.1% pitch-down, irrational-ish ratio
+    rate_in, rate_out = 44100, 42735
+    y = np.asarray(resample_rates(x, rate_in, rate_out, quality="low"))
+    ref = resample_oracle(x, rate_in, rate_out, quality="low")
+    assert y.shape == ref.shape
+    assert rms_db(y - ref, ref) <= -120.0
+
+
+def test_ultra_quality_pair():
+    """The JUCE-crossing-count preset (Z=100) through the device path."""
+    rng = np.random.default_rng(6)
+    x = (0.3 * rng.standard_normal(8192)).astype(np.float32)
+    y = np.asarray(resample_rates(x, 44100, 48000, quality="ultra"))
+    ref = resample_oracle(x, 44100, 48000, quality="ultra")
+    assert rms_db(y - ref, ref) <= -120.0
