@@ -155,6 +155,11 @@ def _process_impl(
     codes = jnp.where(
         (jnp.arange(out_total, dtype=jnp.int32) < out_frames[:, None, None]), codes, 0
     )
+    if routing is not None and any(r < 0 for r in routing):
+        # routed-silent channels stay digital zero even under dither (the
+        # reference writes true silence on unused channels)
+        silent = jnp.asarray([r < 0 for r in routing]).reshape(1, -1, 1)
+        codes = jnp.where(silent, 0, codes)
     return codes, out_frames, terminated, pk_db, level_db, nf_est
 
 

@@ -377,3 +377,17 @@ def test_batch_processor_routing_end_to_end(tmp_path):
     err = y[0].astype(np.float64) - ref
     assert 20 * np.log10(np.sqrt((err**2).mean())
                          / np.sqrt((ref**2).mean()) + 1e-30) < -95
+
+
+def test_routing_silent_channel_stays_zero_under_dither(tmp_path):
+    rng = np.random.default_rng(13)
+    frames = 2205
+    x = (0.2 * rng.standard_normal((1, 2, frames))).astype(np.float32)
+    cfg = ProcessingConfig(output_dir=str(tmp_path), target_rate=48000,
+                           quality="low", dither=True,
+                           channel_routing=[1, -1, 0])
+    res = process_batch(x, np.array([frames], np.int32), cfg, 44100,
+                        jax.random.PRNGKey(0))
+    codes = np.asarray(res.codes)
+    assert np.all(codes[0, 1] == 0)      # silent bus: digital zero, no dither
+    assert np.any(codes[0, 0] != 0)
