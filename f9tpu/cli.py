@@ -114,7 +114,16 @@ def cmd_process(args) -> int:
     bp = BatchProcessor(cfg, log=log, calibration=cal)
     manifest_path = os.path.join(args.out, ".manifest.json") if args.resume else None
     os.makedirs(args.out, exist_ok=True)
-    res = bp.run(files, manifest_path=manifest_path)
+    if args.profile:
+        # jax.profiler trace of the whole batch (SURVEY.md section 5: the
+        # profiling the reference lists as TODO, made first-class)
+        import jax
+
+        with jax.profiler.trace(args.profile):
+            res = bp.run(files, manifest_path=manifest_path)
+        print(f"profiler trace -> {args.profile}")
+    else:
+        res = bp.run(files, manifest_path=manifest_path)
     if args.json:
         print(json.dumps({
             "completed": res.completed,
@@ -138,6 +147,7 @@ def cmd_preview(args) -> int:
         silence_ms=args.silence_ms,
         output_channels=args.channels,
         monitor=args.monitor,
+        loops=args.loops,
     )
     wav.write_wav(args.out, main_mix, args.rate, bits=24)
     print(f"rendered {len(items)} item(s), {main_mix.shape[-1]} frames -> {args.out}")
@@ -264,6 +274,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--json", action="store_true", help="print summary JSON")
     p.add_argument("--config", default=None, help="load settings JSON")
     p.add_argument("--save-config", default=None, help="save resolved settings JSON")
+    p.add_argument("--profile", default=None,
+                   help="write a jax.profiler trace of the batch to this dir")
     p.set_defaults(fn=cmd_process)
 
     p = sub.add_parser("stream", help="constant-memory resample of one long file")
@@ -287,6 +299,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--channels", type=int, default=2)
     p.add_argument("--monitor", action="store_true")
     p.add_argument("--monitor-out", default=None)
+    p.add_argument("--loops", type=int, default=1,
+                   help="render the playlist N times (wrap-around looping)")
     p.set_defaults(fn=cmd_preview)
 
     p = sub.add_parser("measure", help="measure chain latency (impulse test)")

@@ -54,12 +54,16 @@ def render_playlist(
     silence_ms: int = 150,
     output_channels: int = 2,
     monitor: bool = False,
+    loops: int = 1,
 ) -> tuple[np.ndarray, np.ndarray | None, list[PlaylistItem]]:
     """Render ``files`` into one gapless (channels, frames) array.
 
     Files not matching ``rate`` are resampled on device first (the TPU twist:
     preview of a mixed-rate library is exact, where the reference requires
-    pre-matched rates).  Returns (main, monitor_stereo|None, items).
+    pre-matched rates).  ``loops`` renders the playlist wrap-around that many
+    times with the silence gap between passes (the reference's looping
+    playback, AudioProcessingService.swift:798-875).
+    Returns (main, monitor_stereo|None, items).
     """
     from ..ops.resample import resample_rates
     from ..ops.routing import mixdown_monitor
@@ -68,15 +72,19 @@ def render_playlist(
     rendered: list[np.ndarray] = []
     items: list[PlaylistItem] = []
     cursor = 0
-    for i, path in enumerate(files):
-        x, r = codec.read_audio(path)
-        if r != rate:
-            x = np.asarray(resample_rates(x, r, rate))
-        x = _expand_channels(x, output_channels)
+    playlist = [p for _ in range(max(1, loops)) for p in files]
+    decoded: dict[str, np.ndarray] = {}
+    for i, path in enumerate(playlist):
+        if path not in decoded:
+            x, r = codec.read_audio(path)
+            if r != rate:
+                x = np.asarray(resample_rates(x, r, rate))
+            decoded[path] = _expand_channels(x, output_channels)
+        x = decoded[path]
         items.append(PlaylistItem(path=path, start_frame=cursor, num_frames=x.shape[1]))
         rendered.append(x)
         cursor += x.shape[1]
-        if i != len(files) - 1 and silence > 0:
+        if i != len(playlist) - 1 and silence > 0:
             rendered.append(np.zeros((output_channels, silence), np.float32))
             cursor += silence
     if not rendered:

@@ -312,6 +312,10 @@ class BatchProcessor:
                 for t in dec_threads:
                     t.join()
 
+        if stop_event.is_set():
+            # final sweep: a decode worker may have flipped a file to
+            # PROCESSING after the abort's fail_remaining ran
+            manifest.fail_remaining("batch aborted")
         counts = manifest.counts()
         wall = time.time() - t_start
         result = BatchResult(

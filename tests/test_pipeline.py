@@ -391,3 +391,68 @@ def test_routing_silent_channel_stays_zero_under_dither(tmp_path):
     codes = np.asarray(res.codes)
     assert np.all(codes[0, 1] == 0)      # silent bus: digital zero, no dither
     assert np.any(codes[0, 0] != 0)
+
+
+def test_batch_abort_on_device_failure(tmp_path, monkeypatch):
+    """Fault injection: a device-step failure fails the whole batch
+    (interfaceDisconnected semantics, MainViewModel.swift:233-250)."""
+    (tmp_path / "in").mkdir(exist_ok=True)
+    files = make_lib(tmp_path / "in", n=3, seconds=0.05)
+    import f9tpu.pipeline.scheduler as sched
+
+    def boom(*a, **k):
+        raise RuntimeError("injected device loss")
+
+    monkeypatch.setattr(sched, "process_batch", boom)
+    cfg = ProcessingConfig(output_dir=str(tmp_path / "out"), quality="low",
+                           batch_size=2)
+    log = StatusLog()
+    res = BatchProcessor(cfg, log=log).run(files)
+    assert res.completed == 0
+    assert res.failed == 3
+    assert any("BATCH ABORT" in line for line in log.lines)
+
+
+def test_render_playlist_looping(tmp_path):
+    files = make_lib(tmp_path, n=2, channels=1, seconds=0.05)
+    main1, _, items1 = render_playlist(files, 44100, silence_ms=50,
+                                       output_channels=1)
+    main2, _, items2 = render_playlist(files, 44100, silence_ms=50,
+                                       output_channels=1, loops=2)
+    assert len(items2) == 4
+    # second pass starts after first pass + inter-loop gap
+    gap = 44100 * 50 // 1000
+    assert items2[2].start_frame == main1.shape[1] + gap
+    assert main2.shape[1] == 2 * main1.shape[1] + gap
+
+
+def test_batch_mixed_rate_library(tmp_path):
+    """BASELINE.json config 5: mixed-rate library (44.1/48/96k) in one run —
+    files group per input rate and all land at the target rate."""
+    (tmp_path / "in").mkdir(exist_ok=True)
+    rng = np.random.default_rng(21)
+    paths = []
+    for rate in (44100, 48000, 96000):
+        n = rate // 5  # 200 ms
+        # low amplitude: quantizer clipping on resampling overshoots would
+        # otherwise dominate the oracle comparison
+        x = (0.15 * rng.standard_normal((2, n))).astype(np.float32)
+        p = str(tmp_path / "in" / f"r{rate}.wav")
+        write_wav(p, x, rate, bits=24)
+        paths.append((p, rate, n))
+    cfg = ProcessingConfig(output_dir=str(tmp_path / "out"), target_rate=48000,
+                           quality="low", dither=False, remove_dc=False)
+    res = BatchProcessor(cfg).run([p for p, _, _ in paths])
+    assert res.completed == 3
+    from f9tpu.models.filters import resolve_ratio
+    for p, rate, n in paths:
+        y, r = read_wav(build_output_path(p, str(tmp_path / "out"), cfg.postfix))
+        assert r == 48000
+        L, M = resolve_ratio(rate, 48000)
+        assert y.shape[-1] == -(-n * L // M)
+        src, _ = read_wav(p)
+        ref = resample_oracle(src[0], rate, 48000, quality="low")
+        err = y[0].astype(np.float64) - ref
+        db = 20 * np.log10(np.sqrt((err**2).mean())
+                           / np.sqrt((ref**2).mean()) + 1e-30)
+        assert db < -95, (rate, db)

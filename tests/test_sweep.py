@@ -113,3 +113,21 @@ def test_ultra_quality_pair():
     y = np.asarray(resample_rates(x, 44100, 48000, quality="ultra"))
     ref = resample_oracle(x, 44100, 48000, quality="ultra")
     assert rms_db(y - ref, ref) <= -120.0
+
+
+def test_round_trip_snr():
+    """44.1 -> 48 -> 44.1 round trip: the classic SRC transparency check."""
+    rng = np.random.default_rng(7)
+    n = 1 << 15
+    # band-limited signal (tones inside the passband)
+    t = np.arange(n) / 44100
+    x = sum(0.2 * np.sin(2 * np.pi * f * t + i) for i, f in
+            enumerate((440.0, 1337.0, 6000.0, 15000.0)))
+    x = x.astype(np.float32)
+    up = np.asarray(resample_rates(x, 44100, 48000, quality="high"))
+    back = np.asarray(resample_rates(up, 48000, 44100, quality="high"))[:n]
+    edge = 4096
+    sl = slice(edge, n - edge)
+    err = back[sl].astype(np.float64) - x[sl]
+    snr = -rms_db(err, x[sl])
+    assert snr > 100.0, snr
