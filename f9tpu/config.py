@@ -77,7 +77,6 @@ class ProcessingConfig:
     bucket_frames: Sequence[int] = (
         1 << 16, 1 << 18, 1 << 20, 1 << 22, 60 * 192000
     )                                   # length buckets to bound recompiles
-    precision_mode: str = "highest"     # fp32 parity; "fast" = bf16 passes
 
     def validate(self) -> None:
         from .models.filters import QUALITY_PRESETS

@@ -456,3 +456,22 @@ def test_batch_mixed_rate_library(tmp_path):
         db = 20 * np.log10(np.sqrt((err**2).mean())
                            / np.sqrt((ref**2).mean()) + 1e-30)
         assert db < -95, (rate, db)
+
+
+def test_same_rate_passthrough_bit_exact(tmp_path):
+    """44.1 -> 44.1 with dither off is a true passthrough: output codes are
+    bit-identical to the input file's 24-bit codes (the reference copies
+    validated files through the loop unchanged in spirit)."""
+    rng = np.random.default_rng(31)
+    codes_in = rng.integers(-(2**23), 2**23, size=(2, 4410), dtype=np.int32)
+    from f9tpu.io import write_wav_codes
+    src = str(tmp_path / "pt.wav")
+    write_wav_codes(src, codes_in, 44100, bits=24)
+    cfg = ProcessingConfig(output_dir=str(tmp_path / "out"), target_rate=44100,
+                           quality="high", dither=False, remove_dc=False)
+    res = BatchProcessor(cfg).run([src])
+    assert res.completed == 1
+    y, r = read_wav(build_output_path(src, str(tmp_path / "out"), cfg.postfix))
+    got = np.round(y * (1 << 23)).astype(np.int32)
+    assert r == 44100
+    assert np.array_equal(got, codes_in)
