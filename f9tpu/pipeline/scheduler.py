@@ -239,14 +239,49 @@ class BatchProcessor:
             for blen, binfos in sorted(by_bucket.items()):
                 dec_q: queue.Queue = queue.Queue(maxsize=self.queue_depth)
                 enc_q: queue.Queue = queue.Queue(maxsize=self.queue_depth)
+                # device->host collector: materialising results (D2H) happens
+                # off the dispatch thread so the next batch's H2D + compute
+                # overlap the previous batch's download — the double-buffered
+                # device queue (SURVEY.md section 2.4).
+                res_q: queue.Queue = queue.Queue(maxsize=2)
                 dec_threads = decode_stage(binfos, dec_q)
                 enc_threads = encode_stage(enc_q)
+
+                def collector():
+                    nonlocal audio_in, audio_out
+                    while True:
+                        item = res_q.get()
+                        if item is None:
+                            return
+                        c_paths, res, c_valid, c_rate_in, t_submit = item
+                        try:
+                            codes = np.asarray(res.codes)
+                            out_frames = np.asarray(res.out_frames)
+                            pk = np.asarray(res.peak_db)
+                        except Exception as err:
+                            stop_event.set()
+                            manifest.fail_remaining(f"device step failed: {err}")
+                            self.log.append(f"BATCH ABORT: device step failed: {err}")
+                            errors.append(str(err))
+                            continue
+                        self.throughput.add(
+                            "device", float(c_valid.sum()) / c_rate_in,
+                            time.time() - t_submit)
+                        for i, p in enumerate(c_paths):
+                            manifest.set_progress(p, 0.7)
+                            audio_in += c_valid[i] / c_rate_in
+                            audio_out += int(out_frames[i]) / cfg.target_rate
+                            enc_q.put((p, codes[i], int(out_frames[i]),
+                                       cfg.target_rate, {"peak_db": float(pk[i])}))
+
+                collector_thread = threading.Thread(target=collector, daemon=True)
+                collector_thread.start()
 
                 batch_x: list[_Decoded] = []
                 done_workers = 0
 
                 def flush():
-                    nonlocal audio_in, audio_out, key
+                    nonlocal key
                     if not batch_x:
                         return
                     t0 = time.time()
@@ -262,35 +297,19 @@ class BatchProcessor:
                         valid[i] = n
                     key, sub = jax.random.split(key)
                     try:
+                        # dispatch only — results stay on device; the
+                        # collector thread materialises them (D2H) while the
+                        # next batch is assembled and dispatched
                         res = process_batch(
                             x, valid, cfg, rate_in, sub, latency_frames=lat)
-                        codes = np.asarray(res.codes)
-                    except Exception as err:  # device lost / compile failure:
-                        # abort the whole batch, marking every unfinished file
-                        # (the reference's interfaceDisconnected semantics,
-                        # MainViewModel.swift:233-250)
+                    except Exception as err:  # compile/dispatch failure
                         stop_event.set()
                         manifest.fail_remaining(f"device step failed: {err}")
                         self.log.append(f"BATCH ABORT: device step failed: {err}")
                         errors.append(str(err))
                         batch_x.clear()
                         return
-                    for p in paths:
-                        manifest.set_progress(p, 0.7)
-                    out_frames = np.asarray(res.out_frames)
-                    pk = np.asarray(res.peak_db)
-                    wall = time.time() - t0
-                    self.throughput.add("device", float(valid.sum()) / rate_in, wall)
-                    for i, d in enumerate(batch_x):
-                        audio_in += valid[i] / rate_in
-                        audio_out += int(out_frames[i]) / cfg.target_rate
-                        enc_q.put((
-                            d.entry_path,
-                            codes[i],
-                            int(out_frames[i]),
-                            cfg.target_rate,
-                            {"peak_db": float(pk[i])},
-                        ))
+                    res_q.put((paths, res, valid.copy(), rate_in, t0))
                     batch_x.clear()
 
                 while done_workers < len(dec_threads):
@@ -304,6 +323,8 @@ class BatchProcessor:
                     if len(batch_x) >= cfg.batch_size:
                         flush()
                 flush()
+                res_q.put(None)
+                collector_thread.join()
 
                 for _ in enc_threads:
                     enc_q.put(None)
