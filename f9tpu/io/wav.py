@@ -340,3 +340,31 @@ class WavWriter:
 
     def __exit__(self, *exc):
         self.close()
+
+
+def read_raw_pcm(path: str) -> tuple[np.ndarray, AudioFileInfo]:
+    """Raw interleaved PCM payload bytes (uint8) + metadata, without sample
+    conversion — the upload format for the on-device codec
+    (`f9tpu.ops.devcodec`).  Only integer PCM WAV."""
+    info = probe_wav(path)
+    if info.is_float or info.bit_depth not in (16, 24):
+        raise ValueError(f"{path}: raw path supports 16/24-bit integer PCM only")
+    with open(path, "rb") as f:
+        head = f.read(1 << 16)
+    (_, channels, _, _, bits), off, size = _parse_wav(memoryview(head), path)
+    bpf = channels * (bits // 8)
+    want = info.num_frames * bpf
+    with open(path, "rb") as f:
+        f.seek(off)
+        raw = np.frombuffer(f.read(want), np.uint8)
+    return raw, info
+
+
+def write_wav_payload(path: str, payload: np.ndarray, channels: int, rate: int,
+                      bits: int = 24) -> None:
+    """Write a pre-packed interleaved PCM payload (uint8, the download format
+    of `f9tpu.ops.devcodec.pack24_interleaved`) after a WAV header."""
+    frames = len(payload) // (channels * (bits // 8))
+    with open(path, "wb") as f:
+        f.write(_wav_header(frames, channels, rate, bits, is_float=False))
+        f.write(np.ascontiguousarray(payload).tobytes())

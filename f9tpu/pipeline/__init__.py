@@ -1,5 +1,7 @@
 from .calibration import CalibrationCache, CalibrationResult, measure_latency  # noqa: F401
-from .graph import ProcessResult, build_process_fn, process_batch  # noqa: F401
+from .graph import (  # noqa: F401
+    ProcessResult, build_process_fn, process_batch, process_batch_raw,
+)
 from .logbook import StatusLog, Throughput  # noqa: F401
 from .manifest import FileStatus, JobEntry, JobManifest  # noqa: F401
 from .preview import PlaylistItem, render_playlist  # noqa: F401

@@ -51,7 +51,8 @@ def _metrics(y: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("rate_in", "rate_out", "cfg_key", "static_zero_latency"),
+    static_argnames=("rate_in", "rate_out", "cfg_key", "static_zero_latency",
+                     "raw_in", "packed_out"),
 )
 def _process_impl(
     x: jax.Array,
@@ -64,10 +65,20 @@ def _process_impl(
     rate_out: int,
     cfg_key: tuple,
     static_zero_latency: bool = False,
+    raw_in: tuple[int, int] | None = None,
+    packed_out: bool = False,
 ):
     (quality, kind, bits, do_dither, remove_dc, gain_db, trim_enabled,
      reverb_mode, margin_pct, tail_mode, tail_window_ms, tail_hop_ms,
      tail_consecutive, pad_frames, routing, out_channels) = cfg_key
+
+    if raw_in is not None:
+        # On-device decode: x is uint8 interleaved PCM payload (files, bytes)
+        # — the host uploaded container bytes, not float32 (devcodec).
+        in_channels, in_bits = raw_in
+        from ..ops.devcodec import unpack_pcm_interleaved
+
+        x = unpack_pcm_interleaved(x, in_channels, in_bits)
 
     bank = design_cycle_bank(rate_in, rate_out, quality=quality, kind=kind)
     files = x.shape[0]
@@ -160,6 +171,11 @@ def _process_impl(
         # reference writes true silence on unused channels)
         silent = jnp.asarray([r < 0 for r in routing]).reshape(1, -1, 1)
         codes = jnp.where(silent, 0, codes)
+    if packed_out:
+        # On-device encode: download 3 bytes/sample instead of int32 codes.
+        from ..ops.devcodec import pack24_interleaved
+
+        codes = pack24_interleaved(codes)
     return codes, out_frames, terminated, pk_db, level_db, nf_est
 
 
@@ -214,6 +230,56 @@ def process_batch(
     )
     return ProcessResult(
         codes=codes,
+        out_frames=out_frames,
+        tail_terminated=terminated,
+        peak_db=pk,
+        rms_db=level,
+        noise_floor_db=nf_est,
+    )
+
+
+def process_batch_raw(
+    raw: jax.Array,
+    frames_valid: jax.Array,
+    cfg: ProcessingConfig,
+    rate_in: int,
+    key: jax.Array,
+    in_channels: int,
+    in_bits: int,
+    latency_frames: int | jax.Array = 0,
+) -> ProcessResult:
+    """Raw-bytes fast path: uint8 interleaved PCM in, packed 24-bit payload out.
+
+    ``raw``: (files, bucket_frames * in_channels * in_bits//8) uint8.
+    ``ProcessResult.codes`` holds the uint8 payload
+    (files, out_total * out_channels * 3); slice each file to
+    ``out_frames[i] * out_channels * 3`` and write after a WAV header.
+    Requires ``cfg.bits == 24``.
+    """
+    if cfg.bits != 24:
+        raise ValueError("packed output path requires bits=24")
+    if cfg.reverb_mode:
+        lat = int(latency_frames) if isinstance(latency_frames, int) else 0
+        pad_frames = min(recording_length(0, lat) + 4096,
+                         int(cfg.max_tail_seconds * rate_in))
+    else:
+        pad_frames = 0
+    nf = jnp.float32(cfg.noise_floor_db if cfg.noise_floor_db is not None else 1.0)
+    payload, out_frames, terminated, pk, level, nf_est = _process_impl(
+        raw,
+        jnp.asarray(frames_valid, jnp.int32),
+        jnp.asarray(latency_frames, jnp.int32),
+        nf,
+        key,
+        rate_in=rate_in,
+        rate_out=cfg.target_rate,
+        cfg_key=_cfg_key(cfg, pad_frames),
+        static_zero_latency=isinstance(latency_frames, int) and latency_frames == 0,
+        raw_in=(in_channels, in_bits),
+        packed_out=True,
+    )
+    return ProcessResult(
+        codes=payload,
         out_frames=out_frames,
         tail_terminated=terminated,
         peak_db=pk,

@@ -29,7 +29,7 @@ import numpy as np
 from ..config import ProcessingConfig
 from ..io import codec, wav
 from .calibration import CalibrationCache
-from .graph import process_batch
+from .graph import process_batch, process_batch_raw
 from .logbook import StatusLog, Throughput
 from .manifest import FileStatus, JobManifest
 
@@ -129,11 +129,19 @@ class BatchProcessor:
                             sample_rate=info.sample_rate,
                             num_channels=info.num_channels,
                             num_frames=info.num_frames)
-            groups.setdefault((info.sample_rate, info.num_channels), []).append(info)
+            # raw fast-path signature: integer-PCM WAV can be uploaded as
+            # container bytes and decoded on device (f9tpu.ops.devcodec);
+            # everything else decodes on the host.
+            raw_bits = (info.bit_depth
+                        if (info.container == "wav" and not info.is_float
+                            and info.bit_depth in (16, 24) and cfg.bits == 24)
+                        else 0)
+            groups.setdefault(
+                (info.sample_rate, info.num_channels, raw_bits), []).append(info)
 
         # ---- auto-calibration per rate pair (MainViewModel.swift:195-206) ----
         latencies: dict[int, int] = {}
-        for rate_in, _ in groups:
+        for rate_in, _, _ in groups:
             if rate_in in latencies:
                 continue
             if cfg.latency_frames is not None:
@@ -154,15 +162,21 @@ class BatchProcessor:
         stop_event = threading.Event()
         errors: list[str] = []
 
-        def decode_stage(infos, out_q):
+        def decode_stage(infos, out_q, raw_bits=0):
             def worker(sub):
                 for info in sub:
                     if stop_event.is_set():
                         return
                     try:
                         t0 = time.time()
-                        data, rate = codec.read_audio(info.path)
-                        self.throughput.add("decode", data.shape[-1] / rate, time.time() - t0)
+                        if raw_bits:
+                            data, rinfo = wav.read_raw_pcm(info.path)
+                            rate = rinfo.sample_rate
+                            audio_s = rinfo.num_frames / rate
+                        else:
+                            data, rate = codec.read_audio(info.path)
+                            audio_s = data.shape[-1] / rate
+                        self.throughput.add("decode", audio_s, time.time() - t0)
                         # per-file progress stages (the reference's throttled
                         # progress callbacks, AudioProcessingService.swift:209-214):
                         # decoded 0.3 -> device done 0.7 -> encoded 1.0
@@ -191,8 +205,15 @@ class BatchProcessor:
                     try:
                         t0 = time.time()
                         out_path = build_output_path(path, cfg.output_dir, cfg.postfix)
-                        wav.write_wav_codes(
-                            out_path, codes[:, :out_frames], rate_out, bits=cfg.bits)
+                        if metrics.get("payload"):
+                            # device-packed 24-bit bytes: header + fwrite
+                            out_ch = metrics["out_channels"]
+                            wav.write_wav_payload(
+                                out_path, codes[: out_frames * out_ch * 3],
+                                out_ch, rate_out, bits=24)
+                        else:
+                            wav.write_wav_codes(
+                                out_path, codes[:, :out_frames], rate_out, bits=cfg.bits)
                         self.throughput.add("encode", out_frames / rate_out, time.time() - t0)
                         manifest.update(
                             path, FileStatus.COMPLETED,
@@ -216,7 +237,7 @@ class BatchProcessor:
 
         key = jax.random.PRNGKey(int(time.time()) & 0x7FFFFFFF)
 
-        for (rate_in, channels), infos in groups.items():
+        for (rate_in, channels, raw_bits), infos in groups.items():
             if stop_event.is_set():
                 break
             infos = [i for i in infos
@@ -244,7 +265,13 @@ class BatchProcessor:
                 # overlap the previous batch's download — the double-buffered
                 # device queue (SURVEY.md section 2.4).
                 res_q: queue.Queue = queue.Queue(maxsize=2)
-                dec_threads = decode_stage(binfos, dec_q)
+                # output channel count after in-graph routing / mono fan-out
+                out_ch = (len(cfg.channel_routing)
+                          if cfg.channel_routing is not None
+                          else (cfg.output_channels
+                                if (cfg.output_channels and channels == 1)
+                                else channels))
+                dec_threads = decode_stage(binfos, dec_q, raw_bits=raw_bits)
                 enc_threads = encode_stage(enc_q)
 
                 def collector():
@@ -272,7 +299,10 @@ class BatchProcessor:
                             audio_in += c_valid[i] / c_rate_in
                             audio_out += int(out_frames[i]) / cfg.target_rate
                             enc_q.put((p, codes[i], int(out_frames[i]),
-                                       cfg.target_rate, {"peak_db": float(pk[i])}))
+                                       cfg.target_rate,
+                                       {"peak_db": float(pk[i]),
+                                        "payload": bool(raw_bits),
+                                        "out_channels": out_ch}))
 
                 collector_thread = threading.Thread(target=collector, daemon=True)
                 collector_thread.start()
@@ -289,19 +319,33 @@ class BatchProcessor:
                     # Always submit full batch_size rows (zero-padded) so every
                     # flush reuses the same compiled graph.
                     bs = self.cfg.batch_size
-                    x = np.zeros((bs, channels, blen), np.float32)
                     valid = np.zeros(bs, np.int32)
-                    for i, d in enumerate(batch_x):
-                        n = min(d.data.shape[-1], blen)
-                        x[i, :, :n] = d.data[:, :n]
-                        valid[i] = n
+                    if raw_bits:
+                        bpf = channels * (raw_bits // 8)
+                        x = np.zeros((bs, blen * bpf), np.uint8)
+                        for i, d in enumerate(batch_x):
+                            nb = min(len(d.data), blen * bpf)
+                            x[i, :nb] = d.data[:nb]
+                            valid[i] = nb // bpf
+                    else:
+                        x = np.zeros((bs, channels, blen), np.float32)
+                        for i, d in enumerate(batch_x):
+                            n = min(d.data.shape[-1], blen)
+                            x[i, :, :n] = d.data[:, :n]
+                            valid[i] = n
                     key, sub = jax.random.split(key)
                     try:
                         # dispatch only — results stay on device; the
                         # collector thread materialises them (D2H) while the
                         # next batch is assembled and dispatched
-                        res = process_batch(
-                            x, valid, cfg, rate_in, sub, latency_frames=lat)
+                        if raw_bits:
+                            res = process_batch_raw(
+                                x, valid, cfg, rate_in, sub,
+                                in_channels=channels, in_bits=raw_bits,
+                                latency_frames=lat)
+                        else:
+                            res = process_batch(
+                                x, valid, cfg, rate_in, sub, latency_frames=lat)
                     except Exception as err:  # compile/dispatch failure
                         stop_event.set()
                         manifest.fail_remaining(f"device step failed: {err}")
