@@ -23,9 +23,9 @@ import jax.numpy as jnp
 __all__ = ["measure_op"]
 
 
-def _runner(op: Callable, n: int):
+def _runner(op: Callable):
     @jax.jit
-    def run(x, seed):
+    def run(x, seed, n):
         def body(i, carry):
             acc, s = carry
             # iteration-dependent input: defeats loop-invariant hoisting
@@ -35,6 +35,8 @@ def _runner(op: Callable, n: int):
             # lets XLA dead-code-eliminate elementwise tails of the op
             probe = sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
             return acc + probe, s
+        # traced trip count: ONE compiled program serves both the n=1 and
+        # n=N runs (compiles are minutes over the remote tunnel)
         acc, _ = jax.lax.fori_loop(0, n, body, (jnp.float32(0.0), seed))
         return acc
     return run
@@ -47,20 +49,19 @@ def measure_op(
     repeats: int = 3,
 ) -> float:
     """Median per-op device seconds for ``op(x)`` (shape-preserving input)."""
-    run1 = _runner(op, 1)
-    runn = _runner(op, n + 1)
-    seed = jnp.int32(0)
-    # warmup/compile both variants
-    float(run1(x, seed))
-    float(runn(x, seed))
+    run = _runner(op)
+    one = jnp.int32(1)
+    many = jnp.int32(n + 1)
+    # warmup/compile (single program: trip count is traced)
+    float(run(x, jnp.int32(0), one))
     samples = []
     for r in range(repeats):
         s = jnp.int32(r + 1)
         t0 = time.time()
-        float(run1(x, s))
+        float(run(x, s, one))
         t1 = time.time() - t0
         t0 = time.time()
-        float(runn(x, s))
+        float(run(x, s, many))
         tn = time.time() - t0
         samples.append(max(1e-9, (tn - t1) / n))
     samples.sort()

@@ -102,3 +102,41 @@ def test_truncated_wav_raises(tmp_path):
         f.write(b"RIFF\x00\x00\x00\x00WAVE")
     with pytest.raises(ValueError):
         read_wav(p)
+
+
+def test_aifc_sowt_and_fl32_decode(tmp_path):
+    """AIFC little-endian ('sowt') and float32 ('fl32') variants decode
+    correctly (JUCE's format manager accepts these; SURVEY.md section 2.3)."""
+    import struct
+
+    from f9tpu.io.aiff import _write_extended80
+
+    def make_aifc(comp, payload, bits, frames, channels=1, rate=44100):
+        comm = (struct.pack(">hIh", channels, frames, bits)
+                + _write_extended80(float(rate)) + comp + b"\x00\x00")
+        ssnd = struct.pack(">II", 0, 0) + payload
+        body = b"AIFC"
+        body += b"FVER" + struct.pack(">II", 4, 0xA2805140)
+        body += b"COMM" + struct.pack(">I", len(comm)) + comm
+        body += b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+        return b"FORM" + struct.pack(">I", len(body)) + body
+
+    rng = np.random.default_rng(6)
+    x = np.clip(0.5 * rng.standard_normal(1000), -0.999, 0.999).astype(np.float32)
+
+    # sowt: little-endian int16
+    codes = np.round(x * 32768).clip(-32768, 32767).astype("<i2")
+    p = str(tmp_path / "sowt.aiff")
+    with open(p, "wb") as f:
+        f.write(make_aifc(b"sowt", codes.tobytes(), 16, 1000))
+    y, rate = read_audio(p)
+    assert rate == 44100
+    assert np.abs(y[0] - x).max() <= 2**-15 + 1e-7
+
+    # fl32: big-endian float32
+    p2 = str(tmp_path / "fl32.aiff")
+    with open(p2, "wb") as f:
+        f.write(make_aifc(b"fl32", x.astype(">f4").tobytes(), 32, 1000))
+    y2, rate2 = read_audio(p2)
+    assert rate2 == 44100
+    assert np.array_equal(y2[0], x)
