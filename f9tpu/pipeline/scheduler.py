@@ -80,6 +80,7 @@ class BatchProcessor:
         decode_workers: int = 4,
         encode_workers: int = 4,
         queue_depth: int = 16,
+        mesh=None,
     ):
         cfg.validate()
         self.cfg = cfg
@@ -89,6 +90,16 @@ class BatchProcessor:
         self.encode_workers = encode_workers
         self.queue_depth = queue_depth
         self.throughput = Throughput()
+        #: optional jax.sharding.Mesh: batches are sharded over its "files"
+        #: axis (pure data parallelism over chips, SURVEY.md section 2.4);
+        #: cfg.batch_size should be a multiple of the files-axis size.
+        self.mesh = mesh
+        if mesh is not None:
+            n = mesh.shape.get("files", 1)
+            if cfg.batch_size % n:
+                raise ValueError(
+                    f"batch_size {cfg.batch_size} not divisible by the mesh's "
+                    f"files axis ({n})")
 
     # ------------------------------------------------------------------- run
 
@@ -334,6 +345,12 @@ class BatchProcessor:
                             x[i, :, :n] = d.data[:, :n]
                             valid[i] = n
                     key, sub = jax.random.split(key)
+                    if self.mesh is not None:
+                        from ..parallel.mesh import NamedSharding, P
+
+                        spec = (P("files", None) if raw_bits
+                                else P("files", None, None))
+                        x = jax.device_put(x, NamedSharding(self.mesh, spec))
                     try:
                         # dispatch only — results stay on device; the
                         # collector thread materialises them (D2H) while the

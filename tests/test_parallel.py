@@ -106,3 +106,46 @@ def test_process_files_sharded_helper():
     out = process_files_sharded(
         mesh, lambda a: resample_rates(a, 44100, 48000, quality="low"), x)
     assert np.asarray(out).shape == (8, 1, 160 * 4)
+
+
+def test_batch_processor_on_mesh(tmp_path):
+    """The whole batch scheduler running with files-axis sharding over the
+    8-device virtual mesh: outputs identical to single-device semantics."""
+    from f9tpu.config import ProcessingConfig
+    from f9tpu.io import read_wav, write_wav
+    from f9tpu.models.oracle import resample_oracle
+    from f9tpu.pipeline import BatchProcessor, build_output_path
+
+    rng = np.random.default_rng(50)
+    (tmp_path / "in").mkdir()
+    paths = []
+    for i in range(8):
+        x = (0.15 * rng.standard_normal((2, 4410 + i))).astype(np.float32)
+        p = str(tmp_path / "in" / f"m{i}.wav")
+        write_wav(p, x, 44100, bits=24)
+        paths.append(p)
+    mesh = make_mesh()
+    cfg = ProcessingConfig(output_dir=str(tmp_path / "out"), target_rate=48000,
+                           quality="low", batch_size=8, dither=False,
+                           remove_dc=False)
+    bp = BatchProcessor(cfg, mesh=mesh)
+    res = bp.run(paths)
+    assert res.completed == 8
+    for p in paths:
+        y, r = read_wav(build_output_path(p, cfg.output_dir, cfg.postfix))
+        src, _ = read_wav(p)
+        ref = resample_oracle(src[0], 44100, 48000, quality="low")
+        err = y[0].astype(np.float64) - ref
+        db = 20 * np.log10(np.sqrt((err**2).mean())
+                           / np.sqrt((ref**2).mean()) + 1e-30)
+        assert db < -100, db
+
+
+def test_batch_processor_mesh_batch_size_check(tmp_path):
+    from f9tpu.config import ProcessingConfig
+    from f9tpu.pipeline import BatchProcessor
+
+    mesh = make_mesh()
+    cfg = ProcessingConfig(output_dir=str(tmp_path), batch_size=6)
+    with pytest.raises(ValueError):
+        BatchProcessor(cfg, mesh=mesh)
