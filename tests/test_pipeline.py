@@ -527,3 +527,31 @@ def test_write_wav_payload_roundtrip(tmp_path):
     got = np.round(y * (1 << 23)).astype(np.int32)
     assert rate == 48000
     assert np.array_equal(got, codes.T)
+
+
+def test_raw_path_with_reverb_mode(tmp_path):
+    """Raw on-device-codec path combined with reverb-mode tail handling."""
+    from f9tpu.io import write_wav
+    from f9tpu.pipeline import process_batch_raw
+    from f9tpu.io import read_raw_pcm
+
+    rate = 44100
+    rng = np.random.default_rng(44)
+    x = np.zeros((1, rate), np.float32)
+    x[0, : rate // 4] = 0.4 * rng.standard_normal(rate // 4)
+    src = str(tmp_path / "rv.wav")
+    write_wav(src, x, rate, bits=24)
+    raw, info = read_raw_pcm(src)
+    cfg = ProcessingConfig(output_dir=str(tmp_path), target_rate=48000,
+                           quality="low", reverb_mode=True,
+                           noise_floor_db=-96.0, dither=False)
+    bucket = rate
+    rawb = np.zeros((1, bucket * 1 * 3), np.uint8)
+    rawb[0, : len(raw)] = raw
+    res = process_batch_raw(rawb, np.array([rate], np.int32), cfg, rate,
+                            jax.random.PRNGKey(0), in_channels=1, in_bits=24)
+    of = int(np.asarray(res.out_frames)[0])
+    assert of >= -(-rate * 160 // 147)  # at least the valid span
+    assert bool(np.asarray(res.tail_terminated)[0])
+    payload = np.asarray(res.codes)
+    assert payload.dtype == np.uint8
