@@ -80,6 +80,13 @@ def resample_frames_sharded(
         raise ValueError(f"frames {T} not a multiple of shards*M = {n * M}")
     halo_left = bank.pad_front           # zeros the padded path would prepend
     halo_right = W - M - halo_left       # lookahead into the next chunk
+    chunk = T // n
+    if max(halo_left, halo_right) > chunk:
+        # a negative-length slice would silently wrap; require chunks that
+        # cover at least one filter halo (use fewer shards or more frames)
+        raise ValueError(
+            f"chunk of {chunk} frames is smaller than the filter halo "
+            f"({max(halo_left, halo_right)}); reduce frames shards")
 
     def local(xc):
         # xc: (..., T/n) local chunk.  Fetch halos from neighbours.

@@ -149,3 +149,15 @@ def test_batch_processor_mesh_batch_size_check(tmp_path):
     cfg = ProcessingConfig(output_dir=str(tmp_path), batch_size=6)
     with pytest.raises(ValueError):
         BatchProcessor(cfg, mesh=mesh)
+
+
+def test_frames_sp_rejects_tiny_chunks():
+    """Chunks smaller than the filter halo must raise, not silently corrupt."""
+    mesh = make_mesh(num_files_shards=1, num_frames_shards=8)
+    # 44.1k->88.2k (L=2, M=1): K=200 taps -> halo ~100 input frames; 10-frame
+    # chunks are far below it (downsampling ratios always have halo < M, so
+    # only small-M upsampling can hit this)
+    T = 80
+    with pytest.raises(ValueError, match="halo"):
+        resample_frames_sharded(jnp.zeros(T), 44100, 88200, mesh,
+                                quality="ultra")
