@@ -3,4 +3,5 @@ from .sharding import (  # noqa: F401
     process_files_sharded,
     required_frames_padding,
     resample_frames_sharded,
+    shard_halos,
 )

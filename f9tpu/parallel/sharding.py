@@ -34,6 +34,7 @@ __all__ = [
     "process_files_sharded",
     "resample_frames_sharded",
     "required_frames_padding",
+    "shard_halos",
 ]
 
 
@@ -48,11 +49,22 @@ def process_files_sharded(mesh: Mesh, fn, x, *args):
     return jax.jit(fn)(xs, *args)
 
 
+def shard_halos(bank: CycleBank) -> tuple[int, int]:
+    """(halo_left, halo_right) in input frames for overlap-save sharding."""
+    halo_left = bank.pad_front
+    halo_right = max(0, bank.W - bank.M - halo_left)
+    return halo_left, halo_right
+
+
 def required_frames_padding(in_len: int, bank: CycleBank, n_shards: int) -> int:
-    """Input frames must split into ``n_shards`` equal chunks of whole cycles:
-    pad to the next multiple of n_shards * M."""
+    """Pad so the input splits into ``n_shards`` equal chunks of whole cycles
+    that are each at least one filter halo long (the minimum
+    `resample_frames_sharded` accepts)."""
     unit = n_shards * bank.M
-    return (-in_len) % unit
+    min_chunk_cycles = -(-max(shard_halos(bank)) // bank.M)
+    min_len = n_shards * max(1, min_chunk_cycles) * bank.M
+    padded = max(min_len, in_len + ((-in_len) % unit))
+    return padded - in_len
 
 
 @functools.partial(
@@ -78,15 +90,19 @@ def resample_frames_sharded(
     T = x.shape[-1]
     if T % (n * M):
         raise ValueError(f"frames {T} not a multiple of shards*M = {n * M}")
-    halo_left = bank.pad_front           # zeros the padded path would prepend
-    halo_right = W - M - halo_left       # lookahead into the next chunk
+    # halo_right is clamped at 0: for heavy downsampling (small taps vs M,
+    # e.g. lagrange beyond ~3x) W - M - halo_left goes negative, and an
+    # unclamped value would ppermute nearly a whole chunk of useless frames.
+    halo_left, halo_right = shard_halos(bank)
     chunk = T // n
     if max(halo_left, halo_right) > chunk:
-        # a negative-length slice would silently wrap; require chunks that
-        # cover at least one filter halo (use fewer shards or more frames)
+        # resample_presliced's length check would reject this anyway (the
+        # clipped halo slices leave xp shorter than one tile needs); raise
+        # here with an actionable message instead of a shape error
         raise ValueError(
-            f"chunk of {chunk} frames is smaller than the filter halo "
-            f"({max(halo_left, halo_right)}); reduce frames shards")
+            f"per-shard chunk of {chunk} frames is smaller than the filter "
+            f"halo ({max(halo_left, halo_right)}); use fewer frames shards "
+            f"or pad the input (see required_frames_padding)")
 
     def local(xc):
         # xc: (..., T/n) local chunk.  Fetch halos from neighbours.

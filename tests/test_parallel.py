@@ -18,6 +18,7 @@ from f9tpu.parallel import (
     required_frames_padding,
     resample_frames_sharded,
 )
+from f9tpu.parallel.sharding import shard_halos
 from f9tpu.pipeline import process_batch
 
 
@@ -152,12 +153,34 @@ def test_batch_processor_mesh_batch_size_check(tmp_path):
 
 
 def test_frames_sp_rejects_tiny_chunks():
-    """Chunks smaller than the filter halo must raise, not silently corrupt."""
+    """Chunks smaller than the filter halo raise an actionable error (the
+    downstream presliced length check would reject them anyway, opaquely)."""
     mesh = make_mesh(num_files_shards=1, num_frames_shards=8)
     # 44.1k->88.2k (L=2, M=1): K=200 taps -> halo ~100 input frames; 10-frame
-    # chunks are far below it (downsampling ratios always have halo < M, so
-    # only small-M upsampling can hit this)
+    # chunks are far below it.  Any small-M ratio can hit this (e.g.
+    # 88.2k->44.1k has M=2 and halo ~199), not just upsampling.
     T = 80
     with pytest.raises(ValueError, match="halo"):
         resample_frames_sharded(jnp.zeros(T), 44100, 88200, mesh,
                                 quality="ultra")
+
+
+def test_required_frames_padding_covers_halo():
+    """The sizing helper must produce inputs the sharded path accepts."""
+    bank = design_cycle_bank(44100, 88200, quality="ultra")  # M=1, halo ~100
+    n = 8
+    T0 = 80
+    pad = required_frames_padding(T0, bank, n)
+    T = T0 + pad
+    assert T % (n * bank.M) == 0
+    assert T // n >= max(shard_halos(bank))
+    mesh = make_mesh(num_files_shards=1, num_frames_shards=n)
+    y = resample_frames_sharded(jnp.zeros(T, jnp.float32), 44100, 88200, mesh,
+                                quality="ultra")
+    assert np.asarray(y).shape == (T * bank.L // bank.M,)
+
+
+def test_lagrange_halo_clamped_nonnegative():
+    bank = design_cycle_bank(44100, 8000, kind="lagrange")
+    hl, hr = shard_halos(bank)
+    assert hl >= 0 and hr >= 0
