@@ -80,7 +80,7 @@ def pad_tail(x: jax.Array, frames: int) -> jax.Array:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("rate", "window_ms", "hop_ms", "consecutive", "min_frames", "mode"),
+    static_argnames=("rate", "window_ms", "hop_ms", "consecutive", "mode"),
 )
 def detect_tail_end(
     x: jax.Array,
@@ -90,7 +90,7 @@ def detect_tail_end(
     window_ms: int = 100,
     hop_ms: int = 50,
     consecutive: int = 3,
-    min_frames: int = 0,
+    min_frames: jax.Array | int = 0,
     mode: str = "peak",
 ) -> tuple[jax.Array, jax.Array]:
     """Per-file reverb-tail end detection on a batch ``(files, channels, frames)``.
@@ -152,9 +152,12 @@ def detect_tail_end(
     n_win = level_db.shape[-1]
     quiet = level_db < threshold_db                       # (files, n_win)
     # Window w ends at frame w*hop + win; enforce the minimum capture length
-    # (source + latency; AudioProcessingService.swift:426-429).
+    # (source + latency; AudioProcessingService.swift:426-429).  min_frames
+    # may be per-file (files,) — without it, leading silence in a file would
+    # terminate the tail before the source even finished playing.
     ends = jnp.arange(n_win, dtype=jnp.int32) * hop + win
-    quiet = quiet & (ends[None, :] >= min_frames)
+    min_f = jnp.asarray(min_frames, jnp.int32).reshape(-1, 1)
+    quiet = quiet & (ends[None, :] >= min_f)
     # 3-consecutive rule as a shifted AND (REVERB_MODE_IMPLEMENTATION.md:59-73).
     run = quiet
     for s in range(1, consecutive):

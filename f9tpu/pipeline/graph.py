@@ -44,9 +44,15 @@ class ProcessResult:
     noise_floor_db: Any  # (files,) float32 (tail window RMS)
 
 
-def _metrics(y: jax.Array) -> tuple[jax.Array, jax.Array]:
+def _metrics(y: jax.Array, out_frames: jax.Array) -> tuple[jax.Array, jax.Array]:
+    # normalise RMS by each file's valid length, not the padded bucket —
+    # masked zeros would otherwise deflate short files' levels
     flat = y.reshape(y.shape[0], -1)
-    return analysis.peak_db(flat), analysis.rms_db(flat)
+    n_valid = (out_frames.astype(jnp.float32) * y.shape[1]).clip(1.0)
+    rms = jnp.sqrt(jnp.sum(jnp.square(flat), axis=-1) / n_valid)
+    rms_db = jnp.where(rms > 0, 20.0 * jnp.log10(jnp.maximum(rms, 1e-30)),
+                       analysis.DB_FLOOR)
+    return analysis.peak_db(flat), rms_db
 
 
 @functools.partial(
@@ -124,7 +130,11 @@ def _process_impl(
             window_ms=tail_window_ms,
             hop_ms=tail_hop_ms,
             consecutive=tail_consecutive,
-            min_frames=0,
+            # minimum capture = each file's full source span: quiet windows
+            # during the source (e.g. a silent intro) must not terminate the
+            # tail (the reference waits src+latency before checking,
+            # AudioProcessingService.swift:426-429)
+            min_frames=out_valid,
             mode=tail_mode,
         )
         # Tail may extend past the source length (that's the point) but never
@@ -151,7 +161,7 @@ def _process_impl(
     if gain_db:
         y = y * (10.0 ** (gain_db / 20.0))
 
-    pk_db, level_db = _metrics(y)
+    pk_db, level_db = _metrics(y, out_frames)
     # Noise floor estimate: RMS of the last tail window of each file's valid
     # span (the role of calculateNoiseFloor, LatencyMeasurementService.swift:173-181).
     win = max(1, rate_out * tail_window_ms // 1000)
@@ -190,6 +200,24 @@ def _cfg_key(cfg: ProcessingConfig, pad_frames: int) -> tuple:
     )
 
 
+def _default_pad_frames(cfg: ProcessingConfig, rate_in: int, latency_frames) -> int:
+    """Reverb-mode capture head-room: src + lat + 4*lat (recording_length,
+    Source/AppState.h:240-243) plus filter ring-out, and always enough room
+    past the source for one full detection run (window + consecutive hops —
+    quiet windows only count once they end at/after the source span), bounded
+    by the 60 s cap (AudioProcessingService.swift:449-452)."""
+    if not cfg.reverb_mode:
+        return 0
+    lat = int(latency_frames) if isinstance(latency_frames, int) else 0
+    detect_ms = (cfg.tail_window_ms
+                 + (cfg.tail_consecutive + 1) * cfg.tail_hop_ms + 100)
+    detect_frames = detect_ms * rate_in // 1000
+    return min(
+        max(recording_length(0, lat) + 4096, detect_frames),
+        int(cfg.max_tail_seconds * rate_in),
+    )
+
+
 def process_batch(
     x: jax.Array,
     frames_valid: jax.Array,
@@ -198,25 +226,20 @@ def process_batch(
     key: jax.Array,
     latency_frames: int | jax.Array = 0,
     pad_frames: int | None = None,
+    noise_floor_db: float | None = None,
 ) -> ProcessResult:
     """Run one fixed-shape batch through the fused graph.
 
     ``x``: (files, channels, frames_in) float32, zero-padded per file to the
     bucket length; ``frames_valid``: (files,) int32 true lengths.
+    ``noise_floor_db`` overrides ``cfg.noise_floor_db`` (e.g. a per-run
+    measured floor) without recompiling.
     """
+    if noise_floor_db is None:
+        noise_floor_db = cfg.noise_floor_db
     if pad_frames is None:
-        if cfg.reverb_mode:
-            # Capture head-room: the src + lat + 4*lat rule (recording_length,
-            # Source/AppState.h:240-243) plus filter ring-out; the 60 s cap
-            # bounds it (AudioProcessingService.swift:449-452).
-            lat = int(latency_frames) if isinstance(latency_frames, int) else 0
-            pad_frames = min(
-                recording_length(0, lat) + 4096,
-                int(cfg.max_tail_seconds * rate_in),
-            )
-        else:
-            pad_frames = 0
-    nf = jnp.float32(cfg.noise_floor_db if cfg.noise_floor_db is not None else 1.0)
+        pad_frames = _default_pad_frames(cfg, rate_in, latency_frames)
+    nf = jnp.float32(noise_floor_db if noise_floor_db is not None else 1.0)
     codes, out_frames, terminated, pk, level, nf_est = _process_impl(
         x,
         jnp.asarray(frames_valid, jnp.int32),
@@ -247,6 +270,7 @@ def process_batch_raw(
     in_channels: int,
     in_bits: int,
     latency_frames: int | jax.Array = 0,
+    noise_floor_db: float | None = None,
 ) -> ProcessResult:
     """Raw-bytes fast path: uint8 interleaved PCM in, packed 24-bit payload out.
 
@@ -258,13 +282,10 @@ def process_batch_raw(
     """
     if cfg.bits != 24:
         raise ValueError("packed output path requires bits=24")
-    if cfg.reverb_mode:
-        lat = int(latency_frames) if isinstance(latency_frames, int) else 0
-        pad_frames = min(recording_length(0, lat) + 4096,
-                         int(cfg.max_tail_seconds * rate_in))
-    else:
-        pad_frames = 0
-    nf = jnp.float32(cfg.noise_floor_db if cfg.noise_floor_db is not None else 1.0)
+    pad_frames = _default_pad_frames(cfg, rate_in, latency_frames)
+    if noise_floor_db is None:
+        noise_floor_db = cfg.noise_floor_db
+    nf = jnp.float32(noise_floor_db if noise_floor_db is not None else 1.0)
     payload, out_frames, terminated, pk, level, nf_est = _process_impl(
         raw,
         jnp.asarray(frames_valid, jnp.int32),

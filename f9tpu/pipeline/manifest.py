@@ -17,6 +17,7 @@ import enum
 import json
 import os
 import threading
+import time
 
 __all__ = ["FileStatus", "JobEntry", "JobManifest"]
 
@@ -54,12 +55,23 @@ class JobEntry:
 
 
 class JobManifest:
-    """Thread-safe ordered collection of job entries with JSON persistence."""
+    """Thread-safe ordered collection of job entries with JSON persistence.
 
-    def __init__(self, entries: list[JobEntry], path: str | None = None):
+    Disk writes are throttled (at most one per ``save_interval`` seconds):
+    every status change re-serialises the whole file, which is O(n) per
+    update and would serialise all pipeline threads on file I/O for large
+    libraries.  A crash can lose at most the last interval of progress;
+    callers flush with :meth:`save` at batch end.
+    """
+
+    def __init__(self, entries: list[JobEntry], path: str | None = None,
+                 save_interval: float = 0.5):
         self._entries = {e.path: e for e in entries}
         self._path = path
         self._lock = threading.Lock()
+        self._save_interval = save_interval
+        self._last_save = 0.0
+        self._dirty = False
 
     # -- construction --------------------------------------------------------
 
@@ -118,7 +130,7 @@ class JobManifest:
                 if e.status in (FileStatus.PENDING, FileStatus.PROCESSING):
                     e.status = FileStatus.FAILED
                     e.error = error
-            self._save_locked()
+            self._save_locked(force=True)
 
     # -- queries -------------------------------------------------------------
 
@@ -157,14 +169,21 @@ class JobManifest:
 
     # -- persistence ---------------------------------------------------------
 
-    def _save_locked(self) -> None:
+    def _save_locked(self, force: bool = False) -> None:
         if not self._path:
+            return
+        now = time.monotonic()
+        if not force and now - self._last_save < self._save_interval:
+            self._dirty = True
             return
         tmp = self._path + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"files": [e.to_json() for e in self._entries.values()]}, f, indent=1)
         os.replace(tmp, self._path)
+        self._last_save = now
+        self._dirty = False
 
     def save(self) -> None:
+        """Force a flush to disk (batch end / abort)."""
         with self._lock:
-            self._save_locked()
+            self._save_locked(force=True)

@@ -20,6 +20,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import queue
+import struct
 import threading
 import time
 
@@ -124,7 +125,7 @@ class BatchProcessor:
                 continue
             try:
                 info = codec.probe(e.path)
-            except (ValueError, OSError) as err:
+            except (ValueError, OSError, struct.error, EOFError) as err:
                 manifest.update(e.path, FileStatus.FAILED, error=str(err))
                 self.log.append(f"Probe failed: {e.path}: {err}")
                 continue
@@ -150,8 +151,28 @@ class BatchProcessor:
             groups.setdefault(
                 (info.sample_rate, info.num_channels, raw_bits), []).append(info)
 
+        # ---- collision-safe output naming: two inputs with the same stem
+        # must not write the same output file (concurrent encoders would
+        # interleave into one corrupt WAV) ----
+        out_paths: dict[str, str] = {}
+        taken: dict[str, int] = {}
+        for e in manifest.entries():
+            base = build_output_path(e.path, cfg.output_dir, cfg.postfix)
+            if base in taken:
+                taken[base] += 1
+                stem, ext = os.path.splitext(base)
+                out = f"{stem}_{taken[base]}{ext}"
+                self.log.append(
+                    f"Output name collision: {os.path.basename(e.path)} -> "
+                    f"{os.path.basename(out)}")
+            else:
+                taken[base] = 1
+                out = base
+            out_paths[e.path] = out
+
         # ---- auto-calibration per rate pair (MainViewModel.swift:195-206) ----
         latencies: dict[int, int] = {}
+        noise_floors: dict[int, float] = {}
         for rate_in, _, _ in groups:
             if rate_in in latencies:
                 continue
@@ -164,6 +185,7 @@ class BatchProcessor:
                 raise RuntimeError(
                     f"calibration impulse not detected for {rate_in}->{cfg.target_rate}")
             latencies[rate_in] = cal.latency_frames
+            noise_floors[rate_in] = cal.noise_floor_db
             self.log.append(
                 f"Calibrated {rate_in}->{cfg.target_rate}: latency "
                 f"{cal.latency_frames} frames, noise floor {cal.noise_floor_db:.1f} dB")
@@ -175,28 +197,35 @@ class BatchProcessor:
 
         def decode_stage(infos, out_q, raw_bits=0):
             def worker(sub):
-                for info in sub:
-                    if stop_event.is_set():
-                        return
-                    try:
-                        t0 = time.time()
-                        if raw_bits:
-                            data, rinfo = wav.read_raw_pcm(info.path)
-                            rate = rinfo.sample_rate
-                            audio_s = rinfo.num_frames / rate
-                        else:
-                            data, rate = codec.read_audio(info.path)
-                            audio_s = data.shape[-1] / rate
-                        self.throughput.add("decode", audio_s, time.time() - t0)
-                        # per-file progress stages (the reference's throttled
-                        # progress callbacks, AudioProcessingService.swift:209-214):
-                        # decoded 0.3 -> device done 0.7 -> encoded 1.0
-                        manifest.update(info.path, FileStatus.PROCESSING, progress=0.3)
-                        out_q.put(_Decoded(info.path, data, rate))
-                    except (ValueError, OSError) as err:
-                        manifest.update(info.path, FileStatus.FAILED, error=str(err))
-                        self.log.append(f"Decode failed: {info.path}: {err}")
-                out_q.put(None)
+                # the finally-sentinel is load-bearing: the main loop counts
+                # one None per worker, so early exits (abort, unexpected
+                # exception) must still deliver it or run() deadlocks
+                try:
+                    for info in sub:
+                        if stop_event.is_set():
+                            return
+                        try:
+                            t0 = time.time()
+                            if raw_bits:
+                                data, rinfo = wav.read_raw_pcm(info.path)
+                                rate = rinfo.sample_rate
+                                audio_s = rinfo.num_frames / rate
+                            else:
+                                data, rate = codec.read_audio(info.path)
+                                audio_s = data.shape[-1] / rate
+                            self.throughput.add("decode", audio_s, time.time() - t0)
+                            # per-file progress stages (the reference's throttled
+                            # progress callbacks, AudioProcessingService.swift:209-214):
+                            # decoded 0.3 -> device done 0.7 -> encoded 1.0
+                            manifest.update(info.path, FileStatus.PROCESSING,
+                                            progress=0.3)
+                            out_q.put(_Decoded(info.path, data, rate))
+                        except (ValueError, OSError, struct.error, EOFError) as err:
+                            manifest.update(info.path, FileStatus.FAILED,
+                                            error=str(err))
+                            self.log.append(f"Decode failed: {info.path}: {err}")
+                finally:
+                    out_q.put(None)
 
             threads = []
             chunks = [infos[i :: self.decode_workers] for i in range(self.decode_workers)]
@@ -215,7 +244,7 @@ class BatchProcessor:
                     path, codes, out_frames, rate_out, metrics = item
                     try:
                         t0 = time.time()
-                        out_path = build_output_path(path, cfg.output_dir, cfg.postfix)
+                        out_path = out_paths[path]
                         if metrics.get("payload"):
                             # device-packed 24-bit bytes: header + fwrite
                             out_ch = metrics["out_channels"]
@@ -259,14 +288,34 @@ class BatchProcessor:
             # routing / mono fan-out to cfg.channel_routing / output_channels
             # happens inside the device graph.
             lat = latencies[rate_in]
-            # bucket by padded length
-            cap = int(cfg.max_tail_seconds * rate_in)
+            group_nf = cfg.noise_floor_db
+            if group_nf is None and cfg.reverb_mode:
+                measured = noise_floors.get(rate_in)
+                if measured is not None and measured > -150.0:
+                    group_nf = measured
+                    self.log.append(
+                        f"Using measured noise floor {measured:.1f} dB for "
+                        f"{rate_in} Hz group")
+                else:
+                    self.log.append(
+                        "No usable noise floor (numerically silent chain); "
+                        "using -80 dB fallback for tail detection")
+            # bucket by padded length.  The 60 s cap is a *reverb capture*
+            # bound (AudioProcessingService.swift:449-452), not a general
+            # input limit: plain resampling of longer files gets an
+            # exact-fit bucket instead of silent truncation.
+            cap = int(cfg.max_tail_seconds * rate_in) if cfg.reverb_mode else None
             by_bucket: dict[int, list] = {}
             for info in infos:
-                n = min(info.num_frames, cap)
+                n = info.num_frames
+                if cap is not None and n > cap:
+                    self.log.append(
+                        f"Reverb capture cap: truncating {info.path} to "
+                        f"{cfg.max_tail_seconds:.0f} s ({cap} frames)")
+                    n = cap
                 blen = next((b for b in sorted(cfg.bucket_frames) if n <= b), n)
-                blen = min(max(blen, n), max(cap, n))
-                by_bucket.setdefault(blen, []).append(info)
+                by_bucket.setdefault(max(blen, n) if cap is None else
+                                     min(max(blen, n), cap), []).append(info)
 
             for blen, binfos in sorted(by_bucket.items()):
                 dec_q: queue.Queue = queue.Queue(maxsize=self.queue_depth)
@@ -359,10 +408,11 @@ class BatchProcessor:
                             res = process_batch_raw(
                                 x, valid, cfg, rate_in, sub,
                                 in_channels=channels, in_bits=raw_bits,
-                                latency_frames=lat)
+                                latency_frames=lat, noise_floor_db=group_nf)
                         else:
                             res = process_batch(
-                                x, valid, cfg, rate_in, sub, latency_frames=lat)
+                                x, valid, cfg, rate_in, sub, latency_frames=lat,
+                                noise_floor_db=group_nf)
                     except Exception as err:  # compile/dispatch failure
                         stop_event.set()
                         manifest.fail_remaining(f"device step failed: {err}")
@@ -398,6 +448,7 @@ class BatchProcessor:
             # final sweep: a decode worker may have flipped a file to
             # PROCESSING after the abort's fail_remaining ran
             manifest.fail_remaining("batch aborted")
+        manifest.save()  # flush throttled status writes
         counts = manifest.counts()
         wall = time.time() - t_start
         result = BatchResult(

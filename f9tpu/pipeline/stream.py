@@ -38,11 +38,14 @@ def stream_chunk_plan(bank, chunk_seconds: float, rate_in: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("cycles", "rate_in", "rate_out",
-                                             "quality", "kind", "bits", "do_dither"))
-def _stream_step(xp, mean, key, *, cycles, rate_in, rate_out, quality, kind,
-                 bits, do_dither):
+                                             "quality", "kind", "bits",
+                                             "do_dither", "gain_db"))
+def _stream_step(xp, key, *, cycles, rate_in, rate_out, quality, kind,
+                 bits, do_dither, gain_db):
     bank = design_cycle_bank(rate_in, rate_out, quality=quality, kind=kind)
-    y = resample_presliced(xp - mean, bank, cycles)
+    y = resample_presliced(xp, bank, cycles)
+    if gain_db:
+        y = y * (10.0 ** (gain_db / 20.0))
     if do_dither:
         return dither.tpdf_dither_quantize(y, key, bits=bits)
     return dither.quantize(y, bits=bits)
@@ -59,13 +62,20 @@ def stream_resample_file(
     memory.  Returns output frames written.  Output length is exactly
     ceil(in_frames * L / M), matching the whole-file path.
     """
+    if cfg.reverb_mode:
+        raise ValueError("reverb-mode tail handling is a batch-path feature; "
+                         "captures are bounded at 60 s there (use process)")
+    if cfg.latency_frames:
+        raise ValueError("external chain latency is not supported on the "
+                         "streaming path (the SRC chain is delay-free)")
     with WavReader(in_path) as reader:
         rate_in = reader.sample_rate
         bank = design_cycle_bank(rate_in, cfg.target_rate,
                                  quality=cfg.quality, kind=cfg.kind)
         L, M, W = bank.L, bank.M, bank.W
         halo_left = bank.pad_front
-        halo_right = W - M - halo_left
+        halo_right = max(0, W - M - halo_left)  # clamp: heavy lagrange
+        # downsampling makes W - M - halo_left negative
         chunk_in = stream_chunk_plan(bank, chunk_seconds, rate_in)
         cycles = chunk_in // M
         T = reader.num_frames
@@ -93,15 +103,21 @@ def stream_resample_file(
                 lo = start - halo_left
                 hi = start + chunk_in + halo_right
                 span = reader.read(max(0, lo), hi - max(0, lo))
+                # subtract the whole-file mean from REAL samples only, before
+                # zero padding: subtracting after padding would put a -mean
+                # step into the halo regions and smear an edge transient
+                # through the filter at the file head/tail
+                if cfg.remove_dc:
+                    span = span - mean
                 pad_l = max(0, -lo)
                 pad_r = (hi - lo) - pad_l - span.shape[1]
                 xp = np.pad(span, ((0, 0), (pad_l, max(0, pad_r))))
                 key, sub = jax.random.split(key)
                 codes = np.asarray(_stream_step(
-                    jnp.asarray(xp), jnp.asarray(mean), sub,
+                    jnp.asarray(xp), sub,
                     cycles=cycles, rate_in=rate_in, rate_out=cfg.target_rate,
                     quality=cfg.quality, kind=cfg.kind, bits=cfg.bits,
-                    do_dither=cfg.dither,
+                    do_dither=cfg.dither, gain_db=float(cfg.gain_db),
                 ))
                 take = min(codes.shape[1], out_total - written)
                 writer.append_codes(codes[:, :take])

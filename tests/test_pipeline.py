@@ -555,3 +555,98 @@ def test_raw_path_with_reverb_mode(tmp_path):
     assert bool(np.asarray(res.tail_terminated)[0])
     payload = np.asarray(res.codes)
     assert payload.dtype == np.uint8
+
+
+# ---------- review-driven regression tests ----------
+
+def test_long_file_not_truncated_in_plain_batch(tmp_path):
+    """The 60 s cap is a reverb-capture bound; plain resampling must keep the
+    whole file (was: silent truncation + COMPLETED)."""
+    rate = 8000  # small rate so "past-cap" stays cheap
+    frames = int(2.5 * rate)
+    rng = np.random.default_rng(60)
+    x = (0.1 * rng.standard_normal((1, frames))).astype(np.float32)
+    src = str(tmp_path / "long.wav")
+    write_wav(src, x, rate, bits=24)
+    cfg = ProcessingConfig(output_dir=str(tmp_path / "out"), target_rate=8000,
+                           quality="low", max_tail_seconds=1.0,  # cap << file
+                           bucket_frames=(4096,), dither=False)
+    res = BatchProcessor(cfg).run([src])
+    assert res.completed == 1
+    y, r = read_wav(build_output_path(src, cfg.output_dir, cfg.postfix))
+    assert y.shape[-1] == frames  # full length preserved (1:1 ratio)
+
+
+def test_reverb_leading_silence_keeps_tail(tmp_path):
+    """A silent intro must not terminate the 'tail' before the source ends."""
+    rate = 44100
+    frames = rate
+    rng = np.random.default_rng(61)
+    x = np.zeros((1, 1, frames), np.float32)
+    # 300 ms of digital silence, then content to the very end
+    lead = int(0.3 * rate)
+    x[0, 0, lead:] = 0.3 * rng.standard_normal(frames - lead)
+    cfg = ProcessingConfig(output_dir=str(tmp_path), quality="low",
+                           reverb_mode=True, noise_floor_db=-96.0,
+                           dither=False)
+    res = process_batch(x, np.array([frames], np.int32), cfg, rate,
+                        jax.random.PRNGKey(0))
+    of = int(np.asarray(res.out_frames)[0])
+    min_of = -(-frames * 160 // 147)
+    assert of >= min_of  # never cut before the full source span
+
+
+def test_output_name_collision_disambiguated(tmp_path):
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    rng = np.random.default_rng(62)
+    pa = str(tmp_path / "a" / "kick.wav")
+    pb = str(tmp_path / "b" / "kick.wav")
+    write_wav(pa, (0.1 * rng.standard_normal((1, 2205))).astype(np.float32),
+              44100, bits=24)
+    write_wav(pb, (0.1 * rng.standard_normal((1, 2205))).astype(np.float32),
+              44100, bits=24)
+    cfg = ProcessingConfig(output_dir=str(tmp_path / "out"), target_rate=48000,
+                           quality="low")
+    res = BatchProcessor(cfg).run([pa, pb])
+    assert res.completed == 2
+    outs = sorted(os.listdir(tmp_path / "out"))
+    assert outs == ["kick_processed.wav", "kick_processed_2.wav"]
+
+
+def test_stream_applies_gain(tmp_path):
+    from f9tpu.pipeline import stream_resample_file
+
+    rate = 44100
+    x = (0.1 * np.ones((1, 4410))).astype(np.float32)
+    src = str(tmp_path / "g.wav")
+    write_wav(src, x, rate, bits=24)
+    out = str(tmp_path / "g_out.wav")
+    cfg = ProcessingConfig(output_dir=str(tmp_path), target_rate=44100,
+                           quality="low", gain_db=6.0, dither=False,
+                           remove_dc=False)
+    stream_resample_file(src, out, cfg, chunk_seconds=0.05)
+    y, _ = read_wav(out)
+    assert abs(float(np.median(y)) - 0.1 * 10 ** (6.0 / 20.0)) < 1e-3
+
+
+def test_stream_rejects_reverb_mode(tmp_path):
+    from f9tpu.pipeline import stream_resample_file
+
+    cfg = ProcessingConfig(output_dir=str(tmp_path), reverb_mode=True)
+    with pytest.raises(ValueError, match="reverb"):
+        stream_resample_file("x.wav", "y.wav", cfg)
+
+
+def test_rms_db_normalized_by_valid_length(tmp_path):
+    """A short file in a big bucket must report its true RMS, not one diluted
+    by bucket padding."""
+    rate = 44100
+    frames = 4410
+    x = np.zeros((1, 1, 1 << 16), np.float32)
+    x[0, 0, :frames] = 0.5  # constant: RMS = 0.5 -> -6.02 dB
+    cfg = ProcessingConfig(output_dir=str(tmp_path), quality="low",
+                           dither=False, remove_dc=False)
+    res = process_batch(x, np.array([frames], np.int32), cfg, rate,
+                        jax.random.PRNGKey(0))
+    assert abs(float(np.asarray(res.rms_db)[0]) - (-6.02)) < 0.1
