@@ -117,7 +117,8 @@ def read_aiff(path: str) -> tuple[np.ndarray, int]:
         if bits == 16:
             x = np.frombuffer(data, endian + "i2").astype(np.float32) / 32768.0
         elif bits == 24:
-            b3 = np.frombuffer(data, np.uint8).reshape(-1, 3).astype(np.uint32)
+            b24 = np.frombuffer(data, np.uint8)
+            b3 = b24[: len(b24) // 3 * 3].reshape(-1, 3).astype(np.uint32)
             if little:
                 v = b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16)
             else:

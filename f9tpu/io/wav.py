@@ -83,32 +83,47 @@ def _parse_wav(buf: memoryview, path: str):
     return fmt, data_off, data_size
 
 
-def probe_wav(path: str) -> AudioFileInfo:
-    """Metadata without decoding samples."""
-    with open(path, "rb") as f:
-        head = f.read(1 << 16)
-    buf = memoryview(head)
-    if bytes(buf[0:4]) != _RIFF:
-        raise ValueError(f"{path}: not a WAV file")
-    # data chunk may be beyond the head for size purposes; use the declared size.
+def _scan_wav_header(f, path: str):
+    """Seek-based chunk walk: returns (fmt_tuple, data_offset, data_size)
+    without reading chunk payloads, so metadata chunks of any size (e.g.
+    Broadcast-WAV 'bext') before 'data' are skipped correctly."""
+    head = f.read(12)
+    if len(head) < 12 or head[0:4] != _RIFF or head[8:12] != _WAVE:
+        raise ValueError(f"{path}: not a RIFF/WAVE file")
     fmt = None
-    data_size = None
-    for cid, off, size in _iter_chunks(buf, 12, len(buf)):
+    data_off = data_size = None
+    while True:
+        hdr = f.read(8)
+        if len(hdr) < 8:
+            break
+        cid = hdr[0:4]
+        (size,) = struct.unpack("<I", hdr[4:8])
+        pos = f.tell()
         if cid == _FMT:
-            tag, channels, rate, _, block_align, bits = struct.unpack_from("<HHIIHH", buf, off)
+            payload = f.read(min(size, 64))
+            tag, channels, rate, _, block_align, bits = struct.unpack_from(
+                "<HHIIHH", payload, 0)
             if tag == WAVE_FORMAT_EXTENSIBLE and size >= 40:
-                (sub,) = struct.unpack_from("<H", buf, off + 24)
+                (sub,) = struct.unpack_from("<H", payload, 24)
                 tag = sub
             fmt = (tag, channels, rate, block_align, bits)
         elif cid == _DATA:
-            data_size = size
+            data_off, data_size = pos, size
             if fmt is not None:
                 break
-    if fmt is None:
-        raise ValueError(f"{path}: missing fmt chunk")
-    tag, channels, rate, block_align, bits = fmt
-    if data_size is None:
-        data_size = max(0, os.path.getsize(path) - 44)
+        f.seek(pos + size + (size & 1))
+    if fmt is None or data_off is None:
+        raise ValueError(f"{path}: missing fmt/data chunk")
+    return fmt, data_off, data_size
+
+
+def probe_wav(path: str) -> AudioFileInfo:
+    """Metadata without decoding samples (seek-based; metadata chunks of any
+    size before 'data' are fine)."""
+    with open(path, "rb") as f:
+        (tag, channels, rate, _block_align, bits), off, size = _scan_wav_header(f, path)
+        actual = max(0, os.fstat(f.fileno()).st_size - off)
+    data_size = min(size, actual)
     bytes_per = max(1, bits // 8) * max(1, channels)
     return AudioFileInfo(
         path=path,
@@ -122,8 +137,10 @@ def probe_wav(path: str) -> AudioFileInfo:
 
 
 def _unpack24(raw: np.ndarray) -> np.ndarray:
-    """(n*3,) uint8 little-endian -> (n,) int32, sign-extended, vectorised."""
-    b = raw.reshape(-1, 3).astype(np.uint32)
+    """(n*3,) uint8 little-endian -> (n,) int32, sign-extended, vectorised.
+    A trailing partial sample (truncated file) is dropped, matching the
+    native path."""
+    b = raw[: len(raw) // 3 * 3].reshape(-1, 3).astype(np.uint32)
     v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
     return (v.astype(np.int32) << 8) >> 8
 
@@ -163,18 +180,22 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
     buf = memoryview(raw)
     (tag, channels, rate, block_align, bits), off, size = _parse_wav(buf, path)
     data = np.frombuffer(raw, np.uint8, count=min(size, len(raw) - off), offset=off)
+    count = len(data)
     if tag == WAVE_FORMAT_IEEE_FLOAT:
-        dt = np.float32 if bits == 32 else np.float64
-        x = np.frombuffer(data.tobytes(), dtype="<" + np.dtype(dt).char).astype(np.float32)
+        dt = "<f4" if bits == 32 else "<f8"
+        w = np.dtype(dt).itemsize
+        x = np.frombuffer(raw, dt, count=count // w, offset=off).astype(np.float32)
     elif tag == WAVE_FORMAT_PCM:
+        # zero-copy views into the file buffer (tobytes() would copy the
+        # whole payload an extra time on the hot decode path)
         if bits == 16:
-            x = np.frombuffer(data.tobytes(), "<i2").astype(np.float32) / 32768.0
+            x = np.frombuffer(raw, "<i2", count=count // 2, offset=off).astype(np.float32) / 32768.0
         elif bits == 24:
             x = _unpack24_dispatch(data)
         elif bits == 32:
-            x = np.frombuffer(data.tobytes(), "<i4").astype(np.float32) / 2147483648.0
+            x = np.frombuffer(raw, "<i4", count=count // 4, offset=off).astype(np.float32) / 2147483648.0
         elif bits == 8:
-            x = (np.frombuffer(data.tobytes(), np.uint8).astype(np.float32) - 128.0) / 128.0
+            x = (np.frombuffer(raw, np.uint8, count=count, offset=off).astype(np.float32) - 128.0) / 128.0
         else:
             raise ValueError(f"{path}: unsupported PCM bit depth {bits}")
     else:
@@ -190,7 +211,8 @@ def _wav_header(num_frames: int, channels: int, rate: int, bits: int, is_float: 
     hdr = b"".join(
         [
             _RIFF,
-            struct.pack("<I", 36 + data_size),
+            # RIFF size includes the pad byte of an odd-sized data chunk
+            struct.pack("<I", 36 + data_size + (data_size & 1)),
             _WAVE,
             _FMT,
             struct.pack("<IHHIIHH", 16, tag, channels, rate,
@@ -224,19 +246,21 @@ def write_wav_codes(path: str, codes: np.ndarray, rate: int, bits: int = 24) -> 
     with open(path, "wb") as f:
         f.write(_wav_header(frames, channels, rate, bits, is_float=False))
         f.write(payload)
+        if len(payload) & 1:
+            f.write(b"\x00")  # RIFF chunks are word-aligned
 
 
 def write_wav(path: str, x: np.ndarray, rate: int, bits: int = 24) -> None:
     """Write planar float32 ``(channels, frames)`` (or mono ``(frames,)``).
 
-    ``bits``: 16/24/32 integer PCM (round-to-nearest, the reference's
-    behaviour — dithering happens on device via `ops.dither` + write_wav_codes)
-    or 32-float.
+    ``bits``: 16/24 integer PCM (round-to-nearest, the reference's behaviour —
+    dithering happens on device via `ops.dither` + write_wav_codes) or 32 =
+    IEEE float32.  For 32-bit *integer* PCM use `write_wav_codes(bits=32)`.
     """
     x = np.asarray(x, np.float32)
     if x.ndim == 1:
         x = x[None, :]
-    if bits == 32 and x.dtype == np.float32:
+    if bits == 32:  # always float32 output (see docstring)
         channels, frames = x.shape
         inter = np.ascontiguousarray(x.T).reshape(-1)
         with open(path, "wb") as f:
@@ -256,9 +280,7 @@ class WavReader:
     def __init__(self, path: str):
         self.path = path
         with open(path, "rb") as f:
-            head = f.read(1 << 16)
-        (tag, channels, rate, _block_align, bits), off, size = _parse_wav(
-            memoryview(head), path)
+            (tag, channels, rate, _block_align, bits), off, size = _scan_wav_header(f, path)
         self._fmt = (tag, channels, rate, bits)
         self._data_off = off
         self.num_channels = channels
@@ -287,16 +309,15 @@ class WavReader:
             return np.zeros((channels, 0), np.float32)
         self._f.seek(self._data_off + start_frame * self._bytes_per_frame)
         raw = self._f.read(count * self._bytes_per_frame)
-        data = np.frombuffer(raw, np.uint8)
         if tag == WAVE_FORMAT_IEEE_FLOAT:
             dt = "<f4" if bits == 32 else "<f8"
-            x = np.frombuffer(data.tobytes(), dt).astype(np.float32)
+            x = np.frombuffer(raw, dt).astype(np.float32)
         elif bits == 16:
-            x = np.frombuffer(data.tobytes(), "<i2").astype(np.float32) / 32768.0
+            x = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
         elif bits == 24:
-            x = _unpack24_dispatch(data)
+            x = _unpack24_dispatch(np.frombuffer(raw, np.uint8))
         elif bits == 32:
-            x = np.frombuffer(data.tobytes(), "<i4").astype(np.float32) / 2147483648.0
+            x = np.frombuffer(raw, "<i4").astype(np.float32) / 2147483648.0
         else:
             raise ValueError(f"unsupported bit depth {bits}")
         n = len(x) // channels
@@ -330,6 +351,10 @@ class WavWriter:
         self.frames_written += codes.shape[1]
 
     def close(self) -> None:
+        data_size = self.frames_written * self.channels * (self.bits // 8)
+        if data_size & 1:
+            self._f.seek(0, 2)
+            self._f.write(b"\x00")  # RIFF word alignment
         self._f.seek(0)
         self._f.write(_wav_header(self.frames_written, self.channels, self.rate,
                                   self.bits, is_float=False))
@@ -350,11 +375,9 @@ def read_raw_pcm(path: str) -> tuple[np.ndarray, AudioFileInfo]:
     if info.is_float or info.bit_depth not in (16, 24):
         raise ValueError(f"{path}: raw path supports 16/24-bit integer PCM only")
     with open(path, "rb") as f:
-        head = f.read(1 << 16)
-    (_, channels, _, _, bits), off, size = _parse_wav(memoryview(head), path)
-    bpf = channels * (bits // 8)
-    want = info.num_frames * bpf
-    with open(path, "rb") as f:
+        (_, channels, _, _, bits), off, size = _scan_wav_header(f, path)
+        bpf = channels * (bits // 8)
+        want = info.num_frames * bpf
         f.seek(off)
         raw = np.frombuffer(f.read(want), np.uint8)
     return raw, info
@@ -368,3 +391,5 @@ def write_wav_payload(path: str, payload: np.ndarray, channels: int, rate: int,
     with open(path, "wb") as f:
         f.write(_wav_header(frames, channels, rate, bits, is_float=False))
         f.write(np.ascontiguousarray(payload).tobytes())
+        if (frames * channels * (bits // 8)) & 1:
+            f.write(b"\x00")

@@ -86,10 +86,15 @@ def resample(x: jax.Array, bank: CycleBank, out_len: int | None = None) -> jax.A
     Q = -(-out_len // L)  # cycles
     padded = (Q - 1) * M + W
     pad_front = bank.pad_front
-    pad_back = max(0, padded - pad_front - T)
+    # When out_len is smaller than the natural length, trim the input so the
+    # conv emits exactly Q cycles — extra cycles would corrupt the (B, Q*L)
+    # reshape (mixing rows across batch entries) or fail outright.
+    keep_T = min(T, max(0, padded - pad_front))
+    x = x[..., :keep_T]
+    pad_back = padded - pad_front - keep_T
 
     lead = x.shape[:-1]
-    xb = x.reshape(-1, 1, T)  # (B, C=1, T) for conv
+    xb = x.reshape(-1, 1, keep_T)  # (B, C=1, T) for conv
     g = jnp.asarray(cycle_matrix_f32(bank))          # (W, L)
     rhs = g.T.reshape(L, 1, W)                       # (out_feat=L, in_feat=1, W)
     y = jax.lax.conv_general_dilated(

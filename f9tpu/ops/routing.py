@@ -44,6 +44,12 @@ def route_channels(x: jax.Array, routing: np.ndarray | list[int], num_out: int |
     routing = np.asarray(routing, dtype=np.int32)
     if num_out is None:
         num_out = len(routing)
+    if num_out != len(routing):
+        # honour the requested output bus width: extra channels are silence,
+        # extra map entries are dropped
+        padded = np.full(num_out, -1, np.int32)
+        padded[: min(num_out, len(routing))] = routing[:num_out]
+        routing = padded
     src = jnp.asarray(np.where(routing < 0, 0, routing))
     out = jnp.take(x, src, axis=-2)
     silent = jnp.asarray((routing < 0).reshape(-1, 1))

@@ -1,5 +1,7 @@
 """WAV/AIFF codec round-trip and metadata tests (L0 layer, SURVEY.md section 1)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -140,3 +142,60 @@ def test_aifc_sowt_and_fl32_decode(tmp_path):
     y2, rate2 = read_audio(p2)
     assert rate2 == 44100
     assert np.array_equal(y2[0], x)
+
+
+def test_wav_with_large_metadata_chunk(tmp_path):
+    """Broadcast-WAV style: a large 'bext' chunk before 'data' must not break
+    probing, streaming reads, or the raw upload path."""
+    import struct
+
+    from f9tpu.io import WavReader, read_raw_pcm
+
+    x = sig(2, 1000, seed=7)
+    base = str(tmp_path / "plain.wav")
+    write_wav(base, x, 48000, bits=24)
+    with open(base, "rb") as f:
+        raw = f.read()
+    # splice a 100 KB bext chunk between fmt and data
+    hdr, rest = raw[:12], raw[12:]
+    fmt_chunk = rest[: 8 + 16]
+    data_chunk = rest[8 + 16:]
+    bext = b"bext" + struct.pack("<I", 100_000) + b"\x00" * 100_000
+    body = fmt_chunk + bext + data_chunk
+    p = str(tmp_path / "bext.wav")
+    with open(p, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body)
+
+    info = probe(p)
+    assert info.num_frames == 1000 and info.sample_rate == 48000
+    y, rate = read_audio(p)
+    assert y.shape == (2, 1000)
+    with WavReader(p) as rd:
+        assert rd.num_frames == 1000
+        blk = rd.read(500, 100)
+        assert np.abs(blk - y[:, 500:600]).max() == 0
+    rawb, info2 = read_raw_pcm(p)
+    assert len(rawb) == 1000 * 2 * 3
+
+
+def test_odd_sized_data_chunk_pads(tmp_path):
+    """Mono 24-bit with odd frame count: data chunk gets its RIFF pad byte."""
+    x = sig(1, 333, seed=8)
+    p = str(tmp_path / "odd.wav")
+    write_wav(p, x, 44100, bits=24)
+    assert os.path.getsize(p) == 44 + 333 * 3 + 1  # header + data + pad
+    y, _ = read_wav(p)
+    assert y.shape == (1, 333)
+
+
+def test_truncated_24bit_payload(tmp_path):
+    """A partial trailing sample decodes by dropping it, native or not."""
+    x = sig(1, 100, seed=9)
+    p = str(tmp_path / "trunc.wav")
+    write_wav(p, x, 44100, bits=24)
+    with open(p, "rb") as f:
+        raw = f.read()
+    with open(p, "wb") as f:
+        f.write(raw[:-2])  # chop into the last sample
+    y, _ = read_wav(p)
+    assert y.shape[1] in (99, 100)  # no crash; partial sample dropped

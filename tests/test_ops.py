@@ -227,3 +227,11 @@ def test_interleave_roundtrip():
     assert np.allclose(np.asarray(inter)[0::2], np.asarray(x)[0])
     back = ops.deinterleave(inter, 2)
     assert np.allclose(np.asarray(back), np.asarray(x))
+
+
+def test_route_channels_num_out_padding():
+    x = jnp.asarray(np.arange(12, dtype=np.float32).reshape(3, 4))
+    y = np.asarray(ops.route_channels(x, [2, 0], num_out=5))
+    assert y.shape == (5, 4)
+    assert np.array_equal(y[0], np.asarray(x)[2])
+    assert np.all(y[2:] == 0)  # silence beyond the map

@@ -110,3 +110,32 @@ def test_identity_ratio():
     assert y.shape == x.shape
     mid = slice(300, -300)
     assert rms_db(y[mid] - x[mid], x[mid]) <= -90.0
+
+
+def test_explicit_smaller_out_len():
+    """resample with out_len below the natural length must not mix batch rows
+    or crash (floor-style out_len is used by the sharded paths)."""
+    from f9tpu.models.filters import design_cycle_bank
+    from f9tpu.ops.resample import resample
+    import jax.numpy as jnp
+
+    bank = design_cycle_bank(192000, 48000, kind="lagrange")
+    x = make_signal(99, 192000).reshape(1, -1) * np.ones((2, 1), np.float32)
+    out_len = 99 * bank.L // bank.M  # floor, < ceil
+    y = np.asarray(resample(jnp.asarray(x), bank, out_len=out_len))
+    assert y.shape == (2, out_len)
+    # rows must be identical (identical inputs) — mixing would break this
+    assert np.array_equal(y[0], y[1])
+
+
+def test_long_sine_generator_accuracy():
+    """60 s of 1 kHz at 48 kHz must stay a clean tone (float64 phase)."""
+    from f9tpu.ops.signal import sine
+
+    frames = 48000 * 60
+    y, _ = sine(frames, 48000, freq=1000.0, amp=0.5)
+    y = np.asarray(y, np.float64)
+    t = np.arange(frames, dtype=np.float64) / 48000
+    ref = 0.5 * np.sin(2 * np.pi * 1000.0 * t)
+    err = np.abs(y - ref).max()
+    assert err < 1e-6, err
