@@ -41,8 +41,9 @@ def _expand_inputs(inputs: list[str]) -> list[str]:
     files: list[str] = []
     for item in inputs:
         if os.path.isdir(item):
-            for ext in codec.SUPPORTED_EXTENSIONS:
-                files.extend(sorted(glob.glob(os.path.join(item, f"*{ext}"))))
+            files.extend(sorted(
+                os.path.join(item, name) for name in os.listdir(item)
+                if codec.is_supported(name)))  # case-insensitive (.WAV etc.)
         elif any(ch in item for ch in "*?["):
             files.extend(sorted(glob.glob(item)))  # unmatched glob -> nothing
         else:
@@ -62,29 +63,41 @@ def _add_common_src_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--kind", default="sinc", choices=["sinc", "lagrange"])
 
 
-def _load_config_defaults(args) -> None:
-    """Apply JSON config-file values for options the user left at defaults."""
-    if not getattr(args, "config", None):
+#: process-command options persisted by --save-config / applied by --config.
+#: Stored under their CLI names so the round-trip is exact.
+_CONFIG_KEYS = (
+    "rate", "quality", "kind", "bits", "postfix", "no_dither", "keep_dc",
+    "gain", "reverb", "noise_floor", "margin", "require_rate", "batch_size",
+    "routing", "channels",
+)
+
+
+def _apply_config_file(parser, argv) -> None:
+    """Install JSON config values as parser *defaults* so explicitly passed
+    command-line options always win (a plain post-parse override would
+    silently beat the user's own flags)."""
+    path = None
+    for i, a in enumerate(argv):
+        if a == "--config" and i + 1 < len(argv):
+            path = argv[i + 1]
+        elif a.startswith("--config="):
+            path = a.split("=", 1)[1]
+    if not path:
         return
-    with open(args.config) as f:
+    with open(path) as f:
         data = json.load(f)
-    for k, v in data.items():
-        if hasattr(args, k):
-            setattr(args, k, v)
+    parser.set_defaults(**{k: v for k, v in data.items() if k in _CONFIG_KEYS})
 
 
-def _save_config(args, cfg: ProcessingConfig) -> None:
+def _save_config(args) -> None:
     if not getattr(args, "save_config", None):
         return
-    import dataclasses
-
     with open(args.save_config, "w") as f:
-        json.dump(dataclasses.asdict(cfg), f, indent=1, default=list)
+        json.dump({k: getattr(args, k) for k in _CONFIG_KEYS}, f, indent=1)
     print(f"settings saved -> {args.save_config}")
 
 
 def cmd_process(args) -> int:
-    _load_config_defaults(args)
     files = _expand_inputs(args.inputs)
     if not files:
         print("error: no input files", file=sys.stderr)
@@ -108,7 +121,7 @@ def cmd_process(args) -> int:
             [int(c) for c in args.routing.split(",")] if args.routing else None),
         output_channels=args.channels,
     )
-    _save_config(args, cfg)
+    _save_config(args)
     log = StatusLog(sink=lambda line: print(line, flush=True))
     cal = CalibrationCache(os.path.join(args.out, ".calibration.json"))
     bp = BatchProcessor(cfg, log=log, calibration=cal)
@@ -134,7 +147,7 @@ def cmd_process(args) -> int:
             "x_realtime": res.x_realtime,
             "throughput": res.throughput,
         }, indent=1))
-    return 0 if res.failed == 0 else 1
+    return 0 if (res.failed == 0 and res.invalid == 0) else 1
 
 
 def cmd_preview(args) -> int:
@@ -142,16 +155,20 @@ def cmd_preview(args) -> int:
     if not files:
         print("error: no input files", file=sys.stderr)
         return 2
+    want_monitor = bool(args.monitor_out)  # --monitor alone has no sink
+    if args.monitor and not args.monitor_out:
+        print("note: --monitor without --monitor-out has no file to write; "
+              "pass --monitor-out PATH", file=sys.stderr)
     main_mix, monitor, items = render_playlist(
         files, args.rate,
         silence_ms=args.silence_ms,
         output_channels=args.channels,
-        monitor=args.monitor,
+        monitor=want_monitor,
         loops=args.loops,
     )
     wav.write_wav(args.out, main_mix, args.rate, bits=24)
     print(f"rendered {len(items)} item(s), {main_mix.shape[-1]} frames -> {args.out}")
-    if monitor is not None and args.monitor_out:
+    if monitor is not None:
         wav.write_wav(args.monitor_out, monitor, args.rate, bits=24)
         print(f"monitor mix -> {args.monitor_out}")
     for it in items:
@@ -168,7 +185,8 @@ def cmd_measure(args) -> int:
 
 
 def cmd_selftest(args) -> int:
-    rep = run_loop_test(args.rate_in, args.rate, quality=args.quality)
+    rep = run_loop_test(args.rate_in, args.rate, quality=args.quality,
+                        kind=args.kind)
     print(f"{rep.verdict.value}: {rep.detail}")
     return 0 if rep.verdict.value == "loop_detected" else 1
 
@@ -247,6 +265,7 @@ def main(argv: list[str] | None = None) -> int:
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("process", help="batch resample files")
+    process_parser = p
     p.add_argument("inputs", nargs="+", help="files, globs or directories")
     p.add_argument("--out", required=True, help="output directory (mandatory)")
     _add_common_src_args(p)
@@ -318,6 +337,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--require-rate", type=int, default=None)
     p.set_defaults(fn=cmd_probe)
 
+    # config defaults go on the *process subparser* (its own defaults would
+    # otherwise shadow anything set on the top-level parser)
+    _apply_config_file(process_parser, list(argv) if argv is not None else sys.argv[1:])
     args = ap.parse_args(argv)
     return args.fn(args)
 

@@ -93,8 +93,10 @@ class ProcessingConfig:
             raise ValueError("output_dir is required")
         if self.target_rate <= 0:
             raise ValueError("target_rate must be positive")
-        if not 0 <= self.noise_floor_margin_pct <= 100:
-            raise ValueError("noise_floor_margin_pct out of range")
+        if not 0 <= self.noise_floor_margin_pct <= 50:
+            # the reference UI bounds the margin at 0-50 %
+            # (Source/SettingsComponent: slider 0-50 step 5)
+            raise ValueError("noise_floor_margin_pct out of range (0-50)")
 
     @property
     def noise_floor_threshold_db(self) -> float:

@@ -109,8 +109,8 @@ class CalibrationCache:
                 with open(path) as f:
                     raw = json.load(f)
                 self._data = {k: CalibrationResult(**v) for k, v in raw.items()}
-            except (json.JSONDecodeError, TypeError):
-                self._data = {}
+            except (json.JSONDecodeError, TypeError, AttributeError, KeyError):
+                self._data = {}  # corrupt cache self-heals (re-measured)
 
     @staticmethod
     def key(rate_in: int, rate_out: int, quality: str, kind: str, chain_sig: str = "") -> str:
@@ -130,9 +130,15 @@ class CalibrationCache:
             self._save_locked()
         return res
 
-    def invalidate(self, prefix: str = "") -> None:
+    def invalidate(self, prefix: str | None = None) -> None:
+        """Drop entries whose key starts with ``prefix``; ``None`` clears all
+        (the settings-changed invalidation, Models/ProcessingSettings.swift:60-65)."""
         with self._lock:
-            self._data = {k: v for k, v in self._data.items() if prefix and not k.startswith(prefix)}
+            if prefix is None:
+                self._data = {}
+            else:
+                self._data = {k: v for k, v in self._data.items()
+                              if not k.startswith(prefix)}
             self._save_locked()
 
     def _save_locked(self) -> None:

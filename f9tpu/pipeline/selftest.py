@@ -28,6 +28,7 @@ class LoopTestVerdict(enum.Enum):
     LOOP_DETECTED = "loop_detected"       # output and matching input
     NO_INPUT = "no_input"                 # generated but nothing came back
     NO_OUTPUT = "no_output"               # generation itself failed
+    DEGRADED = "degraded"                 # signal returned but wrong (freq)
 
 
 @dataclasses.dataclass
@@ -45,6 +46,7 @@ def run_loop_test(
     seconds: float = 1.0,
     freq: float = DEFAULT_TEST_FREQ,
     quality: str = "high",
+    kind: str = "sinc",
 ) -> LoopTestReport:
     """Run the tone through the device SRC loop and classify the result."""
     frames = int(seconds * rate_in)
@@ -53,7 +55,7 @@ def run_loop_test(
     if not np.isfinite(out_rms) or out_rms < -60:
         return LoopTestReport(LoopTestVerdict.NO_OUTPUT, out_rms, -200.0, 0.0,
                               "tone generation failed")
-    back = resample_rates(tone, rate_in, rate_out, quality=quality)
+    back = resample_rates(tone, rate_in, rate_out, quality=quality, kind=kind)
     in_rms = float(analysis.rms_db(back))
     if not np.isfinite(in_rms) or in_rms < out_rms - 20:
         return LoopTestReport(LoopTestVerdict.NO_INPUT, out_rms, in_rms, 0.0,
@@ -70,6 +72,6 @@ def run_loop_test(
     if not ok:
         detail = f"frequency mismatch: {measured:.1f} Hz vs {freq:.0f} Hz"
     return LoopTestReport(
-        LoopTestVerdict.LOOP_DETECTED if ok else LoopTestVerdict.NO_INPUT,
+        LoopTestVerdict.LOOP_DETECTED if ok else LoopTestVerdict.DEGRADED,
         out_rms, in_rms, measured, detail,
     )

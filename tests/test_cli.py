@@ -109,7 +109,7 @@ def test_cli_config_roundtrip(tmp_path, capsys):
     import json
     with open(cfgp) as f:
         saved = json.load(f)
-    assert saved["target_rate"] == 48000 and saved["quality"] == "low"
+    assert saved["rate"] == 48000 and saved["quality"] == "low"
     # config file supplies quality; CLI default would be "high"
     with open(cfgp, "w") as f:
         json.dump({"quality": "medium"}, f)
@@ -119,3 +119,27 @@ def test_cli_config_roundtrip(tmp_path, capsys):
     assert rc == 0
     with open(str(tmp_path / "resolved.json")) as f:
         assert json.load(f)["quality"] == "medium"
+
+
+def test_cli_flag_beats_config_file(tmp_path):
+    """Explicit command-line options must win over --config values."""
+    make_files(tmp_path, 1)
+    import json
+    cfgp = str(tmp_path / "c.json")
+    with open(cfgp, "w") as f:
+        json.dump({"rate": 44100, "quality": "medium"}, f)
+    rc = main(["process", str(tmp_path), "--out", str(tmp_path / "o"),
+               "--config", cfgp, "--rate", "48000",
+               "--save-config", str(tmp_path / "resolved.json")])
+    assert rc == 0
+    with open(str(tmp_path / "resolved.json")) as f:
+        resolved = json.load(f)
+    assert resolved["rate"] == 48000       # CLI flag won
+    assert resolved["quality"] == "medium" # config supplied the default
+
+
+def test_cli_uppercase_extension_dir(tmp_path):
+    x = np.zeros((1, 1000), np.float32)
+    write_wav(str(tmp_path / "LOUD.WAV"), x, 44100, bits=24)
+    rc = main(["probe", str(tmp_path)])
+    assert rc == 0
