@@ -17,6 +17,7 @@ import threading
 import numpy as np
 
 __all__ = [
+    "AsyncLoader",
     "available",
     "resample_oracle_native",
     "unpack24_to_f32",
@@ -152,3 +153,81 @@ def deinterleave_f32(inter: np.ndarray, channels: int) -> np.ndarray:
     out = np.empty((channels, frames), np.float32)
     lib.f9_deinterleave_f32(inter, channels, frames, out)
     return out
+
+
+class AsyncLoader:
+    """Native threaded WAV loader: submit files, poll tickets.
+
+    Decode (file I/O, header walk, 16/24-bit conversion, deinterleave) runs on
+    C++ threads into caller-owned planar float32 buffers — the native
+    data-loader runtime component (JUCE AudioFormatManager's role in the
+    reference, Source/MainComponent.cpp:705-749).
+    """
+
+    def __init__(self, n_threads: int = 4):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError(f"native library unavailable: {_build_error}")
+        self._lib = lib
+        if not hasattr(lib, "_f9_loader_bound"):
+            lib.f9_loader_create.restype = ctypes.c_void_p
+            lib.f9_loader_create.argtypes = [ctypes.c_int32]
+            lib.f9_loader_destroy.argtypes = [ctypes.c_void_p]
+            lib.f9_loader_submit.restype = ctypes.c_void_p
+            lib.f9_loader_submit.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p,
+                np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+                ctypes.c_int64, ctypes.c_int32]
+            lib.f9_loader_poll.restype = ctypes.c_int32
+            lib.f9_loader_poll.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int32)]
+            lib._f9_loader_bound = True
+        self._handle = lib.f9_loader_create(n_threads)
+        self._buffers: dict[int, np.ndarray] = {}  # keep dst alive per ticket
+
+    def submit(self, path: str, channels: int, max_frames: int) -> int:
+        """Queue a decode into a fresh (channels, max_frames) buffer; returns
+        a ticket for `poll`."""
+        dst = np.zeros((channels, max_frames), np.float32)
+        ticket = self._lib.f9_loader_submit(
+            self._handle, path.encode(), dst, max_frames, channels)
+        self._buffers[ticket] = dst
+        return ticket
+
+    def poll(self, ticket: int):
+        """None while pending; (data (channels, frames), rate) when done.
+        Raises on decode error."""
+        frames = ctypes.c_int64(0)
+        rate = ctypes.c_int32(0)
+        st = self._lib.f9_loader_poll(ticket, ctypes.byref(frames),
+                                      ctypes.byref(rate))
+        if st == 0:
+            return None
+        buf = self._buffers.pop(ticket)
+        if st < 0:
+            raise ValueError(f"native decode failed (code {st})")
+        return buf[:, : frames.value], rate.value
+
+    def wait(self, ticket: int, timeout: float = 30.0, poll_s: float = 0.001):
+        import time as _time
+
+        deadline = _time.monotonic() + timeout
+        while True:
+            res = self.poll(ticket)
+            if res is not None:
+                return res
+            if _time.monotonic() > deadline:
+                raise TimeoutError("native decode timed out")
+            _time.sleep(poll_s)
+
+    def close(self) -> None:
+        if self._handle:
+            self._lib.f9_loader_destroy(self._handle)
+            self._handle = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

@@ -154,3 +154,180 @@ void f9_deinterleave_f32(const float* src, int64_t channels, int64_t frames,
 int32_t f9_native_abi_version(void) { return 1; }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Async data loader: a native thread pool that decodes integer-PCM WAV files
+// straight into caller-owned float32 planar buffers.  This is the native
+// "data loader" runtime component (the role JUCE's AudioFormatManager +
+// message-thread loading plays in the reference, Source/MainComponent.cpp:705-749):
+// file I/O, header walk, sample conversion and deinterleave all happen off
+// the Python thread; Python polls ticket completion.
+// ---------------------------------------------------------------------------
+
+#include <atomic>
+#include <condition_variable>
+#include <cstdio>
+#include <mutex>
+#include <queue>
+#include <string>
+
+namespace {
+
+struct LoadJob {
+    std::string path;
+    float* dst;            // planar (channels, frames) float32, caller-owned
+    int64_t max_frames;    // capacity of dst per channel
+    int32_t expect_channels;
+    // results
+    std::atomic<int32_t> status{0};  // 0 pending, 1 ok, <0 error code
+    int64_t frames_read{0};
+    int32_t rate{0};
+};
+
+struct Loader {
+    std::vector<std::thread> workers;
+    std::queue<LoadJob*> pending;
+    std::mutex mu;
+    std::condition_variable cv;
+    bool stopping = false;
+    std::vector<LoadJob*> jobs;  // owned
+
+    explicit Loader(int n_threads) {
+        for (int i = 0; i < n_threads; ++i)
+            workers.emplace_back([this]() { run(); });
+    }
+    ~Loader() {
+        {
+            std::lock_guard<std::mutex> g(mu);
+            stopping = true;
+        }
+        cv.notify_all();
+        for (auto& t : workers) t.join();
+        for (auto* j : jobs) delete j;
+    }
+    void run() {
+        for (;;) {
+            LoadJob* job;
+            {
+                std::unique_lock<std::mutex> g(mu);
+                cv.wait(g, [this]() { return stopping || !pending.empty(); });
+                if (stopping && pending.empty()) return;
+                job = pending.front();
+                pending.pop();
+            }
+            decode(job);
+        }
+    }
+    static void decode(LoadJob* job) {
+        FILE* f = std::fopen(job->path.c_str(), "rb");
+        if (!f) { job->status.store(-1); return; }
+        uint8_t head[12];
+        if (std::fread(head, 1, 12, f) != 12 || std::memcmp(head, "RIFF", 4) ||
+            std::memcmp(head + 8, "WAVE", 4)) {
+            std::fclose(f); job->status.store(-2); return;
+        }
+        uint16_t tag = 0, channels = 0, bits = 0;
+        uint32_t rate = 0;
+        int64_t data_off = -1; uint32_t data_size = 0;
+        uint8_t hdr[8];
+        while (std::fread(hdr, 1, 8, f) == 8) {
+            uint32_t size;
+            std::memcpy(&size, hdr + 4, 4);
+            long pos = std::ftell(f);
+            if (!std::memcmp(hdr, "fmt ", 4)) {
+                uint8_t fmt[40] = {0};
+                std::fread(fmt, 1, size < 40 ? size : 40, f);
+                std::memcpy(&tag, fmt, 2);
+                std::memcpy(&channels, fmt + 2, 2);
+                std::memcpy(&rate, fmt + 4, 4);
+                std::memcpy(&bits, fmt + 14, 2);
+                if (tag == 0xFFFE && size >= 40) std::memcpy(&tag, fmt + 24, 2);
+            } else if (!std::memcmp(hdr, "data", 4)) {
+                data_off = pos; data_size = size;
+                if (tag) break;
+            }
+            std::fseek(f, pos + size + (size & 1), SEEK_SET);
+        }
+        if (tag != 1 || data_off < 0 || channels == 0 ||
+            (bits != 16 && bits != 24)) {
+            std::fclose(f); job->status.store(-3); return;
+        }
+        if (channels != job->expect_channels && job->expect_channels > 0) {
+            std::fclose(f); job->status.store(-4); return;
+        }
+        const int64_t bpf = (int64_t)channels * (bits / 8);
+        std::fseek(f, 0, SEEK_END);
+        const int64_t actual = std::ftell(f) - data_off;
+        std::fseek(f, data_off, SEEK_SET);
+        int64_t frames = std::min<int64_t>(data_size, actual) / bpf;
+        frames = std::min<int64_t>(frames, job->max_frames);
+        std::vector<uint8_t> buf(frames * bpf);
+        if ((int64_t)std::fread(buf.data(), 1, buf.size(), f) != (int64_t)buf.size()) {
+            std::fclose(f); job->status.store(-5); return;
+        }
+        std::fclose(f);
+        // convert + deinterleave
+        for (int32_t c = 0; c < channels; ++c) {
+            float* d = job->dst + (int64_t)c * job->max_frames;
+            if (bits == 16) {
+                constexpr float inv = 1.0f / 32768.0f;
+                const uint8_t* s = buf.data() + c * 2;
+                for (int64_t i = 0; i < frames; ++i, s += bpf) {
+                    int16_t v;
+                    std::memcpy(&v, s, 2);
+                    d[i] = (float)v * inv;
+                }
+            } else {
+                constexpr float inv = 1.0f / 8388608.0f;
+                const uint8_t* s = buf.data() + c * 3;
+                for (int64_t i = 0; i < frames; ++i, s += bpf) {
+                    int32_t v = (int32_t)((uint32_t)s[0] | ((uint32_t)s[1] << 8) |
+                                          ((uint32_t)s[2] << 16));
+                    v = (v << 8) >> 8;
+                    d[i] = (float)v * inv;
+                }
+            }
+        }
+        job->frames_read = frames;
+        job->rate = (int32_t)rate;
+        job->status.store(1);
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* f9_loader_create(int32_t n_threads) { return new Loader(n_threads); }
+void f9_loader_destroy(void* loader) { delete (Loader*)loader; }
+
+// Submit: returns a ticket (job pointer) to poll.
+void* f9_loader_submit(void* loader, const char* path, float* dst,
+                       int64_t max_frames, int32_t expect_channels) {
+    auto* L = (Loader*)loader;
+    auto* job = new LoadJob();
+    job->path = path;
+    job->dst = dst;
+    job->max_frames = max_frames;
+    job->expect_channels = expect_channels;
+    {
+        std::lock_guard<std::mutex> g(L->mu);
+        L->jobs.push_back(job);
+        L->pending.push(job);
+    }
+    L->cv.notify_one();
+    return job;
+}
+
+// Poll: 0 = pending, 1 = done, <0 = error; on done fills frames/rate.
+int32_t f9_loader_poll(void* ticket, int64_t* frames, int32_t* rate) {
+    auto* job = (LoadJob*)ticket;
+    const int32_t st = job->status.load();
+    if (st == 1) {
+        *frames = job->frames_read;
+        *rate = job->rate;
+    }
+    return st;
+}
+
+}  // extern "C"

@@ -78,3 +78,67 @@ def test_interleave_roundtrip():
     assert inter[0] == planar[0, 0] and inter[1] == planar[1, 0]
     back = native.deinterleave_f32(inter, 4)
     assert np.array_equal(back, planar)
+
+
+@needs_native
+def test_async_loader_roundtrip(tmp_path):
+    from f9tpu.io import write_wav
+    from f9tpu.native import AsyncLoader
+
+    rng = np.random.default_rng(7)
+    files = []
+    for i, bits in enumerate((16, 24, 24, 16)):
+        x = np.clip(0.4 * rng.standard_normal((2, 1000 + 37 * i)),
+                    -0.99, 0.99).astype(np.float32)
+        p = str(tmp_path / f"l{i}.wav")
+        write_wav(p, x, 44100, bits=bits)
+        files.append((p, x, bits))
+    with AsyncLoader(n_threads=3) as loader:
+        tickets = [loader.submit(p, 2, 4096) for p, _, _ in files]
+        for t, (p, x, bits) in zip(tickets, files):
+            data, rate = loader.wait(t)
+            assert rate == 44100
+            assert data.shape == x.shape
+            tol = 2.0 ** -(bits - 1)
+            assert np.abs(data - x).max() <= tol
+
+
+@needs_native
+def test_async_loader_error_paths(tmp_path):
+    from f9tpu.native import AsyncLoader
+
+    bad = str(tmp_path / "junk.wav")
+    with open(bad, "wb") as f:
+        f.write(b"garbage not a wav")
+    with AsyncLoader(n_threads=1) as loader:
+        t1 = loader.submit(bad, 2, 100)
+        with pytest.raises(ValueError):
+            loader.wait(t1)
+        t2 = loader.submit(str(tmp_path / "missing.wav"), 2, 100)
+        with pytest.raises(ValueError):
+            loader.wait(t2)
+
+
+@needs_native
+def test_async_loader_bwf_metadata(tmp_path):
+    """Native loader walks past large metadata chunks like the Python path."""
+    import struct
+
+    from f9tpu.io import write_wav
+    from f9tpu.native import AsyncLoader
+
+    x = np.clip(0.4 * np.random.default_rng(8).standard_normal((1, 500)),
+                -0.99, 0.99).astype(np.float32)
+    base = str(tmp_path / "p.wav")
+    write_wav(base, x, 48000, bits=24)
+    raw = open(base, "rb").read()
+    fmt_chunk, data_chunk = raw[12:36], raw[36:]
+    bext = b"bext" + struct.pack("<I", 70_000) + b"\x00" * 70_000
+    body = fmt_chunk + bext + data_chunk
+    p = str(tmp_path / "bwf.wav")
+    with open(p, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body)
+    with AsyncLoader(1) as loader:
+        data, rate = loader.wait(loader.submit(p, 1, 1000))
+        assert rate == 48000 and data.shape == (1, 500)
+        assert np.abs(data - x).max() <= 2.0 ** -23
