@@ -184,7 +184,10 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
     if tag == WAVE_FORMAT_IEEE_FLOAT:
         dt = "<f4" if bits == 32 else "<f8"
         w = np.dtype(dt).itemsize
-        x = np.frombuffer(raw, dt, count=count // w, offset=off).astype(np.float32)
+        with np.errstate(over="ignore"):  # corrupt float payloads overflow f32
+            x = np.nan_to_num(
+                np.frombuffer(raw, dt, count=count // w, offset=off)
+                .astype(np.float32), posinf=0.0, neginf=0.0)
     elif tag == WAVE_FORMAT_PCM:
         # zero-copy views into the file buffer (tobytes() would copy the
         # whole payload an extra time on the hot decode path)
@@ -311,7 +314,9 @@ class WavReader:
         raw = self._f.read(count * self._bytes_per_frame)
         if tag == WAVE_FORMAT_IEEE_FLOAT:
             dt = "<f4" if bits == 32 else "<f8"
-            x = np.frombuffer(raw, dt).astype(np.float32)
+            with np.errstate(over="ignore"):
+                x = np.nan_to_num(np.frombuffer(raw, dt).astype(np.float32),
+                                  posinf=0.0, neginf=0.0)
         elif bits == 16:
             x = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
         elif bits == 24:
