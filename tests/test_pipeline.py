@@ -650,3 +650,29 @@ def test_rms_db_normalized_by_valid_length(tmp_path):
     res = process_batch(x, np.array([frames], np.int32), cfg, rate,
                         jax.random.PRNGKey(0))
     assert abs(float(np.asarray(res.rms_db)[0]) - (-6.02)) < 0.1
+
+
+def test_scheduler_soak_many_small_files(tmp_path):
+    """100 tiny files through the full threaded pipeline: exercises queue
+    handoffs, the collector, manifest throttling, and resume bookkeeping at
+    volume (race-condition soak)."""
+    (tmp_path / "in").mkdir()
+    rng = np.random.default_rng(99)
+    paths = []
+    for i in range(100):
+        n = 500 + int(rng.integers(0, 1500))
+        x = (0.1 * rng.standard_normal((1, n))).astype(np.float32)
+        p = str(tmp_path / "in" / f"s{i:03d}.wav")
+        write_wav(p, x, 44100, bits=24)
+        paths.append(p)
+    cfg = ProcessingConfig(output_dir=str(tmp_path / "out"), target_rate=48000,
+                           quality="low", batch_size=16,
+                           bucket_frames=(2048, 4096))
+    bp = BatchProcessor(cfg)
+    res = bp.run(paths, manifest_path=str(tmp_path / "m.json"))
+    assert res.completed == 100 and res.failed == 0
+    assert len([f for f in os.listdir(tmp_path / "out")
+                if f.endswith(".wav")]) == 100
+    # resume run: everything skipped
+    res2 = BatchProcessor(cfg).run(paths, manifest_path=str(tmp_path / "m.json"))
+    assert res2.completed == 100 and res2.audio_seconds_in == 0.0
