@@ -32,7 +32,7 @@ import jax.numpy as jnp
 def main() -> None:
     from f9tpu.config import ProcessingConfig
     from f9tpu.models.oracle import resample_oracle
-    from f9tpu.pipeline.graph import _cfg_key, _process_impl
+    from f9tpu.pipeline.graph import _cfg_key, _process_impl_rows
     from f9tpu.utils.benchtime import measure_op
 
     dev = jax.devices()[0]
@@ -47,10 +47,9 @@ def main() -> None:
     key = jax.random.PRNGKey(0)
 
     def step(x):
-        return _process_impl(
-            x, valid, jnp.int32(0), jnp.float32(-96.0), key,
-            rate_in=rate_in, rate_out=rate_out, cfg_key=cfg_key,
-            static_zero_latency=True,
+        # the production fast path: rows layout (host flattens after D2H)
+        return _process_impl_rows(
+            x, valid, key, rate_in=rate_in, rate_out=rate_out, cfg_key=cfg_key,
         )
 
     x = jax.random.normal(key, (files, channels, frames), jnp.float32) * 0.25
@@ -73,14 +72,14 @@ def main() -> None:
     # headroom matters: resampling white noise overshoots its sample peaks
     # (Gibbs), and the 24-bit quantizer clips at full scale — keep peaks ~0.5
     xa_h = (0.125 * rng.standard_normal((1, 1, n_acc))).astype(np.float32)
-    res = _process_impl(
+    res = _process_impl_rows(
         jax.device_put(jnp.asarray(xa_h), dev),
-        jnp.full((1,), n_acc, jnp.int32), jnp.int32(0), jnp.float32(-96.0),
+        jnp.full((1,), n_acc, jnp.int32),
         jax.random.PRNGKey(1),
         rate_in=rate_in, rate_out=rate_out, cfg_key=_cfg_key(acc_cfg, 0),
-        static_zero_latency=True,
     )
     codes, out_frames = np.asarray(res[0]), int(np.asarray(res[1])[0])
+    codes = codes.reshape(1, codes.shape[1], -1)   # host flatten (free)
     got = codes[0, 0, :out_frames].astype(np.float64) / (1 << 23)
     ref = resample_oracle(xa_h[0, 0], rate_in, rate_out, quality="high")
     err = got - ref[:out_frames]

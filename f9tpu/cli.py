@@ -68,7 +68,7 @@ def _add_common_src_args(p: argparse.ArgumentParser) -> None:
 _CONFIG_KEYS = (
     "rate", "quality", "kind", "bits", "postfix", "no_dither", "keep_dc",
     "gain", "reverb", "noise_floor", "margin", "require_rate", "batch_size",
-    "routing", "channels",
+    "routing", "channels", "device_layout",
 )
 
 
@@ -120,6 +120,7 @@ def cmd_process(args) -> int:
         channel_routing=(
             [int(c) for c in args.routing.split(",")] if args.routing else None),
         output_channels=args.channels,
+        device_layout=args.device_layout,
     )
     _save_config(args)
     log = StatusLog(sink=lambda line: print(line, flush=True))
@@ -283,6 +284,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--require-rate", type=int, default=None,
                    help="strict mode: reject inputs not at this rate")
     p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--device-layout", default="packed",
+                   choices=["packed", "rows"],
+                   help="packed: fewest link bytes (remote TPU); rows: least "
+                        "device time (local TPU)")
     p.add_argument("--routing", default=None,
                    help="MCFX channel routing map, e.g. '0,1,-1,2' "
                         "(out[i] <- in[map[i]], -1 = silence)")

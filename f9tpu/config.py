@@ -77,6 +77,15 @@ class ProcessingConfig:
     bucket_frames: Sequence[int] = (
         1 << 16, 1 << 18, 1 << 20, 1 << 22, 60 * 192000
     )                                   # length buckets to bound recompiles
+    device_layout: str = "packed"
+    """Result layout trade-off (docs/PERF.md):
+    - "packed": flat layout + on-device 24-bit byte packing — minimum bytes
+      over the host<->device link (best when the link is slow, e.g. remote
+      TPU tunnels; 25% fewer bytes than int32).
+    - "rows": the SRC's native (n_rows, L) tiling end-to-end on device —
+      ~3x less device time (skips a pathological flat-reshape relayout);
+      best for locally attached TPUs where PCIe dwarfs the graph time.
+    """
 
     def validate(self) -> None:
         from .models.filters import QUALITY_PRESETS
@@ -93,6 +102,8 @@ class ProcessingConfig:
             raise ValueError("output_dir is required")
         if self.target_rate <= 0:
             raise ValueError("target_rate must be positive")
+        if self.device_layout not in ("packed", "rows"):
+            raise ValueError("device_layout must be 'packed' or 'rows'")
         if not 0 <= self.noise_floor_margin_pct <= 50:
             # the reference UI bounds the margin at 0-50 %
             # (Source/SettingsComponent: slider 0-50 step 5)

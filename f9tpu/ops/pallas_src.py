@@ -146,3 +146,93 @@ def resample_auto(x: jax.Array, bank: CycleBank, out_len: int | None = None) -> 
     if pallas_applicable(bank):
         return resample_pallas(x, bank, out_len=out_len)
     return resample(x, bank, out_len=out_len)
+
+
+def _kernel_roll(x_ref, tail_ref, g_ref, o_ref, *, tq: int, m: int, ell: int):
+    # R == 1 fast path: shift-by-one-row expressed as a cyclic sublane roll of
+    # the second dot plus a one-row fix from the next tile — no VMEM concat or
+    # slice copies at all.
+    a = x_ref[0]
+    dn = (((1,), (0,)), ((), ()))
+    d0 = jax.lax.dot_general(a, g_ref[:m, :], dn,
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+    d1 = jax.lax.dot_general(a, g_ref[m : 2 * m, :], dn,
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+    rolled = pltpu.roll(d1, shift=tq - 1, axis=0)
+    fix = jax.lax.dot_general(tail_ref[0, :1, :], g_ref[m : 2 * m, :], dn,
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tq, ell), 0)
+    o_ref[0] = jnp.where(rows == (tq - 1), d0 + fix, d0 + rolled)
+
+
+def resample_rows(
+    x: jax.Array,
+    bank: CycleBank,
+    out_len: int | None = None,
+    interpret: bool | None = None,
+) -> tuple[jax.Array, int]:
+    """Resample WITHOUT the device-side flat reshape: returns
+    ``(y (..., n_rows, L), out_len)`` where the logical output sample ``t``
+    lives at ``y[..., t // L, t % L]`` and ``n_rows * L >= out_len``.
+
+    Rationale: flattening a (rows, L) tiled array on device costs ~10x the
+    resampler itself when L is not 128-aligned (misaligned tile gather); the
+    rows layout keeps every downstream elementwise stage full speed, and a
+    host-side reshape after D2H is free.  Uses the roll kernel when the
+    overlap is a single row, the shift kernel otherwise, and the conv path
+    (transposed, unflattened) when Pallas does not apply.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    L, M, W = bank.L, bank.M, bank.W
+    T = x.shape[-1]
+    if out_len is None:
+        out_len = bank.out_len(T)
+    lead = x.shape[:-1]
+    if T == 0 or out_len == 0:
+        return jnp.zeros((*lead, 0, L), dtype=x.dtype), out_len
+    if not pallas_applicable(bank):
+        y = resample(x, bank, out_len=out_len)
+        pad = (-out_len) % L
+        y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, pad)])
+        return y.reshape(*lead, -1, L), out_len
+
+    Q = -(-out_len // L)
+    tq, R, n_tiles = _plan(bank, Q)
+    r_rows = -(-R // _ROW_ALIGN) * _ROW_ALIGN
+    bc = int(np.prod(lead)) if lead else 1
+    xf = x.reshape(bc, T)
+    n_rows = n_tiles * tq + r_rows
+    total = n_rows * M
+    pad_front = bank.pad_front
+    xp = jnp.pad(xf, ((0, 0), (pad_front, max(0, total - pad_front - T))))[:, :total]
+    xp3 = xp.reshape(bc, n_rows, M)
+    g = np.zeros(((R + 1) * M, L), np.float32)
+    g[:W, :] = cycle_matrix_f32(bank)
+    shift_blocks = tq // r_rows
+
+    if R == 1:
+        kern = functools.partial(_kernel_roll, tq=tq, m=M, ell=L)
+    else:
+        kern = functools.partial(_kernel, tq=tq, r=R, m=M, ell=L)
+    out = pl.pallas_call(
+        kern,
+        grid=(bc, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, tq, M), lambda b, q: (b, q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r_rows, M),
+                         lambda b, q: (b, (q + 1) * shift_blocks, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(((R + 1) * M, L), lambda b, q: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tq, L), lambda b, q: (b, q, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bc, n_tiles * tq, L), jnp.float32),
+        interpret=interpret,
+    )(xp3, xp3, jnp.asarray(g))
+    return out.reshape(*lead, n_tiles * tq, L), out_len

@@ -36,12 +36,16 @@ __all__ = ["ProcessResult", "build_process_fn", "process_batch"]
 class ProcessResult:
     """Device outputs for one batch (host-side views)."""
 
-    codes: Any          # (files, channels, out_frames) int32 PCM codes
+    codes: Any          # int32 PCM codes (or uint8 payload when packed):
+                        # layout "flat": (files, channels, out_total)
+                        # layout "rows": (files, channels, n_rows, L) — sample
+                        # t at [..., t // L, t % L]; host reshape is free
     out_frames: Any     # (files,) int32 — valid output length per file
     tail_terminated: Any  # (files,) bool — reverb-mode silence confirmed
     peak_db: Any        # (files,) float32, pre-quantize
     rms_db: Any         # (files,) float32
     noise_floor_db: Any  # (files,) float32 (tail window RMS)
+    layout: str = "flat"
 
 
 def _metrics(y: jax.Array, out_frames: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -189,6 +193,101 @@ def _process_impl(
     return codes, out_frames, terminated, pk_db, level_db, nf_est
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("rate_in", "rate_out", "cfg_key", "raw_in"),
+)
+def _process_impl_rows(
+    x: jax.Array,
+    frames_valid: jax.Array,
+    key: jax.Array,
+    *,
+    rate_in: int,
+    rate_out: int,
+    cfg_key: tuple,
+    raw_in: tuple[int, int] | None = None,
+):
+    """Rows-layout fast path (no reverb, zero chain latency).
+
+    Keeps the SRC output in its native ``(files, C, n_rows, L)`` tiling all
+    the way through masking, DC removal, metrics, and dither/quantize: the
+    device-side flat reshape of an L-wide array costs ~10x the resampler
+    itself when L is not 128-aligned, while a host-side reshape after D2H is
+    free.  Output sample ``t`` of a file lives at ``[..., t // L, t % L]``.
+    """
+    (quality, kind, bits, do_dither, remove_dc, gain_db, _trim_enabled,
+     _reverb_mode, _margin_pct, _tail_mode, tail_window_ms, _tail_hop_ms,
+     _tail_consecutive, _pad_frames, routing, out_channels) = cfg_key
+    from ..ops.pallas_src import resample_rows
+
+    if raw_in is not None:
+        from ..ops.devcodec import unpack_pcm_interleaved
+
+        in_channels, in_bits = raw_in
+        x = unpack_pcm_interleaved(x, in_channels, in_bits)
+
+    bank = design_cycle_bank(rate_in, rate_out, quality=quality, kind=kind)
+    files = x.shape[0]
+    if out_channels is not None and x.shape[1] == 1 and out_channels != 1:
+        x = jnp.broadcast_to(x, (files, out_channels, x.shape[-1]))
+    if routing is not None:
+        from ..ops.routing import route_channels
+
+        x = route_channels(x, list(routing))
+    x = mask_beyond(x, frames_valid)
+
+    y, _ = resample_rows(x, bank)          # (files, C, n_rows, L)
+    C, n_rows, L = y.shape[1], y.shape[2], y.shape[3]
+    out_total = n_rows * L
+
+    q_div, r_mod = jnp.divmod(frames_valid, bank.M)
+    out_valid = (q_div * bank.L + (r_mod * bank.L + bank.M - 1) // bank.M).astype(jnp.int32)
+    out_valid = jnp.minimum(out_valid, out_total)
+
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (n_rows, L), 0)
+    coli = jax.lax.broadcasted_iota(jnp.int32, (n_rows, L), 1)
+    pos = (rowi * L + coli)[None, None]                   # (1,1,n,L)
+    valid = pos < out_valid.reshape(files, 1, 1, 1)
+    y = jnp.where(valid, y, 0.0)
+
+    if remove_dc:
+        mean = (jnp.sum(y, axis=3, keepdims=True).sum(axis=2, keepdims=True)
+                / jnp.maximum(out_valid, 1).reshape(files, 1, 1, 1).astype(jnp.float32))
+        y = jnp.where(valid, y - mean, 0.0)
+    if gain_db:
+        y = y * (10.0 ** (gain_db / 20.0))
+
+    pk_db_amp = jnp.max(jnp.abs(y), axis=(1, 2, 3))
+    pk_db = jnp.where(pk_db_amp > 0,
+                      20.0 * jnp.log10(jnp.maximum(pk_db_amp, 1e-30)),
+                      analysis.DB_FLOOR)
+    n_valid = (out_valid.astype(jnp.float32) * C).clip(1.0)
+    rms = jnp.sqrt(jnp.sum(jnp.square(y), axis=(1, 2, 3)) / n_valid)
+    level_db = jnp.where(rms > 0, 20.0 * jnp.log10(jnp.maximum(rms, 1e-30)),
+                         analysis.DB_FLOOR)
+    # tail-window noise floor over [out-win, out) via a positional mask
+    win = max(1, rate_out * tail_window_ms // 1000)
+    tail_mask = (pos >= (out_valid.reshape(files, 1, 1, 1) - win)) & valid
+    mono = jnp.max(jnp.abs(y), axis=1)                     # (files, n, L)
+    tail_e = jnp.sum(jnp.square(mono) * tail_mask[:, 0], axis=(1, 2)) / win
+    nf_est = jnp.where(tail_e > 0,
+                       10.0 * jnp.log10(jnp.maximum(tail_e, 1e-30)),
+                       analysis.DB_FLOOR)
+
+    codes = (dither.tpdf_dither_quantize(y, key, bits=bits)
+             if do_dither else dither.quantize(y, bits=bits))
+    codes = jnp.where(valid, codes, 0)
+    if routing is not None and any(r < 0 for r in routing):
+        silent = jnp.asarray([r < 0 for r in routing]).reshape(1, -1, 1, 1)
+        codes = jnp.where(silent, 0, codes)
+    # NOTE: no device-side byte packing here — a (..., C, 3) uint8 tail gets
+    # tile-padded to 128 lanes in HBM (~42x D2H inflation); int32 codes in
+    # (files, C, n, L) transfer cleanly and the host packs with the native
+    # C++ loop instead.
+    terminated = jnp.ones((files,), bool)
+    return codes, out_valid, terminated, pk_db, level_db, nf_est
+
+
 def _cfg_key(cfg: ProcessingConfig, pad_frames: int) -> tuple:
     return (
         cfg.quality, cfg.kind, cfg.bits, cfg.dither, cfg.remove_dc,
@@ -227,16 +326,33 @@ def process_batch(
     latency_frames: int | jax.Array = 0,
     pad_frames: int | None = None,
     noise_floor_db: float | None = None,
+    rows_layout: bool = False,
 ) -> ProcessResult:
     """Run one fixed-shape batch through the fused graph.
 
     ``x``: (files, channels, frames_in) float32, zero-padded per file to the
     bucket length; ``frames_valid``: (files,) int32 true lengths.
     ``noise_floor_db`` overrides ``cfg.noise_floor_db`` (e.g. a per-run
-    measured floor) without recompiling.
+    measured floor) without recompiling.  ``rows_layout=True`` (non-reverb,
+    zero-latency batches only) keeps codes in the SRC's native (n_rows, L)
+    tiling — ~2x faster on device; flatten on the host (see ProcessResult).
     """
     if noise_floor_db is None:
         noise_floor_db = cfg.noise_floor_db
+    if (rows_layout and not cfg.reverb_mode
+            and isinstance(latency_frames, int) and latency_frames == 0):
+        codes, out_frames, terminated, pk, level, nf_est = _process_impl_rows(
+            x,
+            jnp.asarray(frames_valid, jnp.int32),
+            key,
+            rate_in=rate_in,
+            rate_out=cfg.target_rate,
+            cfg_key=_cfg_key(cfg, 0),
+        )
+        return ProcessResult(codes=codes, out_frames=out_frames,
+                             tail_terminated=terminated, peak_db=pk,
+                             rms_db=level, noise_floor_db=nf_est,
+                             layout="rows")
     if pad_frames is None:
         pad_frames = _default_pad_frames(cfg, rate_in, latency_frames)
     nf = jnp.float32(noise_floor_db if noise_floor_db is not None else 1.0)
@@ -271,6 +387,7 @@ def process_batch_raw(
     in_bits: int,
     latency_frames: int | jax.Array = 0,
     noise_floor_db: float | None = None,
+    rows_layout: bool = False,
 ) -> ProcessResult:
     """Raw-bytes fast path: uint8 interleaved PCM in, packed 24-bit payload out.
 
@@ -282,6 +399,23 @@ def process_batch_raw(
     """
     if cfg.bits != 24:
         raise ValueError("packed output path requires bits=24")
+    if (rows_layout and not cfg.reverb_mode
+            and isinstance(latency_frames, int) and latency_frames == 0):
+        codes, out_frames, terminated, pk, level, nf_est = _process_impl_rows(
+            raw,
+            jnp.asarray(frames_valid, jnp.int32),
+            key,
+            rate_in=rate_in,
+            rate_out=cfg.target_rate,
+            cfg_key=_cfg_key(cfg, 0),
+            raw_in=(in_channels, in_bits),
+        )
+        # int32 codes in rows layout (device packing would tile-pad the byte
+        # dims); the host flattens and packs with the native loop
+        return ProcessResult(codes=codes, out_frames=out_frames,
+                             tail_terminated=terminated, peak_db=pk,
+                             rms_db=level, noise_floor_db=nf_est,
+                             layout="rows")
     pad_frames = _default_pad_frames(cfg, rate_in, latency_frames)
     if noise_floor_db is None:
         noise_floor_db = cfg.noise_floor_db

@@ -343,6 +343,13 @@ class BatchProcessor:
                         c_paths, res, c_valid, c_rate_in, t_submit = item
                         try:
                             codes = np.asarray(res.codes)
+                            if res.layout == "rows":
+                                # host-side flatten of the device rows tiling
+                                # (free here; ~10x the SRC cost on device).
+                                # rows results are always int32 (f, C, n, L);
+                                # the native pack24 runs at encode time
+                                codes = codes.reshape(
+                                    codes.shape[0], codes.shape[1], -1)
                             out_frames = np.asarray(res.out_frames)
                             pk = np.asarray(res.peak_db)
                         except Exception as err:
@@ -361,7 +368,8 @@ class BatchProcessor:
                             enc_q.put((p, codes[i], int(out_frames[i]),
                                        cfg.target_rate,
                                        {"peak_db": float(pk[i]),
-                                        "payload": bool(raw_bits),
+                                        "payload": bool(raw_bits)
+                                                   and res.layout == "flat",
                                         "out_channels": out_ch}))
 
                 collector_thread = threading.Thread(target=collector, daemon=True)
@@ -404,15 +412,17 @@ class BatchProcessor:
                         # dispatch only — results stay on device; the
                         # collector thread materialises them (D2H) while the
                         # next batch is assembled and dispatched
+                        use_rows = cfg.device_layout == "rows"
                         if raw_bits:
                             res = process_batch_raw(
                                 x, valid, cfg, rate_in, sub,
                                 in_channels=channels, in_bits=raw_bits,
-                                latency_frames=lat, noise_floor_db=group_nf)
+                                latency_frames=lat, noise_floor_db=group_nf,
+                                rows_layout=use_rows)
                         else:
                             res = process_batch(
                                 x, valid, cfg, rate_in, sub, latency_frames=lat,
-                                noise_floor_db=group_nf)
+                                noise_floor_db=group_nf, rows_layout=use_rows)
                     except Exception as err:  # compile/dispatch failure
                         stop_event.set()
                         manifest.fail_remaining(f"device step failed: {err}")

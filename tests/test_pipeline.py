@@ -676,3 +676,97 @@ def test_scheduler_soak_many_small_files(tmp_path):
     # resume run: everything skipped
     res2 = BatchProcessor(cfg).run(paths, manifest_path=str(tmp_path / "m.json"))
     assert res2.completed == 100 and res2.audio_seconds_in == 0.0
+
+
+def test_rows_layout_matches_flat(tmp_path):
+    """The rows-layout fast path must match the flat path to <=1 LSB (the DC
+    mean is summed in a different order -> occasional rounding-tie flips)."""
+    rng = np.random.default_rng(70)
+    x = (0.2 * rng.standard_normal((2, 2, 5000))).astype(np.float32)
+    valid = np.array([5000, 3777], np.int32)
+    cfg = ProcessingConfig(output_dir=str(tmp_path), target_rate=48000,
+                           quality="low", dither=False)
+    key = jax.random.PRNGKey(0)
+    rf = process_batch(x, valid, cfg, 44100, key)
+    rr = process_batch(x, valid, cfg, 44100, key, rows_layout=True)
+    assert rf.layout == "flat" and rr.layout == "rows"
+    cf = np.asarray(rf.codes)
+    cr = np.asarray(rr.codes).reshape(2, 2, -1)[:, :, : cf.shape[-1]]
+    assert np.array_equal(np.asarray(rf.out_frames), np.asarray(rr.out_frames))
+    assert np.abs(cf.astype(np.int64) - cr.astype(np.int64)).max() <= 1
+    assert np.allclose(np.asarray(rf.peak_db), np.asarray(rr.peak_db), atol=1e-3)
+    assert np.allclose(np.asarray(rf.rms_db), np.asarray(rr.rms_db), atol=1e-2)
+
+
+def test_rows_layout_raw_path(tmp_path):
+    from f9tpu.io import read_raw_pcm, write_wav
+    from f9tpu.pipeline import process_batch_raw
+
+    rng = np.random.default_rng(71)
+    frames = 4410
+    x = (0.2 * rng.standard_normal((2, frames))).astype(np.float32)
+    src = str(tmp_path / "r.wav")
+    write_wav(src, x, 44100, bits=24)
+    raw, info = read_raw_pcm(src)
+    cfg = ProcessingConfig(output_dir=str(tmp_path), target_rate=48000,
+                           quality="low", dither=False, remove_dc=False)
+    bucket = 8192
+    rawb = np.zeros((1, bucket * 2 * 3), np.uint8)
+    rawb[0, : len(raw)] = raw
+    key = jax.random.PRNGKey(0)
+    r_flat = process_batch_raw(rawb, np.array([frames], np.int32), cfg, 44100,
+                               key, in_channels=2, in_bits=24)
+    r_rows = process_batch_raw(rawb, np.array([frames], np.int32), cfg, 44100,
+                               key, in_channels=2, in_bits=24, rows_layout=True)
+    of = int(np.asarray(r_flat.out_frames)[0])
+    assert int(np.asarray(r_rows.out_frames)[0]) == of
+    # flat raw path emits a device-packed byte payload; rows emits int32 codes
+    # (host packs) — reconstruct bytes from the rows codes and compare
+    assert r_rows.layout == "rows"
+    from f9tpu.io.wav import _pack24
+    rows_codes = np.asarray(r_rows.codes).reshape(1, 2, -1)[0, :, :of]
+    pr = _pack24(np.ascontiguousarray(rows_codes.T).reshape(-1))
+    pf = np.asarray(r_flat.codes)[0, : of * 2 * 3]
+    assert np.array_equal(pf, pr)
+
+
+def test_batch_processor_rows_end_to_end(tmp_path):
+    """Scheduler now runs the rows fast path by default: outputs must still
+    be correct WAVs at oracle parity."""
+    (tmp_path / "in").mkdir()
+    files = make_lib(tmp_path / "in", n=2, seconds=0.15)
+    out_dir = str(tmp_path / "out")
+    cfg = ProcessingConfig(output_dir=out_dir, target_rate=48000,
+                           quality="medium", remove_dc=False, dither=False)
+    res = BatchProcessor(cfg).run(files)
+    assert res.completed == 2
+    for p in files:
+        y, rate = read_wav(build_output_path(p, out_dir, cfg.postfix))
+        src, _ = read_wav(p)
+        assert rate == 48000
+        assert y.shape[-1] == -(-src.shape[-1] * 160 // 147)
+        ref = resample_oracle(src[0], 44100, 48000, quality="medium")
+        err = y[0].astype(np.float64) - ref
+        db = 20 * np.log10(np.sqrt((err**2).mean())
+                           / np.sqrt((ref**2).mean()) + 1e-30)
+        assert db < -95, db
+
+
+def test_batch_processor_rows_device_layout(tmp_path):
+    (tmp_path / "in").mkdir()
+    files = make_lib(tmp_path / "in", n=2, seconds=0.1)
+    out_dir = str(tmp_path / "out")
+    cfg = ProcessingConfig(output_dir=out_dir, target_rate=48000,
+                           quality="low", dither=False, remove_dc=False,
+                           device_layout="rows")
+    res = BatchProcessor(cfg).run(files)
+    assert res.completed == 2
+    for p in files:
+        y, rate = read_wav(build_output_path(p, out_dir, cfg.postfix))
+        src, _ = read_wav(p)
+        assert rate == 48000
+        ref = resample_oracle(src[0], 44100, 48000, quality="low")
+        err = y[0].astype(np.float64) - ref
+        db = 20 * np.log10(np.sqrt((err**2).mean())
+                           / np.sqrt((ref**2).mean()) + 1e-30)
+        assert db < -95, db
