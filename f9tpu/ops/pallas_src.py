@@ -85,59 +85,22 @@ def resample_pallas(
     out_len: int | None = None,
     interpret: bool | None = None,
 ) -> jax.Array:
-    """Drop-in equivalent of `resample` via the Pallas kernel.
+    """Drop-in equivalent of `resample` via the Pallas kernel (flat output).
 
-    ``x``: (..., T) float32.  Semantics identical to `resample` (zero overall
-    delay, out_len = ceil(T*L/M) by default).  ``interpret`` defaults to True
-    on non-TPU backends (the hermetic-test path, SURVEY.md section 4).
+    Thin wrapper over `resample_rows` + a device-side flat reshape.  NOTE the
+    flat reshape of an L-wide rows array is expensive when L is not
+    128-aligned (docs/PERF.md); prefer `resample_rows` when downstream stages
+    can work in the rows tiling.
     """
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    L, M, W = bank.L, bank.M, bank.W
     T = x.shape[-1]
     if out_len is None:
         out_len = bank.out_len(T)
     if T == 0 or out_len == 0:
         return jnp.zeros((*x.shape[:-1], out_len), dtype=x.dtype)
-    Q = -(-out_len // L)
-    tq, R, n_tiles = _plan(bank, Q)
-    r_rows = -(-R // _ROW_ALIGN) * _ROW_ALIGN   # overlap block sublane size
-
+    y, _ = resample_rows(x, bank, out_len=out_len, interpret=interpret)
     lead = x.shape[:-1]
     bc = int(np.prod(lead)) if lead else 1
-    xf = x.reshape(bc, T)
-
-    # Rows of width M: main tiles plus one aligned overlap block of lookahead.
-    n_rows = n_tiles * tq + r_rows
-    total = n_rows * M
-    pad_front = bank.pad_front
-    pad_back = total - pad_front - T
-    xp = jnp.pad(xf, ((0, 0), (pad_front, max(0, pad_back))))[:, :total]
-    xp3 = xp.reshape(bc, n_rows, M)
-
-    g = np.zeros(((R + 1) * M, L), np.float32)
-    g[:W, :] = cycle_matrix_f32(bank)
-    shift_blocks = tq // r_rows  # overlap block index stride (rows / r_rows)
-
-    out = pl.pallas_call(
-        functools.partial(_kernel, tq=tq, r=R, m=M, ell=L),
-        grid=(bc, n_tiles),
-        in_specs=[
-            pl.BlockSpec((1, tq, M), lambda b, q: (b, q, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, r_rows, M),
-                         lambda b, q: (b, (q + 1) * shift_blocks, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(((R + 1) * M, L), lambda b, q: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, tq, L), lambda b, q: (b, q, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bc, n_tiles * tq, L), jnp.float32),
-        interpret=interpret,
-    )(xp3, xp3, jnp.asarray(g))
-
-    return out.reshape(bc, n_tiles * tq * L)[:, :out_len].reshape(*lead, out_len)
+    return y.reshape(bc, -1)[:, :out_len].reshape(*lead, out_len)
 
 
 def resample_auto(x: jax.Array, bank: CycleBank, out_len: int | None = None) -> jax.Array:

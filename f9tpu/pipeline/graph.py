@@ -59,6 +59,36 @@ def _metrics(y: jax.Array, out_frames: jax.Array) -> tuple[jax.Array, jax.Array]
     return analysis.peak_db(flat), rms_db
 
 
+
+def _front_end(x, frames_valid, routing, out_channels, raw_in):
+    """Shared input stages for both layouts: on-device raw decode, mono
+    fan-out, MCFX routing (Docs/MultiChannel MCFX with JUCE.md:85-163;
+    mono->stereo read path Source/MainComponent.cpp:727-739), and zeroing
+    beyond each file's true length."""
+    if raw_in is not None:
+        from ..ops.devcodec import unpack_pcm_interleaved
+
+        in_channels, in_bits = raw_in
+        x = unpack_pcm_interleaved(x, in_channels, in_bits)
+    files = x.shape[0]
+    if out_channels is not None and x.shape[1] == 1 and out_channels != 1:
+        x = jnp.broadcast_to(x, (files, out_channels, x.shape[-1]))
+    if routing is not None:
+        from ..ops.routing import route_channels
+
+        x = route_channels(x, list(routing))
+    return mask_beyond(x, frames_valid)
+
+
+def _exact_out_valid(frames_valid, bank, out_total):
+    """ceil(n*L/M) per file in exact int32 split arithmetic (fp32 would drop
+    frames for minute-long files: n*L exceeds 2^24)."""
+    q_div, r_mod = jnp.divmod(frames_valid, bank.M)
+    out_valid = (q_div * bank.L
+                 + (r_mod * bank.L + bank.M - 1) // bank.M).astype(jnp.int32)
+    return jnp.minimum(out_valid, out_total)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("rate_in", "rate_out", "cfg_key", "static_zero_latency",
@@ -82,29 +112,9 @@ def _process_impl(
      reverb_mode, margin_pct, tail_mode, tail_window_ms, tail_hop_ms,
      tail_consecutive, pad_frames, routing, out_channels) = cfg_key
 
-    if raw_in is not None:
-        # On-device decode: x is uint8 interleaved PCM payload (files, bytes)
-        # — the host uploaded container bytes, not float32 (devcodec).
-        in_channels, in_bits = raw_in
-        from ..ops.devcodec import unpack_pcm_interleaved
-
-        x = unpack_pcm_interleaved(x, in_channels, in_bits)
-
     bank = design_cycle_bank(rate_in, rate_out, quality=quality, kind=kind)
     files = x.shape[0]
-
-    # MCFX-style channel routing / mono fan-out BEFORE the SRC so every output
-    # bus is resampled exactly once (Docs/MultiChannel MCFX with JUCE.md:85-163;
-    # mono->stereo read path Source/MainComponent.cpp:727-739).
-    if out_channels is not None and x.shape[1] == 1 and out_channels != 1:
-        x = jnp.broadcast_to(x, (files, out_channels, x.shape[-1]))
-    if routing is not None:
-        from ..ops.routing import route_channels
-
-        x = route_channels(x, list(routing))
-
-    # Zero out samples beyond each file's true length (bucket padding).
-    x = mask_beyond(x, frames_valid)
+    x = _front_end(x, frames_valid, routing, out_channels, raw_in)
     if pad_frames:
         # Capture head-room for reverb tails: src + 5*latency rule
         # (Source/AppState.h:240-243), as explicit silence padding.
@@ -119,11 +129,7 @@ def _process_impl(
         # output is the single most expensive non-SRC stage.
         y = trim_latency(y, latency_frames, out_total)
 
-    # Valid output frames per file: ceil(n*L/M) in exact int32 split arithmetic
-    # (fp32 would drop frames for minute-long files: n*L exceeds 2^24).
-    q_div, r_mod = jnp.divmod(frames_valid, bank.M)
-    out_valid = (q_div * bank.L + (r_mod * bank.L + bank.M - 1) // bank.M).astype(jnp.int32)
-    out_valid = jnp.minimum(out_valid, out_total)
+    out_valid = _exact_out_valid(frames_valid, bank, out_total)
 
     if reverb_mode:
         end_frame, terminated = detect_tail_end(
@@ -220,29 +226,14 @@ def _process_impl_rows(
      _tail_consecutive, _pad_frames, routing, out_channels) = cfg_key
     from ..ops.pallas_src import resample_rows
 
-    if raw_in is not None:
-        from ..ops.devcodec import unpack_pcm_interleaved
-
-        in_channels, in_bits = raw_in
-        x = unpack_pcm_interleaved(x, in_channels, in_bits)
-
     bank = design_cycle_bank(rate_in, rate_out, quality=quality, kind=kind)
     files = x.shape[0]
-    if out_channels is not None and x.shape[1] == 1 and out_channels != 1:
-        x = jnp.broadcast_to(x, (files, out_channels, x.shape[-1]))
-    if routing is not None:
-        from ..ops.routing import route_channels
-
-        x = route_channels(x, list(routing))
-    x = mask_beyond(x, frames_valid)
+    x = _front_end(x, frames_valid, routing, out_channels, raw_in)
 
     y, _ = resample_rows(x, bank)          # (files, C, n_rows, L)
     C, n_rows, L = y.shape[1], y.shape[2], y.shape[3]
     out_total = n_rows * L
-
-    q_div, r_mod = jnp.divmod(frames_valid, bank.M)
-    out_valid = (q_div * bank.L + (r_mod * bank.L + bank.M - 1) // bank.M).astype(jnp.int32)
-    out_valid = jnp.minimum(out_valid, out_total)
+    out_valid = _exact_out_valid(frames_valid, bank, out_total)
 
     rowi = jax.lax.broadcasted_iota(jnp.int32, (n_rows, L), 0)
     coli = jax.lax.broadcasted_iota(jnp.int32, (n_rows, L), 1)
@@ -269,7 +260,10 @@ def _process_impl_rows(
     win = max(1, rate_out * tail_window_ms // 1000)
     tail_mask = (pos >= (out_valid.reshape(files, 1, 1, 1) - win)) & valid
     mono = jnp.max(jnp.abs(y), axis=1)                     # (files, n, L)
-    tail_e = jnp.sum(jnp.square(mono) * tail_mask[:, 0], axis=(1, 2)) / win
+    # RMS over the VALID tail samples (a file shorter than one window has
+    # fewer than `win` of them; dividing by `win` would understate the floor)
+    n_tail = jnp.minimum(out_valid, win).astype(jnp.float32).clip(1.0)
+    tail_e = jnp.sum(jnp.square(mono) * tail_mask[:, 0], axis=(1, 2)) / n_tail
     nf_est = jnp.where(tail_e > 0,
                        10.0 * jnp.log10(jnp.maximum(tail_e, 1e-30)),
                        analysis.DB_FLOOR)

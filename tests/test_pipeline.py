@@ -731,13 +731,14 @@ def test_rows_layout_raw_path(tmp_path):
 
 
 def test_batch_processor_rows_end_to_end(tmp_path):
-    """Scheduler now runs the rows fast path by default: outputs must still
-    be correct WAVs at oracle parity."""
+    """Scheduler with device_layout='rows': outputs must still be correct
+    WAVs at oracle parity (the default layout is 'packed')."""
     (tmp_path / "in").mkdir()
     files = make_lib(tmp_path / "in", n=2, seconds=0.15)
     out_dir = str(tmp_path / "out")
     cfg = ProcessingConfig(output_dir=out_dir, target_rate=48000,
-                           quality="medium", remove_dc=False, dither=False)
+                           quality="medium", remove_dc=False, dither=False,
+                           device_layout="rows")
     res = BatchProcessor(cfg).run(files)
     assert res.completed == 2
     for p in files:
