@@ -33,7 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..models.filters import CycleBank
 from .resample import cycle_matrix_f32, resample
 
-__all__ = ["pallas_applicable", "resample_pallas", "resample_auto"]
+__all__ = ["pallas_applicable", "resample_pallas", "resample_auto", "resample_rows"]
 
 #: Max overlap rows (extra input blocks) the kernel supports efficiently.
 _MAX_R = 8
