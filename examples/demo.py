@@ -1,0 +1,83 @@
+"""End-to-end demo: the five benchmark configurations of BASELINE.json.
+
+Generates a small synthetic library, then exercises each configuration
+through the public CLI/API. Run on any backend (TPU when attached):
+
+    python examples/demo.py [workdir]
+"""
+
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from f9tpu.cli import main  # noqa: E402
+from f9tpu.io import read_wav, write_wav  # noqa: E402
+from f9tpu.models import resample_oracle  # noqa: E402
+
+
+def db(err, ref):
+    return 20 * np.log10(np.sqrt((err**2).mean()) / np.sqrt((ref**2).mean()) + 1e-30)
+
+
+def run(workdir: str) -> None:
+    rng = np.random.default_rng(0)
+    lib = os.path.join(workdir, "lib")
+    os.makedirs(lib, exist_ok=True)
+
+    # --- config 1: single mono 44.1k -> 48k, parity vs the oracle ---
+    mono = (0.12 * rng.standard_normal(44100)).astype(np.float32)
+    write_wav(f"{lib}/mono.wav", mono, 44100, bits=24)
+    assert main(["process", f"{lib}/mono.wav", "--out", f"{workdir}/c1",
+                 "--rate", "48000", "--quality", "high",
+                 "--no-dither", "--keep-dc"]) == 0
+    y, _ = read_wav(f"{workdir}/c1/mono_processed.wav")
+    parity = db(y[0].astype(np.float64)
+                - resample_oracle(mono, 44100, 48000, quality="high"),
+                resample_oracle(mono, 44100, 48000, quality="high"))
+    print(f"[1] mono 44.1->48k parity vs oracle: {parity:.1f} dB (target <= -120)")
+    assert parity <= -120
+
+    # --- config 2: stereo batch 96k -> 44.1k, TPDF dither to 24-bit ---
+    for i in range(3):
+        x = (0.2 * rng.standard_normal((2, 96000))).astype(np.float32)
+        write_wav(f"{lib}/s96_{i}.wav", x, 96000, bits=24)
+    assert main(["process", f"{lib}/s96_0.wav", f"{lib}/s96_1.wav",
+                 f"{lib}/s96_2.wav", "--out", f"{workdir}/c2",
+                 "--rate", "44100", "--quality", "high"]) == 0
+    print("[2] stereo 96k->44.1k batch with TPDF dither: 3/3 completed")
+
+    # --- config 3: MCFX 8-ch with routing map ---
+    bus = (0.15 * rng.standard_normal((8, 44100))).astype(np.float32)
+    write_wav(f"{lib}/bus.wav", bus, 44100, bits=24)
+    assert main(["process", f"{lib}/bus.wav", "--out", f"{workdir}/c3",
+                 "--rate", "48000", "--quality", "high",
+                 "--routing", "7,0,-1,3"]) == 0
+    y3, _ = read_wav(f"{workdir}/c3/bus_processed.wav")
+    assert y3.shape[0] == 4 and np.all(y3[2] == 0)
+    print("[3] MCFX 8-ch routed to 4 buses (silent bus is digital zero)")
+
+    # --- config 4: latency-compensated render + reverb tail trim ---
+    t = np.arange(44100) / 44100
+    hit = (0.4 * np.sin(2 * np.pi * 220 * t) * np.exp(-t * 8)).astype(np.float32)
+    write_wav(f"{lib}/hit.wav", np.stack([hit, hit]), 44100, bits=24)
+    assert main(["process", f"{lib}/hit.wav", "--out", f"{workdir}/c4",
+                 "--rate", "48000", "--quality", "high", "--reverb",
+                 "--noise-floor", "-96"]) == 0
+    print("[4] reverb-mode render with auto latency calibration + tail trim")
+
+    # --- config 5: mixed-rate library in one run ---
+    for rate in (44100, 48000, 88200, 96000, 192000):
+        x = (0.15 * rng.standard_normal((2, rate // 2))).astype(np.float32)
+        write_wav(f"{lib}/r{rate}.wav", x, rate, bits=24)
+    assert main(["process", lib, "--out", f"{workdir}/c5",
+                 "--rate", "48000", "--quality", "high", "--json"]) == 0
+    print("[5] mixed-rate studio library -> 48k in one batch")
+    print("demo complete:", workdir)
+
+
+if __name__ == "__main__":
+    run(sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(prefix="f9tpu_demo_"))
