@@ -68,6 +68,10 @@ def stream_resample_file(
     if cfg.latency_frames:
         raise ValueError("external chain latency is not supported on the "
                          "streaming path (the SRC chain is delay-free)")
+    if not in_path.lower().endswith(".wav"):
+        raise ValueError("the streaming path reads WAV only; for AIFF use the "
+                         "batch path (process), which decodes any supported "
+                         "container")
     with WavReader(in_path) as reader:
         rate_in = reader.sample_rate
         bank = design_cycle_bank(rate_in, cfg.target_rate,
