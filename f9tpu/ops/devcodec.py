@@ -38,6 +38,8 @@ def unpack_pcm_interleaved(raw: jax.Array, channels: int, bits: int) -> jax.Arra
     lead = raw.shape[:-1]
     total = raw.shape[-1]
     frames = total // (channels * nbytes)
+    # drop a trailing partial frame (truncated payload) like the host decoder
+    raw = raw[..., : frames * channels * nbytes]
     b = raw.reshape(*lead, frames, channels, nbytes).astype(jnp.int32)
     if bits == 16:
         v = b[..., 0] | (b[..., 1] << 8)

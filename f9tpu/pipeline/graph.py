@@ -83,6 +83,12 @@ def _front_end(x, frames_valid, routing, out_channels, raw_in):
 def _exact_out_valid(frames_valid, bank, out_total):
     """ceil(n*L/M) per file in exact int32 split arithmetic (fp32 would drop
     frames for minute-long files: n*L exceeds 2^24)."""
+    if bank.L * bank.M >= 2**31:
+        # r_mod*L below would wrap int32; only reachable for extreme
+        # rational approximations of varispeed ratios
+        raise ValueError(
+            f"ratio {bank.L}/{bank.M} too fine for the batch graph's int32 "
+            f"length math; re-resolve with a smaller max_denominator")
     q_div, r_mod = jnp.divmod(frames_valid, bank.M)
     out_valid = (q_div * bank.L
                  + (r_mod * bank.L + bank.M - 1) // bank.M).astype(jnp.int32)
@@ -176,11 +182,16 @@ def _process_impl(
     # span (the role of calculateNoiseFloor, LatencyMeasurementService.swift:173-181).
     win = max(1, rate_out * tail_window_ms // 1000)
     mono = jnp.max(jnp.abs(y), axis=1)                          # (files, out_total)
-    pos = jnp.clip(
-        out_frames[:, None] - win + jnp.arange(win, dtype=jnp.int32)[None, :],
-        0, out_total - 1,
-    )
-    nf_est = analysis.rms_db(jnp.take_along_axis(mono, pos, axis=-1))
+    raw_pos = (out_frames[:, None] - win
+               + jnp.arange(win, dtype=jnp.int32)[None, :])
+    in_range = raw_pos >= 0            # short files have < win valid samples
+    gathered = jnp.take_along_axis(
+        mono, jnp.clip(raw_pos, 0, out_total - 1), axis=-1)
+    n_tail = jnp.minimum(out_frames, win).astype(jnp.float32).clip(1.0)
+    tail_rms = jnp.sqrt(jnp.sum(jnp.square(gathered) * in_range, axis=-1) / n_tail)
+    nf_est = jnp.where(tail_rms > 0,
+                       20.0 * jnp.log10(jnp.maximum(tail_rms, 1e-30)),
+                       analysis.DB_FLOOR)
     codes = (dither.tpdf_dither_quantize(y, key, bits=bits)
              if do_dither else dither.quantize(y, bits=bits))
     codes = jnp.where(
@@ -248,14 +259,10 @@ def _process_impl_rows(
     if gain_db:
         y = y * (10.0 ** (gain_db / 20.0))
 
-    pk_db_amp = jnp.max(jnp.abs(y), axis=(1, 2, 3))
-    pk_db = jnp.where(pk_db_amp > 0,
-                      20.0 * jnp.log10(jnp.maximum(pk_db_amp, 1e-30)),
-                      analysis.DB_FLOOR)
+    pk_db = analysis._amp_to_db(jnp.max(jnp.abs(y), axis=(1, 2, 3)))
     n_valid = (out_valid.astype(jnp.float32) * C).clip(1.0)
-    rms = jnp.sqrt(jnp.sum(jnp.square(y), axis=(1, 2, 3)) / n_valid)
-    level_db = jnp.where(rms > 0, 20.0 * jnp.log10(jnp.maximum(rms, 1e-30)),
-                         analysis.DB_FLOOR)
+    level_db = analysis._amp_to_db(
+        jnp.sqrt(jnp.sum(jnp.square(y), axis=(1, 2, 3)) / n_valid))
     # tail-window noise floor over [out-win, out) via a positional mask
     win = max(1, rate_out * tail_window_ms // 1000)
     tail_mask = (pos >= (out_valid.reshape(files, 1, 1, 1) - win)) & valid
@@ -263,10 +270,8 @@ def _process_impl_rows(
     # RMS over the VALID tail samples (a file shorter than one window has
     # fewer than `win` of them; dividing by `win` would understate the floor)
     n_tail = jnp.minimum(out_valid, win).astype(jnp.float32).clip(1.0)
-    tail_e = jnp.sum(jnp.square(mono) * tail_mask[:, 0], axis=(1, 2)) / n_tail
-    nf_est = jnp.where(tail_e > 0,
-                       10.0 * jnp.log10(jnp.maximum(tail_e, 1e-30)),
-                       analysis.DB_FLOOR)
+    nf_est = analysis._amp_to_db(jnp.sqrt(
+        jnp.sum(jnp.square(mono) * tail_mask[:, 0], axis=(1, 2)) / n_tail))
 
     codes = (dither.tpdf_dither_quantize(y, key, bits=bits)
              if do_dither else dither.quantize(y, bits=bits))
@@ -301,12 +306,16 @@ def _default_pad_frames(cfg: ProcessingConfig, rate_in: int, latency_frames) -> 
     by the 60 s cap (AudioProcessingService.swift:449-452)."""
     if not cfg.reverb_mode:
         return 0
-    lat = int(latency_frames) if isinstance(latency_frames, int) else 0
+    # latency is measured in OUTPUT-rate frames (trim consumes it from y);
+    # the pad is INPUT-rate frames — convert so the reference's src + 5*lat
+    # head-room survives downsampling ratios
+    lat_out = int(latency_frames) if isinstance(latency_frames, int) else 0
+    lat_in = -(-lat_out * rate_in // max(cfg.target_rate, 1))
     detect_ms = (cfg.tail_window_ms
                  + (cfg.tail_consecutive + 1) * cfg.tail_hop_ms + 100)
     detect_frames = detect_ms * rate_in // 1000
     return min(
-        max(recording_length(0, lat) + 4096, detect_frames),
+        max(recording_length(0, lat_in) + 4096, detect_frames),
         int(cfg.max_tail_seconds * rate_in),
     )
 

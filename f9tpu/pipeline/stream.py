@@ -68,6 +68,10 @@ def stream_resample_file(
     if cfg.latency_frames:
         raise ValueError("external chain latency is not supported on the "
                          "streaming path (the SRC chain is delay-free)")
+    if cfg.channel_routing is not None or cfg.output_channels:
+        raise ValueError("channel routing / fan-out is a batch-path feature "
+                         "(use process); the streaming path preserves the "
+                         "input channel layout")
     if not in_path.lower().endswith(".wav"):
         raise ValueError("the streaming path reads WAV only; for AIFF use the "
                          "batch path (process), which decodes any supported "
@@ -76,7 +80,7 @@ def stream_resample_file(
         rate_in = reader.sample_rate
         bank = design_cycle_bank(rate_in, cfg.target_rate,
                                  quality=cfg.quality, kind=cfg.kind)
-        L, M, W = bank.L, bank.M, bank.W
+        M, W = bank.M, bank.W
         halo_left = bank.pad_front
         halo_right = max(0, W - M - halo_left)  # clamp: heavy lagrange
         # downsampling makes W - M - halo_left negative
@@ -96,13 +100,17 @@ def stream_resample_file(
                 pos += blk.shape[1]
             mean = (acc / T).astype(np.float32).reshape(-1, 1)
 
-        key = jax.random.PRNGKey(0)
+        # per-file dither key: derived from the path so two files (or two
+        # runs over different files) never share a dither noise sequence
+        import zlib
+
+        key = jax.random.PRNGKey(zlib.crc32(in_path.encode()) & 0x7FFFFFFF)
         written = 0
         with WavWriter(out_path, reader.num_channels, cfg.target_rate,
                        bits=cfg.bits) as writer:
             start = 0
             ci = 0
-            while start < T or (written < out_total and start == 0):
+            while start < T:
                 # chunk input span incl. halos, zero-padded at the ends
                 lo = start - halo_left
                 hi = start + chunk_in + halo_right

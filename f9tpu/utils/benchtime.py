@@ -10,6 +10,11 @@ Two fixes, both used by `measure_op`:
    iteration-dependent input perturbation so nothing hoists/CSEs), and the
    per-op time is the slope between an n=1 and an n=N run — the round-trip
    cancels.
+
+The perturbation multiply and the full-output probe reduction run inside the
+timed loop, so measurements conservatively OVERSTATE the op's own time by one
+input pass + one output pass per iteration — negligible for the compute-heavy
+graphs this measures, and errs in the honest direction for throughput claims.
 """
 
 from __future__ import annotations
@@ -65,4 +70,7 @@ def measure_op(
         tn = time.time() - t0
         samples.append(max(1e-9, (tn - t1) / n))
     samples.sort()
-    return samples[len(samples) // 2]
+    mid = len(samples) // 2
+    if len(samples) % 2 == 0:
+        return 0.5 * (samples[mid - 1] + samples[mid])  # true median
+    return samples[mid]
