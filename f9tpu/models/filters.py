@@ -169,20 +169,26 @@ def lagrange_phase_bank(L: int, order: int = 4) -> np.ndarray:
     ``order=4`` is the 5-point family of JUCE's ``LagrangeInterpolator``.
     """
     K = order + 1
-    # Sample grid j = 0..order maps to positions j - floor(order/2); evaluate at
-    # t = p/L relative to the centre sample.
+    # The execution contract is y[n] = sum_j H[p, j] * x[base - j] with
+    # base = floor(n*M/L) + order//2 (delay folded in), so tap j multiplies
+    # the sample at node position (order//2 - j) relative to the evaluation
+    # base — the node axis RUNS BACKWARDS in j.  Evaluate each Lagrange basis
+    # at t = p/L on nodes centre - j (a mirrored mapping here would weight a
+    # sample ~2 steps past the target almost like the nearest one; caught by
+    # the impulse calibration, invisible to oracle-parity tests which share
+    # this bank).
     centre = order // 2
     H = np.zeros((L, K), dtype=np.float64)
+    nodes = [centre - j for j in range(K)]
     for p in range(L):
         t = p / L
         for j in range(K):
-            xj = j - centre
+            xj = nodes[j]
             w = 1.0
-            for mIdx in range(K):
-                if mIdx == j:
+            for m_node in nodes:
+                if m_node == xj:
                     continue
-                xm = mIdx - centre
-                w *= (t - xm) / (xj - xm)
+                w *= (t - m_node) / (xj - m_node)
             H[p, j] = w
     return H
 

@@ -72,13 +72,27 @@ def measure_latency(
     y = jnp.asarray(y)
     peak_idx = int(analysis.peak_position(y))
     peak_amp = float(jnp.abs(y[peak_idx]))
-    # Expected zero-delay landing position of the impulse at the output rate:
-    # exact rational mapping of `pos` (same integer math as the index path).
+    # Sub-sample peak refinement (parabolic fit on |y| around the maximum):
+    # the raw argmax lands on whichever output sample carries the largest
+    # interpolation weight, which for short kernels (Lagrange) can sit 1-2
+    # samples off the true zero-delay position and would then be *applied* as
+    # a bogus trim.  The reference's integer peak is fine for its hardware
+    # loop (delays are whole buffers); a compensated FIR chain needs the
+    # fractional estimate rounded, not the argmax.
+    ya = np.abs(np.asarray(y))
+    if 0 < peak_idx < len(ya) - 1:
+        a, b, c = ya[peak_idx - 1], ya[peak_idx], ya[peak_idx + 1]
+        denom = a - 2 * b + c
+        frac = 0.5 * (a - c) / denom if abs(denom) > 1e-12 else 0.0
+        refined = peak_idx + float(np.clip(frac, -0.5, 0.5))
+    else:
+        refined = float(peak_idx)
+    # Expected zero-delay landing position of the impulse at the output rate.
     from ..models.filters import resolve_ratio
 
     L, M = resolve_ratio(rate_in, rate_out)
-    expected = (pos * L) // M if (pos * L) % M == 0 else round(pos * L / M)
-    latency = peak_idx - int(expected)
+    expected_f = pos * L / M
+    latency = int(round(refined - expected_f))
     # Noise floor: RMS away from the impulse response's main lobe
     # (calculateNoiseFloor, LatencyMeasurementService.swift:173-181).
     yn = np.asarray(y)

@@ -771,3 +771,52 @@ def test_batch_processor_rows_device_layout(tmp_path):
         db = 20 * np.log10(np.sqrt((err**2).mean())
                            / np.sqrt((ref**2).mean()) + 1e-30)
         assert db < -95, db
+
+
+def test_rows_layout_multichannel_and_routing(tmp_path):
+    """Rows layout with 8-ch input + routing map (layout math must hold for
+    any channel count)."""
+    rng = np.random.default_rng(80)
+    frames = 3000
+    x = (0.2 * rng.standard_normal((1, 8, frames))).astype(np.float32)
+    cfg = ProcessingConfig(output_dir=str(tmp_path), target_rate=48000,
+                           quality="low", dither=False, remove_dc=False,
+                           channel_routing=[7, 0, -1, 3], device_layout="rows")
+    key = jax.random.PRNGKey(0)
+    rf = process_batch(x, np.array([frames], np.int32), cfg, 44100, key)
+    rr = process_batch(x, np.array([frames], np.int32), cfg, 44100, key,
+                       rows_layout=True)
+    cf = np.asarray(rf.codes)
+    cr = np.asarray(rr.codes).reshape(1, 4, -1)[:, :, : cf.shape[-1]]
+    assert np.abs(cf.astype(np.int64) - cr.astype(np.int64)).max() <= 1
+    assert np.all(cr[0, 2] == 0)  # silent bus in rows layout too
+
+
+def test_scheduler_16bit_output(tmp_path):
+    """16-bit output config end-to-end (disables the raw fast path, which
+    requires 24-bit out)."""
+    (tmp_path / "in").mkdir()
+    files = make_lib(tmp_path / "in", n=1, seconds=0.1)
+    cfg = ProcessingConfig(output_dir=str(tmp_path / "out"), target_rate=48000,
+                           quality="low", bits=16)
+    res = BatchProcessor(cfg).run(files)
+    assert res.completed == 1
+    from f9tpu.io import probe
+    info = probe(build_output_path(files[0], cfg.output_dir, cfg.postfix))
+    assert info.bit_depth == 16 and info.sample_rate == 48000
+
+
+def test_scheduler_lagrange_kind(tmp_path):
+    (tmp_path / "in").mkdir()
+    files = make_lib(tmp_path / "in", n=1, seconds=0.1)
+    cfg = ProcessingConfig(output_dir=str(tmp_path / "out"), target_rate=48000,
+                           kind="lagrange", dither=False, remove_dc=False)
+    res = BatchProcessor(cfg).run(files)
+    assert res.completed == 1
+    y, rate = read_wav(build_output_path(files[0], cfg.output_dir, cfg.postfix))
+    src, _ = read_wav(files[0])
+    ref = resample_oracle(src[0], 44100, 48000, kind="lagrange")
+    err = y[0].astype(np.float64) - ref
+    db = 20 * np.log10(np.sqrt((err**2).mean())
+                       / np.sqrt((ref**2).mean()) + 1e-30)
+    assert db < -90, db

@@ -139,3 +139,36 @@ def test_long_sine_generator_accuracy():
     ref = 0.5 * np.sin(2 * np.pi * 1000.0 * t)
     err = np.abs(y - ref).max()
     assert err < 1e-6, err
+
+
+@pytest.mark.parametrize("rate_in,rate_out", [(44100, 48000), (96000, 44100)])
+def test_lagrange_tone_alignment(rate_in, rate_out):
+    """Lagrange against the ANALYTIC tone, not just the shared-bank oracle —
+    a mirrored node mapping once passed every parity test while weighting a
+    sample ~2 steps from the target almost like the nearest one."""
+    f0 = 997.0
+    n = 1 << 15
+    t_in = np.arange(n) / rate_in
+    x = np.sin(2 * np.pi * f0 * t_in).astype(np.float32)
+    y = np.asarray(resample_rates(x, rate_in, rate_out, kind="lagrange"))
+    t_out = np.arange(len(y)) / rate_out
+    expected = np.sin(2 * np.pi * f0 * t_out)
+    sl = slice(100, len(y) - 100)
+    assert rms_db(y[sl] - expected[sl], expected[sl]) <= -80.0
+
+
+def test_lagrange_impulse_is_local():
+    """The Lagrange impulse response must be a single local peak: weight at
+    distance ~2 comparable to the nearest sample was the mirrored-bank bug."""
+    from f9tpu.ops.signal import impulse
+
+    pos = 1 << 14
+    x = impulse(1 << 15, amp=0.9, position=pos)
+    y = np.asarray(resample_rates(x, 44100, 48000, kind="lagrange"))
+    e = int(round(pos * 160 / 147))
+    window = np.abs(y[e - 4 : e + 5])
+    peak = window.max()
+    # all samples 2+ away from the peak are far below it
+    pk_i = int(np.argmax(window))
+    others = np.delete(window, [max(0, pk_i - 1), pk_i, min(len(window) - 1, pk_i + 1)])
+    assert others.max() < 0.3 * peak
