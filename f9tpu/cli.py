@@ -23,6 +23,8 @@ import json
 import os
 import sys
 
+import numpy as np
+
 from .config import ProcessingConfig
 from .io import codec, wav
 from .pipeline import (
@@ -68,8 +70,37 @@ def _add_common_src_args(p: argparse.ArgumentParser) -> None:
 _CONFIG_KEYS = (
     "rate", "quality", "kind", "bits", "postfix", "no_dither", "keep_dc",
     "gain", "reverb", "noise_floor", "margin", "require_rate", "batch_size",
-    "routing", "channels", "device_layout",
+    "routing", "channels", "device_layout", "seed",
+    "chain_ir", "chain_wet", "chain_dry", "chain_fir", "chain_delay_ms",
 )
+
+
+def _build_chain(args):
+    """Assemble the insert chain from CLI flags (the reference's external
+    processor loop, expressed as in-graph stages).  Stage order: delay ->
+    FIR -> convolution reverb, each optional."""
+    from .ops.chain import Chain, ConvolutionReverb, Delay, FIRInsert
+
+    stages = []
+    if getattr(args, "chain_delay_ms", None):
+        stages.append(Delay(args.chain_delay_ms / 1000.0))
+    if getattr(args, "chain_fir", None):
+        taps, _rate = codec.read_audio(args.chain_fir)
+        stages.append(FIRInsert(taps[0]))
+    if getattr(args, "chain_ir", None):
+        ir, ir_rate = codec.read_audio(args.chain_ir)
+        if ir_rate != args.rate:
+            # IRs are calibrated captures; resample to the session rate with
+            # the float64 oracle (host-side, exact) rather than erroring out
+            from .models.oracle import resample_oracle
+
+            ir = resample_oracle(ir.astype(np.float64), ir_rate,
+                                 args.rate).astype(np.float32)
+        if ir.shape[0] == 1:
+            ir = ir[0]
+        stages.append(ConvolutionReverb(ir, wet=args.chain_wet,
+                                        dry=args.chain_dry))
+    return Chain(*stages) if stages else None
 
 
 def _apply_config_file(parser, argv) -> None:
@@ -121,6 +152,8 @@ def cmd_process(args) -> int:
             [int(c) for c in args.routing.split(",")] if args.routing else None),
         output_channels=args.channels,
         device_layout=args.device_layout,
+        seed=None if args.seed == -1 else args.seed,
+        chain=_build_chain(args),
     )
     _save_config(args)
     log = StatusLog(sink=lambda line: print(line, flush=True))
@@ -293,6 +326,21 @@ def main(argv: list[str] | None = None) -> int:
                         "(out[i] <- in[map[i]], -1 = silence)")
     p.add_argument("--channels", type=int, default=None,
                    help="fan mono inputs out to N channels")
+    p.add_argument("--seed", type=int, default=0,
+                   help="dither seed (per-file keys derive from seed+path; "
+                        "same seed = byte-identical reruns; -1 = wall clock)")
+    p.add_argument("--chain-ir", default=None,
+                   help="insert chain: convolution reverb impulse-response "
+                        "WAV (mono or matching channel count)")
+    p.add_argument("--chain-wet", type=float, default=1.0,
+                   help="reverb wet level (with --chain-ir)")
+    p.add_argument("--chain-dry", type=float, default=0.0,
+                   help="reverb dry level (with --chain-ir)")
+    p.add_argument("--chain-fir", default=None,
+                   help="insert chain: FIR taps WAV (first channel)")
+    p.add_argument("--chain-delay-ms", type=float, default=0.0,
+                   help="insert chain: pure delay in ms (calibration measures "
+                        "and trims it)")
     p.add_argument("--resume", action="store_true",
                    help="persist a manifest and skip already-completed files")
     p.add_argument("--json", action="store_true", help="print summary JSON")

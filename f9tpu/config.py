@@ -36,6 +36,11 @@ class ProcessingConfig:
     kind: str = "sinc"                  # "sinc" | "lagrange"
     bits: int = 24                      # output PCM depth (reference: 24)
     dither: bool = True                 # TPDF dither before quantize
+    seed: int | None = 0
+    """Dither RNG seed.  Per-file noise keys derive from (seed, file path), so
+    re-running a batch is byte-identical whatever the batch grouping — which
+    keeps the manifest's resume size-verification and A/B debugging sound.
+    ``None`` opts into wall-clock seeding (fresh noise every run)."""
     remove_dc: bool = True              # Source/MainComponent.cpp:884-902
     gain_db: float = 0.0
 
@@ -53,6 +58,14 @@ class ProcessingConfig:
     # --- latency compensation (Source/MainComponent.cpp:824-861) ---
     trim_enabled: bool = True
     latency_frames: int | None = None   # None = auto-measure (calibration)
+
+    # --- insert chain (the external-processor loop the reference exists to
+    # drive, AudioProcessingService.swift:339-536) ---
+    chain: object | None = None
+    """Optional ``f9tpu.ops.chain.Chain``: in-graph effect stages applied at
+    the output rate before latency trimming.  Its group delay is measured by
+    calibration and trimmed; its ring-out scales the reverb-mode capture
+    head-room (up to ``max_tail_seconds``)."""
 
     # --- reverb mode (tail termination; REVERB_MODE_IMPLEMENTATION.md) ---
     reverb_mode: bool = False
@@ -104,6 +117,13 @@ class ProcessingConfig:
             raise ValueError("target_rate must be positive")
         if self.device_layout not in ("packed", "rows"):
             raise ValueError("device_layout must be 'packed' or 'rows'")
+        if self.chain is not None and not (
+                callable(getattr(self.chain, "apply", None))
+                and callable(getattr(self.chain, "tail_frames", None))
+                and callable(getattr(self.chain, "sig_str", None))):
+            raise ValueError(
+                "chain must be an f9tpu.ops.chain.Chain-like object "
+                "(apply/tail_frames/sig_str)")
         if not 0 <= self.noise_floor_margin_pct <= 50:
             # the reference UI bounds the margin at 0-50 %
             # (Source/SettingsComponent: slider 0-50 step 5)

@@ -13,3 +13,6 @@ from .routing import (  # noqa: F401
     stereo_pairs, route_channels, fan_out_mono, mixdown_monitor, interleave,
     deinterleave,
 )
+from .chain import (  # noqa: F401
+    Chain, Gain, Delay, FIRInsert, ConvolutionReverb, fft_convolve,
+)

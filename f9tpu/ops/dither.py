@@ -38,6 +38,13 @@ def tpdf_dither_quantize(
     giving a triangular PDF of +-1 LSB — decorrelates quantization error from
     the signal.  ``dither=False`` gives plain round-to-nearest (the reference's
     behaviour).
+
+    ``key`` is either one PRNG key for the whole array, or a per-file seed
+    vector ``(files,) int32`` (with ``x`` batched ``(files, ...)``): each
+    file's noise then depends only on its own seed, so outputs are
+    byte-identical however files are grouped into batches across runs.
+    (int32 is the discriminator: a raw threefry key is a (2,) *uint32*
+    array, which a 2-file seed vector must not be mistaken for.)
     """
     s = _scale(bits)
     v = x * s
@@ -45,7 +52,13 @@ def tpdf_dither_quantize(
         # One 32-bit draw per sample, split into two 16-bit uniforms: the
         # difference of two independent U[-0.5, 0.5) LSB variables (triangular
         # PDF) at half the RNG bandwidth of two full draws.
-        bits32 = jax.random.bits(key, x.shape, dtype=jnp.uint32)
+        if key.ndim == 1 and key.dtype == jnp.int32:
+            keys = jax.vmap(jax.random.PRNGKey)(key)
+            bits32 = jax.vmap(
+                lambda k: jax.random.bits(k, x.shape[1:], dtype=jnp.uint32)
+            )(keys)
+        else:
+            bits32 = jax.random.bits(key, x.shape, dtype=jnp.uint32)
         u1 = (bits32 & jnp.uint32(0xFFFF)).astype(x.dtype) * (1.0 / 65536.0)
         u2 = (bits32 >> 16).astype(x.dtype) * (1.0 / 65536.0)
         v = v + (u1 - u2)

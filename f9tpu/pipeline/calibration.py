@@ -56,12 +56,15 @@ def measure_latency(
     kind: str = "sinc",
     chain_fn=None,
     capture_frames: int = CAPTURE_FRAMES,
+    ringout_frames: int = 0,
 ) -> CalibrationResult:
     """Measure the group delay of the processing chain in output frames.
 
     ``chain_fn(x) -> y`` defaults to the bare resampler; pass a custom chain to
     measure user effect stacks.  The impulse is placed mid-buffer so acausal
-    (negative-delay) chains are measurable too.
+    (negative-delay) chains are measurable too.  ``ringout_frames`` (output
+    rate) excludes the chain's known decay span after the peak from the noise
+    floor estimate — a reverb IR's tail is signal, not noise.
     """
     pos = capture_frames // 2
     x = impulse(capture_frames, amp=IMPULSE_AMP, position=pos)
@@ -98,7 +101,7 @@ def measure_latency(
     yn = np.asarray(y)
     guard = 4096
     mask = np.ones(len(yn), bool)
-    mask[max(0, peak_idx - guard): peak_idx + guard] = False
+    mask[max(0, peak_idx - guard): peak_idx + guard + int(ringout_frames)] = False
     tail = yn[mask]
     rms = float(np.sqrt(np.mean(tail**2))) if tail.size else 0.0
     nf_db = 20.0 * np.log10(max(rms, 1e-30)) if rms > 0 else -200.0
@@ -133,12 +136,15 @@ class CalibrationCache:
     def get_or_measure(
         self, rate_in: int, rate_out: int, quality: str = "high", kind: str = "sinc",
         chain_fn=None, chain_sig: str = "",
+        capture_frames: int = CAPTURE_FRAMES, ringout_frames: int = 0,
     ) -> CalibrationResult:
         k = self.key(rate_in, rate_out, quality, kind, chain_sig)
         with self._lock:
             if k in self._data:
                 return self._data[k]
-        res = measure_latency(rate_in, rate_out, quality=quality, kind=kind, chain_fn=chain_fn)
+        res = measure_latency(rate_in, rate_out, quality=quality, kind=kind,
+                              chain_fn=chain_fn, capture_frames=capture_frames,
+                              ringout_frames=ringout_frames)
         with self._lock:
             self._data[k] = res
             self._save_locked()

@@ -98,7 +98,7 @@ def _exact_out_valid(frames_valid, bank, out_total):
 @functools.partial(
     jax.jit,
     static_argnames=("rate_in", "rate_out", "cfg_key", "static_zero_latency",
-                     "raw_in", "packed_out"),
+                     "raw_in", "packed_out", "chain"),
 )
 def _process_impl(
     x: jax.Array,
@@ -113,6 +113,7 @@ def _process_impl(
     static_zero_latency: bool = False,
     raw_in: tuple[int, int] | None = None,
     packed_out: bool = False,
+    chain=None,
 ):
     (quality, kind, bits, do_dither, remove_dc, gain_db, trim_enabled,
      reverb_mode, margin_pct, tail_mode, tail_window_ms, tail_hop_ms,
@@ -127,6 +128,14 @@ def _process_impl(
         x = jnp.pad(x, ((0, 0), (0, 0), (0, pad_frames)))
 
     y = resample_auto(x, bank)
+
+    if chain is not None:
+        # The insert loop: the user's processor stack runs in-graph on the
+        # resampled signal, adding its real group delay (trimmed below) and
+        # ring-out (landing in the padded capture head-room) — the TPU form
+        # of play -> external chain -> capture
+        # (AudioProcessingService.swift:339-536).
+        y = chain.apply(y, rate_out)
 
     out_total = y.shape[-1]
     if trim_enabled and not static_zero_latency:
@@ -299,24 +308,38 @@ def _cfg_key(cfg: ProcessingConfig, pad_frames: int) -> tuple:
 
 
 def _default_pad_frames(cfg: ProcessingConfig, rate_in: int, latency_frames) -> int:
-    """Reverb-mode capture head-room: src + lat + 4*lat (recording_length,
-    Source/AppState.h:240-243) plus filter ring-out, and always enough room
-    past the source for one full detection run (window + consecutive hops —
-    quiet windows only count once they end at/after the source span), bounded
-    by the 60 s cap (AudioProcessingService.swift:449-452)."""
-    if not cfg.reverb_mode:
-        return 0
+    """Capture head-room: src + lat + 4*lat (recording_length,
+    Source/AppState.h:240-243) plus the chain's ring-out and filter tail.
+    Reverb mode additionally guarantees room for one full detection run
+    (window + consecutive hops — quiet windows only count once they end
+    at/after the source span), bounded by the 60 s cap
+    (AudioProcessingService.swift:449-452).  A chain needs head-room even in
+    non-reverb mode: latency trim shifts the capture left by the measured
+    delay, so without lat+tail extra frames the source's final samples would
+    fall off the end (the reference's insufficient-capture warning path)."""
     # latency is measured in OUTPUT-rate frames (trim consumes it from y);
     # the pad is INPUT-rate frames — convert so the reference's src + 5*lat
     # head-room survives downsampling ratios
     lat_out = int(latency_frames) if isinstance(latency_frames, int) else 0
     lat_in = -(-lat_out * rate_in // max(cfg.target_rate, 1))
+    tail_in = 0
+    if cfg.chain is not None:
+        tail_out = int(cfg.chain.tail_frames(cfg.target_rate))
+        tail_in = -(-tail_out * rate_in // max(cfg.target_rate, 1))
+    cap = int(cfg.max_tail_seconds * rate_in)
+    if not cfg.reverb_mode:
+        if cfg.chain is None:
+            return 0
+        return min(recording_length(0, lat_in) + tail_in + 4096, cap)
     detect_ms = (cfg.tail_window_ms
                  + (cfg.tail_consecutive + 1) * cfg.tail_hop_ms + 100)
     detect_frames = detect_ms * rate_in // 1000
+    # the detection run must fit AFTER the chain's ring-out: a tail that
+    # decays right at the end of the pad could otherwise never accumulate
+    # `consecutive` quiet windows and would read as never-terminated
     return min(
-        max(recording_length(0, lat_in) + 4096, detect_frames),
-        int(cfg.max_tail_seconds * rate_in),
+        recording_length(0, lat_in) + tail_in + detect_frames + 4096,
+        cap,
     )
 
 
@@ -342,7 +365,7 @@ def process_batch(
     """
     if noise_floor_db is None:
         noise_floor_db = cfg.noise_floor_db
-    if (rows_layout and not cfg.reverb_mode
+    if (rows_layout and not cfg.reverb_mode and cfg.chain is None
             and isinstance(latency_frames, int) and latency_frames == 0):
         codes, out_frames, terminated, pk, level, nf_est = _process_impl_rows(
             x,
@@ -369,6 +392,7 @@ def process_batch(
         rate_out=cfg.target_rate,
         cfg_key=_cfg_key(cfg, pad_frames),
         static_zero_latency=isinstance(latency_frames, int) and latency_frames == 0,
+        chain=cfg.chain,
     )
     return ProcessResult(
         codes=codes,
@@ -402,7 +426,7 @@ def process_batch_raw(
     """
     if cfg.bits != 24:
         raise ValueError("packed output path requires bits=24")
-    if (rows_layout and not cfg.reverb_mode
+    if (rows_layout and not cfg.reverb_mode and cfg.chain is None
             and isinstance(latency_frames, int) and latency_frames == 0):
         codes, out_frames, terminated, pk, level, nf_est = _process_impl_rows(
             raw,
@@ -435,6 +459,7 @@ def process_batch_raw(
         static_zero_latency=isinstance(latency_frames, int) and latency_frames == 0,
         raw_in=(in_channels, in_bits),
         packed_out=True,
+        chain=cfg.chain,
     )
     return ProcessResult(
         codes=payload,

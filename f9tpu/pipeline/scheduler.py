@@ -23,13 +23,15 @@ import queue
 import struct
 import threading
 import time
+import zlib
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..config import ProcessingConfig
 from ..io import codec, wav
-from .calibration import CalibrationCache
+from .calibration import CAPTURE_FRAMES, CalibrationCache
 from .graph import process_batch, process_batch_raw
 from .logbook import StatusLog, Throughput
 from .manifest import FileStatus, JobManifest
@@ -179,8 +181,32 @@ class BatchProcessor:
             if cfg.latency_frames is not None:
                 latencies[rate_in] = cfg.latency_frames
                 continue
+            chain_fn, chain_sig, capture, ringout = None, "", CAPTURE_FRAMES, 0
+            if cfg.chain is not None:
+                # The measured loop is SRC + the user's insert chain — the
+                # impulse passes through exactly what a batch passes through
+                # (LatencyMeasurementService.swift:57-171).  Capture sizes
+                # with the chain's ring-out so the peak and a post-ring-out
+                # noise window both fit.
+                chain_sig = cfg.chain.sig_str()
+                ringout = int(cfg.chain.tail_frames(cfg.target_rate))
+                capture = max(
+                    CAPTURE_FRAMES,
+                    -(-(3 * ringout + (1 << 15)) * rate_in // cfg.target_rate))
+                chain = cfg.chain
+                rate_out = cfg.target_rate
+
+                def chain_fn(x, _rate_in=rate_in):
+                    from ..ops.resample import resample_rates
+
+                    y = resample_rates(x, _rate_in, rate_out,
+                                       quality=cfg.quality, kind=cfg.kind)
+                    return chain.apply(y, rate_out)
+
             cal = self.calibration.get_or_measure(
-                rate_in, cfg.target_rate, quality=cfg.quality, kind=cfg.kind)
+                rate_in, cfg.target_rate, quality=cfg.quality, kind=cfg.kind,
+                chain_fn=chain_fn, chain_sig=chain_sig,
+                capture_frames=capture, ringout_frames=ringout)
             if not cal.detected:
                 raise RuntimeError(
                     f"calibration impulse not detected for {rate_in}->{cfg.target_rate}")
@@ -275,7 +301,15 @@ class BatchProcessor:
                 t.start()
             return threads
 
-        key = jax.random.PRNGKey(int(time.time()) & 0x7FFFFFFF)
+        # Per-file dither seeds derive from (cfg.seed, path) so reruns are
+        # byte-identical regardless of decode-thread arrival order; cfg.seed
+        # None opts into wall-clock (non-reproducible) noise.
+        base_seed = (cfg.seed if cfg.seed is not None
+                     else int(time.time()) & 0x7FFFFFFF)
+
+        def file_seed(path: str) -> int:
+            return (zlib.crc32(path.encode())
+                    ^ ((base_seed * 2654435761) & 0xFFFFFFFF)) & 0x7FFFFFFF
 
         for (rate_in, channels, raw_bits), infos in groups.items():
             if stop_event.is_set():
@@ -379,7 +413,6 @@ class BatchProcessor:
                 done_workers = 0
 
                 def flush():
-                    nonlocal key
                     if not batch_x:
                         return
                     t0 = time.time()
@@ -388,6 +421,9 @@ class BatchProcessor:
                     # flush reuses the same compiled graph.
                     bs = self.cfg.batch_size
                     valid = np.zeros(bs, np.int32)
+                    seeds = np.zeros(bs, np.int32)
+                    for i, d in enumerate(batch_x):
+                        seeds[i] = file_seed(d.entry_path)
                     if raw_bits:
                         bpf = channels * (raw_bits // 8)
                         x = np.zeros((bs, blen * bpf), np.uint8)
@@ -401,7 +437,7 @@ class BatchProcessor:
                             n = min(d.data.shape[-1], blen)
                             x[i, :, :n] = d.data[:, :n]
                             valid[i] = n
-                    key, sub = jax.random.split(key)
+                    sub = jnp.asarray(seeds)
                     if self.mesh is not None:
                         from ..parallel.mesh import NamedSharding, P
 

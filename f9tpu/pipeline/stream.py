@@ -17,6 +17,7 @@ Source/MainComponent.cpp:884-902), so it runs as a cheap host pre-pass.
 from __future__ import annotations
 
 import functools
+import time
 
 import jax
 import jax.numpy as jnp
@@ -100,11 +101,16 @@ def stream_resample_file(
                 pos += blk.shape[1]
             mean = (acc / T).astype(np.float32).reshape(-1, 1)
 
-        # per-file dither key: derived from the path so two files (or two
-        # runs over different files) never share a dither noise sequence
+        # per-file dither key: derived from (cfg.seed, path) so two files (or
+        # two runs over different files) never share a dither noise sequence,
+        # and reruns with the same seed are byte-identical
         import zlib
 
-        key = jax.random.PRNGKey(zlib.crc32(in_path.encode()) & 0x7FFFFFFF)
+        base_seed = (cfg.seed if cfg.seed is not None
+                     else int(time.time()) & 0x7FFFFFFF)
+        key = jax.random.PRNGKey(
+            (zlib.crc32(in_path.encode())
+             ^ ((base_seed * 2654435761) & 0xFFFFFFFF)) & 0x7FFFFFFF)
         written = 0
         with WavWriter(out_path, reader.num_channels, cfg.target_rate,
                        bits=cfg.bits) as writer:
