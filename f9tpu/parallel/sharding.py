@@ -32,6 +32,7 @@ from ..ops.resample import resample, resample_presliced
 
 __all__ = [
     "process_files_sharded",
+    "process_batch_channels_sharded",
     "resample_frames_sharded",
     "required_frames_padding",
     "shard_halos",
@@ -47,6 +48,151 @@ def process_files_sharded(mesh: Mesh, fn, x, *args):
     """
     xs = jax.device_put(x, NamedSharding(mesh, P("files", None, None)))
     return jax.jit(fn)(xs, *args)
+
+
+def channels_shardable(cfg, num_channels: int, mesh: Mesh) -> tuple[bool, str]:
+    """Can this (config, channel-count) batch run channel-sharded on ``mesh``?
+    Returns (ok, reason) so the scheduler can log the fallback instead of
+    aborting mid-batch."""
+    nc = mesh.shape.get("channels", 1)
+    if nc <= 1:
+        return False, "mesh has no channels axis"
+    if num_channels % nc:
+        return False, f"{num_channels} channels not divisible by {nc} shards"
+    c_local = num_channels // nc
+    if cfg.channel_routing is not None:
+        import numpy as np
+
+        r = np.asarray(cfg.channel_routing, np.int32)
+        if len(r) != num_channels:
+            return False, "routing changes the bus width"
+        ok = (r < 0) | ((r // c_local) == (np.arange(num_channels) // c_local))
+        if not ok.all():
+            return False, "routing crosses channel shards"
+    if cfg.output_channels not in (None, num_channels):
+        return False, "mono fan-out not channel-shardable"
+    if cfg.chain is not None:
+        for s in getattr(cfg.chain, "stages", ()):
+            ir = getattr(s, "ir", None)
+            if ir is not None and ir.shape[0] > 1:
+                return False, "per-channel IR not channel-shardable"
+    return True, ""
+
+
+def process_batch_channels_sharded(
+    x: jax.Array,
+    frames_valid,
+    cfg,
+    rate_in: int,
+    seeds,
+    mesh: Mesh,
+    latency_frames: int = 0,
+    noise_floor_db: float | None = None,
+):
+    """The full fused batch graph with ``(files, channels)`` sharded over the
+    mesh's ``files`` x ``channels`` axes — MCFX-style 8/16-channel buses
+    spread across chips (Docs/MultiChannel MCFX with JUCE.md:85-163,
+    SURVEY.md section 2.4 'channel-axis sharding').
+
+    Per-channel stages (SRC, chain, DC, dither) run shard-local; the per-file
+    cross-channel reductions (peak/RMS metrics, the loudest-channel envelope
+    that drives reverb-tail detection) ride ``psum``/``pmax`` over the
+    ``channels`` axis, so every shard reaches the identical per-file verdict.
+
+    Routing must be *bus-local*: each output channel's source lives on the
+    same channel shard (the MCFX contract — routing maps are per-bus).  The
+    local gather uses ``axis_index`` so one compiled program serves every
+    shard.  Returns a ``ProcessResult`` with int32 codes (flat layout).
+    """
+    import dataclasses
+
+    import numpy as np
+
+    from ..pipeline.graph import (
+        ProcessResult,
+        _cfg_key,
+        _default_pad_frames,
+        _process_impl,
+    )
+
+    files, C, _T = x.shape
+    nc = mesh.shape["channels"]
+    nf_shards = mesh.shape.get("files", 1)
+    if C % nc:
+        raise ValueError(f"{C} channels not divisible by {nc} channel shards")
+    if files % nf_shards:
+        raise ValueError(f"{files} files not divisible by {nf_shards} file shards")
+    c_local = C // nc
+
+    r_arr = None
+    if cfg.channel_routing is not None:
+        r = np.asarray(cfg.channel_routing, np.int32)
+        if len(r) != C:
+            raise ValueError(
+                "channel routing must preserve the bus width under channel "
+                f"sharding (got {len(r)} entries for {C} channels)")
+        ok = (r < 0) | ((r // c_local) == (np.arange(C) // c_local))
+        if not ok.all():
+            raise ValueError(
+                "routing map crosses channel shards; MCFX routing must stay "
+                "within each bus (per-bus maps)")
+        r_arr = r
+    if cfg.output_channels not in (None, C):
+        raise ValueError("mono fan-out is incompatible with channel sharding")
+    if cfg.chain is not None:
+        for s in getattr(cfg.chain, "stages", ()):
+            ir = getattr(s, "ir", None)
+            if ir is not None and ir.shape[0] > 1:
+                raise ValueError(
+                    "per-channel IRs are not supported under channel sharding")
+
+    lat_static = latency_frames if isinstance(latency_frames, int) else 0
+    pad = _default_pad_frames(cfg, rate_in, lat_static)
+    # routing/fan-out are handled locally below; strip them from the cfg key
+    base_key = _cfg_key(
+        dataclasses.replace(cfg, channel_routing=None, output_channels=None),
+        pad)
+    if noise_floor_db is None:
+        noise_floor_db = cfg.noise_floor_db
+    nf = jnp.float32(noise_floor_db if noise_floor_db is not None else 1.0)
+    static_zero = isinstance(latency_frames, int) and latency_frames == 0
+    lat = jnp.asarray(latency_frames, jnp.int32)
+    valid = jnp.asarray(frames_valid, jnp.int32)
+    seeds = jnp.asarray(seeds, jnp.int32)
+    route_map = jnp.asarray(r_arr) if r_arr is not None else None
+
+    def local(xc, v, sd, lat_, nf_):
+        silent = None
+        if route_map is not None:
+            ci = jax.lax.axis_index("channels") * c_local
+            rl = jax.lax.dynamic_slice(route_map, (ci,), (c_local,))
+            src = jnp.clip(jnp.where(rl < 0, 0, rl) - ci, 0, c_local - 1)
+            xc = jnp.take(xc, src, axis=1)
+            silent = (rl < 0)[None, :, None]
+            xc = jnp.where(silent, 0.0, xc)
+        codes, out_frames, term, pk, lvl, nf_est = _process_impl(
+            xc, v, lat_, nf_, sd,
+            rate_in=rate_in, rate_out=cfg.target_rate, cfg_key=base_key,
+            static_zero_latency=static_zero, chain=cfg.chain,
+            channel_axis="channels")
+        if silent is not None:
+            # routed-silent channels stay digital zero even under dither
+            codes = jnp.where(silent, 0, codes)
+        return codes, out_frames, term, pk, lvl, nf_est
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P("files", "channels", None), P("files"), P("files"),
+                  P(), P()),
+        out_specs=(P("files", "channels", None), P("files"), P("files"),
+                   P("files"), P("files"), P("files")),
+        check_vma=False,
+    )
+    codes, out_frames, term, pk, lvl, nf_est = jax.jit(fn)(
+        x, valid, seeds, lat, nf)
+    return ProcessResult(codes=codes, out_frames=out_frames,
+                         tail_terminated=term, peak_db=pk, rms_db=lvl,
+                         noise_floor_db=nf_est)
 
 
 def shard_halos(bank: CycleBank) -> tuple[int, int]:

@@ -98,7 +98,7 @@ def _exact_out_valid(frames_valid, bank, out_total):
 @functools.partial(
     jax.jit,
     static_argnames=("rate_in", "rate_out", "cfg_key", "static_zero_latency",
-                     "raw_in", "packed_out", "chain"),
+                     "raw_in", "packed_out", "chain", "channel_axis"),
 )
 def _process_impl(
     x: jax.Array,
@@ -114,6 +114,7 @@ def _process_impl(
     raw_in: tuple[int, int] | None = None,
     packed_out: bool = False,
     chain=None,
+    channel_axis: str | None = None,
 ):
     (quality, kind, bits, do_dither, remove_dc, gain_db, trim_enabled,
      reverb_mode, margin_pct, tail_mode, tail_window_ms, tail_hop_ms,
@@ -147,8 +148,14 @@ def _process_impl(
     out_valid = _exact_out_valid(frames_valid, bank, out_total)
 
     if reverb_mode:
+        # loudest-channel envelope; under channel-axis sharding (shard_map
+        # over an MCFX bus) the max spans all shards so every shard reaches
+        # the identical per-file verdict
+        mono_detect = jnp.max(jnp.abs(y), axis=1)
+        if channel_axis is not None:
+            mono_detect = jax.lax.pmax(mono_detect, channel_axis)
         end_frame, terminated = detect_tail_end(
-            y,
+            mono_detect,
             noise_floor_db,
             margin_pct,
             rate=rate_out,
@@ -186,11 +193,26 @@ def _process_impl(
     if gain_db:
         y = y * (10.0 ** (gain_db / 20.0))
 
-    pk_db, level_db = _metrics(y, out_frames)
+    if channel_axis is None:
+        pk_db, level_db = _metrics(y, out_frames)
+    else:
+        # cross-shard per-file metrics: channels live on other chips
+        flat = y.reshape(files, -1)
+        c_total = y.shape[1] * jax.lax.axis_size(channel_axis)
+        sumsq = jax.lax.psum(jnp.sum(jnp.square(flat), axis=-1), channel_axis)
+        n_valid = (out_frames.astype(jnp.float32) * c_total).clip(1.0)
+        rms = jnp.sqrt(sumsq / n_valid)
+        level_db = jnp.where(rms > 0,
+                             20.0 * jnp.log10(jnp.maximum(rms, 1e-30)),
+                             analysis.DB_FLOOR)
+        pk_db = analysis._amp_to_db(
+            jax.lax.pmax(jnp.max(jnp.abs(flat), axis=-1), channel_axis))
     # Noise floor estimate: RMS of the last tail window of each file's valid
     # span (the role of calculateNoiseFloor, LatencyMeasurementService.swift:173-181).
     win = max(1, rate_out * tail_window_ms // 1000)
     mono = jnp.max(jnp.abs(y), axis=1)                          # (files, out_total)
+    if channel_axis is not None:
+        mono = jax.lax.pmax(mono, channel_axis)
     raw_pos = (out_frames[:, None] - win
                + jnp.arange(win, dtype=jnp.int32)[None, :])
     in_range = raw_pos >= 0            # short files have < win valid samples

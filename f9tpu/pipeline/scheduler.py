@@ -351,6 +351,24 @@ class BatchProcessor:
                 by_bucket.setdefault(max(blen, n) if cap is None else
                                      min(max(blen, n), cap), []).append(info)
 
+            # channel-axis sharding (MCFX buses over chips): decided per group
+            # since it depends on the input channel count; ineligible groups
+            # fall back to files-axis-only sharding with a logged reason
+            use_cp = False
+            if (self.mesh is not None
+                    and self.mesh.shape.get("channels", 1) > 1):
+                from ..parallel import channels_shardable
+
+                if raw_bits:
+                    self.log.append(
+                        "Channel sharding: raw-bytes path has no channel "
+                        "axis; decoding on host for this group")
+                    # fall through: raw_bits stays, files-axis sharding only
+                else:
+                    use_cp, reason = channels_shardable(cfg, channels, self.mesh)
+                    if not use_cp:
+                        self.log.append(f"Channel sharding unavailable: {reason}")
+
             for blen, binfos in sorted(by_bucket.items()):
                 dec_q: queue.Queue = queue.Queue(maxsize=self.queue_depth)
                 enc_q: queue.Queue = queue.Queue(maxsize=self.queue_depth)
@@ -442,14 +460,21 @@ class BatchProcessor:
                         from ..parallel.mesh import NamedSharding, P
 
                         spec = (P("files", None) if raw_bits
-                                else P("files", None, None))
+                                else (P("files", "channels", None) if use_cp
+                                      else P("files", None, None)))
                         x = jax.device_put(x, NamedSharding(self.mesh, spec))
                     try:
                         # dispatch only — results stay on device; the
                         # collector thread materialises them (D2H) while the
                         # next batch is assembled and dispatched
                         use_rows = cfg.device_layout == "rows"
-                        if raw_bits:
+                        if use_cp:
+                            from ..parallel import process_batch_channels_sharded
+
+                            res = process_batch_channels_sharded(
+                                x, valid, cfg, rate_in, seeds, self.mesh,
+                                latency_frames=lat, noise_floor_db=group_nf)
+                        elif raw_bits:
                             res = process_batch_raw(
                                 x, valid, cfg, rate_in, sub,
                                 in_channels=channels, in_bits=raw_bits,

@@ -184,3 +184,142 @@ def test_lagrange_halo_clamped_nonnegative():
     bank = design_cycle_bank(44100, 8000, kind="lagrange")
     hl, hr = shard_halos(bank)
     assert hl >= 0 and hr >= 0
+
+
+# ------------------------------------------------- channel-axis sharding (cp)
+
+
+def test_channels_sharded_matches_single_device():
+    """A 16-channel MCFX bus over 2 channel-shards x 4 file-shards must match
+    the unsharded fused graph (metrics ride psum/pmax over the channels axis)."""
+    from f9tpu.parallel import process_batch_channels_sharded
+
+    mesh = make_mesh(num_files_shards=4, num_channel_shards=2)
+    rng = np.random.default_rng(1)
+    files, C, T = 4, 16, 4410
+    x = (0.3 * rng.standard_normal((files, C, T))).astype(np.float32)
+    valid = np.array([4410, 3000, 4410, 100], np.int32)
+    seeds = np.arange(1, files + 1, dtype=np.int32)
+    cfg = ProcessingConfig(output_dir="/tmp/x", quality="low", dither=False,
+                           remove_dc=True)
+
+    ref = process_batch(x, valid, cfg, 44100, jnp.asarray(seeds))
+    got = process_batch_channels_sharded(x, valid, cfg, 44100, seeds, mesh)
+
+    assert np.array_equal(np.asarray(ref.codes), np.asarray(got.codes))
+    assert np.array_equal(np.asarray(ref.out_frames), np.asarray(got.out_frames))
+    np.testing.assert_allclose(np.asarray(ref.peak_db), np.asarray(got.peak_db),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ref.rms_db), np.asarray(got.rms_db),
+                               rtol=1e-5)
+
+
+def test_channels_sharded_bus_local_routing():
+    """Per-bus routing (each 8-channel shard routes within itself) matches the
+    unsharded routed graph; cross-shard maps are rejected."""
+    from f9tpu.parallel import process_batch_channels_sharded
+
+    mesh = make_mesh(num_files_shards=4, num_channel_shards=2)
+    rng = np.random.default_rng(2)
+    files, C, T = 4, 16, 2205
+    x = (0.3 * rng.standard_normal((files, C, T))).astype(np.float32)
+    valid = np.full(files, T, np.int32)
+    seeds = np.arange(files, dtype=np.int32)
+    # bus-local: outputs 0-7 draw from 0-7, outputs 8-15 from 8-15, two silent
+    routing = [1, 0, 3, 2, -1, 5, 6, 7, 9, 8, 11, 10, -1, 13, 14, 15]
+    cfg = ProcessingConfig(output_dir="/tmp/x", quality="low", dither=False,
+                           channel_routing=routing)
+
+    ref = process_batch(x, valid, cfg, 44100, jnp.asarray(seeds))
+    got = process_batch_channels_sharded(x, valid, cfg, 44100, seeds, mesh)
+    assert np.array_equal(np.asarray(ref.codes), np.asarray(got.codes))
+
+    bad = ProcessingConfig(output_dir="/tmp/x", quality="low",
+                           channel_routing=[8] + list(range(1, 16)))
+    with pytest.raises(ValueError, match="crosses channel shards"):
+        process_batch_channels_sharded(x, valid, bad, 44100, seeds, mesh)
+
+
+def test_channels_sharded_reverb_tail_verdict_consistent():
+    """Reverb-mode under channel sharding: the loudest channel lives on one
+    shard, but every shard must reach the same per-file end frame (pmax'd
+    envelope)."""
+    from f9tpu.parallel import process_batch_channels_sharded
+
+    mesh = make_mesh(num_files_shards=2, num_channel_shards=4)
+    rate_in = 44100
+    files, C = 2, 8
+    T = 4410
+    x = np.zeros((files, C, T), np.float32)
+    t = np.arange(T)
+    # only channel 5 carries audio (a decaying burst); others are silent
+    x[:, 5, :] = (0.5 * np.sin(2 * np.pi * 440 * t / rate_in)
+                  * np.exp(-t / 800)).astype(np.float32)
+    valid = np.full(files, T, np.int32)
+    seeds = np.arange(files, dtype=np.int32)
+    cfg = ProcessingConfig(output_dir="/tmp/x", quality="low", dither=False,
+                           reverb_mode=True, noise_floor_db=-90.0)
+
+    ref = process_batch(x, valid, cfg, rate_in, jnp.asarray(seeds))
+    got = process_batch_channels_sharded(x, valid, cfg, rate_in, seeds, mesh)
+    assert np.array_equal(np.asarray(ref.out_frames), np.asarray(got.out_frames))
+    assert np.array_equal(np.asarray(ref.tail_terminated),
+                          np.asarray(got.tail_terminated))
+    assert np.array_equal(np.asarray(ref.codes), np.asarray(got.codes))
+
+
+def test_channels_sharded_with_chain():
+    """The insert chain runs shard-local under channel sharding."""
+    from f9tpu.ops.chain import Chain, FIRInsert
+    from f9tpu.parallel import process_batch_channels_sharded
+
+    mesh = make_mesh(num_files_shards=4, num_channel_shards=2)
+    rng = np.random.default_rng(3)
+    files, C, T = 4, 4, 2205
+    x = (0.3 * rng.standard_normal((files, C, T))).astype(np.float32)
+    valid = np.full(files, T, np.int32)
+    seeds = np.arange(files, dtype=np.int32)
+    taps = rng.standard_normal(31).astype(np.float32) * 0.1
+    taps[0] = 1.0
+    cfg = ProcessingConfig(output_dir="/tmp/x", quality="low", dither=False,
+                           chain=Chain(FIRInsert(taps)))
+    ref = process_batch(x, valid, cfg, 44100, jnp.asarray(seeds),
+                        latency_frames=0)
+    got = process_batch_channels_sharded(x, valid, cfg, 44100, seeds, mesh,
+                                         latency_frames=0)
+    assert np.array_equal(np.asarray(ref.codes), np.asarray(got.codes))
+
+
+def test_scheduler_uses_channel_sharding(tmp_path):
+    """BatchProcessor on a (files x channels) mesh routes eligible groups
+    through the channel-sharded graph and still produces correct WAVs."""
+    from f9tpu.io import wav
+    from f9tpu.pipeline import BatchProcessor
+
+    rng = np.random.default_rng(4)
+    src = tmp_path / "in"
+    src.mkdir()
+    files = []
+    for i in range(4):
+        data = (0.3 * rng.standard_normal((8, 2205))).astype(np.float32)
+        p = str(src / f"bus{i}.wav")
+        wav.write_wav(p, data, 44100, bits=24)
+        files.append(p)
+
+    mesh = make_mesh(num_files_shards=4, num_channel_shards=2)
+    out = tmp_path / "out"
+    cfg = ProcessingConfig(output_dir=str(out), target_rate=48000,
+                           quality="low", batch_size=4, dither=False)
+    res = BatchProcessor(cfg, mesh=mesh).run(files)
+    assert res.completed == 4 and res.failed == 0
+
+    # parity against the unsharded scheduler
+    out2 = tmp_path / "out2"
+    cfg2 = ProcessingConfig(output_dir=str(out2), target_rate=48000,
+                            quality="low", batch_size=4, dither=False)
+    res2 = BatchProcessor(cfg2).run(files)
+    assert res2.completed == 4
+    for i in range(4):
+        a, _ = wav.read_wav(str(out / f"bus{i}_processed.wav"))
+        b, _ = wav.read_wav(str(out2 / f"bus{i}_processed.wav"))
+        np.testing.assert_allclose(a, b, atol=1.5 / (1 << 23))
