@@ -90,6 +90,14 @@ class ProcessingConfig:
     bucket_frames: Sequence[int] = (
         1 << 16, 1 << 18, 1 << 20, 1 << 22, 60 * 192000
     )                                   # length buckets to bound recompiles
+    native_loader: bool = False
+    """Opt-in: decode integer-PCM WAVs with the C++ thread-pool loader
+    (``f9tpu.native.AsyncLoader``) instead of Python decode threads.
+    Measured SLOWER than the default (0.5-0.6x, docs/PERF.md 'decode stage'):
+    the Python path already runs the same native 24-bit unpack loop and
+    releases the GIL during file I/O, while the loader adds ticket polling
+    and an extra buffer copy.  Kept as a knob for GIL-free end-to-end decode
+    experiments."""
     device_layout: str = "packed"
     """Result layout trade-off (docs/PERF.md):
     - "packed": flat layout + on-device 24-bit byte packing — minimum bytes

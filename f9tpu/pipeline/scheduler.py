@@ -222,6 +222,21 @@ class BatchProcessor:
         errors: list[str] = []
 
         def decode_stage(infos, out_q, raw_bits=0):
+            # C++ thread-pool decode for integer-PCM WAVs (the JUCE
+            # AudioFormatManager role): file I/O + 16/24-bit conversion +
+            # deinterleave run off the GIL.  Skipped when the raw-bytes
+            # device path already avoids host decode entirely.
+            loader = None
+            if not raw_bits and cfg.native_loader:
+                from .. import native
+
+                if native.available():
+                    loader = native.AsyncLoader(n_threads=self.decode_workers)
+
+            def native_eligible(info):
+                return (loader is not None and info.container == "wav"
+                        and not info.is_float and info.bit_depth in (16, 24))
+
             def worker(sub):
                 # the finally-sentinel is load-bearing: the main loop counts
                 # one None per worker, so early exits (abort, unexpected
@@ -236,6 +251,12 @@ class BatchProcessor:
                                 data, rinfo = wav.read_raw_pcm(info.path)
                                 rate = rinfo.sample_rate
                                 audio_s = rinfo.num_frames / rate
+                            elif native_eligible(info):
+                                ticket = loader.submit(
+                                    info.path, info.num_channels,
+                                    info.num_frames)
+                                data, rate = loader.wait(ticket)
+                                audio_s = data.shape[-1] / rate
                             else:
                                 data, rate = codec.read_audio(info.path)
                                 audio_s = data.shape[-1] / rate
@@ -246,7 +267,8 @@ class BatchProcessor:
                             manifest.update(info.path, FileStatus.PROCESSING,
                                             progress=0.3)
                             out_q.put(_Decoded(info.path, data, rate))
-                        except (ValueError, OSError, struct.error, EOFError) as err:
+                        except (ValueError, OSError, struct.error, EOFError,
+                                TimeoutError) as err:
                             manifest.update(info.path, FileStatus.FAILED,
                                             error=str(err))
                             self.log.append(f"Decode failed: {info.path}: {err}")
@@ -259,7 +281,7 @@ class BatchProcessor:
                 t = threading.Thread(target=worker, args=(sub,), daemon=True)
                 t.start()
                 threads.append(t)
-            return threads
+            return threads, loader
 
         def encode_stage(in_q):
             def worker():
@@ -383,7 +405,8 @@ class BatchProcessor:
                           else (cfg.output_channels
                                 if (cfg.output_channels and channels == 1)
                                 else channels))
-                dec_threads = decode_stage(binfos, dec_q, raw_bits=raw_bits)
+                dec_threads, dec_loader = decode_stage(binfos, dec_q,
+                                                       raw_bits=raw_bits)
                 enc_threads = encode_stage(enc_q)
 
                 def collector():
@@ -514,6 +537,8 @@ class BatchProcessor:
                     t.join()
                 for t in dec_threads:
                     t.join()
+                if dec_loader is not None:
+                    dec_loader.close()
 
         if stop_event.is_set():
             # final sweep: a decode worker may have flipped a file to

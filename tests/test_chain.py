@@ -288,3 +288,31 @@ def test_batch_outputs_reproducible_with_seed(tmp_path):
     c = run("o3", seed=8, batch_size=2)
     assert a == b
     assert any(a[k] != c[k] for k in a)
+
+
+def test_scheduler_native_loader_parity(tmp_path):
+    """cfg.native_loader routes integer-PCM WAV decode through the C++
+    AsyncLoader and must produce identical outputs to the Python decode path."""
+    from f9tpu import native
+    from f9tpu.pipeline.scheduler import BatchProcessor
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    src = tmp_path / "in"
+    src.mkdir()
+    for i in range(3):
+        _write_tone(str(src / f"t{i}.wav"), 44100, 0.2, freq=200 + 100 * i,
+                    channels=2)
+    files = sorted(str(p) for p in src.iterdir())
+
+    outs = {}
+    for name, knob in (("py", False), ("nat", True)):
+        out = tmp_path / name
+        cfg = ProcessingConfig(output_dir=str(out), target_rate=48000,
+                               quality="low", batch_size=2, seed=3,
+                               native_loader=knob)
+        res = BatchProcessor(cfg).run(files)
+        assert res.completed == 3 and res.failed == 0
+        outs[name] = {p.name: p.read_bytes() for p in sorted(out.iterdir())
+                      if p.suffix == ".wav"}
+    assert outs["py"] == outs["nat"]
