@@ -199,6 +199,10 @@ def cmd_preview(args) -> int:
         output_channels=args.channels,
         monitor=want_monitor,
         loops=args.loops,
+        target_channels=([int(c) for c in args.target_channels.split(",")]
+                         if args.target_channels else None),
+        monitor_channels=tuple(
+            int(c) for c in args.monitor_channels.split(",")[:2]),
     )
     wav.write_wav(args.out, main_mix, args.rate, bits=24)
     print(f"rendered {len(items)} item(s), {main_mix.shape[-1]} frames -> {args.out}")
@@ -373,6 +377,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--monitor-out", default=None)
     p.add_argument("--loops", type=int, default=1,
                    help="render the playlist N times (wrap-around looping)")
+    p.add_argument("--target-channels", default=None,
+                   help="render into these bus channels, e.g. '4,5' "
+                        "(others stay silent)")
+    p.add_argument("--monitor-channels", default="0,1",
+                   help="bus channels carrying the monitor mix (dual render)")
     p.set_defaults(fn=cmd_preview)
 
     p = sub.add_parser("measure", help="measure chain latency (impulse test)")

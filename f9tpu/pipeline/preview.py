@@ -55,6 +55,8 @@ def render_playlist(
     output_channels: int = 2,
     monitor: bool = False,
     loops: int = 1,
+    target_channels: list[int] | None = None,
+    monitor_channels: tuple[int, int] = (0, 1),
 ) -> tuple[np.ndarray, np.ndarray | None, list[PlaylistItem]]:
     """Render ``files`` into one gapless (channels, frames) array.
 
@@ -63,11 +65,41 @@ def render_playlist(
     pre-matched rates).  ``loops`` renders the playlist wrap-around that many
     times with the silence gap between passes (the reference's looping
     playback, AudioProcessingService.swift:798-875).
-    Returns (main, monitor_stereo|None, items).
+
+    ``target_channels`` selects *which* channels of the ``output_channels``-
+    wide bus receive the programme — the reference renders into the user's
+    selected device channels, not always 0..N-1
+    (PreviewPlaybackContext.renderToChannels,
+    AudioProcessingService.swift:604-627,742-876).  Content is expanded to
+    ``len(target_channels)`` and scattered onto those rows; unselected rows
+    stay silent.  With ``monitor=True`` a stereo mixdown of the programme is
+    additionally *accumulated* onto ``monitor_channels`` of the same bus (the
+    dual-render design — both renders share one output stream), and also
+    returned separately.  Returns (main, monitor_stereo|None, items).
     """
     from ..ops.resample import resample_rates
     from ..ops.routing import mixdown_monitor
 
+    if target_channels is not None:
+        tc = list(target_channels)
+        if not tc:
+            raise ValueError("target_channels must not be empty")
+        if len(set(tc)) != len(tc):
+            raise ValueError(f"duplicate target channels: {tc}")
+        bad = [c for c in tc if not 0 <= c < output_channels]
+        if bad:
+            raise ValueError(
+                f"target channels {bad} outside the {output_channels}-channel bus")
+    else:
+        tc = None
+    if monitor:
+        ml, mr = monitor_channels
+        if not (0 <= ml < output_channels and 0 <= mr < output_channels):
+            raise ValueError(
+                f"monitor channels {monitor_channels} outside the "
+                f"{output_channels}-channel bus")
+
+    content_ch = len(tc) if tc is not None else output_channels
     silence = int(round(silence_ms * rate / 1000.0))
     rendered: list[np.ndarray] = []
     items: list[PlaylistItem] = []
@@ -79,20 +111,35 @@ def render_playlist(
             x, r = codec.read_audio(path)
             if r != rate:
                 x = np.asarray(resample_rates(x, r, rate))
-            decoded[path] = _expand_channels(x, output_channels)
+            decoded[path] = _expand_channels(x, content_ch)
         x = decoded[path]
         items.append(PlaylistItem(path=path, start_frame=cursor, num_frames=x.shape[1]))
         rendered.append(x)
         cursor += x.shape[1]
         if i != len(playlist) - 1 and silence > 0:
-            rendered.append(np.zeros((output_channels, silence), np.float32))
+            rendered.append(np.zeros((content_ch, silence), np.float32))
             cursor += silence
     if not rendered:
         return np.zeros((output_channels, 0), np.float32), None, []
-    main = np.concatenate(rendered, axis=1)
+    programme = np.concatenate(rendered, axis=1)
+
     mon = None
     if monitor:
         import jax.numpy as jnp
 
-        mon = np.asarray(mixdown_monitor(jnp.asarray(main)))
+        mon = np.asarray(mixdown_monitor(jnp.asarray(programme)))
+
+    if tc is None:
+        main = programme
+        if monitor and tuple(monitor_channels) != (0, 1):
+            # non-default monitor placement still applies without targeting
+            main = programme.copy()
+            main[list(monitor_channels)] += mon
+    else:
+        main = np.zeros((output_channels, programme.shape[1]), np.float32)
+        main[tc] = programme
+        if monitor:
+            # dual render into the same stream: the mixdown accumulates onto
+            # the monitoring channels (they may coincide with targets)
+            main[list(monitor_channels)] += mon
     return main, mon, items

@@ -236,6 +236,52 @@ def test_render_playlist(tmp_path):
     assert main.shape[0] == 2
 
 
+def test_render_playlist_channel_targeting(tmp_path):
+    """Programme lands on the *selected* bus channels; others stay silent
+    (renderToChannels, AudioProcessingService.swift:604-627,742-876)."""
+    files = make_lib(tmp_path, n=2, rate=44100, channels=1, seconds=0.1)
+    main, mon, items = render_playlist(
+        files, 44100, silence_ms=50, output_channels=8, monitor=False,
+        target_channels=[4, 5])
+    assert main.shape[0] == 8
+    assert np.any(main[4] != 0) and np.any(main[5] != 0)
+    for c in (0, 1, 2, 3, 6, 7):
+        assert np.all(main[c] == 0)
+    # mono source fanned to both targets identically
+    np.testing.assert_array_equal(main[4], main[5])
+
+
+def test_render_playlist_dual_render_monitoring(tmp_path):
+    """Monitoring accumulates a stereo mixdown onto the selected monitor
+    channels of the same bus (the dual-render design)."""
+    files = make_lib(tmp_path, n=1, rate=44100, channels=1, seconds=0.1)
+    main, mon, _ = render_playlist(
+        files, 44100, output_channels=8, monitor=True,
+        target_channels=[6, 7], monitor_channels=(2, 3))
+    assert mon is not None and mon.shape[0] == 2
+    np.testing.assert_array_equal(main[2], mon[0])
+    np.testing.assert_array_equal(main[3], mon[1])
+    np.testing.assert_array_equal(main[6], main[7])
+    assert np.all(main[0] == 0) and np.all(main[5] == 0)
+    # monitor channels overlapping the targets ACCUMULATE both renders
+    main2, mon2, _ = render_playlist(
+        files, 44100, output_channels=4, monitor=True,
+        target_channels=[0, 1], monitor_channels=(0, 1))
+    np.testing.assert_allclose(main2[0], mon2[0] * 2, atol=1e-7)
+
+
+def test_render_playlist_target_validation(tmp_path):
+    files = make_lib(tmp_path, n=1, rate=44100, channels=1, seconds=0.05)
+    with pytest.raises(ValueError, match="outside"):
+        render_playlist(files, 44100, output_channels=2, target_channels=[5])
+    with pytest.raises(ValueError, match="duplicate"):
+        render_playlist(files, 44100, output_channels=4,
+                        target_channels=[1, 1])
+    with pytest.raises(ValueError, match="outside"):
+        render_playlist(files, 44100, output_channels=2, monitor=True,
+                        monitor_channels=(0, 9))
+
+
 # ---------- self test ----------
 
 def test_loop_selftest():
