@@ -249,9 +249,15 @@ def cmd_stream(args) -> int:
             last[0] = pct
             print(f"  {pct}%", flush=True)
 
+    mesh = None
+    if args.frames_shards > 1:
+        from .parallel import make_mesh
+
+        mesh = make_mesh(num_files_shards=1,
+                         num_frames_shards=args.frames_shards)
     n = stream_resample_file(args.input, args.out, cfg,
                              chunk_seconds=args.chunk_seconds,
-                             progress_cb=progress)
+                             progress_cb=progress, mesh=mesh)
     print(f"wrote {n} frames @ {args.rate} Hz -> {args.out}")
     return 0
 
@@ -362,6 +368,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--no-dither", action="store_true")
     p.add_argument("--keep-dc", action="store_true")
     p.add_argument("--chunk-seconds", type=float, default=20.0)
+    p.add_argument("--frames-shards", type=int, default=1,
+                   help="shard each device step's frames axis over N chips "
+                        "(one huge file across the mesh)")
     p.set_defaults(fn=cmd_stream)
 
     p = sub.add_parser("devices", help="list compute devices")

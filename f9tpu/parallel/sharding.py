@@ -213,9 +213,6 @@ def required_frames_padding(in_len: int, bank: CycleBank, n_shards: int) -> int:
     return padded - in_len
 
 
-@functools.partial(
-    jax.jit, static_argnames=("rate_in", "rate_out", "quality", "kind", "mesh")
-)
 def resample_frames_sharded(
     x: jax.Array,
     rate_in: int,
@@ -223,15 +220,23 @@ def resample_frames_sharded(
     mesh: Mesh,
     quality: str = "high",
     kind: str = "sinc",
+    left_halo: jax.Array | None = None,
+    right_halo: jax.Array | None = None,
 ) -> jax.Array:
     """Resample ``x`` (..., frames) with the frames axis sharded over the
     mesh's ``frames`` axis (overlap-save + ppermute halo exchange).
 
     The frames length must already be a multiple of n_shards * M (use
     `required_frames_padding`).  Output length is frames * L / M (exact).
+
+    ``left_halo``/``right_halo`` (..., halo frames) optionally supply the
+    signal *outside* this span — e.g. the file context around a streaming
+    super-chunk (`pipeline.stream` multi-chip mode).  Inner shard boundaries
+    always exchange via ``ppermute`` (ICI); only the outermost shards consume
+    the supplied halos.  ``None`` means silence beyond the span (a whole file).
     """
     bank = design_cycle_bank(rate_in, rate_out, quality=quality, kind=kind)
-    L, M, W = bank.L, bank.M, bank.W
+    M = bank.M
     n = mesh.shape["frames"]
     T = x.shape[-1]
     if T % (n * M):
@@ -249,30 +254,58 @@ def resample_frames_sharded(
             f"per-shard chunk of {chunk} frames is smaller than the filter "
             f"halo ({max(halo_left, halo_right)}); use fewer frames shards "
             f"or pad the input (see required_frames_padding)")
+    lead = x.shape[:-1]
+    if left_halo is None:
+        left_halo = jnp.zeros((*lead, halo_left), x.dtype)
+    if right_halo is None:
+        right_halo = jnp.zeros((*lead, halo_right), x.dtype)
+    if left_halo.shape != (*lead, halo_left) or right_halo.shape != (*lead, halo_right):
+        raise ValueError(
+            f"outer halos must be {(*lead, halo_left)} / {(*lead, halo_right)}; "
+            f"got {left_halo.shape} / {right_halo.shape}")
+    return _resample_frames_sharded_impl(
+        x, left_halo, right_halo, rate_in=rate_in, rate_out=rate_out,
+        mesh=mesh, quality=quality, kind=kind)
 
-    def local(xc):
+
+@functools.partial(
+    jax.jit, static_argnames=("rate_in", "rate_out", "quality", "kind", "mesh")
+)
+def _resample_frames_sharded_impl(
+    x, outer_left, outer_right, *, rate_in, rate_out, mesh, quality, kind,
+):
+    bank = design_cycle_bank(rate_in, rate_out, quality=quality, kind=kind)
+    M = bank.M
+    halo_left, halo_right = shard_halos(bank)
+
+    def local(xc, ol, orr):
         # xc: (..., T/n) local chunk.  Fetch halos from neighbours.
         axis = "frames"
         nsh = jax.lax.axis_size(axis)
-        # left halo: my leading `halo_left` frames come from the left
-        # neighbour's tail -> shift tails one step to the RIGHT.
-        send_right = [(i, i + 1) for i in range(nsh - 1)]
-        left_halo = jax.lax.ppermute(
-            xc[..., -halo_left:], axis, send_right) if halo_left else None
-        # right halo: my trailing lookahead comes from the right neighbour's
-        # head -> shift heads one step to the LEFT.
-        send_left = [(i + 1, i) for i in range(nsh - 1)]
-        right_halo = jax.lax.ppermute(
-            xc[..., :halo_right], axis, send_left) if halo_right else None
+        idx = jax.lax.axis_index(axis)
         parts = []
-        if left_halo is not None:
-            parts.append(left_halo)  # ppermute fills missing sources with 0
+        if halo_left:
+            # my leading `halo_left` frames come from the left neighbour's
+            # tail -> shift tails one step to the RIGHT; shard 0 (which
+            # ppermute fills with zeros) takes the caller-supplied context
+            send_right = [(i, i + 1) for i in range(nsh - 1)]
+            lh = jax.lax.ppermute(xc[..., -halo_left:], axis, send_right)
+            lh = lh + jnp.where(idx == 0, ol, jnp.zeros_like(ol))
+            parts.append(lh)
         parts.append(xc)
-        if right_halo is not None:
-            parts.append(right_halo)
+        if halo_right:
+            # trailing lookahead from the right neighbour's head -> shift
+            # heads LEFT; the last shard takes the supplied context
+            send_left = [(i + 1, i) for i in range(nsh - 1)]
+            rh = jax.lax.ppermute(xc[..., :halo_right], axis, send_left)
+            rh = rh + jnp.where(idx == nsh - 1, orr, jnp.zeros_like(orr))
+            parts.append(rh)
         xp = jnp.concatenate(parts, axis=-1)
         cycles = xc.shape[-1] // M
         return resample_presliced(xp, bank, cycles)
 
-    spec = P(*([None] * (x.ndim - 1) + ["frames"]))
-    return shard_map(local, mesh=mesh, in_specs=(spec,), out_specs=spec)(x)
+    nd = x.ndim
+    spec = P(*([None] * (nd - 1) + ["frames"]))
+    rep = P(*([None] * nd))
+    return shard_map(local, mesh=mesh, in_specs=(spec, rep, rep),
+                     out_specs=spec)(x, outer_left, outer_right)

@@ -58,10 +58,19 @@ def stream_resample_file(
     cfg: ProcessingConfig,
     chunk_seconds: float = 20.0,
     progress_cb=None,
+    mesh=None,
 ) -> int:
     """Resample ``in_path`` -> ``out_path`` at ``cfg.target_rate`` in constant
     memory.  Returns output frames written.  Output length is exactly
     ceil(in_frames * L / M), matching the whole-file path.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` with a ``frames`` axis — one huge
+    file rides all chips: each device step processes a *super-chunk* of
+    n_shards chunks sharded over the frames axis; inner shard boundaries
+    exchange filter halos over ICI (``ppermute``), while the super-chunk's
+    outer halos are read straight from the file (the host-side twin of the
+    halo exchange).  Encode stays incremental, so host memory is one
+    super-chunk regardless of file length (SURVEY.md section 7 step 6).
     """
     if cfg.reverb_mode:
         raise ValueError("reverb-mode tail handling is a batch-path feature; "
@@ -112,6 +121,9 @@ def stream_resample_file(
             (zlib.crc32(in_path.encode())
              ^ ((base_seed * 2654435761) & 0xFFFFFFFF)) & 0x7FFFFFFF)
         written = 0
+        if mesh is not None:
+            return _stream_sharded(reader, out_path, cfg, bank, chunk_in,
+                                   mesh, mean, key, progress_cb)
         with WavWriter(out_path, reader.num_channels, cfg.target_rate,
                        bits=cfg.bits) as writer:
             start = 0
@@ -147,3 +159,72 @@ def stream_resample_file(
                 if written >= out_total:
                     break
         return written
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "do_dither", "gain_db"))
+def _finish_step(y, key, *, bits, do_dither, gain_db):
+    """Gain + dither/quantize on the (sharded) resampled super-chunk; XLA
+    partitions these elementwise ops along the existing frames sharding."""
+    if gain_db:
+        y = y * (10.0 ** (gain_db / 20.0))
+    if do_dither:
+        return dither.tpdf_dither_quantize(y, key, bits=bits)
+    return dither.quantize(y, bits=bits)
+
+
+def _stream_sharded(reader, out_path, cfg, bank, chunk_in, mesh, mean, key,
+                    progress_cb) -> int:
+    """Multi-chip streaming body: super-chunks of n_shards*chunk_in frames,
+    frames axis sharded over the mesh, file-context outer halos."""
+    from ..parallel.sharding import resample_frames_sharded, shard_halos
+
+    n = mesh.shape["frames"]
+    if n < 2:
+        raise ValueError("mesh has no frames axis to shard over")
+    rate_in = reader.sample_rate
+    halo_left, halo_right = shard_halos(bank)
+    if max(halo_left, halo_right) > chunk_in:
+        raise ValueError(
+            f"chunk of {chunk_in} frames is smaller than the filter halo "
+            f"({max(halo_left, halo_right)}); raise chunk_seconds")
+    super_in = n * chunk_in
+    T = reader.num_frames
+    out_total = bank.out_len(T)
+    C = reader.num_channels
+
+    def read_span(lo: int, length: int) -> np.ndarray:
+        """(C, length) float32, zero-padded outside [0, T), DC-corrected."""
+        out = np.zeros((C, length), np.float32)
+        a = max(0, lo)
+        b = min(T, lo + length)
+        if b > a:
+            blk = reader.read(a, b - a)
+            if cfg.remove_dc:
+                blk = blk - mean
+            out[:, a - lo : a - lo + blk.shape[1]] = blk
+        return out
+
+    written = 0
+    with WavWriter(out_path, C, cfg.target_rate, bits=cfg.bits) as writer:
+        start = 0
+        while start < T:
+            x = read_span(start, super_in)
+            left = read_span(start - halo_left, halo_left)
+            right = read_span(start + super_in, halo_right)
+            y = resample_frames_sharded(
+                jnp.asarray(x), rate_in, cfg.target_rate, mesh,
+                quality=cfg.quality, kind=cfg.kind,
+                left_halo=jnp.asarray(left), right_halo=jnp.asarray(right))
+            key, sub = jax.random.split(key)
+            codes = np.asarray(_finish_step(
+                y, sub, bits=cfg.bits, do_dither=cfg.dither,
+                gain_db=float(cfg.gain_db)))
+            take = min(codes.shape[1], out_total - written)
+            writer.append_codes(codes[:, :take])
+            written += take
+            start += super_in
+            if progress_cb:
+                progress_cb(min(1.0, start / max(T, 1)))
+            if written >= out_total:
+                break
+    return written

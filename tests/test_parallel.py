@@ -323,3 +323,69 @@ def test_scheduler_uses_channel_sharding(tmp_path):
         a, _ = wav.read_wav(str(out / f"bus{i}_processed.wav"))
         b, _ = wav.read_wav(str(out2 / f"bus{i}_processed.wav"))
         np.testing.assert_allclose(a, b, atol=1.5 / (1 << 23))
+
+
+# ------------------------------------------- multi-chip streaming (one file)
+
+
+def test_stream_sharded_matches_single_chip(tmp_path):
+    """One long file across chips: frames-sharded super-chunks with
+    file-context outer halos must reproduce the single-chip stream exactly
+    and match the float64 oracle (SURVEY.md section 7 step 6)."""
+    from f9tpu.io import wav
+    from f9tpu.pipeline.stream import stream_resample_file
+
+    rate_in, rate_out = 44100, 48000
+    rng = np.random.default_rng(5)
+    T = int(3.3 * rate_in)
+    x = (0.15 * rng.standard_normal((2, T))).astype(np.float32)
+    src = str(tmp_path / "long.wav")
+    wav.write_wav(src, x, rate_in, bits=32)
+
+    cfg = ProcessingConfig(output_dir=str(tmp_path), target_rate=rate_out,
+                           quality="low", dither=False, remove_dc=False)
+    out1 = str(tmp_path / "single.wav")
+    n1 = stream_resample_file(src, out1, cfg, chunk_seconds=0.25)
+
+    mesh = make_mesh(num_files_shards=2, num_frames_shards=4)
+    out2 = str(tmp_path / "sharded.wav")
+    n2 = stream_resample_file(src, out2, cfg, chunk_seconds=0.25, mesh=mesh)
+
+    assert n1 == n2
+    a, ra = wav.read_wav(out1)
+    b, rb = wav.read_wav(out2)
+    assert ra == rb
+    np.testing.assert_array_equal(a, b)   # same per-shard conv shapes
+
+    # oracle parity of the sharded output (32 f32 in, 24-bit out)
+    x_read, _ = wav.read_wav(src)
+    ref = resample_oracle(x_read.astype(np.float64), rate_in, rate_out,
+                          quality="low")
+    err = np.sqrt(np.mean((b[:, : ref.shape[1]] - ref) ** 2))
+    scale = np.sqrt(np.mean(ref**2))
+    assert 20 * np.log10(err / scale) <= -110   # 24-bit quantize floor
+
+
+def test_stream_sharded_with_dc_and_dither(tmp_path):
+    """DC pre-pass + dithered 24-bit output over the sharded path."""
+    from f9tpu.io import wav
+    from f9tpu.pipeline.stream import stream_resample_file
+
+    rate_in, rate_out = 48000, 44100
+    rng = np.random.default_rng(6)
+    T = int(1.7 * rate_in)
+    x = (0.1 * rng.standard_normal((1, T)) + 0.05).astype(np.float32)
+    src = str(tmp_path / "dc.wav")
+    wav.write_wav(src, x, rate_in, bits=32)
+    cfg = ProcessingConfig(output_dir=str(tmp_path), target_rate=rate_out,
+                           quality="low", dither=True, remove_dc=True, seed=5)
+    mesh = make_mesh(num_files_shards=4, num_frames_shards=2)
+    out = str(tmp_path / "o.wav")
+    n = stream_resample_file(src, out, cfg, chunk_seconds=0.2, mesh=mesh)
+    got, _ = wav.read_wav(out)
+    assert got.shape[1] == n
+    assert abs(got.mean()) < 1e-3             # DC removed
+    ref = resample_oracle((x - x.mean()).astype(np.float64), rate_in,
+                          rate_out, quality="low")
+    err = np.sqrt(np.mean((got[:, : ref.shape[1]] - ref) ** 2))
+    assert 20 * np.log10(err / np.sqrt(np.mean(ref**2))) <= -100
