@@ -64,29 +64,76 @@ def main() -> None:
     print(f"device step: {wall*1000:.2f} ms for {audio_seconds:.1f} s audio "
           f"-> {x_rt:.0f}x real time", file=sys.stderr)
 
-    # ---- accuracy vs float64 oracle (same graph, dither off for comparison) ----
-    acc_cfg = ProcessingConfig(output_dir="/tmp/bench_out", target_rate=rate_out,
-                               quality="high", dither=False, remove_dc=False)
+    # ---- accuracy vs float64 oracle: multiple graph variants, all gated at
+    # the -120 dB target (BASELINE.md) so the driver artifact certifies more
+    # than the headline path ----
     rng = np.random.default_rng(0)
     n_acc = 1 << 15
     # headroom matters: resampling white noise overshoots its sample peaks
     # (Gibbs), and the 24-bit quantizer clips at full scale — keep peaks ~0.5
     xa_h = (0.125 * rng.standard_normal((1, 1, n_acc))).astype(np.float32)
-    res = _process_impl_rows(
-        jax.device_put(jnp.asarray(xa_h), dev),
-        jnp.full((1,), n_acc, jnp.int32),
-        jax.random.PRNGKey(1),
-        rate_in=rate_in, rate_out=rate_out, cfg_key=_cfg_key(acc_cfg, 0),
-    )
-    codes, out_frames = np.asarray(res[0]), int(np.asarray(res[1])[0])
-    codes = codes.reshape(1, codes.shape[1], -1)   # host flatten (free)
-    got = codes[0, 0, :out_frames].astype(np.float64) / (1 << 23)
-    ref = resample_oracle(xa_h[0, 0], rate_in, rate_out, quality="high")
-    err = got - ref[:out_frames]
-    rms_db = 20 * np.log10(np.sqrt((err**2).mean())
-                           / np.sqrt((ref**2).mean()) + 1e-30)
-    print(f"accuracy (24-bit codes vs float64 oracle): {rms_db:.1f} dB RMS",
-          file=sys.stderr)
+
+    def rows_case(r_in, r_out):
+        acc_cfg = ProcessingConfig(output_dir="/tmp/bench_out",
+                                   target_rate=r_out, quality="high",
+                                   dither=False, remove_dc=False)
+        res = _process_impl_rows(
+            jax.device_put(jnp.asarray(xa_h), dev),
+            jnp.full((1,), n_acc, jnp.int32),
+            jax.random.PRNGKey(1),
+            rate_in=r_in, rate_out=r_out, cfg_key=_cfg_key(acc_cfg, 0),
+        )
+        codes, out_frames = np.asarray(res[0]), int(np.asarray(res[1])[0])
+        codes = codes.reshape(1, codes.shape[1], -1)   # host flatten (free)
+        got = codes[0, 0, :out_frames].astype(np.float64) / (1 << 23)
+        ref = resample_oracle(xa_h[0, 0], r_in, r_out, quality="high")
+        err = got - ref[:out_frames]
+        return 20 * np.log10(np.sqrt((err**2).mean())
+                             / np.sqrt((ref**2).mean()) + 1e-30)
+
+    def raw_packed_case(r_in, r_out):
+        # on-device codec both ways: 24-bit PCM bytes up, packed payload down
+        from f9tpu.pipeline.graph import process_batch_raw
+
+        acc_cfg = ProcessingConfig(output_dir="/tmp/bench_out",
+                                   target_rate=r_out, quality="high",
+                                   dither=False, remove_dc=False)
+        q = np.clip(np.round(xa_h[0] * (1 << 23)), -(1 << 23),
+                    (1 << 23) - 1).astype(np.int64)
+        inter = q.T.reshape(-1)                       # mono: frames order
+        b = np.zeros(len(inter) * 3, np.uint8)
+        u = (inter & 0xFFFFFF).astype(np.uint32)
+        b[0::3] = u & 0xFF
+        b[1::3] = (u >> 8) & 0xFF
+        b[2::3] = (u >> 16) & 0xFF
+        res = process_batch_raw(
+            jax.device_put(jnp.asarray(b[None])), np.array([n_acc], np.int32),
+            acc_cfg, r_in, jax.random.PRNGKey(2), in_channels=1, in_bits=24)
+        payload = np.asarray(res.codes)[0]
+        out_frames = int(np.asarray(res.out_frames)[0])
+        pb = payload[: out_frames * 3].astype(np.int64)
+        vals = pb[0::3] | (pb[1::3] << 8) | (pb[2::3] << 16)
+        vals = np.where(vals >= (1 << 23), vals - (1 << 24), vals)
+        got = vals.astype(np.float64) / (1 << 23)
+        ref = resample_oracle(q[0].astype(np.float64) / (1 << 23), r_in,
+                              r_out, quality="high")
+        err = got - ref[:out_frames]
+        return 20 * np.log10(np.sqrt((err**2).mean())
+                             / np.sqrt((ref**2).mean()) + 1e-30)
+
+    gates = {
+        "up_44k_to_48k_rows": rows_case(44100, 48000),
+        "down_96k_to_44k_rows": rows_case(96000, 44100),
+        "raw24_packed_44k_to_48k": raw_packed_case(44100, 48000),
+    }
+    for name, db in gates.items():
+        status = "OK" if db <= -120.0 else "FAIL"
+        print(f"accuracy[{name}]: {db:.1f} dB RMS vs float64 oracle [{status}]",
+              file=sys.stderr)
+    rms_db = gates["up_44k_to_48k_rows"]
+    if any(db > -120.0 for db in gates.values()):
+        print("ACCURACY GATE FAILED (target -120 dB)", file=sys.stderr)
+        sys.exit(1)
 
     baseline_x_rt = 1000.0  # north-star: 1000x real time per chip
     print(json.dumps({
@@ -96,6 +143,7 @@ def main() -> None:
         "vs_baseline": round(x_rt / baseline_x_rt, 3),
         "x_realtime": round(x_rt, 1),
         "accuracy_rms_db_vs_oracle": round(float(rms_db), 1),
+        "accuracy_gates_db": {k: round(float(v), 1) for k, v in gates.items()},
         "device": str(dev),
     }))
 
