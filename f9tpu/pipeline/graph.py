@@ -262,17 +262,35 @@ def _process_impl_rows(
     device-side flat reshape of an L-wide array costs ~10x the resampler
     itself when L is not 128-aligned, while a host-side reshape after D2H is
     free.  Output sample ``t`` of a file lives at ``[..., t // L, t % L]``.
+
+    ``x`` may arrive 4-D ``(files, C, n_rows, M)`` — HOST-marshalled rows
+    (see ``rows_marshal_plan``): the host memcpy replaces the device-side
+    flat->rows retiling that costs 3-4 ms/batch (docs/PERF.md round 2), and
+    the SRC becomes one stacked-bank matmul + R fused row-shifted adds
+    (``resample_rows_pre``).  Contract: marshalled buffers are zero outside
+    each file's valid samples (fresh zero-filled staging per flush).
     """
     (quality, kind, bits, do_dither, remove_dc, gain_db, _trim_enabled,
      _reverb_mode, _margin_pct, _tail_mode, tail_window_ms, _tail_hop_ms,
      _tail_consecutive, _pad_frames, routing, out_channels) = cfg_key
-    from ..ops.pallas_src import resample_rows
+    from ..ops.pallas_src import resample_rows, resample_rows_pre
 
     bank = design_cycle_bank(rate_in, rate_out, quality=quality, kind=kind)
     files = x.shape[0]
-    x = _front_end(x, frames_valid, routing, out_channels, raw_in)
+    if x.ndim == 4 and raw_in is None:
+        if out_channels is not None and x.shape[1] == 1 and out_channels != 1:
+            x = jnp.broadcast_to(x, (files, out_channels, *x.shape[2:]))
+        if routing is not None:
+            import numpy as _np
 
-    y, _ = resample_rows(x, bank)          # (files, C, n_rows, L)
+            r_np = _np.asarray(routing, _np.int32)
+            x = jnp.take(x, jnp.asarray(_np.where(r_np < 0, 0, r_np)), axis=1)
+            silent4 = jnp.asarray(r_np < 0).reshape(1, -1, 1, 1)
+            x = jnp.where(silent4, 0.0, x)
+        y = resample_rows_pre(x, bank)     # (files, C, n_out, L)
+    else:
+        x = _front_end(x, frames_valid, routing, out_channels, raw_in)
+        y, _ = resample_rows(x, bank)      # (files, C, n_rows, L)
     C, n_rows, L = y.shape[1], y.shape[2], y.shape[3]
     out_total = n_rows * L
     out_valid = _exact_out_valid(frames_valid, bank, out_total)
@@ -387,8 +405,13 @@ def process_batch(
     """
     if noise_floor_db is None:
         noise_floor_db = cfg.noise_floor_db
-    if (rows_layout and not cfg.reverb_mode and cfg.chain is None
-            and isinstance(latency_frames, int) and latency_frames == 0):
+    rows_ok = (rows_layout and not cfg.reverb_mode and cfg.chain is None
+               and isinstance(latency_frames, int) and latency_frames == 0)
+    if hasattr(x, "ndim") and x.ndim == 4 and not rows_ok:
+        raise ValueError(
+            "4-D rows-marshalled input requires the rows fast path "
+            "(rows_layout=True, no reverb/chain, zero latency)")
+    if rows_ok:
         codes, out_frames, terminated, pk, level, nf_est = _process_impl_rows(
             x,
             jnp.asarray(frames_valid, jnp.int32),

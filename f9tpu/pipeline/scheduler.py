@@ -391,6 +391,22 @@ class BatchProcessor:
                     if not use_cp:
                         self.log.append(f"Channel sharding unavailable: {reason}")
 
+            # host-rows marshalling plan: for the rows fast path the host
+            # writes each file's samples straight into the (n_rows, M) tiling
+            # (a contiguous memcpy), so the device skips the flat->rows
+            # retiling that costs 3-4 ms/batch (docs/PERF.md round 2)
+            rows_bank = None
+            if (cfg.device_layout == "rows" and not raw_bits and not use_cp
+                    and not cfg.reverb_mode and cfg.chain is None
+                    and lat == 0):
+                from ..models.filters import design_cycle_bank
+                from ..ops.pallas_src import rows_pre_applicable
+
+                bank_g = design_cycle_bank(rate_in, cfg.target_rate,
+                                           quality=cfg.quality, kind=cfg.kind)
+                if rows_pre_applicable(bank_g):
+                    rows_bank = bank_g
+
             for blen, binfos in sorted(by_bucket.items()):
                 dec_q: queue.Queue = queue.Queue(maxsize=self.queue_depth)
                 enc_q: queue.Queue = queue.Queue(maxsize=self.queue_depth)
@@ -472,6 +488,20 @@ class BatchProcessor:
                             nb = min(len(d.data), blen * bpf)
                             x[i, :nb] = d.data[:nb]
                             valid[i] = nb // bpf
+                    elif rows_bank is not None:
+                        # host-rows marshalling: write samples at flat offset
+                        # pad_front of the zero (n_rows, M) tiling (contiguous
+                        # memcpy); the device starts straight at the matmul
+                        from ..ops.pallas_src import rows_marshal_plan
+
+                        n_rows, pf = rows_marshal_plan(rows_bank, blen)
+                        mm = rows_bank.M
+                        x = np.zeros((bs, channels, n_rows * mm), np.float32)
+                        for i, d in enumerate(batch_x):
+                            n = min(d.data.shape[-1], blen)
+                            x[i, :, pf : pf + n] = d.data[:, :n]
+                            valid[i] = n
+                        x = x.reshape(bs, channels, n_rows, mm)
                     else:
                         x = np.zeros((bs, channels, blen), np.float32)
                         for i, d in enumerate(batch_x):
@@ -484,7 +514,7 @@ class BatchProcessor:
 
                         spec = (P("files", None) if raw_bits
                                 else (P("files", "channels", None) if use_cp
-                                      else P("files", None, None)))
+                                      else P(*(["files"] + [None] * (x.ndim - 1)))))
                         x = jax.device_put(x, NamedSharding(self.mesh, spec))
                     try:
                         # dispatch only — results stay on device; the

@@ -172,3 +172,84 @@ def test_lagrange_impulse_is_local():
     pk_i = int(np.argmax(window))
     others = np.delete(window, [max(0, pk_i - 1), pk_i, min(len(window) - 1, pk_i + 1)])
     assert others.max() < 0.3 * peak
+
+
+def test_resample_rows_pre_matches_conv_paths():
+    """The host-marshalled rows form (stacked-bank matmul + shifted adds)
+    must match the conv path for every quality / direction it serves."""
+    import jax.numpy as jnp
+    from f9tpu.ops.pallas_src import (
+        resample_rows_pre,
+        rows_marshal_plan,
+        rows_pre_applicable,
+    )
+    from f9tpu.ops.resample import resample
+
+    rng = np.random.default_rng(9)
+    for ri, ro, q in [(44100, 48000, "high"), (44100, 48000, "ultra"),
+                      (96000, 44100, "high"), (48000, 44100, "low"),
+                      (88200, 96000, "medium")]:
+        bank = design_cycle_bank(ri, ro, quality=q)
+        if not rows_pre_applicable(bank):
+            continue
+        T = ri // 5 + 13          # deliberately unaligned length
+        x = (0.3 * rng.standard_normal((2, T))).astype(np.float32)
+        n_rows, pf = rows_marshal_plan(bank, T)
+        buf = np.zeros((2, n_rows * bank.M), np.float32)
+        buf[:, pf : pf + T] = x
+        y = np.asarray(resample_rows_pre(
+            jnp.asarray(buf.reshape(2, n_rows, bank.M)), bank))
+        out_len = bank.out_len(T)
+        got = y.reshape(2, -1)[:, :out_len]
+        ref = np.asarray(resample(x, bank))
+        assert np.abs(got - ref).max() < 2e-6, (ri, ro, q)
+
+
+def test_process_batch_rows_marshalled_matches_flat():
+    """The 4-D marshalled rows input through the fused graph equals the flat
+    3-D input (same graph, same codes) including routing and mono fan-out."""
+    import jax.numpy as jnp
+    from f9tpu.config import ProcessingConfig
+    from f9tpu.ops.pallas_src import rows_marshal_plan
+    from f9tpu.pipeline.graph import process_batch
+
+    rng = np.random.default_rng(3)
+    bank = design_cycle_bank(44100, 48000, quality="low")
+    files, C, T = 3, 2, 5000
+    x = (0.3 * rng.standard_normal((files, C, T))).astype(np.float32)
+    valid = np.array([5000, 3000, 17], np.int32)
+    # zero samples beyond each file's valid span (the marshalling contract)
+    for i, n in enumerate(valid):
+        x[i, :, n:] = 0.0
+    seeds = np.arange(1, files + 1, dtype=np.int32)
+    n_rows, pf = rows_marshal_plan(bank, T)
+    buf = np.zeros((files, C, n_rows * bank.M), np.float32)
+    buf[:, :, pf : pf + T] = x
+    x4 = buf.reshape(files, C, n_rows, bank.M)
+
+    for routing in (None, [1, 0, -1]):
+        cfg = ProcessingConfig(output_dir="/tmp/x", target_rate=48000,
+                               quality="low", channel_routing=routing,
+                               dither=False)
+        ref = process_batch(jnp.asarray(x), valid, cfg, 44100,
+                            jnp.asarray(seeds), rows_layout=True)
+        got = process_batch(jnp.asarray(x4), valid, cfg, 44100,
+                            jnp.asarray(seeds), rows_layout=True)
+        assert got.layout == "rows" and ref.layout == "rows"
+        a = np.asarray(ref.codes).reshape(files, np.asarray(ref.codes).shape[1], -1)
+        b = np.asarray(got.codes).reshape(files, np.asarray(got.codes).shape[1], -1)
+        n = int(np.asarray(ref.out_frames)[0])
+        assert np.array_equal(np.asarray(ref.out_frames),
+                              np.asarray(got.out_frames))
+        # different-but-equivalent compute graphs round differently at exact
+        # quantizer boundaries: allow 2 LSB (accuracy is gated vs the oracle)
+        np.testing.assert_allclose(a[..., :n], b[..., :n], atol=2)
+
+    # 4-D input must be rejected off the rows fast path
+    cfg = ProcessingConfig(output_dir="/tmp/x", target_rate=48000,
+                           quality="low", reverb_mode=True)
+    import pytest
+
+    with pytest.raises(ValueError, match="rows fast path"):
+        process_batch(jnp.asarray(x4), valid, cfg, 44100, jnp.asarray(seeds),
+                      rows_layout=True)
