@@ -158,7 +158,13 @@ def cmd_process(args) -> int:
     _save_config(args)
     log = StatusLog(sink=lambda line: print(line, flush=True))
     cal = CalibrationCache(os.path.join(args.out, ".calibration.json"))
-    bp = BatchProcessor(cfg, log=log, calibration=cal)
+    mesh = None
+    if args.files_shards > 1 or args.channel_shards > 1:
+        from .parallel import make_mesh
+
+        mesh = make_mesh(num_files_shards=args.files_shards,
+                         num_channel_shards=args.channel_shards)
+    bp = BatchProcessor(cfg, log=log, calibration=cal, mesh=mesh)
     manifest_path = os.path.join(args.out, ".manifest.json") if args.resume else None
     os.makedirs(args.out, exist_ok=True)
     if args.profile:
@@ -331,6 +337,10 @@ def main(argv: list[str] | None = None) -> int:
                    choices=["packed", "rows"],
                    help="packed: fewest link bytes (remote TPU); rows: least "
                         "device time (local TPU)")
+    p.add_argument("--files-shards", type=int, default=1,
+                   help="shard batches over N chips on the files axis (DP)")
+    p.add_argument("--channel-shards", type=int, default=1,
+                   help="shard MCFX buses over N chips on the channels axis")
     p.add_argument("--routing", default=None,
                    help="MCFX channel routing map, e.g. '0,1,-1,2' "
                         "(out[i] <- in[map[i]], -1 = silence)")

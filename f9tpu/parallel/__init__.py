@@ -1,4 +1,6 @@
-from .mesh import Mesh, NamedSharding, P, files_sharding, make_mesh  # noqa: F401
+from .mesh import (  # noqa: F401
+    Mesh, NamedSharding, P, files_sharding, make_mesh, make_multislice_mesh,
+)
 from .sharding import (  # noqa: F401
     channels_shardable,
     process_batch_channels_sharded,
