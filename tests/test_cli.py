@@ -143,3 +143,51 @@ def test_cli_uppercase_extension_dir(tmp_path):
     write_wav(str(tmp_path / "LOUD.WAV"), x, 44100, bits=24)
     rc = main(["probe", str(tmp_path)])
     assert rc == 0
+
+
+def test_cli_process_with_chain_and_seed(tmp_path):
+    """--chain-delay-ms is measured+trimmed; --seed reruns byte-identical."""
+    import numpy as np
+
+    from f9tpu.io import wav
+
+    src = tmp_path / "in"
+    src.mkdir()
+    t = np.arange(int(0.2 * 44100))
+    x = (0.4 * np.sin(2 * np.pi * 330 * t / 44100)).astype(np.float32)
+    wav.write_wav(str(src / "a.wav"), x[None], 44100, bits=24)
+
+    outs = []
+    for name in ("o1", "o2"):
+        out = tmp_path / name
+        rc = main([
+            "process", str(src / "a.wav"), "--out", str(out),
+            "--rate", "48000", "--quality", "low",
+            "--chain-delay-ms", "50", "--seed", "9",
+        ])
+        assert rc == 0
+        outs.append((out / "a_processed.wav").read_bytes())
+    assert outs[0] == outs[1]
+    got, rate = wav.read_wav(str(tmp_path / "o1" / "a_processed.wav"))
+    assert rate == 48000
+    # delay measured and trimmed: output length is the plain SRC length
+    assert got.shape[1] == int(np.ceil(len(x) * 48000 / 44100))
+
+
+def test_cli_preview_target_channels(tmp_path):
+    import numpy as np
+
+    from f9tpu.io import wav
+
+    t = np.arange(4410)
+    x = (0.4 * np.sin(2 * np.pi * 440 * t / 44100)).astype(np.float32)
+    wav.write_wav(str(tmp_path / "a.wav"), x[None], 44100, bits=24)
+    out = tmp_path / "bus.wav"
+    rc = main([
+        "preview", str(tmp_path / "a.wav"), "--out", str(out),
+        "--rate", "44100", "--channels", "6", "--target-channels", "4,5",
+    ])
+    assert rc == 0
+    got, _ = wav.read_wav(str(out))
+    assert got.shape[0] == 6
+    assert np.any(got[4] != 0) and np.all(got[0] == 0)
