@@ -85,7 +85,14 @@ def _build_chain(args):
     if getattr(args, "chain_delay_ms", None):
         stages.append(Delay(args.chain_delay_ms / 1000.0))
     if getattr(args, "chain_fir", None):
-        taps, _rate = codec.read_audio(args.chain_fir)
+        taps, taps_rate = codec.read_audio(args.chain_fir)
+        if taps_rate != args.rate:
+            # same treatment as IRs: a filter captured at another rate keeps
+            # its frequency response by oracle-resampling to the session rate
+            from .models.oracle import resample_oracle
+
+            taps = resample_oracle(taps.astype(np.float64), taps_rate,
+                                   args.rate).astype(np.float32)
         stages.append(FIRInsert(taps[0]))
     if getattr(args, "chain_ir", None):
         ir, ir_rate = codec.read_audio(args.chain_ir)
@@ -199,6 +206,16 @@ def cmd_preview(args) -> int:
     if args.monitor and not args.monitor_out:
         print("note: --monitor without --monitor-out has no file to write; "
               "pass --monitor-out PATH", file=sys.stderr)
+    try:
+        mon_ch = tuple(int(c) for c in args.monitor_channels.split(","))
+    except ValueError:
+        print(f"error: --monitor-channels must be two integers, got "
+              f"{args.monitor_channels!r}", file=sys.stderr)
+        return 2
+    if len(mon_ch) != 2:
+        print(f"error: --monitor-channels needs exactly two channels, got "
+              f"{args.monitor_channels!r}", file=sys.stderr)
+        return 2
     main_mix, monitor, items = render_playlist(
         files, args.rate,
         silence_ms=args.silence_ms,
@@ -207,8 +224,7 @@ def cmd_preview(args) -> int:
         loops=args.loops,
         target_channels=([int(c) for c in args.target_channels.split(",")]
                          if args.target_channels else None),
-        monitor_channels=tuple(
-            int(c) for c in args.monitor_channels.split(",")[:2]),
+        monitor_channels=mon_ch,
     )
     wav.write_wav(args.out, main_mix, args.rate, bits=24)
     print(f"rendered {len(items)} item(s), {main_mix.shape[-1]} frames -> {args.out}")

@@ -118,33 +118,14 @@ def process_batch_channels_sharded(
     files, C, _T = x.shape
     nc = mesh.shape["channels"]
     nf_shards = mesh.shape.get("files", 1)
-    if C % nc:
-        raise ValueError(f"{C} channels not divisible by {nc} channel shards")
     if files % nf_shards:
         raise ValueError(f"{files} files not divisible by {nf_shards} file shards")
+    ok, reason = channels_shardable(cfg, C, mesh)
+    if not ok:
+        raise ValueError(f"not channel-shardable: {reason}")
     c_local = C // nc
-
-    r_arr = None
-    if cfg.channel_routing is not None:
-        r = np.asarray(cfg.channel_routing, np.int32)
-        if len(r) != C:
-            raise ValueError(
-                "channel routing must preserve the bus width under channel "
-                f"sharding (got {len(r)} entries for {C} channels)")
-        ok = (r < 0) | ((r // c_local) == (np.arange(C) // c_local))
-        if not ok.all():
-            raise ValueError(
-                "routing map crosses channel shards; MCFX routing must stay "
-                "within each bus (per-bus maps)")
-        r_arr = r
-    if cfg.output_channels not in (None, C):
-        raise ValueError("mono fan-out is incompatible with channel sharding")
-    if cfg.chain is not None:
-        for s in getattr(cfg.chain, "stages", ()):
-            ir = getattr(s, "ir", None)
-            if ir is not None and ir.shape[0] > 1:
-                raise ValueError(
-                    "per-channel IRs are not supported under channel sharding")
+    r_tuple = (tuple(int(v) for v in cfg.channel_routing)
+               if cfg.channel_routing is not None else None)
 
     lat_static = latency_frames if isinstance(latency_frames, int) else 0
     pad = _default_pad_frames(cfg, rate_in, lat_static)
@@ -159,7 +140,27 @@ def process_batch_channels_sharded(
     lat = jnp.asarray(latency_frames, jnp.int32)
     valid = jnp.asarray(frames_valid, jnp.int32)
     seeds = jnp.asarray(seeds, jnp.int32)
-    route_map = jnp.asarray(r_arr) if r_arr is not None else None
+
+    fn = _build_cp_fn(mesh, rate_in, cfg.target_rate, base_key, static_zero,
+                      cfg.chain, c_local, r_tuple)
+    codes, out_frames, term, pk, lvl, nf_est = fn(x, valid, seeds, lat, nf)
+    return ProcessResult(codes=codes, out_frames=out_frames,
+                         tail_terminated=term, peak_db=pk, rms_db=lvl,
+                         noise_floor_db=nf_est)
+
+
+@functools.lru_cache(maxsize=64)
+def _build_cp_fn(mesh, rate_in, rate_out, base_key, static_zero, chain,
+                 c_local, r_tuple):
+    """Build (once per static signature) the jitted channel-sharded step.
+    Caching here matters: a fresh shard_map closure + jax.jit per batch would
+    retrace and recompile the whole fused graph on every flush."""
+    import numpy as np
+
+    from ..pipeline.graph import _process_impl
+
+    route_map = (jnp.asarray(np.asarray(r_tuple, np.int32))
+                 if r_tuple is not None else None)
 
     def local(xc, v, sd, lat_, nf_):
         silent = None
@@ -170,10 +171,16 @@ def process_batch_channels_sharded(
             xc = jnp.take(xc, src, axis=1)
             silent = (rl < 0)[None, :, None]
             xc = jnp.where(silent, 0.0, xc)
+        # decorrelate dither across channel shards: every shard holds the
+        # same per-file seed vector, and jax.random.bits over the same local
+        # shape would emit byte-identical noise on every shard (channels
+        # c and c + c_local would share a noise sequence)
+        sd = (sd ^ ((jax.lax.axis_index("channels") + 1)
+                    * jnp.int32(-1640531527))) & jnp.int32(0x7FFFFFFF)
         codes, out_frames, term, pk, lvl, nf_est = _process_impl(
             xc, v, lat_, nf_, sd,
-            rate_in=rate_in, rate_out=cfg.target_rate, cfg_key=base_key,
-            static_zero_latency=static_zero, chain=cfg.chain,
+            rate_in=rate_in, rate_out=rate_out, cfg_key=base_key,
+            static_zero_latency=static_zero, chain=chain,
             channel_axis="channels")
         if silent is not None:
             # routed-silent channels stay digital zero even under dither
@@ -188,11 +195,7 @@ def process_batch_channels_sharded(
                    P("files"), P("files"), P("files")),
         check_vma=False,
     )
-    codes, out_frames, term, pk, lvl, nf_est = jax.jit(fn)(
-        x, valid, seeds, lat, nf)
-    return ProcessResult(codes=codes, out_frames=out_frames,
-                         tail_terminated=term, peak_db=pk, rms_db=lvl,
-                         noise_floor_db=nf_est)
+    return jax.jit(fn)
 
 
 def shard_halos(bank: CycleBank) -> tuple[int, int]:

@@ -93,11 +93,20 @@ def render_playlist(
     else:
         tc = None
     if monitor:
+        if len(tuple(monitor_channels)) != 2:
+            raise ValueError("monitor_channels must be exactly two channels")
         ml, mr = monitor_channels
         if not (0 <= ml < output_channels and 0 <= mr < output_channels):
             raise ValueError(
                 f"monitor channels {monitor_channels} outside the "
                 f"{output_channels}-channel bus")
+        if tc is None and tuple(monitor_channels) != (0, 1):
+            # in-bus monitor placement only exists in bus-render mode; the
+            # plain mode returns the mixdown separately and leaves main alone
+            raise ValueError(
+                "monitor_channels placement requires target_channels "
+                "(bus-render mode); plain previews return the mixdown "
+                "separately")
 
     content_ch = len(tc) if tc is not None else output_channels
     silence = int(round(silence_ms * rate / 1000.0))
@@ -131,10 +140,6 @@ def render_playlist(
 
     if tc is None:
         main = programme
-        if monitor and tuple(monitor_channels) != (0, 1):
-            # non-default monitor placement still applies without targeting
-            main = programme.copy()
-            main[list(monitor_channels)] += mon
     else:
         main = np.zeros((output_channels, programme.shape[1]), np.float32)
         main[tc] = programme

@@ -78,6 +78,9 @@ def stream_resample_file(
     if cfg.latency_frames:
         raise ValueError("external chain latency is not supported on the "
                          "streaming path (the SRC chain is delay-free)")
+    if cfg.chain is not None:
+        raise ValueError("insert chains are a batch-path feature (use "
+                         "process); the streaming path is SRC-only")
     if cfg.channel_routing is not None or cfg.output_channels:
         raise ValueError("channel routing / fan-out is a batch-path feature "
                          "(use process); the streaming path preserves the "

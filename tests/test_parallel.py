@@ -416,3 +416,29 @@ def test_multislice_mesh_keeps_collectives_on_ici():
     y = resample_frames_sharded(jnp.zeros(T, jnp.float32), 44100, 48000,
                                 mesh, quality="low")
     assert np.asarray(y).shape == (T * bank.L // bank.M,)
+
+
+def test_channels_sharded_dither_decorrelated_and_reproducible():
+    """Channel shards must not emit byte-identical dither noise (every shard
+    holds the same per-file seed vector), and reruns must reproduce exactly."""
+    from f9tpu.parallel import process_batch_channels_sharded
+
+    mesh = make_mesh(num_files_shards=2, num_channel_shards=4)
+    files, C, T = 2, 8, 2205
+    # constant half-LSB signal: the dither draw alone decides each code
+    x = np.full((files, C, T), 0.5 / (1 << 23), np.float32)
+    valid = np.full(files, T, np.int32)
+    seeds = np.array([11, 22], np.int32)
+    cfg = ProcessingConfig(output_dir="/tmp/x", quality="low", dither=True,
+                           remove_dc=False)
+    a = np.asarray(process_batch_channels_sharded(
+        x, valid, cfg, 44100, seeds, mesh).codes)
+    b = np.asarray(process_batch_channels_sharded(
+        x, valid, cfg, 44100, seeds, mesh).codes)
+    assert np.array_equal(a, b)                      # deterministic
+    c_local = C // 4
+    n = int(0.9 * a.shape[-1])
+    for f in range(files):
+        # same local index on different shards -> different noise
+        assert not np.array_equal(a[f, 0, :n], a[f, c_local, :n])
+        assert not np.array_equal(a[f, 0, :n], a[f, 2 * c_local, :n])
