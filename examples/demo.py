@@ -76,6 +76,26 @@ def run(workdir: str) -> None:
     assert main(["process", lib, "--out", f"{workdir}/c5",
                  "--rate", "48000", "--quality", "high", "--json"]) == 0
     print("[5] mixed-rate studio library -> 48k in one batch")
+
+    # --- config 6: the insert loop — convolution reverb in the chain,
+    # latency measured + trimmed, tail kept to the noise floor ---
+    ir_len = 24000                                   # 0.5 s ring-out @ 48k
+    tt = np.arange(ir_len) / 48000
+    ir = np.zeros(ir_len, np.float32)
+    ir[0] = 1.0
+    ir[1:] = (0.03 * rng.standard_normal(ir_len - 1)
+              * np.exp(-tt[1:] / 0.12)).astype(np.float32)
+    write_wav(f"{lib}/hall_ir.wav", ir[None], 48000, bits=32)
+    assert main(["process", f"{lib}/hit.wav", "--out", f"{workdir}/c6",
+                 "--rate", "48000", "--quality", "high", "--reverb",
+                 "--noise-floor", "-90",
+                 "--chain-ir", f"{lib}/hall_ir.wav",
+                 "--chain-wet", "0.6", "--chain-dry", "0.4"]) == 0
+    y6, _ = read_wav(f"{workdir}/c6/hit_processed.wav")
+    src_out = int(np.ceil(44100 * 48000 / 44100))
+    assert y6.shape[1] > src_out            # the tail extended past the source
+    print(f"[6] insert-loop reverb: tail extended {y6.shape[1] - src_out} "
+          f"frames past the source and terminated at the noise floor")
     print("demo complete:", workdir)
 
 
