@@ -1,5 +1,11 @@
 from .resample import resample, resample_rates  # noqa: F401
-from .pallas_src import resample_auto, resample_pallas, resample_rows  # noqa: F401
+from .pallas_src import (  # noqa: F401
+    resample_auto,
+    resample_pallas,
+    resample_rows,
+    resample_rows_pre,
+    rows_marshal_plan,
+)
 from .analysis import (  # noqa: F401
     rms, rms_db, peak, peak_db, noise_floor_db, peak_position, first_above,
     remove_dc_offset,

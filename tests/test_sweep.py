@@ -131,3 +131,39 @@ def test_round_trip_snr():
     err = back[sl].astype(np.float64) - x[sl]
     snr = -rms_db(err, x[sl])
     assert snr > 100.0, snr
+
+
+def test_all_rate_pairs_rows_pre_vs_oracle():
+    """The production fast path (host-marshalled rows + shift-after-dot,
+    `resample_rows_pre`) across every studio rate pair it serves."""
+    import jax.numpy as jnp
+
+    from f9tpu.ops.pallas_src import (
+        resample_rows_pre,
+        rows_marshal_plan,
+        rows_pre_applicable,
+    )
+
+    rng = np.random.default_rng(2)
+    x = (0.3 * rng.standard_normal(4410)).astype(np.float32)
+    failures = []
+    served = 0
+    for rate_in, rate_out in ALL_PAIRS:
+        bank = design_cycle_bank(rate_in, rate_out, quality="low")
+        if not rows_pre_applicable(bank):
+            continue
+        served += 1
+        n_rows, pf = rows_marshal_plan(bank, len(x))
+        buf = np.zeros(n_rows * bank.M, np.float32)
+        buf[pf : pf + len(x)] = x
+        y = np.asarray(resample_rows_pre(
+            jnp.asarray(buf.reshape(n_rows, bank.M)), bank))
+        out_len = bank.out_len(len(x))
+        got = y.reshape(-1)[:out_len]
+        ref = resample_oracle(x, rate_in, rate_out, quality="low")
+        db = rms_db(got - ref, ref)
+        if db > -120.0:
+            failures.append((rate_in, rate_out, db))
+    assert not failures, failures
+    assert served >= 18   # the fast path covers most of the matrix (tiny-M
+    # pure-upsampling pairs fall back to the conv path)
