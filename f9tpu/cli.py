@@ -72,6 +72,7 @@ _CONFIG_KEYS = (
     "gain", "reverb", "noise_floor", "margin", "require_rate", "batch_size",
     "routing", "channels", "device_layout", "seed",
     "chain_ir", "chain_wet", "chain_dry", "chain_fir", "chain_delay_ms",
+    "chain_eq",
 )
 
 
@@ -79,11 +80,20 @@ def _build_chain(args):
     """Assemble the insert chain from CLI flags (the reference's external
     processor loop, expressed as in-graph stages).  Stage order: delay ->
     FIR -> convolution reverb, each optional."""
-    from .ops.chain import Chain, ConvolutionReverb, Delay, FIRInsert
+    from .ops.chain import Biquad, Chain, ConvolutionReverb, Delay, FIRInsert
 
     stages = []
     if getattr(args, "chain_delay_ms", None):
         stages.append(Delay(args.chain_delay_ms / 1000.0))
+    for spec in getattr(args, "chain_eq", None) or []:
+        parts = spec.split(":")
+        if not 2 <= len(parts) <= 4:
+            raise SystemExit(
+                f"--chain-eq expects kind:freq[:q[:gain_db]], got {spec!r}")
+        kind, freq = parts[0], float(parts[1])
+        q = float(parts[2]) if len(parts) > 2 else 0.70710678
+        gain = float(parts[3]) if len(parts) > 3 else 0.0
+        stages.append(Biquad(kind, freq, q=q, gain_db=gain))
     if getattr(args, "chain_fir", None):
         taps, taps_rate = codec.read_audio(args.chain_fir)
         if taps_rate != args.rate:
@@ -377,6 +387,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--chain-delay-ms", type=float, default=0.0,
                    help="insert chain: pure delay in ms (calibration measures "
                         "and trims it)")
+    p.add_argument("--chain-eq", action="append", default=None,
+                   metavar="KIND:FREQ[:Q[:GAIN_DB]]",
+                   help="insert chain: biquad EQ section (lowpass/highpass/"
+                        "peaking/lowshelf/highshelf); repeatable, applied in "
+                        "order")
     p.add_argument("--resume", action="store_true",
                    help="persist a manifest and skip already-completed files")
     p.add_argument("--json", action="store_true", help="print summary JSON")

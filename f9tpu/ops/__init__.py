@@ -20,5 +20,5 @@ from .routing import (  # noqa: F401
     deinterleave,
 )
 from .chain import (  # noqa: F401
-    Chain, Gain, Delay, FIRInsert, ConvolutionReverb, fft_convolve,
+    Biquad, Chain, Gain, Delay, FIRInsert, ConvolutionReverb, fft_convolve,
 )

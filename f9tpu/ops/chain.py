@@ -45,6 +45,7 @@ __all__ = [
     "Gain",
     "Delay",
     "FIRInsert",
+    "Biquad",
     "ConvolutionReverb",
     "fft_convolve",
 ]
@@ -207,6 +208,103 @@ class FIRInsert:
         if self.taps.shape[0] <= self.DIRECT_MAX:
             return _direct_convolve(y, self.taps)
         return fft_convolve(y, self.taps)
+
+
+class Biquad:
+    """A second-order IIR EQ section (RBJ audio-EQ-cookbook forms), realised
+    TPU-natively as a truncated impulse response driven through the same MXU
+    FIR machinery — a per-sample recurrence would serialise the TPU, while a
+    stable biquad's IR decays geometrically, so truncating at the float32
+    noise floor is exact to well below the -120 dB budget.
+
+    The IR is sampled at chain-apply time for the *actual* session rate (the
+    design is rate-dependent), so one Biquad object serves any output rate.
+    """
+
+    TYPES = ("lowpass", "highpass", "peaking", "lowshelf", "highshelf")
+
+    def __init__(self, kind: str, freq_hz: float, q: float = 0.70710678,
+                 gain_db: float = 0.0, max_ir_seconds: float = 2.0):
+        if kind not in self.TYPES:
+            raise ValueError(f"kind must be one of {self.TYPES}, got {kind!r}")
+        if freq_hz <= 0 or q <= 0:
+            raise ValueError("freq_hz and q must be positive")
+        self.kind = kind
+        self.freq_hz = float(freq_hz)
+        self.q = float(q)
+        self.gain_db = float(gain_db)
+        self.max_ir_seconds = float(max_ir_seconds)
+        self._ir_cache: dict[int, np.ndarray] = {}
+
+    def signature(self) -> tuple:
+        return ("biquad", self.kind, round(self.freq_hz, 6), round(self.q, 9),
+                round(self.gain_db, 9), round(self.max_ir_seconds, 6))
+
+    def coefficients(self, rate: int) -> tuple[np.ndarray, np.ndarray]:
+        """Normalised (b, a) with a[0] == 1 (RBJ audio EQ cookbook)."""
+        A = 10.0 ** (self.gain_db / 40.0)
+        w0 = 2.0 * np.pi * min(self.freq_hz, 0.49 * rate) / rate
+        cw, sw = np.cos(w0), np.sin(w0)
+        alpha = sw / (2.0 * self.q)
+        k = self.kind
+        if k == "lowpass":
+            b = np.array([(1 - cw) / 2, 1 - cw, (1 - cw) / 2])
+            a = np.array([1 + alpha, -2 * cw, 1 - alpha])
+        elif k == "highpass":
+            b = np.array([(1 + cw) / 2, -(1 + cw), (1 + cw) / 2])
+            a = np.array([1 + alpha, -2 * cw, 1 - alpha])
+        elif k == "peaking":
+            b = np.array([1 + alpha * A, -2 * cw, 1 - alpha * A])
+            a = np.array([1 + alpha / A, -2 * cw, 1 - alpha / A])
+        elif k == "lowshelf":
+            s = 2.0 * np.sqrt(A) * alpha
+            b = A * np.array([(A + 1) - (A - 1) * cw + s,
+                              2 * ((A - 1) - (A + 1) * cw),
+                              (A + 1) - (A - 1) * cw - s])
+            a = np.array([(A + 1) + (A - 1) * cw + s,
+                          -2 * ((A - 1) + (A + 1) * cw),
+                          (A + 1) + (A - 1) * cw - s])
+        else:  # highshelf
+            s = 2.0 * np.sqrt(A) * alpha
+            b = A * np.array([(A + 1) + (A - 1) * cw + s,
+                              -2 * ((A - 1) + (A + 1) * cw),
+                              (A + 1) + (A - 1) * cw - s])
+            a = np.array([(A + 1) - (A - 1) * cw + s,
+                          2 * ((A - 1) - (A + 1) * cw),
+                          (A + 1) - (A - 1) * cw - s])
+        return (b / a[0]).astype(np.float64), (a / a[0]).astype(np.float64)
+
+    def impulse_response(self, rate: int) -> np.ndarray:
+        """float64 IR truncated where the remaining tail is below the float32
+        quantum (geometric-decay bound from the pole radius)."""
+        cached = self._ir_cache.get(rate)
+        if cached is not None:
+            return cached
+        b, a = self.coefficients(rate)
+        n_max = max(16, int(self.max_ir_seconds * rate))
+        # direct-form recursion in float64 (host, exact)
+        h = np.zeros(n_max)
+        x1 = x2 = y1 = y2 = 0.0
+        for n in range(n_max):
+            xn = 1.0 if n == 0 else 0.0
+            yn = b[0] * xn + b[1] * x1 + b[2] * x2 - a[1] * y1 - a[2] * y2
+            h[n] = yn
+            x2, x1 = x1, xn
+            y2, y1 = y1, yn
+            if n > 8 and abs(yn) < 1e-10 and abs(y1) < 1e-10:
+                h = h[: n + 1]
+                break
+        self._ir_cache[rate] = h
+        return h
+
+    def tail_frames(self, rate: int) -> int:
+        return int(self.impulse_response(rate).shape[0]) - 1
+
+    def apply(self, y: jax.Array, rate: int) -> jax.Array:
+        h = self.impulse_response(rate).astype(np.float32)
+        if h.shape[0] <= FIRInsert.DIRECT_MAX:
+            return _direct_convolve(y, h)
+        return fft_convolve(y, h)
 
 
 class ConvolutionReverb:

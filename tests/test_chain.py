@@ -316,3 +316,80 @@ def test_scheduler_native_loader_parity(tmp_path):
         outs[name] = {p.name: p.read_bytes() for p in sorted(out.iterdir())
                       if p.suffix == ".wav"}
     assert outs["py"] == outs["nat"]
+
+
+# -------------------------------------------------------------------- biquads
+
+
+def _iir_oracle(x, b, a):
+    """float64 direct-form biquad recursion."""
+    y = np.zeros_like(x, np.float64)
+    x1 = x2 = y1 = y2 = 0.0
+    for n in range(len(x)):
+        yn = (b[0] * x[n] + b[1] * x1 + b[2] * x2 - a[1] * y1 - a[2] * y2)
+        y[n] = yn
+        x2, x1 = x1, float(x[n])
+        y2, y1 = y1, yn
+    return y
+
+
+def test_biquad_matches_iir_recursion():
+    """The truncated-IR realisation equals the exact IIR recursion."""
+    from f9tpu.ops.chain import Biquad
+
+    rng = np.random.default_rng(8)
+    x = (0.3 * rng.standard_normal(6000)).astype(np.float32)
+    for kind, f, q, g in [("peaking", 1000, 1.0, 6.0),
+                          ("lowpass", 4000, 0.707, 0.0),
+                          ("highshelf", 8000, 0.9, -4.5)]:
+        bq = Biquad(kind, f, q=q, gain_db=g)
+        got = np.asarray(bq.apply(jnp.asarray(x[None]), 48000))[0]
+        b, a = bq.coefficients(48000)
+        ref = _iir_oracle(x.astype(np.float64), b, a)
+        err = _rel_err_db(got, ref)
+        assert err <= -100, (kind, err)
+
+
+def test_biquad_frequency_response():
+    """A -inf-dB-stopband check: a peaking EQ boosts its centre tone by its
+    gain and a lowpass attenuates far above cutoff."""
+    from f9tpu.ops.chain import Biquad
+
+    rate = 48000
+    t = np.arange(rate) / rate
+
+    def level_db(y):
+        return 20 * np.log10(np.sqrt(np.mean(np.square(y[rate // 4:]))))
+
+    tone1k = (0.1 * np.sin(2 * np.pi * 1000 * t)).astype(np.float32)
+    bq = Biquad("peaking", 1000, q=1.0, gain_db=6.0)
+    out = np.asarray(bq.apply(jnp.asarray(tone1k[None]), rate))[0]
+    assert abs((level_db(out) - level_db(tone1k)) - 6.0) < 0.1
+
+    tone12k = (0.1 * np.sin(2 * np.pi * 12000 * t)).astype(np.float32)
+    lp = Biquad("lowpass", 1000, q=0.707)
+    out = np.asarray(lp.apply(jnp.asarray(tone12k[None]), rate))[0]
+    assert level_db(out) - level_db(tone12k) < -40    # ~-43 dB @ 12x fc
+
+
+def test_biquad_in_scheduler_chain(tmp_path):
+    """CLI --chain-eq end to end: a 10 kHz lowpass kills a 15 kHz tone."""
+    from f9tpu.cli import main
+    from f9tpu.io import wav
+
+    t = np.arange(int(0.3 * 44100))
+    x = (0.3 * np.sin(2 * np.pi * 300 * t / 44100)
+         + 0.3 * np.sin(2 * np.pi * 15000 * t / 44100)).astype(np.float32)
+    wav.write_wav(str(tmp_path / "a.wav"), x[None], 44100, bits=24)
+    out = tmp_path / "out"
+    rc = main(["process", str(tmp_path / "a.wav"), "--out", str(out),
+               "--rate", "48000", "--quality", "low",
+               "--chain-eq", "lowpass:2000:0.707"])
+    assert rc == 0
+    got, _ = wav.read_wav(str(out / "a_processed.wav"))
+    spec = np.abs(np.fft.rfft(got[0].astype(np.float64)))
+    freqs = np.fft.rfftfreq(got.shape[1], 1 / 48000)
+    lo = spec[np.argmin(np.abs(freqs - 300))]
+    hi = spec[np.argmin(np.abs(freqs - 15000))]
+    # a 2nd-order lowpass gives 12 dB/oct: ~-45 dB at 7.5x fc
+    assert 20 * np.log10(hi / lo) < -35

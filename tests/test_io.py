@@ -250,3 +250,55 @@ def test_fuzzed_aiff_headers_never_crash(tmp_path):
         except (ValueError, ZeroDivisionError, OverflowError, MemoryError,
                 OSError):
             pass
+
+
+def test_probe_fuzz_never_crashes(tmp_path):
+    """Random garbage, truncated containers, and hostile headers must only
+    raise the documented error set — never hang, loop, or segfault (the
+    production drop-zone takes arbitrary files)."""
+    import struct
+
+    from f9tpu.io import codec
+
+    rng = np.random.default_rng(0)
+    cases = []
+    # pure garbage of various sizes
+    for n in (0, 1, 3, 11, 44, 100, 4096):
+        cases.append(rng.integers(0, 256, n, dtype=np.uint8).tobytes())
+    # plausible RIFF/FORM prefixes with hostile bodies
+    for tag in (b"RIFF", b"FORM", b"RIFX"):
+        for body in (b"", b"\x00" * 8, b"WAVE", b"AIFF",
+                     b"WAVEfmt " + b"\xff" * 40,
+                     b"WAVE" + b"fmt \xff\xff\xff\x7f" + b"\x00" * 16,
+                     b"AIFFCOMM\xff\xff\xff\x7f" + b"\x00" * 18):
+            cases.append(tag + struct.pack("<I", len(body)) + body)
+    # a valid header whose declared sizes exceed the file
+    good = tmp_path / "good.wav"
+    from f9tpu.io import wav
+
+    wav.write_wav(str(good), np.zeros((1, 100), np.float32), 44100, bits=24)
+    data = good.read_bytes()
+    cases.append(data[: len(data) // 2])                  # truncated payload
+    cases.append(data[:40])                               # truncated header
+    hacked = bytearray(data)
+    hacked[4:8] = struct.pack("<I", 0xFFFFFFF0)           # absurd RIFF size
+    cases.append(bytes(hacked))
+
+    for i, blob in enumerate(cases):
+        p = tmp_path / f"fuzz_{i}.wav"
+        p.write_bytes(blob)
+        try:
+            info = codec.probe(str(p))
+            # a parse that *succeeds* must still report sane fields
+            assert info.num_frames >= 0 and info.sample_rate > 0
+        except (ValueError, OSError, EOFError, struct.error):
+            pass  # the documented failure set
+
+    # and the scheduler turns any of them into a per-file FAILED, not a crash
+    from f9tpu.config import ProcessingConfig
+    from f9tpu.pipeline.scheduler import BatchProcessor
+
+    files = [str(tmp_path / f"fuzz_{i}.wav") for i in range(len(cases))]
+    cfg = ProcessingConfig(output_dir=str(tmp_path / "out"), quality="low")
+    res = BatchProcessor(cfg).run(files)
+    assert res.completed + res.failed + res.invalid == len(files)
