@@ -40,16 +40,27 @@ def stream_chunk_plan(bank, chunk_seconds: float, rate_in: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("cycles", "rate_in", "rate_out",
                                              "quality", "kind", "bits",
-                                             "do_dither", "gain_db"))
-def _stream_step(xp, key, *, cycles, rate_in, rate_out, quality, kind,
-                 bits, do_dither, gain_db):
+                                             "do_dither", "gain_db", "chain",
+                                             "carry_frames"))
+def _stream_step(xp, carry, key, *, cycles, rate_in, rate_out, quality, kind,
+                 bits, do_dither, gain_db, chain=None, carry_frames=0):
     bank = design_cycle_bank(rate_in, rate_out, quality=quality, kind=kind)
     y = resample_presliced(xp, bank, cycles)
+    if chain is not None:
+        # exact chunk-boundary continuation for FIR-type chains: prepend the
+        # previous chunk's last tail_frames of SRC output (the chain's whole
+        # state for causal FIR stacks), convolve, drop the context span
+        z = jnp.concatenate([carry, y], axis=-1)
+        z = chain.apply(z, rate_out)
+        y_out = z[..., carry_frames:]
+        new_carry = y[..., -carry_frames:]
+    else:
+        y_out, new_carry = y, carry
     if gain_db:
-        y = y * (10.0 ** (gain_db / 20.0))
-    if do_dither:
-        return dither.tpdf_dither_quantize(y, key, bits=bits)
-    return dither.quantize(y, bits=bits)
+        y_out = y_out * (10.0 ** (gain_db / 20.0))
+    codes = (dither.tpdf_dither_quantize(y_out, key, bits=bits)
+             if do_dither else dither.quantize(y_out, bits=bits))
+    return codes, new_carry
 
 
 def stream_resample_file(
@@ -71,6 +82,13 @@ def stream_resample_file(
     outer halos are read straight from the file (the host-side twin of the
     halo exchange).  Encode stays incremental, so host memory is one
     super-chunk regardless of file length (SURVEY.md section 7 step 6).
+
+    ``cfg.chain`` (single-chip only): FIR-type insert chains (EQ, FIR,
+    reverb IRs, delays) stream exactly — the chain's whole state for a causal
+    FIR stack is its last ``tail_frames`` of SRC output, carried across
+    chunks (overlap-save at the output rate).  The chain's group delay is NOT
+    trimmed on this path (an EQ's delay is sub-ms; for delay-heavy chains use
+    ``process``, which measures and trims).
     """
     if cfg.reverb_mode:
         raise ValueError("reverb-mode tail handling is a batch-path feature; "
@@ -78,9 +96,9 @@ def stream_resample_file(
     if cfg.latency_frames:
         raise ValueError("external chain latency is not supported on the "
                          "streaming path (the SRC chain is delay-free)")
-    if cfg.chain is not None:
-        raise ValueError("insert chains are a batch-path feature (use "
-                         "process); the streaming path is SRC-only")
+    if cfg.chain is not None and mesh is not None:
+        raise ValueError("insert chains are single-chip streaming only "
+                         "(chain state does not shard over the frames axis)")
     if cfg.channel_routing is not None or cfg.output_channels:
         raise ValueError("channel routing / fan-out is a batch-path feature "
                          "(use process); the streaming path preserves the "
@@ -127,6 +145,14 @@ def stream_resample_file(
         if mesh is not None:
             return _stream_sharded(reader, out_path, cfg, bank, chunk_in,
                                    mesh, mean, key, progress_cb)
+        carry_frames = 0
+        if cfg.chain is not None:
+            carry_frames = int(cfg.chain.tail_frames(cfg.target_rate))
+            if carry_frames >= cycles * bank.L:
+                raise ValueError(
+                    f"chain ring-out ({carry_frames} frames) exceeds one "
+                    f"streaming chunk ({cycles * bank.L}); raise chunk_seconds")
+        carry = jnp.zeros((reader.num_channels, carry_frames), jnp.float32)
         with WavWriter(out_path, reader.num_channels, cfg.target_rate,
                        bits=cfg.bits) as writer:
             start = 0
@@ -146,12 +172,14 @@ def stream_resample_file(
                 pad_r = (hi - lo) - pad_l - span.shape[1]
                 xp = np.pad(span, ((0, 0), (pad_l, max(0, pad_r))))
                 key, sub = jax.random.split(key)
-                codes = np.asarray(_stream_step(
-                    jnp.asarray(xp), sub,
+                codes, carry = _stream_step(
+                    jnp.asarray(xp), carry, sub,
                     cycles=cycles, rate_in=rate_in, rate_out=cfg.target_rate,
                     quality=cfg.quality, kind=cfg.kind, bits=cfg.bits,
                     do_dither=cfg.dither, gain_db=float(cfg.gain_db),
-                ))
+                    chain=cfg.chain, carry_frames=carry_frames,
+                )
+                codes = np.asarray(codes)
                 take = min(codes.shape[1], out_total - written)
                 writer.append_codes(codes[:, :take])
                 written += take

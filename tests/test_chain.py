@@ -393,3 +393,62 @@ def test_biquad_in_scheduler_chain(tmp_path):
     hi = spec[np.argmin(np.abs(freqs - 15000))]
     # a 2nd-order lowpass gives 12 dB/oct: ~-45 dB at 7.5x fc
     assert 20 * np.log10(hi / lo) < -35
+
+
+def test_stream_with_chain_matches_whole_file(tmp_path):
+    """Chunked streaming with an insert chain (carried output context) must
+    equal the unchunked whole-file computation exactly."""
+    import jax
+
+    from f9tpu.io import wav
+    from f9tpu.ops import quantize
+    from f9tpu.ops.resample import resample_rates
+    from f9tpu.pipeline.stream import stream_resample_file
+
+    rate_in, rate_out = 44100, 48000
+    rng = np.random.default_rng(12)
+    T = int(1.1 * rate_in)
+    x = (0.2 * rng.standard_normal((2, T))).astype(np.float32)
+    src = str(tmp_path / "in.wav")
+    wav.write_wav(src, x, rate_in, bits=32)
+
+    taps = (0.2 * rng.standard_normal(257)).astype(np.float32)
+    taps[0] = 1.0
+    chain = Chain(FIRInsert(taps), Gain(-3.0))
+
+    cfg = ProcessingConfig(output_dir=str(tmp_path), target_rate=rate_out,
+                           quality="low", dither=False, remove_dc=False,
+                           gain_db=0.0, chain=chain)
+    out = str(tmp_path / "out.wav")
+    n = stream_resample_file(src, out, cfg, chunk_seconds=0.2)
+    got, _ = wav.read_wav(out)
+
+    x_read, _ = wav.read_wav(src)
+    y = resample_rates(jnp.asarray(x_read), rate_in, rate_out, quality="low")
+    ref_codes = np.asarray(quantize(chain.apply(y, rate_out), bits=24))
+    ref = ref_codes.astype(np.float64) / (1 << 23)
+    assert got.shape[1] == n == ref.shape[1]
+    # chunked conv accumulates in a different order than whole-file conv:
+    # a few ulps of fp32 noise (~4 LSB max, uniformly spread — a chunk-state
+    # bug would show as large errors clustered at chunk boundaries)
+    np.testing.assert_allclose(got, ref, atol=6.0 / (1 << 23))
+    # explicitly check the first chunk boundary region is not special
+    bnd = int(0.2 * 48000)
+    np.testing.assert_allclose(got[:, bnd - 50 : bnd + 50],
+                               ref[:, bnd - 50 : bnd + 50],
+                               atol=6.0 / (1 << 23))
+
+
+def test_stream_chain_ringout_must_fit_chunk(tmp_path):
+    from f9tpu.io import wav
+    from f9tpu.pipeline.stream import stream_resample_file
+
+    x = np.zeros((1, 44100), np.float32)
+    src = str(tmp_path / "z.wav")
+    wav.write_wav(src, x, 44100, bits=24)
+    ir = np.ones(48000, np.float32)          # 1 s ring-out > 0.2 s chunk
+    cfg = ProcessingConfig(output_dir=str(tmp_path), target_rate=48000,
+                           quality="low", chain=Chain(ConvolutionReverb(ir)))
+    with pytest.raises(ValueError, match="chunk_seconds"):
+        stream_resample_file(src, str(tmp_path / "o.wav"), cfg,
+                             chunk_seconds=0.2)
