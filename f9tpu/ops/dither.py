@@ -18,11 +18,63 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["tpdf_dither_quantize", "quantize", "dequantize"]
+__all__ = ["tpdf_dither_quantize", "tpdf_noise", "channel_seeds",
+           "noise_seeds", "quantize", "dequantize"]
 
 
 def _scale(bits: int) -> float:
     return float(1 << (bits - 1))
+
+
+def _splitmix32(h: jax.Array) -> jax.Array:
+    """SplitMix32 finalizer: a full-avalanche 32-bit mix (2 multiplies,
+    3 shift-xors).  As a counter hash it is a statistically white generator —
+    exactly what audio dither needs — at ~1/10 the VPU cost of threefry
+    (measured: threefry dither was ~40% of the whole fused graph,
+    docs/PERF.md round 2)."""
+    h = h ^ (h >> jnp.uint32(16))
+    h = h * jnp.uint32(0x21F0AAAD)
+    h = h ^ (h >> jnp.uint32(15))
+    h = h * jnp.uint32(0x735A2D97)
+    h = h ^ (h >> jnp.uint32(15))
+    return h
+
+
+def tpdf_noise(seeds: jax.Array, pos: jax.Array) -> jax.Array:
+    """TPDF dither noise in LSB units: a pure function of (seed, position).
+
+    ``seeds`` (uint32/int32) and ``pos`` (int32/uint32 sample positions)
+    broadcast against each other.  Because the noise is keyed by the
+    *absolute output sample position*, the emitted bytes are identical
+    however the work is chunked — across batch groupings, streaming chunk
+    sizes, runs, and backends (pure integer ops; no XLA RNG involved).
+    Batch and streaming paths therefore produce byte-identical files.
+
+    Noise = (u1 - u2) with u1,u2 the two 16-bit halves of one hashed draw:
+    triangular PDF over (-1, 1) LSB, variance 1/6 LSB^2.
+    """
+    seed_h = _splitmix32(seeds.astype(jnp.uint32))
+    h = _splitmix32(pos.astype(jnp.uint32) ^ seed_h)
+    u1 = (h & jnp.uint32(0xFFFF)).astype(jnp.float32) * (1.0 / 65536.0)
+    u2 = (h >> jnp.uint32(16)).astype(jnp.float32) * (1.0 / 65536.0)
+    return u1 - u2
+
+
+def channel_seeds(seeds: jax.Array, channels: int) -> jax.Array:
+    """Derive per-channel sub-seeds ``(..., channels)`` from per-file seeds:
+    each channel gets an independent noise stream (a plain small-int XOR
+    would alias file i channel 1 with file j channel 0 whenever their seeds
+    differ by that int; the golden-ratio multiply spreads them apart)."""
+    c = jnp.arange(channels, dtype=jnp.uint32) * jnp.uint32(0x9E3779B9)
+    return seeds.astype(jnp.uint32)[..., None] ^ c
+
+
+def noise_seeds(key: jax.Array, files: int) -> jax.Array:
+    """Normalise the graph's ``key`` argument (one PRNG key | per-file int32
+    seed vector) to per-file uint32 hash seeds for `tpdf_noise`."""
+    if key.ndim == 1 and key.dtype == jnp.int32:
+        return key.astype(jnp.uint32)
+    return jax.random.bits(key, (files,), dtype=jnp.uint32)
 
 
 @functools.partial(jax.jit, static_argnames=("bits", "dither"))

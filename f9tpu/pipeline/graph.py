@@ -178,27 +178,32 @@ def _process_impl(
         terminated = jnp.ones((files,), bool)
         out_frames = out_valid
 
-    y = mask_beyond(y, out_frames)
-
+    # ---- single-materialisation discipline (docs/PERF.md round 2): `y` is
+    # the last full-size array written (barrier: stops XLA re-running the SRC
+    # matmul per consumer); the DC-removed/gained signal `z` is a virtual
+    # fused producer recomputed by each consumer pass ----
+    vmask = jnp.arange(out_total, dtype=jnp.int32)[None, None, :] < (
+        out_frames[:, None, None])
+    y = jax.lax.optimization_barrier(jnp.where(vmask, y, 0.0))
     if remove_dc:
         # DC removal comes AFTER tail detection, as in the reference (capture
         # -> detect during capture -> trim -> DC-remove -> write,
         # Source/MainComponent.cpp:751-805): subtracting the mean first would
         # shift in-file silence off zero and defeat the noise-floor detector.
         # Mean over each file's valid span only (masked samples contribute 0).
-        mean = (jnp.sum(y, axis=-1, keepdims=True)
+        mean = (jnp.sum(jnp.where(vmask, y, 0.0), axis=-1, keepdims=True)
                 / jnp.maximum(out_frames, 1).reshape(files, 1, 1).astype(jnp.float32))
-        y = mask_beyond(y - mean, out_frames)
-
-    if gain_db:
-        y = y * (10.0 ** (gain_db / 20.0))
+    else:
+        mean = jnp.zeros((files, 1, 1), jnp.float32)
+    g = 10.0 ** (gain_db / 20.0) if gain_db else 1.0
+    z = jnp.where(vmask, (y - mean) * g, 0.0)
 
     if channel_axis is None:
-        pk_db, level_db = _metrics(y, out_frames)
+        pk_db, level_db = _metrics(z, out_frames)
     else:
         # cross-shard per-file metrics: channels live on other chips
-        flat = y.reshape(files, -1)
-        c_total = y.shape[1] * jax.lax.axis_size(channel_axis)
+        flat = z.reshape(files, -1)
+        c_total = z.shape[1] * jax.lax.axis_size(channel_axis)
         sumsq = jax.lax.psum(jnp.sum(jnp.square(flat), axis=-1), channel_axis)
         n_valid = (out_frames.astype(jnp.float32) * c_total).clip(1.0)
         rms = jnp.sqrt(sumsq / n_valid)
@@ -210,7 +215,7 @@ def _process_impl(
     # Noise floor estimate: RMS of the last tail window of each file's valid
     # span (the role of calculateNoiseFloor, LatencyMeasurementService.swift:173-181).
     win = max(1, rate_out * tail_window_ms // 1000)
-    mono = jnp.max(jnp.abs(y), axis=1)                          # (files, out_total)
+    mono = jnp.max(jnp.abs(z), axis=1)                          # (files, out_total)
     if channel_axis is not None:
         mono = jax.lax.pmax(mono, channel_axis)
     raw_pos = (out_frames[:, None] - win
@@ -223,11 +228,17 @@ def _process_impl(
     nf_est = jnp.where(tail_rms > 0,
                        20.0 * jnp.log10(jnp.maximum(tail_rms, 1e-30)),
                        analysis.DB_FLOOR)
-    codes = (dither.tpdf_dither_quantize(y, key, bits=bits)
-             if do_dither else dither.quantize(y, bits=bits))
-    codes = jnp.where(
-        (jnp.arange(out_total, dtype=jnp.int32) < out_frames[:, None, None]), codes, 0
-    )
+    s = float(1 << (bits - 1))
+    v = z * s
+    if do_dither:
+        # noise keyed by (file seed, channel, absolute output frame): bytes
+        # are invariant to batching/chunking — the streaming path emits the
+        # identical file (dither.tpdf_noise)
+        cs = dither.channel_seeds(dither.noise_seeds(key, files), z.shape[1])
+        pos_t = jnp.arange(out_total, dtype=jnp.int32)[None, None, :]
+        v = v + dither.tpdf_noise(cs[:, :, None], pos_t)
+    codes = jnp.where(vmask,
+                      jnp.clip(jnp.round(v), -s, s - 1.0).astype(jnp.int32), 0)
     if routing is not None and any(r < 0 for r in routing):
         # routed-silent channels stay digital zero even under dither (the
         # reference writes true silence on unused channels)
@@ -299,31 +310,48 @@ def _process_impl_rows(
     coli = jax.lax.broadcasted_iota(jnp.int32, (n_rows, L), 1)
     pos = (rowi * L + coli)[None, None]                   # (1,1,n,L)
     valid = pos < out_valid.reshape(files, 1, 1, 1)
-    y = jnp.where(valid, y, 0.0)
 
+    # ---- HBM-traffic discipline (docs/PERF.md round 2): materialise the SRC
+    # output exactly once (mask fused into the matmul epilogue; the barrier
+    # stops XLA from *duplicating the convolution* into each consumer
+    # fusion), then every later stage is a FUSED consumer of it.  The
+    # DC-removed/gained signal `z` stays virtual — recomputed by each pass
+    # instead of written back (an explicit z write+read costs ~0.7 ms/batch
+    # at bench scale, measured) ----
+    y = jax.lax.optimization_barrier(jnp.where(valid, y, 0.0))
     if remove_dc:
-        mean = (jnp.sum(y, axis=3, keepdims=True).sum(axis=2, keepdims=True)
-                / jnp.maximum(out_valid, 1).reshape(files, 1, 1, 1).astype(jnp.float32))
-        y = jnp.where(valid, y - mean, 0.0)
-    if gain_db:
-        y = y * (10.0 ** (gain_db / 20.0))
+        s1 = jnp.sum(y, axis=(2, 3), keepdims=True)
+        mean = s1 / jnp.maximum(out_valid, 1).reshape(files, 1, 1, 1).astype(jnp.float32)
+    else:
+        mean = jnp.zeros((files, 1, 1, 1), jnp.float32)
+    g = 10.0 ** (gain_db / 20.0) if gain_db else 1.0
+    z = jnp.where(valid, (y - mean) * g, 0.0)
 
-    pk_db = analysis._amp_to_db(jnp.max(jnp.abs(y), axis=(1, 2, 3)))
+    pk_db = analysis._amp_to_db(jnp.max(jnp.abs(z), axis=(1, 2, 3)))
     n_valid = (out_valid.astype(jnp.float32) * C).clip(1.0)
     level_db = analysis._amp_to_db(
-        jnp.sqrt(jnp.sum(jnp.square(y), axis=(1, 2, 3)) / n_valid))
+        jnp.sqrt(jnp.sum(jnp.square(z), axis=(1, 2, 3)) / n_valid))
     # tail-window noise floor over [out-win, out) via a positional mask
     win = max(1, rate_out * tail_window_ms // 1000)
     tail_mask = (pos >= (out_valid.reshape(files, 1, 1, 1) - win)) & valid
-    mono = jnp.max(jnp.abs(y), axis=1)                     # (files, n, L)
+    mono = jnp.max(jnp.abs(z), axis=1)                     # (files, n, L)
     # RMS over the VALID tail samples (a file shorter than one window has
     # fewer than `win` of them; dividing by `win` would understate the floor)
     n_tail = jnp.minimum(out_valid, win).astype(jnp.float32).clip(1.0)
     nf_est = analysis._amp_to_db(jnp.sqrt(
         jnp.sum(jnp.square(mono) * tail_mask[:, 0], axis=(1, 2)) / n_tail))
 
-    codes = (dither.tpdf_dither_quantize(y, key, bits=bits)
-             if do_dither else dither.quantize(y, bits=bits))
+    s = float(1 << (bits - 1))
+    v = z * s
+    if do_dither:
+        # counter-hash TPDF noise keyed by (file seed, channel, output frame)
+        # — byte-identical across runs, batch groupings, chunkings, and
+        # backends, at ~1/10 the VPU cost of the threefry draw; `pos` is the
+        # logical output frame index in the rows tiling, so this matches the
+        # flat and streaming paths bit-for-bit (dither.tpdf_noise)
+        cs = dither.channel_seeds(dither.noise_seeds(key, files), C)
+        v = v + dither.tpdf_noise(cs[:, :, None, None], pos)
+    codes = jnp.clip(jnp.round(v), -s, s - 1.0).astype(jnp.int32)
     codes = jnp.where(valid, codes, 0)
     if routing is not None and any(r < 0 for r in routing):
         silent = jnp.asarray([r < 0 for r in routing]).reshape(1, -1, 1, 1)

@@ -42,8 +42,9 @@ def stream_chunk_plan(bank, chunk_seconds: float, rate_in: int) -> int:
                                              "quality", "kind", "bits",
                                              "do_dither", "gain_db", "chain",
                                              "carry_frames"))
-def _stream_step(xp, carry, key, *, cycles, rate_in, rate_out, quality, kind,
-                 bits, do_dither, gain_db, chain=None, carry_frames=0):
+def _stream_step(xp, carry, seeds_c, pos0, *, cycles, rate_in, rate_out,
+                 quality, kind, bits, do_dither, gain_db, chain=None,
+                 carry_frames=0):
     bank = design_cycle_bank(rate_in, rate_out, quality=quality, kind=kind)
     y = resample_presliced(xp, bank, cycles)
     if chain is not None:
@@ -58,8 +59,14 @@ def _stream_step(xp, carry, key, *, cycles, rate_in, rate_out, quality, kind,
         y_out, new_carry = y, carry
     if gain_db:
         y_out = y_out * (10.0 ** (gain_db / 20.0))
-    codes = (dither.tpdf_dither_quantize(y_out, key, bits=bits)
-             if do_dither else dither.quantize(y_out, bits=bits))
+    s = float(1 << (bits - 1))
+    v = y_out * s
+    if do_dither:
+        # noise keyed by (seed, channel, ABSOLUTE output frame pos0+j):
+        # bytes are chunk-size invariant and identical to the batch path's
+        pos = pos0 + jnp.arange(y_out.shape[-1], dtype=jnp.int32)[None, :]
+        v = v + dither.tpdf_noise(seeds_c[:, None], pos)
+    codes = jnp.clip(jnp.round(v), -s, s - 1.0).astype(jnp.int32)
     return codes, new_carry
 
 
@@ -131,20 +138,22 @@ def stream_resample_file(
                 pos += blk.shape[1]
             mean = (acc / T).astype(np.float32).reshape(-1, 1)
 
-        # per-file dither key: derived from (cfg.seed, path) so two files (or
-        # two runs over different files) never share a dither noise sequence,
-        # and reruns with the same seed are byte-identical
+        # per-file dither seed: derived from (cfg.seed, path) exactly as the
+        # batch scheduler does, so the SAME file streamed or batch-processed
+        # emits byte-identical output (noise is keyed by absolute output
+        # frame position, chunk-size invariant — ops/dither.py)
         import zlib
 
         base_seed = (cfg.seed if cfg.seed is not None
                      else int(time.time()) & 0x7FFFFFFF)
-        key = jax.random.PRNGKey(
-            (zlib.crc32(in_path.encode())
-             ^ ((base_seed * 2654435761) & 0xFFFFFFFF)) & 0x7FFFFFFF)
+        seed32 = (zlib.crc32(in_path.encode())
+                  ^ ((base_seed * 2654435761) & 0xFFFFFFFF)) & 0x7FFFFFFF
+        seeds_c = dither.channel_seeds(jnp.uint32(seed32),
+                                       reader.num_channels)
         written = 0
         if mesh is not None:
             return _stream_sharded(reader, out_path, cfg, bank, chunk_in,
-                                   mesh, mean, key, progress_cb)
+                                   mesh, mean, seeds_c, progress_cb)
         carry_frames = 0
         if cfg.chain is not None:
             carry_frames = int(cfg.chain.tail_frames(cfg.target_rate))
@@ -171,9 +180,8 @@ def stream_resample_file(
                 pad_l = max(0, -lo)
                 pad_r = (hi - lo) - pad_l - span.shape[1]
                 xp = np.pad(span, ((0, 0), (pad_l, max(0, pad_r))))
-                key, sub = jax.random.split(key)
                 codes, carry = _stream_step(
-                    jnp.asarray(xp), carry, sub,
+                    jnp.asarray(xp), carry, seeds_c, jnp.int32(written),
                     cycles=cycles, rate_in=rate_in, rate_out=cfg.target_rate,
                     quality=cfg.quality, kind=cfg.kind, bits=cfg.bits,
                     do_dither=cfg.dither, gain_db=float(cfg.gain_db),
@@ -193,18 +201,22 @@ def stream_resample_file(
 
 
 @functools.partial(jax.jit, static_argnames=("bits", "do_dither", "gain_db"))
-def _finish_step(y, key, *, bits, do_dither, gain_db):
+def _finish_step(y, seeds_c, pos0, *, bits, do_dither, gain_db):
     """Gain + dither/quantize on the (sharded) resampled super-chunk; XLA
-    partitions these elementwise ops along the existing frames sharding."""
+    partitions these elementwise ops (and the position iota) along the
+    existing frames sharding, so each shard hashes its own positions."""
     if gain_db:
         y = y * (10.0 ** (gain_db / 20.0))
+    s = float(1 << (bits - 1))
+    v = y * s
     if do_dither:
-        return dither.tpdf_dither_quantize(y, key, bits=bits)
-    return dither.quantize(y, bits=bits)
+        pos = pos0 + jnp.arange(y.shape[-1], dtype=jnp.int32)[None, :]
+        v = v + dither.tpdf_noise(seeds_c[:, None], pos)
+    return jnp.clip(jnp.round(v), -s, s - 1.0).astype(jnp.int32)
 
 
-def _stream_sharded(reader, out_path, cfg, bank, chunk_in, mesh, mean, key,
-                    progress_cb) -> int:
+def _stream_sharded(reader, out_path, cfg, bank, chunk_in, mesh, mean,
+                    seeds_c, progress_cb) -> int:
     """Multi-chip streaming body: super-chunks of n_shards*chunk_in frames,
     frames axis sharded over the mesh, file-context outer halos."""
     from ..parallel.sharding import resample_frames_sharded, shard_halos
@@ -246,10 +258,9 @@ def _stream_sharded(reader, out_path, cfg, bank, chunk_in, mesh, mean, key,
                 jnp.asarray(x), rate_in, cfg.target_rate, mesh,
                 quality=cfg.quality, kind=cfg.kind,
                 left_halo=jnp.asarray(left), right_halo=jnp.asarray(right))
-            key, sub = jax.random.split(key)
             codes = np.asarray(_finish_step(
-                y, sub, bits=cfg.bits, do_dither=cfg.dither,
-                gain_db=float(cfg.gain_db)))
+                y, seeds_c, jnp.int32(written), bits=cfg.bits,
+                do_dither=cfg.dither, gain_db=float(cfg.gain_db)))
             take = min(codes.shape[1], out_total - written)
             writer.append_codes(codes[:, :take])
             written += take

@@ -349,6 +349,62 @@ def test_stream_resample_with_dc_and_dither(tmp_path):
     assert abs(float(y.mean())) < 1e-3  # DC removed across chunks
 
 
+def test_stream_dither_chunk_invariant_and_matches_batch(tmp_path):
+    """Dither noise is keyed by (file seed, channel, absolute output frame):
+    streamed bytes must be identical for any chunk size AND identical to the
+    batch scheduler's output for the same cfg.seed (ops/dither.py contract)."""
+    from f9tpu.io import read_wav, write_wav
+    from f9tpu.pipeline import BatchProcessor, stream_resample_file
+
+    rate = 44100
+    rng = np.random.default_rng(21)
+    frames = rate + 731
+    x = (0.3 * rng.standard_normal((2, frames))).astype(np.float32)
+    src = str(tmp_path / "in" / "seedcheck.wav")
+    os.makedirs(tmp_path / "in")
+    write_wav(src, x, rate, bits=24)
+
+    cfg = ProcessingConfig(output_dir=str(tmp_path / "s1"), target_rate=48000,
+                           quality="low", seed=7, remove_dc=False)
+    o1, o2 = str(tmp_path / "a.wav"), str(tmp_path / "b.wav")
+    stream_resample_file(src, o1, cfg, chunk_seconds=0.15)
+    stream_resample_file(src, o2, cfg, chunk_seconds=0.45)
+    y1, _ = read_wav(o1)
+    y2, _ = read_wav(o2)
+    assert np.array_equal(y1, y2), "dither must be chunk-size invariant"
+
+    cfgb = ProcessingConfig(output_dir=str(tmp_path / "out"), target_rate=48000,
+                            quality="low", seed=7, remove_dc=False)
+    res = BatchProcessor(cfgb).run([src])
+    assert res.completed == 1
+    yb, rb = read_wav(str(tmp_path / "out" / "seedcheck_processed.wav"))
+    assert rb == 48000
+    assert yb.shape[1] == y1.shape[1]
+    # batch (rows einsum) and stream (presliced conv) accumulate fp32 in
+    # different orders, so exact byte identity can't hold — but the dither
+    # noise IS identical (same (seed, channel, position) keying), so the
+    # difference stays at SRC rounding level (a few codes), NOT at the
+    # +-2 LSB random level that mismatched dither streams would produce
+    diff = np.round(yb * (1 << 23)) - np.round(y1 * (1 << 23))
+    assert np.abs(diff).max() <= 16
+    frac_same_seed = (diff != 0).mean()
+    assert frac_same_seed < 0.35, \
+        "widespread code differences imply the dither streams diverged"
+
+    # negative control: a different seed MUST diverge broadly (validates the
+    # discriminator above — independent TPDF draws differ at most samples)
+    cfg9 = ProcessingConfig(output_dir=str(tmp_path / "out9"),
+                            target_rate=48000, quality="low", seed=9,
+                            remove_dc=False)
+    assert BatchProcessor(cfg9).run([src]).completed == 1
+    y9, _ = read_wav(str(tmp_path / "out9" / "seedcheck_processed.wav"))
+    # independent TPDF draws flip ~45% of codes (analytic/simulated); SRC
+    # rounding alone flips well under 35%
+    diff9 = np.round(y9 * (1 << 23)) - np.round(y1 * (1 << 23))
+    assert (diff9 != 0).mean() > 0.40
+    assert frac_same_seed < (diff9 != 0).mean() - 0.05
+
+
 def test_wav_reader_writer_roundtrip(tmp_path):
     from f9tpu.io import WavReader, WavWriter, read_wav
 
