@@ -72,15 +72,17 @@ _CONFIG_KEYS = (
     "gain", "reverb", "noise_floor", "margin", "require_rate", "batch_size",
     "routing", "channels", "device_layout", "seed",
     "chain_ir", "chain_wet", "chain_dry", "chain_fir", "chain_delay_ms",
-    "chain_eq",
+    "chain_eq", "chain_comp", "chain_sat", "chain_width",
 )
 
 
 def _build_chain(args):
     """Assemble the insert chain from CLI flags (the reference's external
-    processor loop, expressed as in-graph stages).  Stage order: delay ->
-    FIR -> convolution reverb, each optional."""
-    from .ops.chain import Biquad, Chain, ConvolutionReverb, Delay, FIRInsert
+    processor loop, expressed as in-graph stages).  Studio signal order:
+    delay -> EQ -> FIR -> compressor -> saturator -> width -> reverb, each
+    optional."""
+    from .ops.chain import (Biquad, Chain, Compressor, ConvolutionReverb,
+                            Delay, FIRInsert, Saturator, StereoWidth)
 
     stages = []
     if getattr(args, "chain_delay_ms", None):
@@ -104,6 +106,36 @@ def _build_chain(args):
             taps = resample_oracle(taps.astype(np.float64), taps_rate,
                                    args.rate).astype(np.float32)
         stages.append(FIRInsert(taps[0]))
+    if getattr(args, "chain_comp", None):
+        parts = str(args.chain_comp).split(":")
+        if not 2 <= len(parts) <= 5:
+            raise SystemExit("--chain-comp expects "
+                             "thresh_db:ratio[:attack_ms[:release_db_s"
+                             f"[:makeup_db]]], got {args.chain_comp!r}")
+        try:
+            stages.append(Compressor(
+                threshold_db=float(parts[0]), ratio=float(parts[1]),
+                attack_ms=float(parts[2]) if len(parts) > 2 else 5.0,
+                release_db_per_s=(float(parts[3]) if len(parts) > 3 else 80.0),
+                makeup_db=float(parts[4]) if len(parts) > 4 else 0.0))
+        except ValueError as e:
+            raise SystemExit(f"--chain-comp: {e}")
+    if getattr(args, "chain_sat", None):
+        parts = str(args.chain_sat).split(":")
+        if not 2 <= len(parts) <= 3:
+            raise SystemExit("--chain-sat expects kind:drive_db[:mix], "
+                             f"got {args.chain_sat!r}")
+        try:
+            stages.append(Saturator(parts[0], drive_db=float(parts[1]),
+                                    mix=(float(parts[2]) if len(parts) > 2
+                                         else 1.0)))
+        except ValueError as e:
+            raise SystemExit(f"--chain-sat: {e}")
+    if getattr(args, "chain_width", None) is not None:
+        try:
+            stages.append(StereoWidth(float(args.chain_width)))
+        except ValueError as e:
+            raise SystemExit(f"--chain-width: {e}")
     if getattr(args, "chain_ir", None):
         ir, ir_rate = codec.read_audio(args.chain_ir)
         if ir_rate != args.rate:
@@ -387,6 +419,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--chain-delay-ms", type=float, default=0.0,
                    help="insert chain: pure delay in ms (calibration measures "
                         "and trims it)")
+    p.add_argument("--chain-comp", default=None,
+                   metavar="THRESH:RATIO[:ATTACK_MS[:RELEASE_DBS[:MAKEUP]]]",
+                   help="insert chain: bus compressor (instant attack, "
+                        "linear-dB release; channel-linked). Negative "
+                        "threshold needs the = form: --chain-comp=-18:4")
+    p.add_argument("--chain-sat", default=None,
+                   metavar="KIND:DRIVE_DB[:MIX]",
+                   help="insert chain: saturator (tanh/soft/hard waveshaper)")
+    p.add_argument("--chain-width", type=float, default=None,
+                   help="insert chain: stereo M/S width (0=mono, 1=as-is, 2=wide)")
     p.add_argument("--chain-eq", action="append", default=None,
                    metavar="KIND:FREQ[:Q[:GAIN_DB]]",
                    help="insert chain: biquad EQ section (lowpass/highpass/"

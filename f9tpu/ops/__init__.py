@@ -20,5 +20,6 @@ from .routing import (  # noqa: F401
     deinterleave,
 )
 from .chain import (  # noqa: F401
-    Biquad, Chain, Gain, Delay, FIRInsert, ConvolutionReverb, fft_convolve,
+    Biquad, Chain, Compressor, Gain, Delay, FIRInsert, ConvolutionReverb,
+    Saturator, StereoWidth, fft_convolve,
 )

@@ -46,6 +46,9 @@ __all__ = [
     "Delay",
     "FIRInsert",
     "Biquad",
+    "Saturator",
+    "StereoWidth",
+    "Compressor",
     "ConvolutionReverb",
     "fft_convolve",
 ]
@@ -307,6 +310,174 @@ class Biquad:
         return fft_convolve(y, h)
 
 
+class Saturator:
+    """Memoryless waveshaper (the 'tape machine / tube stage in the loop'
+    scenario — the most common outboard insert after EQ and compression).
+
+    ``out = (1-mix)*y + mix * shape(drive*y) * 10^(trim_db/20)`` where the
+    curves are normalised so a full-scale input maps to full scale:
+
+    - ``tanh``:  tanh(g*x) / tanh(g)
+    - ``soft``:  cubic soft clip 1.5u - 0.5u^3 on u = clip(g*x, -1, 1)
+    - ``hard``:  clip(g*x, -1, 1)
+
+    Zero latency and zero ring-out (tail_frames == 0); purely elementwise, so
+    XLA fuses it into the surrounding graph for free.  Note the small-signal
+    gain of the normalised curves exceeds unity as drive rises (g/tanh(g) for
+    tanh) — use ``trim_db`` to compensate, as on the hardware.
+    """
+
+    KINDS = ("tanh", "soft", "hard")
+
+    def __init__(self, kind: str = "tanh", drive_db: float = 0.0,
+                 mix: float = 1.0, trim_db: float = 0.0):
+        if kind not in self.KINDS:
+            raise ValueError(f"kind must be one of {self.KINDS}, got {kind!r}")
+        if not 0.0 <= mix <= 1.0:
+            raise ValueError(f"mix must be in [0, 1], got {mix}")
+        self.kind = kind
+        self.drive_db = float(drive_db)
+        self.mix = float(mix)
+        self.trim_db = float(trim_db)
+
+    def signature(self) -> tuple:
+        return ("sat", self.kind, round(self.drive_db, 9),
+                round(self.mix, 9), round(self.trim_db, 9))
+
+    def tail_frames(self, rate: int) -> int:
+        return 0
+
+    def apply(self, y: jax.Array, rate: int) -> jax.Array:
+        g = np.float32(10.0 ** (self.drive_db / 20.0))
+        if self.kind == "tanh":
+            shaped = jnp.tanh(g * y) * np.float32(1.0 / np.tanh(max(g, 1e-9)))
+        elif self.kind == "soft":
+            u = jnp.clip(g * y, -1.0, 1.0)
+            shaped = 1.5 * u - 0.5 * u * u * u
+        else:  # hard
+            shaped = jnp.clip(g * y, -1.0, 1.0)
+        shaped = shaped * np.float32(10.0 ** (self.trim_db / 20.0))
+        if self.mix >= 1.0:
+            return shaped
+        return np.float32(1.0 - self.mix) * y + np.float32(self.mix) * shaped
+
+
+class StereoWidth:
+    """Mid/side width control on a stereo pair: mid passes, side scales by
+    ``width`` (0 = mono, 1 = unchanged, 2 = doubled side energy).  Requires
+    exactly 2 channels on the signal's channel axis."""
+
+    def __init__(self, width: float):
+        if not 0.0 <= width <= 4.0:
+            raise ValueError(f"width must be in [0, 4], got {width}")
+        self.width = float(width)
+
+    def signature(self) -> tuple:
+        return ("width", round(self.width, 9))
+
+    def tail_frames(self, rate: int) -> int:
+        return 0
+
+    def apply(self, y: jax.Array, rate: int) -> jax.Array:
+        if y.ndim < 2:
+            # a 1-D signal (the calibration impulse) is the correlated mid
+            # path: side == 0, so width leaves it untouched — identity
+            return y
+        if y.shape[-2] != 2:
+            raise ValueError(
+                f"StereoWidth needs a stereo channel axis, got shape {y.shape}")
+        l, r = y[..., 0, :], y[..., 1, :]
+        m = 0.5 * (l + r)
+        s = np.float32(0.5 * self.width) * (l - r)
+        return jnp.stack([m + s, m - s], axis=-2)
+
+
+class Compressor:
+    """Feed-forward dynamics compressor, TPU-native: every stage is either a
+    convolution or an (exactly) parallelised envelope — no per-sample serial
+    recurrence anywhere.
+
+    Detector: causal moving-RMS over ``detector_ms`` (FIR).  Channel-linked
+    (max across the channel axis), like a stereo bus compressor.
+
+    Envelope: instant attack, *linear-in-dB release* at ``release_db_per_s``:
+    ``env[n] = max_k<=n (level_db[k] - c*(n-k))``.  That sliding slanted max
+    equals ``cummax(level_db[k] + c*k) - c*n`` — an associative prefix max,
+    which XLA computes in log depth; this is the classic analog "linear
+    release" law, chosen precisely because it makes the recurrence
+    associative on a TPU.
+
+    Gain computer: soft knee of ``knee_db`` around ``threshold_db`` with slope
+    ``1 - 1/ratio``; the gain signal is then smoothed by a causal
+    ``attack_ms`` moving average (a lookahead-free attack ramp).  Gain is
+    applied sample-aligned, so the stage adds **zero signal latency**; its
+    influence horizon (for streaming continuation) is the release run-length
+    of the full dynamic range plus the detector/attack windows.
+    """
+
+    def __init__(self, threshold_db: float = -24.0, ratio: float = 4.0,
+                 attack_ms: float = 5.0, release_db_per_s: float = 80.0,
+                 knee_db: float = 6.0, makeup_db: float = 0.0,
+                 detector_ms: float = 1.0):
+        if ratio < 1.0:
+            raise ValueError(f"ratio must be >= 1, got {ratio}")
+        if release_db_per_s <= 0:
+            raise ValueError("release_db_per_s must be positive")
+        if attack_ms < 0 or detector_ms < 0 or knee_db < 0:
+            raise ValueError("attack_ms/detector_ms/knee_db must be >= 0")
+        self.threshold_db = float(threshold_db)
+        self.ratio = float(ratio)
+        self.attack_ms = float(attack_ms)
+        self.release_db_per_s = float(release_db_per_s)
+        self.knee_db = float(knee_db)
+        self.makeup_db = float(makeup_db)
+        self.detector_ms = float(detector_ms)
+
+    def signature(self) -> tuple:
+        return ("comp", round(self.threshold_db, 9), round(self.ratio, 9),
+                round(self.attack_ms, 9), round(self.release_db_per_s, 9),
+                round(self.knee_db, 9), round(self.makeup_db, 9),
+                round(self.detector_ms, 9))
+
+    def tail_frames(self, rate: int) -> int:
+        # release horizon: frames for 120 dB of gain recovery (beyond which
+        # the envelope's influence is under any audible/quantisable floor)
+        horizon = int(np.ceil(120.0 / self.release_db_per_s * rate))
+        win_det = max(1, int(round(self.detector_ms * rate / 1000.0)))
+        win_att = max(1, int(round(self.attack_ms * rate / 1000.0)))
+        return horizon + win_det + win_att
+
+    def _gain_db(self, y: jax.Array, rate: int) -> jax.Array:
+        win = max(1, int(round(self.detector_ms * rate / 1000.0)))
+        p = _direct_convolve(jnp.square(y),
+                             np.full(win, 1.0 / win, np.float32))
+        if y.ndim >= 2:
+            p = jnp.max(p, axis=-2, keepdims=True)       # stereo/bus link
+        level_db = 10.0 * jnp.log10(jnp.maximum(p, 1e-20))
+        c = np.float32(self.release_db_per_s / rate)
+        n = jnp.arange(y.shape[-1], dtype=jnp.float32)
+        env_db = jax.lax.cummax(level_db + c * n,
+                                axis=level_db.ndim - 1) - c * n
+        over = env_db - np.float32(self.threshold_db)
+        slope = np.float32(1.0 - 1.0 / self.ratio)
+        if self.knee_db > 0:
+            k2 = np.float32(self.knee_db / 2.0)
+            knee_gr = -slope * jnp.square(over + k2) / np.float32(
+                2.0 * self.knee_db)
+            gr = jnp.where(over <= -k2, 0.0,
+                           jnp.where(over >= k2, -slope * over, knee_gr))
+        else:
+            gr = jnp.minimum(0.0, -slope * over)
+        win_a = max(1, int(round(self.attack_ms * rate / 1000.0)))
+        if win_a > 1:
+            gr = _direct_convolve(gr, np.full(win_a, 1.0 / win_a, np.float32))
+        return gr + np.float32(self.makeup_db)
+
+    def apply(self, y: jax.Array, rate: int) -> jax.Array:
+        gain = 10.0 ** (self._gain_db(y, rate) * np.float32(1.0 / 20.0))
+        return y * gain
+
+
 class ConvolutionReverb:
     """Convolution with a measured impulse response (the 'reverb unit in the
     loop' scenario, REVERB_MODE_IMPLEMENTATION.md): ``out = dry*y + wet*(y*ir)``.
@@ -378,7 +549,12 @@ class Chain:
     def apply(self, y: jax.Array, rate: int) -> jax.Array:
         for s in self.stages:
             y = s.apply(y, rate)
-        return y
+        # Pin the chain's output as one materialisation: the batch graph's
+        # downstream stages are fused consumers that recompute their producer
+        # (pipeline/graph.py), and without a barrier XLA may duplicate the
+        # chain's convolutions into each of them — same discipline as the SRC
+        # output barrier.
+        return jax.lax.optimization_barrier(y)
 
     def __hash__(self):
         return hash(self._sig)

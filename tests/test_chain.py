@@ -452,3 +452,183 @@ def test_stream_chain_ringout_must_fit_chunk(tmp_path):
     with pytest.raises(ValueError, match="chunk_seconds"):
         stream_resample_file(src, str(tmp_path / "o.wav"), cfg,
                              chunk_seconds=0.2)
+
+
+# ------------------------------------------------------------------- dynamics
+
+
+def test_saturator_curves_match_numpy():
+    from f9tpu.ops.chain import Saturator
+
+    x = np.linspace(-1.5, 1.5, 301, dtype=np.float32).reshape(1, -1)
+    g = 10.0 ** (6.0 / 20.0)
+    got = np.asarray(Saturator("tanh", drive_db=6.0).apply(jnp.asarray(x), 48000))
+    np.testing.assert_allclose(got, np.tanh(g * x) / np.tanh(g), atol=1e-6)
+
+    u = np.clip(g * x, -1, 1)
+    got = np.asarray(Saturator("soft", drive_db=6.0).apply(jnp.asarray(x), 48000))
+    np.testing.assert_allclose(got, 1.5 * u - 0.5 * u**3, atol=1e-6)
+
+    got = np.asarray(Saturator("hard", drive_db=6.0).apply(jnp.asarray(x), 48000))
+    np.testing.assert_allclose(got, u, atol=1e-7)
+
+    # mix blends dry/wet; trim scales the wet path only
+    sat = Saturator("tanh", drive_db=6.0, mix=0.25, trim_db=-6.0)
+    wet = np.tanh(g * x) / np.tanh(g) * 10.0 ** (-6.0 / 20.0)
+    got = np.asarray(sat.apply(jnp.asarray(x), 48000))
+    np.testing.assert_allclose(got, 0.75 * x + 0.25 * wet, atol=1e-6)
+    assert sat.tail_frames(48000) == 0
+
+    with pytest.raises(ValueError, match="kind"):
+        Saturator("fuzz")
+    with pytest.raises(ValueError, match="mix"):
+        Saturator("tanh", mix=1.5)
+
+
+def test_stereo_width_ms_math():
+    from f9tpu.ops.chain import StereoWidth
+
+    rng = np.random.default_rng(5)
+    y = rng.standard_normal((3, 2, 100)).astype(np.float32)
+    m = 0.5 * (y[:, 0] + y[:, 1])
+    s = 0.5 * (y[:, 0] - y[:, 1])
+    for w in (0.0, 1.0, 2.0):
+        got = np.asarray(StereoWidth(w).apply(jnp.asarray(y), 48000))
+        np.testing.assert_allclose(got[:, 0], m + w * s, atol=1e-6)
+        np.testing.assert_allclose(got[:, 1], m - w * s, atol=1e-6)
+    # width 1 is a no-op; width 0 collapses to mono
+    np.testing.assert_allclose(
+        np.asarray(StereoWidth(1.0).apply(jnp.asarray(y), 48000)), y, atol=1e-6)
+    with pytest.raises(ValueError, match="stereo"):
+        StereoWidth(1.0).apply(jnp.asarray(y[:, :1]), 48000)
+    with pytest.raises(ValueError, match="width"):
+        StereoWidth(-0.1)
+
+
+def test_compressor_static_law():
+    """Steady sine above threshold: gain reduction follows the ratio line on
+    the detector's RMS level (hard knee for sharpness)."""
+    from f9tpu.ops.chain import Compressor
+
+    rate = 48000
+    amp = 0.5
+    t = np.arange(rate) / rate
+    x = (amp * np.sin(2 * np.pi * 997 * t)).astype(np.float32).reshape(1, 1, -1)
+    comp = Compressor(threshold_db=-20.0, ratio=4.0, attack_ms=2.0,
+                      release_db_per_s=200.0, knee_db=0.0, detector_ms=5.0)
+    y = np.asarray(comp.apply(jnp.asarray(x), rate))
+    level_db = 20 * np.log10(amp / np.sqrt(2))          # sine RMS
+    expected_gr = (level_db - (-20.0)) * (1 - 1 / 4.0)  # dB of reduction
+    steady = slice(rate // 2, rate - 1000)
+    in_rms = np.sqrt((x[0, 0, steady] ** 2).mean())
+    out_rms = np.sqrt((y[0, 0, steady] ** 2).mean())
+    got_gr = 20 * np.log10(in_rms / out_rms)
+    assert abs(got_gr - expected_gr) < 0.4, (got_gr, expected_gr)
+
+    # below threshold: unity gain (hard knee)
+    xq = (0.01 * np.sin(2 * np.pi * 997 * t)).astype(np.float32).reshape(1, 1, -1)
+    yq = np.asarray(comp.apply(jnp.asarray(xq), rate))
+    np.testing.assert_allclose(yq[0, 0, steady], xq[0, 0, steady], atol=2e-6)
+
+
+def test_compressor_release_is_linear_db():
+    """After a loud burst ends, the envelope decays at release_db_per_s, so
+    the gain recovers on a straight dB line (the cummax identity)."""
+    from f9tpu.ops.chain import Compressor
+
+    rate = 48000
+    x = np.zeros((1, 1, rate), np.float32)
+    x[0, 0, :4800] = 0.9                                # 100 ms burst
+    comp = Compressor(threshold_db=-30.0, ratio=10.0, attack_ms=0.0,
+                      release_db_per_s=100.0, knee_db=0.0, detector_ms=1.0)
+    gr = np.asarray(comp._gain_db(jnp.asarray(x), rate))[0, 0]
+    # burst level ~ -0.9 dB, threshold -30 => over ~ 29 dB of release at
+    # 100 dB/s ends ~0.29 s after the burst; sample well inside that run
+    n1, n2 = 6000, 12000
+    slope_per_s = (gr[n2] - gr[n1]) / ((n2 - n1) / rate)
+    # gain RECOVERS (rises) at release_db_per_s * (1 - 1/ratio)
+    assert abs(slope_per_s - 100.0 * 0.9) < 2.0, slope_per_s
+    # channel-linked stereo: the louder channel drives both gains
+    x2 = np.concatenate([x, np.zeros_like(x)], axis=1)
+    gr2 = np.asarray(comp._gain_db(jnp.asarray(x2), rate))
+    assert gr2.shape[1] == 1       # linked: one gain lane broadcast
+
+
+def test_dynamics_chain_in_graph_and_stream(tmp_path):
+    """Compressor+saturator insert through the batch graph AND the streaming
+    path: chunked result must match the whole-file computation."""
+    from f9tpu.ops import quantize
+    from f9tpu.ops.chain import Compressor, Saturator
+    from f9tpu.ops.resample import resample_rates
+    from f9tpu.pipeline.stream import stream_resample_file
+
+    rate_in, rate_out = 44100, 48000
+    rng = np.random.default_rng(13)
+    T = int(1.2 * rate_in)
+    x = (0.4 * rng.standard_normal((2, T))).astype(np.float32)
+    src = str(tmp_path / "dyn.wav")
+    wav.write_wav(src, x, rate_in, bits=32)
+
+    chain = Chain(
+        Compressor(threshold_db=-18.0, ratio=3.0, attack_ms=3.0,
+                   release_db_per_s=600.0, knee_db=4.0),
+        Saturator("tanh", drive_db=3.0, mix=0.8),
+    )
+    cfg = ProcessingConfig(output_dir=str(tmp_path), target_rate=rate_out,
+                           quality="low", dither=False, remove_dc=False,
+                           chain=chain)
+    out = str(tmp_path / "dyn_out.wav")
+    n = stream_resample_file(src, out, cfg, chunk_seconds=0.4)
+    got, _ = wav.read_wav(out)
+
+    x_read, _ = wav.read_wav(src)
+    y = resample_rates(jnp.asarray(x_read), rate_in, rate_out, quality="low")
+    ref_codes = np.asarray(quantize(chain.apply(y, rate_out), bits=24))
+    ref = ref_codes.astype(np.float64) / (1 << 23)
+    assert got.shape[1] == n == ref.shape[1]
+    # the compressor's envelope is recomputed per chunk with different c*n
+    # offsets (f32), so the reconstructed gain differs by ~1e-6 relative:
+    # a few tens of LSB, spread uniformly, NOT clustered at boundaries
+    np.testing.assert_allclose(got, ref, atol=48.0 / (1 << 23))
+
+    # and through the fixed-shape batch graph (valid-length masked)
+    valid = np.full(1, T, np.int32)
+    res = process_batch(x[None], valid, cfg, rate_in,
+                        jnp.asarray(np.array([3], np.int32)))
+    codes = np.asarray(res.codes)[0].astype(np.float64) / (1 << 23)
+    nb = int(np.asarray(res.out_frames)[0])
+    assert nb == ref.shape[1]
+    np.testing.assert_allclose(codes[:, :nb], ref, atol=48.0 / (1 << 23))
+
+
+def test_cli_dynamics_chain_flags():
+    from types import SimpleNamespace
+
+    from f9tpu.cli import _build_chain
+    from f9tpu.ops.chain import Compressor, Saturator, StereoWidth
+
+    args = SimpleNamespace(
+        chain_delay_ms=0.0, chain_eq=None, chain_fir=None, chain_ir=None,
+        chain_wet=1.0, chain_dry=0.0, rate=48000,
+        chain_comp="-20:4:5:120:1.5", chain_sat="soft:6:0.5",
+        chain_width=1.4)
+    ch = _build_chain(args)
+    kinds = [type(s) for s in ch.stages]
+    assert kinds == [Compressor, Saturator, StereoWidth]
+    comp, sat, width = ch.stages
+    assert comp.threshold_db == -20 and comp.ratio == 4
+    assert comp.attack_ms == 5 and comp.release_db_per_s == 120
+    assert comp.makeup_db == 1.5
+    assert sat.kind == "soft" and sat.drive_db == 6 and sat.mix == 0.5
+    assert width.width == 1.4
+
+    with pytest.raises(SystemExit):
+        _build_chain(SimpleNamespace(
+            chain_delay_ms=0.0, chain_eq=None, chain_fir=None, chain_ir=None,
+            chain_wet=1.0, chain_dry=0.0, rate=48000, chain_comp="-20",
+            chain_sat=None, chain_width=None))
+    with pytest.raises(SystemExit):
+        _build_chain(SimpleNamespace(
+            chain_delay_ms=0.0, chain_eq=None, chain_fir=None, chain_ir=None,
+            chain_wet=1.0, chain_dry=0.0, rate=48000, chain_comp=None,
+            chain_sat="fuzz:6", chain_width=None))
