@@ -364,7 +364,28 @@ def cmd_probe(args) -> int:
     return code
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache: re-running the same config skips the
+    whole compile (serialized executables keyed by HLO hash).  A fresh chain
+    config can cost minutes of TPU compile on a contended compile service;
+    with the cache, every later invocation loads the binary in ~40 ms.
+    Opt out with F9TPU_COMPILE_CACHE=off; point elsewhere by setting it."""
+    spec = os.environ.get("F9TPU_COMPILE_CACHE", "")
+    if spec.lower() in ("off", "0", "none"):
+        return
+    path = spec or os.path.expanduser("~/.cache/f9tpu/xla")
+    try:
+        import jax
+
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass       # cache is an optimisation; never block the run on it
+
+
 def main(argv: list[str] | None = None) -> int:
+    _enable_compile_cache()
     ap = argparse.ArgumentParser(
         prog="f9tpu",
         description="TPU-native batch audio resampler "

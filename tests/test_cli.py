@@ -191,3 +191,38 @@ def test_cli_preview_target_channels(tmp_path):
     got, _ = wav.read_wav(str(out))
     assert got.shape[0] == 6
     assert np.any(got[4] != 0) and np.all(got[0] == 0)
+
+
+def test_cli_compile_cache_populated(tmp_path, monkeypatch):
+    """The CLI enables the persistent XLA compilation cache by default; a run
+    must leave serialized executables in F9TPU_COMPILE_CACHE."""
+    import subprocess
+    import sys
+
+    from f9tpu.io import write_wav
+
+    (tmp_path / "in").mkdir()
+    x = (0.1 * np.random.default_rng(0).standard_normal((1, 4410))).astype(np.float32)
+    write_wav(str(tmp_path / "in" / "c.wav"), x, 44100, bits=24)
+    cache = tmp_path / "xla_cache"
+    env = dict(os.environ, F9TPU_COMPILE_CACHE=str(cache),
+               JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-m", "f9tpu.cli", "process", str(tmp_path / "in"),
+         "--out", str(tmp_path / "out"), "--rate", "48000",
+         "--quality", "low", "--seed", "1"],
+        capture_output=True, text=True, env=env, timeout=300)
+    assert r.returncode == 0, r.stderr[-800:]
+    assert cache.is_dir()
+    entries = [f for _, _, fs in os.walk(cache) for f in fs]
+    assert entries, "no executables were written to the compile cache"
+
+    # opt-out must not create the directory
+    cache2 = tmp_path / "xla_cache2"
+    env2 = dict(os.environ, F9TPU_COMPILE_CACHE="off", JAX_PLATFORMS="cpu")
+    r2 = subprocess.run(
+        [sys.executable, "-m", "f9tpu.cli", "probe",
+         str(tmp_path / "in" / "c.wav")],
+        capture_output=True, text=True, env=env2, timeout=120)
+    assert r2.returncode == 0
+    assert not cache2.exists()
