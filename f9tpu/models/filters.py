@@ -193,6 +193,14 @@ def lagrange_phase_bank(L: int, order: int = 4) -> np.ndarray:
     return H
 
 
+#: Above this many dense-matrix elements (W*L), `design_cycle_bank` skips
+#: building ``G`` (varispeed ratios like 44100->44056 reduce to L/M ~
+#: 11014/11025, whose dense matrix would be ~0.5 GB); such banks run through
+#: the phase-table gather path (`f9tpu.ops.resample.resample_gather`) whose
+#: tables are only (L, K).
+DENSE_MAX_ELEMS = 4 << 20
+
+
 @dataclasses.dataclass(frozen=True, eq=False)  # eq=False: identity hash (instances
 # are interned by design_cycle_bank's cache, and ndarray fields aren't hashable)
 class CycleBank:
@@ -201,20 +209,29 @@ class CycleBank:
     One "cycle" is ``L`` consecutive output samples produced from an ``M``-sample
     advance of the input.  ``G`` is dense ``(W, L)`` with
     ``y[q*L + p] = sum_w G[w, p] * x_padded[q*M + w]`` and
-    ``x_padded = [zeros(pad_front), x, zeros(...)]``.
+    ``x_padded = [zeros(pad_front), x, zeros(...)]``.  For varispeed ratios
+    whose dense matrix would exceed `DENSE_MAX_ELEMS`, ``G`` is ``None`` and
+    execution uses the phase bank ``H`` directly (gather path).
     """
 
     L: int                 # upsampling factor (output samples per cycle)
     M: int                 # downsampling factor (input samples per cycle)
     taps_per_phase: int    # K — input samples contributing to one output
-    G: np.ndarray          # (W, L) float64 cycle matrix
+    G: np.ndarray | None   # (W, L) float64 cycle matrix (None: gather path)
+    H: np.ndarray          # (L, K) float64 phase bank (always present)
+    W_width: int           # dense width W = max cycle offset + K
     pad_front: int         # zeros to prepend to the input
-    delay_upsamples: int   # prototype group delay in L-upsampled units (for docs)
+    delay_upsamples: int   # prototype group delay in L-upsampled units
     kind: str              # "sinc" | "lagrange"
 
     @property
     def W(self) -> int:
-        return self.G.shape[0]
+        return self.W_width
+
+    @property
+    def dense_ok(self) -> bool:
+        """True when the dense cycle matrix exists (matmul/conv paths)."""
+        return self.G is not None
 
     def out_len(self, in_len: int) -> int:
         """Output length covering the same time span: ceil(in_len * L / M)."""
@@ -237,7 +254,8 @@ def _cycle_tables(L: int, M: int, phase_shift: int) -> tuple[np.ndarray, np.ndar
     return (u // L).astype(np.int64), (u % L).astype(np.int64)
 
 
-def _bank_to_cycle_matrix(H: np.ndarray, L: int, M: int, delay_upsamples: int) -> CycleBank:
+def _bank_to_cycle_matrix(H: np.ndarray, L: int, M: int, delay_upsamples: int,
+                          build_dense: bool = True):
     """Fold a phase bank ``H (L, K)`` plus group-delay compensation into ``G``.
 
     Output sample n estimates the input at exact position n*M/L (zero overall
@@ -245,6 +263,9 @@ def _bank_to_cycle_matrix(H: np.ndarray, L: int, M: int, delay_upsamples: int) -
     (reference: _Swift Docs/LATENCY_TRIMMING_FIX.md — captured audio is shifted
     by the measured loop delay and trimmed; here the "loop" is the FIR chain and
     the delay is compensated exactly in the index math).
+
+    ``build_dense=False`` computes only the geometry (pad_front, W) — the
+    varispeed gather path executes straight from ``H``.
     """
     K = H.shape[1]
     # Raw output at upsample position u uses base floor(u/L), phase u%L, and has
@@ -257,6 +278,8 @@ def _bank_to_cycle_matrix(H: np.ndarray, L: int, M: int, delay_upsamples: int) -
     if pad_front < 0:
         raise ValueError("delay exceeds filter span; increase taps_per_phase")
     W = int(off.max()) + K
+    if not build_dense:
+        return None, pad_front, W
     G = np.zeros((W, L), dtype=np.float64)
     for p in range(L):
         # j = 0..K-1 -> w = off[p] + (K-1) - j  (reversed filter)
@@ -286,8 +309,8 @@ def design_cycle_bank(
         # session rate and copies them through the loop; Source/AppState.h:137-141).
         H = np.ones((1, 1), dtype=np.float64)
         G, pad_front, W = _bank_to_cycle_matrix(H, 1, 1, 0)
-        return CycleBank(L=1, M=1, taps_per_phase=1, G=G, pad_front=pad_front,
-                         delay_upsamples=0, kind=kind)
+        return CycleBank(L=1, M=1, taps_per_phase=1, G=G, H=H, W_width=W,
+                         pad_front=pad_front, delay_upsamples=0, kind=kind)
     if kind == "sinc":
         if quality not in QUALITY_PRESETS:
             raise ValueError(f"unknown quality {quality!r}; choose from {sorted(QUALITY_PRESETS)}")
@@ -303,12 +326,21 @@ def design_cycle_bank(
         delay_upsamples = (lagrange_order // 2) * L
     else:
         raise ValueError(f"unknown kind {kind!r}")
-    G, pad_front, W = _bank_to_cycle_matrix(H, L, M, delay_upsamples)
+    # varispeed ratios (e.g. 44100->44056 = 11014/11025) would need a ~0.5 GB
+    # dense matrix; keep only the (L, K) phase bank and run the gather path
+    build_dense = True
+    probe_W = M + K  # upper bound on W (off.max() < M + 1)
+    if (probe_W + 1) * L > DENSE_MAX_ELEMS:
+        build_dense = False
+    G, pad_front, W = _bank_to_cycle_matrix(H, L, M, delay_upsamples,
+                                            build_dense=build_dense)
     return CycleBank(
         L=L,
         M=M,
         taps_per_phase=K,
         G=G,
+        H=H,
+        W_width=W,
         pad_front=pad_front,
         delay_upsamples=delay_upsamples,
         kind=kind,

@@ -1,4 +1,4 @@
-from .resample import resample, resample_rates  # noqa: F401
+from .resample import resample, resample_banded, resample_gather, resample_rates  # noqa: F401
 from .pallas_src import (  # noqa: F401
     resample_auto,
     resample_pallas,

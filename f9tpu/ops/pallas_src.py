@@ -68,15 +68,16 @@ def _plan(bank: CycleBank, total_cycles: int) -> tuple[int, int, int]:
 def pallas_applicable(bank: CycleBank) -> bool:
     M, K = bank.M, bank.taps_per_phase
     R = max(1, -(-(K - 1) // M))
-    return R <= _MAX_R and bank.L >= 8 and M >= 16
+    return bank.dense_ok and R <= _MAX_R and bank.L >= 8 and M >= 16
 
 
 def rows_pre_applicable(bank: CycleBank) -> bool:
     """Is host-rows marshalling + `resample_rows_pre` worthwhile?  Degenerate
-    tilings (tiny L or M) fall back to the flat paths."""
+    tilings (tiny L or M) and varispeed banks without a dense matrix fall
+    back to the flat paths."""
     M, K = bank.M, bank.taps_per_phase
     R = max(1, -(-(K - 1) // M))
-    return R <= _MAX_R and bank.L >= 8 and M >= 8
+    return bank.dense_ok and R <= _MAX_R and bank.L >= 8 and M >= 8
 
 
 @functools.lru_cache(maxsize=64)

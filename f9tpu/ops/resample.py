@@ -27,17 +27,180 @@ import numpy as np
 
 from ..models.filters import CycleBank, design_cycle_bank
 
-__all__ = ["resample", "resample_rates", "cycle_matrix_f32"]
+__all__ = ["resample", "resample_banded", "resample_gather",
+           "resample_rates", "cycle_matrix_f32"]
 
 
 @functools.lru_cache(maxsize=64)
 def _g_f32_cached(bank: CycleBank) -> np.ndarray:
+    if bank.G is None:
+        raise RuntimeError(
+            f"dense cycle matrix disabled for ratio {bank.L}/{bank.M} "
+            f"(would be {bank.W}x{bank.L}); this bank runs via "
+            "resample_gather (dispatched automatically by resample_auto)")
     return np.ascontiguousarray(bank.G, dtype=np.float32)
 
 
 def cycle_matrix_f32(bank: CycleBank) -> np.ndarray:
     """The bank's cycle matrix as float32 (cached)."""
     return _g_f32_cached(bank)
+
+
+@functools.lru_cache(maxsize=64)
+def _h_rev_f32_cached(bank: CycleBank) -> np.ndarray:
+    """Phase bank with the tap axis reversed, float32 (L, K): tap k of the
+    gather path multiplies x_padded[base + k]."""
+    return np.ascontiguousarray(bank.H[:, ::-1], dtype=np.float32)
+
+
+def _gather_core(xp: jax.Array, bank: CycleBank, n_out: int) -> jax.Array:
+    """Phase-table resampling of an already-padded signal: no dense matrix.
+
+    ``y[n] = sum_k Hrev[ph(n), k] * xp[base(n) + k]`` where, with
+    ``r = delay_upsamples %% L``:  ``u = (n %% L)*M + r``,
+    ``base(n) = (n // L)*M + u // L``, ``ph(n) = u %% L`` — identical output
+    to the dense cycle-matrix contract (same design, same index math), but
+    the tables are only (L, K), so varispeed ratios like 44100->44056
+    (L/M = 11014/11025, dense matrix ~0.5 GB) stay cheap.  All index math is
+    exact int32: requires L*M + L < 2^31 (guaranteed by resolve_ratio's
+    max_denominator of 2^16).
+
+    TPU note: this is a VPU gather path (no MXU) — K fused gather+FMA passes
+    over the output.  For near-unity varispeed ratios the signal is read ~K
+    times; still thousands of x realtime, and the only way these ratios fit
+    on the chip at all.
+    """
+    L, M, K = bank.L, bank.M, bank.taps_per_phase
+    if L * M + L >= 2**31:
+        raise ValueError(
+            f"ratio {bank.L}/{bank.M} too fine for int32 gather index math")
+    lead = xp.shape[:-1]
+    T_pad = xp.shape[-1]
+    xf = xp.reshape(-1, T_pad)
+    hrev = jnp.asarray(_h_rev_f32_cached(bank))            # (L, K)
+    n = jnp.arange(n_out, dtype=jnp.int32)
+    a, b = jnp.divmod(n, jnp.int32(L))
+    u = b * jnp.int32(M) + jnp.int32(bank.delay_upsamples % L)
+    base = a * jnp.int32(M) + u // jnp.int32(L)            # (n_out,)
+    ph = u % jnp.int32(L)
+    y = jnp.zeros((xf.shape[0], n_out), jnp.float32)
+    for k in range(K):
+        w_k = jnp.take(hrev[:, k], ph, axis=0)             # (n_out,)
+        x_k = jnp.take(xf, jnp.minimum(base + k, T_pad - 1), axis=-1)
+        y = y + x_k * w_k
+    return y.reshape(*lead, n_out)
+
+
+def resample_gather(x: jax.Array, bank: CycleBank,
+                    out_len: int | None = None) -> jax.Array:
+    """Drop-in equivalent of `resample` via the phase-table gather path.
+
+    Kept as the independent cross-check of the varispeed index contract;
+    production varispeed dispatch uses `resample_banded` (TPU per-element
+    gathers measured ~3000x slower than the banded matmul form: 15x vs
+    49,000x realtime on the NTSC pull-down — docs/PERF.md)."""
+    L, M, W = bank.L, bank.M, bank.W
+    T = x.shape[-1]
+    if out_len is None:
+        out_len = bank.out_len(T)
+    if T == 0 or out_len == 0:
+        return jnp.zeros((*x.shape[:-1], out_len), dtype=x.dtype)
+    Q = -(-out_len // L)
+    padded = (Q - 1) * M + W
+    pad_front = bank.pad_front
+    keep_T = min(T, max(0, padded - pad_front))
+    pad_back = padded - pad_front - keep_T
+    xp = jnp.pad(x[..., :keep_T],
+                 [(0, 0)] * (x.ndim - 1) + [(pad_front, pad_back)])
+    return _gather_core(xp, bank, out_len)
+
+
+#: Outputs per banded segment (one MXU lane tile).
+_BAND_SEG = 128
+
+
+@functools.lru_cache(maxsize=16)
+def _banded_plan(bank: CycleBank):
+    """Per-bank banded decomposition (host, cached).
+
+    The cycle matrix's nonzero band is a monotone staircase: outputs
+    p..p+127 of a cycle read only inputs [off(p), off(p+127)+K) — a window of
+    w ~ 128*M/L + K samples.  Splitting each cycle into S overlapping
+    128-output segments gives S small dense (w, 128) matrices (total
+    S*w*128 floats ~ 10-15 MB even for L ~ 11k) evaluated as one batched MXU
+    einsum over statically-sliced input windows — no gathers, no 0.5 GB
+    dense matrix.  This is PERF.md 'Headroom' item 3 made real, and the
+    production path for varispeed ratios.
+    """
+    L, M, K = bank.L, bank.M, bank.taps_per_phase
+    seg = min(_BAND_SEG, L)
+    D_int, r = divmod(bank.delay_upsamples, L)
+    p = np.arange(L, dtype=np.int64)
+    u = p * M + r
+    off = (u // L).astype(np.int64)
+    ph = (u % L).astype(np.int64)
+    hrev = np.ascontiguousarray(bank.H[:, ::-1], dtype=np.float32)
+    S = max(1, -(-L // seg))
+    p0s = [s * seg for s in range(S - 1)] + [L - seg]
+    in0 = np.asarray([int(off[p0]) for p0 in p0s], np.int64)
+    w = int(max(off[p0 + seg - 1] + K - in0[s]
+                for s, p0 in enumerate(p0s)))
+    G = np.zeros((S, w, seg), np.float32)
+    for s, p0 in enumerate(p0s):
+        for c in range(seg):
+            pp = p0 + c
+            row = int(off[pp] - in0[s])
+            G[s, row: row + K, c] = hrev[ph[pp]]
+    # widest input coordinate any segment's fixed-w slice touches (may exceed
+    # the bank's W for early segments, whose G rows there are zero)
+    w_rows = int(in0.max()) + w
+    return tuple(int(v) for v in in0), w, seg, w_rows, G
+
+
+def _banded_core(xp: jax.Array, bank: CycleBank, n_out: int) -> jax.Array:
+    """Banded evaluation of an already-front-padded signal ``xp``; reads
+    input coordinates [0, (Q-1)*M + W) and pads anything beyond."""
+    L, M = bank.L, bank.M
+    in0, w, seg, w_rows, G = _banded_plan(bank)
+    S = len(in0)
+    Q = -(-n_out // L)
+    nblk = -(-w_rows // M)
+    need = (Q + nblk - 1) * M            # block i reads xp[i*M : (Q+i)*M]
+    lead = xp.shape[:-1]
+    if xp.shape[-1] < need:
+        xp = jnp.pad(xp, [(0, 0)] * (xp.ndim - 1)
+                     + [(0, need - xp.shape[-1])])
+    # overlapped (Q, w_rows) cycle rows from nblk shifted contiguous reshapes
+    blocks = [xp[..., i * M:(Q + i) * M].reshape(*lead, Q, M)
+              for i in range(nblk)]
+    rows = jnp.concatenate(blocks, axis=-1)[..., :w_rows]   # (..., Q, w_rows)
+    xseg = jnp.stack([rows[..., a: a + w] for a in in0], axis=-2)
+    y = jnp.einsum("...qsw,swl->...qsl", xseg, jnp.asarray(G),
+                   precision=jax.lax.Precision.HIGHEST)
+    head = y[..., : S - 1, :].reshape(*lead, Q, (S - 1) * seg)
+    tail = y[..., S - 1, (S * seg - L):]
+    y_cyc = jnp.concatenate([head, tail], axis=-1)          # (..., Q, L)
+    return y_cyc.reshape(*lead, Q * L)[..., :n_out]
+
+
+def resample_banded(x: jax.Array, bank: CycleBank,
+                    out_len: int | None = None) -> jax.Array:
+    """MXU-banded resampler — the production path for varispeed banks
+    (``bank.G is None``); numerically the same design/contract as `resample`."""
+    L, M, W = bank.L, bank.M, bank.W
+    T = x.shape[-1]
+    if out_len is None:
+        out_len = bank.out_len(T)
+    if T == 0 or out_len == 0:
+        return jnp.zeros((*x.shape[:-1], out_len), dtype=x.dtype)
+    Q = -(-out_len // L)
+    padded = (Q - 1) * M + W
+    pad_front = bank.pad_front
+    keep_T = min(T, max(0, padded - pad_front))
+    xp = jnp.pad(x[..., :keep_T],
+                 [(0, 0)] * (x.ndim - 1)
+                 + [(pad_front, max(0, padded - pad_front - keep_T))])
+    return _banded_core(xp, bank, out_len)
 
 
 def resample_presliced(xp: jax.Array, bank: CycleBank, num_cycles: int) -> jax.Array:
@@ -52,6 +215,8 @@ def resample_presliced(xp: jax.Array, bank: CycleBank, num_cycles: int) -> jax.A
     need = (num_cycles - 1) * M + W
     if xp.shape[-1] < need:
         raise ValueError(f"padded input too short: {xp.shape[-1]} < {need}")
+    if bank.G is None:      # varispeed bank: banded MXU path
+        return _banded_core(xp, bank, num_cycles * L)
     lead = xp.shape[:-1]
     xb = xp.reshape(-1, 1, xp.shape[-1])
     g = jnp.asarray(cycle_matrix_f32(bank))
@@ -77,6 +242,8 @@ def resample(x: jax.Array, bank: CycleBank, out_len: int | None = None) -> jax.A
     compensation is folded into the cycle matrix, mirroring the reference's
     latency-compensation contract, _Swift Docs/LATENCY_TRIMMING_FIX.md).
     """
+    if bank.G is None:      # varispeed bank: banded MXU path
+        return resample_banded(x, bank, out_len=out_len)
     L, M, W = bank.L, bank.M, bank.W
     T = x.shape[-1]
     if out_len is None:
