@@ -68,7 +68,8 @@ def _add_common_src_args(p: argparse.ArgumentParser) -> None:
 #: process-command options persisted by --save-config / applied by --config.
 #: Stored under their CLI names so the round-trip is exact.
 _CONFIG_KEYS = (
-    "rate", "quality", "kind", "bits", "postfix", "no_dither", "keep_dc",
+    "rate", "quality", "kind", "bits", "postfix", "output_format",
+    "no_dither", "keep_dc",
     "gain", "reverb", "noise_floor", "margin", "require_rate", "batch_size",
     "routing", "channels", "device_layout", "seed",
     "chain_ir", "chain_wet", "chain_dry", "chain_fir", "chain_delay_ms",
@@ -191,6 +192,7 @@ def cmd_process(args) -> int:
         remove_dc=not args.keep_dc,
         output_dir=args.out,
         postfix=args.postfix,
+        output_format=args.output_format,
         reverb_mode=args.reverb,
         noise_floor_db=args.noise_floor,
         noise_floor_margin_pct=args.margin,
@@ -400,6 +402,9 @@ def main(argv: list[str] | None = None) -> int:
     _add_common_src_args(p)
     p.add_argument("--bits", type=int, default=24, choices=[16, 24, 32])
     p.add_argument("--postfix", default="_processed")
+    p.add_argument("--format", dest="output_format", default="wav",
+                   choices=["wav", "aiff"],
+                   help="output container (wav = reference behaviour)")
     p.add_argument("--no-dither", action="store_true")
     p.add_argument("--keep-dc", action="store_true", help="skip DC offset removal")
     p.add_argument("--gain", type=float, default=0.0, help="gain dB")

@@ -54,6 +54,10 @@ class ProcessingConfig:
     # originals are never overwritten; postfix appended before extension) ---
     output_dir: str = ""
     postfix: str = "_processed"
+    output_format: str = "wav"
+    """Output container: "wav" (reference behaviour,
+    Source/MainComponent.cpp:784-801) or "aiff" (big-endian PCM; the
+    reference reads .aif/.aiff, this also round-trips them out)."""
 
     # --- latency compensation (Source/MainComponent.cpp:824-861) ---
     trim_enabled: bool = True
@@ -125,6 +129,8 @@ class ProcessingConfig:
             raise ValueError("target_rate must be positive")
         if self.device_layout not in ("packed", "rows"):
             raise ValueError("device_layout must be 'packed' or 'rows'")
+        if self.output_format not in ("wav", "aiff"):
+            raise ValueError("output_format must be 'wav' or 'aiff'")
         if self.chain is not None and not (
                 callable(getattr(self.chain, "apply", None))
                 and callable(getattr(self.chain, "tail_frames", None))

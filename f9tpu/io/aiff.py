@@ -136,22 +136,19 @@ def read_aiff(path: str) -> tuple[np.ndarray, int]:
     return np.ascontiguousarray(x[: n * channels].reshape(n, channels).T), int(round(rate))
 
 
-def write_aiff(path: str, x: np.ndarray, rate: int, bits: int = 24) -> None:
-    """Write planar float32 as big-endian AIFF PCM (16 or 24-bit)."""
-    x = np.asarray(x, np.float32)
-    if x.ndim == 1:
-        x = x[None, :]
-    channels, frames = x.shape
-    scale = float(1 << (bits - 1))
-    codes = np.clip(np.round(x * scale), -scale, scale - 1).astype(np.int32)
-    inter = np.ascontiguousarray(codes.T).reshape(-1)
+def _aiff_payload_from_codes(inter: np.ndarray, bits: int) -> bytes:
     if bits == 16:
-        payload = inter.astype(">i2").tobytes()
-    elif bits == 24:
+        return inter.astype(">i2").tobytes()
+    if bits == 24:
         le = _pack24(inter).reshape(-1, 3)
-        payload = le[:, ::-1].reshape(-1).tobytes()  # byte-swap to big-endian
-    else:
-        raise ValueError(f"unsupported AIFF bit depth {bits}")
+        return le[:, ::-1].reshape(-1).tobytes()  # byte-swap to big-endian
+    if bits == 32:
+        return inter.astype(">i4").tobytes()
+    raise ValueError(f"unsupported AIFF bit depth {bits}")
+
+
+def _write_aiff_bytes(path: str, payload: bytes, channels: int, frames: int,
+                      rate: int, bits: int) -> None:
     comm = struct.pack(">hIh", channels, frames, bits) + _write_extended80(float(rate))
     ssnd = struct.pack(">II", 0, 0) + payload
     body = b"AIFF"
@@ -159,3 +156,44 @@ def write_aiff(path: str, x: np.ndarray, rate: int, bits: int = 24) -> None:
     body += b"SSND" + struct.pack(">I", len(ssnd)) + ssnd + (b"\x00" if len(ssnd) & 1 else b"")
     with open(path, "wb") as f:
         f.write(b"FORM" + struct.pack(">I", len(body)) + body)
+
+
+def write_aiff(path: str, x: np.ndarray, rate: int, bits: int = 24) -> None:
+    """Write planar float32 as big-endian AIFF PCM (16/24/32-bit)."""
+    x = np.asarray(x, np.float32)
+    if x.ndim == 1:
+        x = x[None, :]
+    channels, frames = x.shape
+    scale = float(1 << (bits - 1))
+    codes = np.clip(np.round(x * scale), -scale, scale - 1).astype(np.int32)
+    inter = np.ascontiguousarray(codes.T).reshape(-1)
+    _write_aiff_bytes(path, _aiff_payload_from_codes(inter, bits),
+                      channels, frames, rate, bits)
+
+
+def write_aiff_codes(path: str, codes: np.ndarray, rate: int,
+                     bits: int = 24) -> None:
+    """Write pre-quantized signed PCM codes ``(channels, frames)`` int32 as
+    AIFF — the batch pipeline's AIFF twin of `wav.write_wav_codes` (the
+    device already dithered+quantized; the host only packs big-endian)."""
+    codes = np.asarray(codes)
+    if codes.ndim == 1:
+        codes = codes[None, :]
+    channels, frames = codes.shape
+    inter = np.ascontiguousarray(codes.T).reshape(-1)
+    _write_aiff_bytes(path, _aiff_payload_from_codes(inter, bits),
+                      channels, frames, rate, bits)
+
+
+def write_aiff_payload(path: str, payload: np.ndarray, channels: int,
+                       rate: int, bits: int = 24) -> None:
+    """Write a device-packed little-endian 24-bit payload as AIFF: the host
+    byte-swaps each 3-byte sample to big-endian (one vectorised pass)."""
+    if bits != 24:
+        raise ValueError("packed payloads are 24-bit")
+    payload = np.asarray(payload, np.uint8)
+    if payload.size % (3 * channels):
+        raise ValueError("payload length is not a whole number of frames")
+    be = np.ascontiguousarray(payload.reshape(-1, 3)[:, ::-1]).reshape(-1)
+    frames = payload.size // (3 * channels)
+    _write_aiff_bytes(path, be.tobytes(), channels, frames, rate, bits)

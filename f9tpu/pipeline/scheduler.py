@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import ProcessingConfig
-from ..io import codec, wav
+from ..io import aiff, codec, wav
 from .calibration import CAPTURE_FRAMES, CalibrationCache
 from .graph import process_batch, process_batch_raw
 from .logbook import StatusLog, Throughput
@@ -39,11 +39,13 @@ from .manifest import FileStatus, JobManifest
 __all__ = ["BatchResult", "BatchProcessor", "build_output_path"]
 
 
-def build_output_path(src_path: str, output_dir: str, postfix: str) -> str:
-    """out_dir/<stem><postfix>.wav — mandatory output dir + postfix naming
+def build_output_path(src_path: str, output_dir: str, postfix: str,
+                      fmt: str = "wav") -> str:
+    """out_dir/<stem><postfix>.<fmt> — mandatory output dir + postfix naming
     (Source/MainComponent.cpp:807-819; AudioProcessingService.swift:652-672)."""
     stem = os.path.splitext(os.path.basename(src_path))[0]
-    return os.path.join(output_dir, f"{stem}{postfix}.wav")
+    ext = "aiff" if fmt == "aiff" else "wav"
+    return os.path.join(output_dir, f"{stem}{postfix}.{ext}")
 
 
 @dataclasses.dataclass
@@ -159,7 +161,8 @@ class BatchProcessor:
         out_paths: dict[str, str] = {}
         taken: dict[str, int] = {}
         for e in manifest.entries():
-            base = build_output_path(e.path, cfg.output_dir, cfg.postfix)
+            base = build_output_path(e.path, cfg.output_dir, cfg.postfix,
+                                     fmt=cfg.output_format)
             if base in taken:
                 taken[base] += 1
                 stem, ext = os.path.splitext(base)
@@ -293,15 +296,19 @@ class BatchProcessor:
                     try:
                         t0 = time.time()
                         out_path = out_paths[path]
+                        aiff_out = cfg.output_format == "aiff"
                         if metrics.get("payload"):
                             # device-packed 24-bit bytes: header + fwrite
                             out_ch = metrics["out_channels"]
-                            wav.write_wav_payload(
-                                out_path, codes[: out_frames * out_ch * 3],
-                                out_ch, rate_out, bits=24)
+                            writer = (aiff.write_aiff_payload if aiff_out
+                                      else wav.write_wav_payload)
+                            writer(out_path, codes[: out_frames * out_ch * 3],
+                                   out_ch, rate_out, bits=24)
                         else:
-                            wav.write_wav_codes(
-                                out_path, codes[:, :out_frames], rate_out, bits=cfg.bits)
+                            writer = (aiff.write_aiff_codes if aiff_out
+                                      else wav.write_wav_codes)
+                            writer(out_path, codes[:, :out_frames], rate_out,
+                                   bits=cfg.bits)
                         self.throughput.add("encode", out_frames / rate_out, time.time() - t0)
                         manifest.update(
                             path, FileStatus.COMPLETED,

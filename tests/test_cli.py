@@ -205,10 +205,13 @@ def test_cli_compile_cache_populated(tmp_path, monkeypatch):
     x = (0.1 * np.random.default_rng(0).standard_normal((1, 4410))).astype(np.float32)
     write_wav(str(tmp_path / "in" / "c.wav"), x, 44100, bits=24)
     cache = tmp_path / "xla_cache"
-    env = dict(os.environ, F9TPU_COMPILE_CACHE=str(cache),
-               JAX_PLATFORMS="cpu")
+    env = dict(os.environ, F9TPU_COMPILE_CACHE=str(cache))
+    # this environment pre-sets jax_platforms via site config, which overrides
+    # the JAX_PLATFORMS env var — force the CPU backend in-process instead
+    code = ("import jax; jax.config.update('jax_platforms', 'cpu');"
+            "import sys; from f9tpu.cli import main; sys.exit(main())")
     r = subprocess.run(
-        [sys.executable, "-m", "f9tpu.cli", "process", str(tmp_path / "in"),
+        [sys.executable, "-c", code, "process", str(tmp_path / "in"),
          "--out", str(tmp_path / "out"), "--rate", "48000",
          "--quality", "low", "--seed", "1"],
         capture_output=True, text=True, env=env, timeout=300)

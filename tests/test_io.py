@@ -302,3 +302,54 @@ def test_probe_fuzz_never_crashes(tmp_path):
     cfg = ProcessingConfig(output_dir=str(tmp_path / "out"), quality="low")
     res = BatchProcessor(cfg).run(files)
     assert res.completed + res.failed + res.invalid == len(files)
+
+
+def test_batch_aiff_output_matches_wav(tmp_path):
+    """cfg.output_format='aiff' emits big-endian AIFF with the SAME codes as
+    the WAV run (same seed -> identical device output, different container)."""
+    from f9tpu.config import ProcessingConfig
+    from f9tpu.io import read_wav, write_wav
+    from f9tpu.io.aiff import read_aiff
+    from f9tpu.pipeline import BatchProcessor
+
+    (tmp_path / "in").mkdir()
+    rng = np.random.default_rng(17)
+    x = (0.3 * rng.standard_normal((2, 9000))).astype(np.float32)
+    src = str(tmp_path / "in" / "t.wav")
+    write_wav(src, x, 44100, bits=24)
+
+    cfg_w = ProcessingConfig(output_dir=str(tmp_path / "ow"), target_rate=48000,
+                             quality="low", seed=5)
+    cfg_a = ProcessingConfig(output_dir=str(tmp_path / "oa"), target_rate=48000,
+                             quality="low", seed=5, output_format="aiff")
+    assert BatchProcessor(cfg_w).run([src]).completed == 1
+    assert BatchProcessor(cfg_a).run([src]).completed == 1
+    yw, rw = read_wav(str(tmp_path / "ow" / "t_processed.wav"))
+    ya, ra = read_aiff(str(tmp_path / "oa" / "t_processed.aiff"))
+    assert rw == ra == 48000
+    np.testing.assert_array_equal(
+        np.round(yw * (1 << 23)), np.round(ya * (1 << 23)))
+
+
+def test_aiff_codes_and_payload_writers_roundtrip(tmp_path):
+    from f9tpu.io.aiff import read_aiff, write_aiff_codes, write_aiff_payload
+    from f9tpu.io.wav import _pack24_dispatch
+
+    rng = np.random.default_rng(18)
+    codes = rng.integers(-(2**23), 2**23, size=(2, 1000), dtype=np.int32)
+    p = str(tmp_path / "c.aiff")
+    write_aiff_codes(p, codes, 48000, bits=24)
+    y, r = read_aiff(p)
+    assert r == 48000
+    np.testing.assert_array_equal(np.round(y * (1 << 23)), codes)
+
+    # device-packed little-endian payload path
+    inter = np.ascontiguousarray(codes.T).reshape(-1)
+    payload = _pack24_dispatch(inter)
+    p2 = str(tmp_path / "p.aiff")
+    write_aiff_payload(p2, payload, 2, 48000, bits=24)
+    y2, _ = read_aiff(p2)
+    np.testing.assert_array_equal(np.round(y2 * (1 << 23)), codes)
+
+    with pytest.raises(ValueError, match="24-bit"):
+        write_aiff_payload(p2, payload, 2, 48000, bits=16)
