@@ -328,6 +328,8 @@ class Saturator:
     """
 
     KINDS = ("tanh", "soft", "hard")
+    #: purely per-sample: safe under channel-axis sharding
+    channel_local = True
 
     def __init__(self, kind: str = "tanh", drive_db: float = 0.0,
                  mix: float = 1.0, trim_db: float = 0.0):
@@ -366,6 +368,10 @@ class StereoWidth:
     """Mid/side width control on a stereo pair: mid passes, side scales by
     ``width`` (0 = mono, 1 = unchanged, 2 = doubled side energy).  Requires
     exactly 2 channels on the signal's channel axis."""
+
+    #: couples L/R: must see the whole pair (parallel/sharding.py gates
+    #: channel-axis sharding on this flag)
+    channel_local = False
 
     def __init__(self, width: float):
         if not 0.0 <= width <= 4.0:
@@ -415,6 +421,10 @@ class Compressor:
     of the full dynamic range plus the detector/attack windows.
     """
 
+    #: the stereo/bus link couples channels: must see them all
+    #: (parallel/sharding.py gates channel-axis sharding on this flag)
+    channel_local = False
+
     def __init__(self, threshold_db: float = -24.0, ratio: float = 4.0,
                  attack_ms: float = 5.0, release_db_per_s: float = 80.0,
                  knee_db: float = 6.0, makeup_db: float = 0.0,
@@ -447,6 +457,41 @@ class Compressor:
         win_att = max(1, int(round(self.attack_ms * rate / 1000.0)))
         return horizon + win_det + win_att
 
+    #: block length for the slanted cummax: c*B stays ~1e2 so float32 keeps
+    #: ~1e-5 dB envelope resolution for ANY file length (a single global
+    #: c*n ramp loses integer spacing past 2^24 frames)
+    _ENV_BLOCK = 1 << 17
+
+    @staticmethod
+    def _slanted_cummax(level_db: jax.Array, c: float) -> jax.Array:
+        """``env[n] = max_{k<=n}(level[k] - c*(n-k))`` exactly, any length:
+        per-block rebased ramps + a scanned cross-block carry (still log
+        depth within blocks; the scan is over T/2^17 blocks)."""
+        T = level_db.shape[-1]
+        B = Compressor._ENV_BLOCK
+        c = np.float32(c)
+        if T <= B:
+            n = jnp.arange(T, dtype=jnp.float32)
+            return jax.lax.cummax(level_db + c * n,
+                                  axis=level_db.ndim - 1) - c * n
+        lead = level_db.shape[:-1]
+        nb = -(-T // B)
+        lv = jnp.pad(level_db,
+                     [(0, 0)] * (level_db.ndim - 1) + [(0, nb * B - T)],
+                     constant_values=-1e9)
+        blocks = jnp.moveaxis(lv.reshape(*lead, nb, B), -2, 0)
+        ramp = jnp.arange(B, dtype=jnp.float32) * c
+        decay = c * (jnp.arange(B, dtype=jnp.float32) + 1.0)
+
+        def step(carry, blk):
+            slant = jax.lax.cummax(blk + ramp, axis=blk.ndim - 1) - ramp
+            env = jnp.maximum(slant, carry[..., None] - decay)
+            return env[..., -1], env
+
+        carry0 = jnp.full(lead, -1e9, jnp.float32)
+        _, envs = jax.lax.scan(step, carry0, blocks)
+        return jnp.moveaxis(envs, 0, -2).reshape(*lead, nb * B)[..., :T]
+
     def _gain_db(self, y: jax.Array, rate: int) -> jax.Array:
         win = max(1, int(round(self.detector_ms * rate / 1000.0)))
         p = _direct_convolve(jnp.square(y),
@@ -454,10 +499,7 @@ class Compressor:
         if y.ndim >= 2:
             p = jnp.max(p, axis=-2, keepdims=True)       # stereo/bus link
         level_db = 10.0 * jnp.log10(jnp.maximum(p, 1e-20))
-        c = np.float32(self.release_db_per_s / rate)
-        n = jnp.arange(y.shape[-1], dtype=jnp.float32)
-        env_db = jax.lax.cummax(level_db + c * n,
-                                axis=level_db.ndim - 1) - c * n
+        env_db = self._slanted_cummax(level_db, self.release_db_per_s / rate)
         over = env_db - np.float32(self.threshold_db)
         slope = np.float32(1.0 - 1.0 / self.ratio)
         if self.knee_db > 0:

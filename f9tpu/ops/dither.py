@@ -60,13 +60,22 @@ def tpdf_noise(seeds: jax.Array, pos: jax.Array) -> jax.Array:
     return u1 - u2
 
 
-def channel_seeds(seeds: jax.Array, channels: int) -> jax.Array:
+def channel_seeds(seeds: jax.Array, channels) -> jax.Array:
     """Derive per-channel sub-seeds ``(..., channels)`` from per-file seeds:
     each channel gets an independent noise stream (a plain small-int XOR
     would alias file i channel 1 with file j channel 0 whenever their seeds
-    differ by that int; the golden-ratio multiply spreads them apart)."""
-    c = jnp.arange(channels, dtype=jnp.uint32) * jnp.uint32(0x9E3779B9)
-    return seeds.astype(jnp.uint32)[..., None] ^ c
+    differ by that int; the golden-ratio multiply spreads them apart).
+
+    ``channels``: a count, or an explicit array of GLOBAL channel indices —
+    under channel-axis sharding each shard must pass
+    ``axis_index * C_local + arange(C_local)`` so corresponding channels on
+    different shards draw different noise and the bytes match the unsharded
+    run."""
+    if isinstance(channels, int):
+        c = jnp.arange(channels, dtype=jnp.uint32)
+    else:
+        c = channels.astype(jnp.uint32)
+    return seeds.astype(jnp.uint32)[..., None] ^ (c * jnp.uint32(0x9E3779B9))
 
 
 def noise_seeds(key: jax.Array, files: int) -> jax.Array:
@@ -123,6 +132,18 @@ def quantize(x: jax.Array, bits: int = 24) -> jax.Array:
     """Undithered round-to-nearest PCM quantization (reference behaviour)."""
     s = _scale(bits)
     return jnp.clip(jnp.round(x * s), -s, s - 1.0).astype(jnp.int32)
+
+
+def quantize_noise(z: jax.Array, bits: int, seeds: jax.Array | None = None,
+                   pos: jax.Array | None = None) -> jax.Array:
+    """The one quantize epilogue for every pipeline path: scale -> optional
+    position-keyed TPDF noise (`tpdf_noise(seeds, pos)`, broadcast together)
+    -> round -> clip -> int32 codes."""
+    s = _scale(bits)
+    v = z * s
+    if seeds is not None:
+        v = v + tpdf_noise(seeds, pos)
+    return jnp.clip(jnp.round(v), -s, s - 1.0).astype(jnp.int32)
 
 
 def dequantize(q: jax.Array, bits: int = 24) -> jax.Array:

@@ -53,6 +53,27 @@ def _h_rev_f32_cached(bank: CycleBank) -> np.ndarray:
     return np.ascontiguousarray(bank.H[:, ::-1], dtype=np.float32)
 
 
+def _pad_for_cycles(x: jax.Array, bank: CycleBank, out_len: int | None):
+    """Shared prologue of every whole-signal entry point: resolve out_len,
+    trim the input to the cycle budget, and zero-pad to exactly
+    ``(Q-1)*M + W`` with ``pad_front`` leading zeros.  Returns
+    ``(out_len, padded)`` — ``padded`` is None for empty in/out."""
+    L, M, W = bank.L, bank.M, bank.W
+    T = x.shape[-1]
+    if out_len is None:
+        out_len = bank.out_len(T)
+    if T == 0 or out_len == 0:
+        return out_len, None
+    Q = -(-out_len // L)
+    padded = (Q - 1) * M + W
+    pad_front = bank.pad_front
+    keep_T = min(T, max(0, padded - pad_front))
+    pad_back = padded - pad_front - keep_T
+    xp = jnp.pad(x[..., :keep_T],
+                 [(0, 0)] * (x.ndim - 1) + [(pad_front, pad_back)])
+    return out_len, xp
+
+
 def _gather_core(xp: jax.Array, bank: CycleBank, n_out: int) -> jax.Array:
     """Phase-table resampling of an already-padded signal: no dense matrix.
 
@@ -99,19 +120,9 @@ def resample_gather(x: jax.Array, bank: CycleBank,
     production varispeed dispatch uses `resample_banded` (TPU per-element
     gathers measured ~3000x slower than the banded matmul form: 15x vs
     49,000x realtime on the NTSC pull-down — docs/PERF.md)."""
-    L, M, W = bank.L, bank.M, bank.W
-    T = x.shape[-1]
-    if out_len is None:
-        out_len = bank.out_len(T)
-    if T == 0 or out_len == 0:
+    out_len, xp = _pad_for_cycles(x, bank, out_len)
+    if xp is None:
         return jnp.zeros((*x.shape[:-1], out_len), dtype=x.dtype)
-    Q = -(-out_len // L)
-    padded = (Q - 1) * M + W
-    pad_front = bank.pad_front
-    keep_T = min(T, max(0, padded - pad_front))
-    pad_back = padded - pad_front - keep_T
-    xp = jnp.pad(x[..., :keep_T],
-                 [(0, 0)] * (x.ndim - 1) + [(pad_front, pad_back)])
     return _gather_core(xp, bank, out_len)
 
 
@@ -132,13 +143,11 @@ def _banded_plan(bank: CycleBank):
     dense matrix.  This is PERF.md 'Headroom' item 3 made real, and the
     production path for varispeed ratios.
     """
+    from ..models.filters import _cycle_tables
+
     L, M, K = bank.L, bank.M, bank.taps_per_phase
     seg = min(_BAND_SEG, L)
-    D_int, r = divmod(bank.delay_upsamples, L)
-    p = np.arange(L, dtype=np.int64)
-    u = p * M + r
-    off = (u // L).astype(np.int64)
-    ph = (u % L).astype(np.int64)
+    off, ph = _cycle_tables(L, M, bank.delay_upsamples % L)
     hrev = np.ascontiguousarray(bank.H[:, ::-1], dtype=np.float32)
     S = max(1, -(-L // seg))
     p0s = [s * seg for s in range(S - 1)] + [L - seg]
@@ -187,19 +196,9 @@ def resample_banded(x: jax.Array, bank: CycleBank,
                     out_len: int | None = None) -> jax.Array:
     """MXU-banded resampler — the production path for varispeed banks
     (``bank.G is None``); numerically the same design/contract as `resample`."""
-    L, M, W = bank.L, bank.M, bank.W
-    T = x.shape[-1]
-    if out_len is None:
-        out_len = bank.out_len(T)
-    if T == 0 or out_len == 0:
+    out_len, xp = _pad_for_cycles(x, bank, out_len)
+    if xp is None:
         return jnp.zeros((*x.shape[:-1], out_len), dtype=x.dtype)
-    Q = -(-out_len // L)
-    padded = (Q - 1) * M + W
-    pad_front = bank.pad_front
-    keep_T = min(T, max(0, padded - pad_front))
-    xp = jnp.pad(x[..., :keep_T],
-                 [(0, 0)] * (x.ndim - 1)
-                 + [(pad_front, max(0, padded - pad_front - keep_T))])
     return _banded_core(xp, bank, out_len)
 
 

@@ -76,6 +76,13 @@ def channels_shardable(cfg, num_channels: int, mesh: Mesh) -> tuple[bool, str]:
             ir = getattr(s, "ir", None)
             if ir is not None and ir.shape[0] > 1:
                 return False, "per-channel IR not channel-shardable"
+            if not getattr(s, "channel_local", True):
+                # cross-channel stages (linked Compressor, StereoWidth M/S)
+                # would see only their shard's channels inside shard_map:
+                # the compressor link would silently diverge per shard and
+                # width would mis-shape — fall back to files-only sharding
+                return False, (f"{type(s).__name__} couples channels; "
+                               "not channel-shardable")
     return True, ""
 
 
@@ -171,12 +178,11 @@ def _build_cp_fn(mesh, rate_in, rate_out, base_key, static_zero, chain,
             xc = jnp.take(xc, src, axis=1)
             silent = (rl < 0)[None, :, None]
             xc = jnp.where(silent, 0.0, xc)
-        # decorrelate dither across channel shards: every shard holds the
-        # same per-file seed vector, and jax.random.bits over the same local
-        # shape would emit byte-identical noise on every shard (channels
-        # c and c + c_local would share a noise sequence)
-        sd = (sd ^ ((jax.lax.axis_index("channels") + 1)
-                    * jnp.int32(-1640531527))) & jnp.int32(0x7FFFFFFF)
+        # dither decorrelation across channel shards is handled INSIDE the
+        # graph: noise is keyed by the GLOBAL channel id (axis_index *
+        # c_local + local index, pipeline/graph.py), so the per-file seed
+        # vector must pass through untouched — a per-shard seed perturbation
+        # here would desynchronise the bytes from the unsharded run
         codes, out_frames, term, pk, lvl, nf_est = _process_impl(
             xc, v, lat_, nf_, sd,
             rate_in=rate_in, rate_out=rate_out, cfg_key=base_key,

@@ -191,7 +191,8 @@ def _process_impl(
         # Source/MainComponent.cpp:751-805): subtracting the mean first would
         # shift in-file silence off zero and defeat the noise-floor detector.
         # Mean over each file's valid span only (masked samples contribute 0).
-        mean = (jnp.sum(jnp.where(vmask, y, 0.0), axis=-1, keepdims=True)
+        # y is already vmask-masked (and barriered) above
+        mean = (jnp.sum(y, axis=-1, keepdims=True)
                 / jnp.maximum(out_frames, 1).reshape(files, 1, 1).astype(jnp.float32))
     else:
         mean = jnp.zeros((files, 1, 1), jnp.float32)
@@ -228,17 +229,23 @@ def _process_impl(
     nf_est = jnp.where(tail_rms > 0,
                        20.0 * jnp.log10(jnp.maximum(tail_rms, 1e-30)),
                        analysis.DB_FLOOR)
-    s = float(1 << (bits - 1))
-    v = z * s
     if do_dither:
-        # noise keyed by (file seed, channel, absolute output frame): bytes
-        # are invariant to batching/chunking — the streaming path emits the
-        # identical file (dither.tpdf_noise)
-        cs = dither.channel_seeds(dither.noise_seeds(key, files), z.shape[1])
+        # noise keyed by (file seed, GLOBAL channel, absolute output frame):
+        # bytes are invariant to batching/chunking/sharding — the streaming
+        # path emits the identical file (dither.tpdf_noise).  Under channel
+        # sharding the local channel index must be offset by the shard's
+        # position or shards would draw correlated noise.
+        c_local = z.shape[1]
+        cid = jnp.arange(c_local, dtype=jnp.uint32)
+        if channel_axis is not None:
+            cid = (jax.lax.axis_index(channel_axis).astype(jnp.uint32)
+                   * jnp.uint32(c_local) + cid)
+        cs = dither.channel_seeds(dither.noise_seeds(key, files), cid)
         pos_t = jnp.arange(out_total, dtype=jnp.int32)[None, None, :]
-        v = v + dither.tpdf_noise(cs[:, :, None], pos_t)
-    codes = jnp.where(vmask,
-                      jnp.clip(jnp.round(v), -s, s - 1.0).astype(jnp.int32), 0)
+        codes = dither.quantize_noise(z, bits, cs[:, :, None], pos_t)
+    else:
+        codes = dither.quantize_noise(z, bits)
+    codes = jnp.where(vmask, codes, 0)
     if routing is not None and any(r < 0 for r in routing):
         # routed-silent channels stay digital zero even under dither (the
         # reference writes true silence on unused channels)
@@ -341,8 +348,6 @@ def _process_impl_rows(
     nf_est = analysis._amp_to_db(jnp.sqrt(
         jnp.sum(jnp.square(mono) * tail_mask[:, 0], axis=(1, 2)) / n_tail))
 
-    s = float(1 << (bits - 1))
-    v = z * s
     if do_dither:
         # counter-hash TPDF noise keyed by (file seed, channel, output frame)
         # — byte-identical across runs, batch groupings, chunkings, and
@@ -350,8 +355,9 @@ def _process_impl_rows(
         # logical output frame index in the rows tiling, so this matches the
         # flat and streaming paths bit-for-bit (dither.tpdf_noise)
         cs = dither.channel_seeds(dither.noise_seeds(key, files), C)
-        v = v + dither.tpdf_noise(cs[:, :, None, None], pos)
-    codes = jnp.clip(jnp.round(v), -s, s - 1.0).astype(jnp.int32)
+        codes = dither.quantize_noise(z, bits, cs[:, :, None, None], pos)
+    else:
+        codes = dither.quantize_noise(z, bits)
     codes = jnp.where(valid, codes, 0)
     if routing is not None and any(r < 0 for r in routing):
         silent = jnp.asarray([r < 0 for r in routing]).reshape(1, -1, 1, 1)

@@ -47,7 +47,7 @@ def _stream_step(xp, carry, seeds_c, pos0, *, cycles, rate_in, rate_out,
                  carry_frames=0):
     bank = design_cycle_bank(rate_in, rate_out, quality=quality, kind=kind)
     y = resample_presliced(xp, bank, cycles)
-    if chain is not None:
+    if chain is not None and carry_frames > 0:
         # exact chunk-boundary continuation for FIR-type chains: prepend the
         # previous chunk's last tail_frames of SRC output (the chain's whole
         # state for causal FIR stacks), convolve, drop the context span
@@ -55,18 +55,22 @@ def _stream_step(xp, carry, seeds_c, pos0, *, cycles, rate_in, rate_out,
         z = chain.apply(z, rate_out)
         y_out = z[..., carry_frames:]
         new_carry = y[..., -carry_frames:]
+    elif chain is not None:
+        # zero-tail chain (memoryless stages only): no context needed —
+        # and `y[..., -0:]` would be the WHOLE chunk, so the carry slice
+        # above must not run (it would re-emit the previous chunk's audio)
+        y_out, new_carry = chain.apply(y, rate_out), carry
     else:
         y_out, new_carry = y, carry
     if gain_db:
         y_out = y_out * (10.0 ** (gain_db / 20.0))
-    s = float(1 << (bits - 1))
-    v = y_out * s
     if do_dither:
         # noise keyed by (seed, channel, ABSOLUTE output frame pos0+j):
         # bytes are chunk-size invariant and identical to the batch path's
         pos = pos0 + jnp.arange(y_out.shape[-1], dtype=jnp.int32)[None, :]
-        v = v + dither.tpdf_noise(seeds_c[:, None], pos)
-    codes = jnp.clip(jnp.round(v), -s, s - 1.0).astype(jnp.int32)
+        codes = dither.quantize_noise(y_out, bits, seeds_c[:, None], pos)
+    else:
+        codes = dither.quantize_noise(y_out, bits)
     return codes, new_carry
 
 
@@ -96,6 +100,17 @@ def stream_resample_file(
     chunks (overlap-save at the output rate).  The chain's group delay is NOT
     trimmed on this path (an EQ's delay is sub-ms; for delay-heavy chains use
     ``process``, which measures and trims).
+
+    DC-removal ordering: streaming subtracts the SOURCE's whole-file mean
+    before SRC+chain (a cheap host pre-pass — the output mean cannot be known
+    until the stream has been written), while the batch path removes residual
+    DC from the OUTPUT after the chain, as the reference does with its
+    capture (Source/MainComponent.cpp:884-902).  For linear chains the two
+    differ only by the chain's DC gain on a zero-mean signal (nothing);
+    for NONLINEAR stages (saturator, compressor) they genuinely diverge —
+    an offset signal saturates asymmetrically.  If that distinction matters,
+    match the batch path by disabling ``remove_dc`` here and post-processing,
+    or use ``process``.
     """
     if cfg.reverb_mode:
         raise ValueError("reverb-mode tail handling is a batch-path feature; "
@@ -207,12 +222,10 @@ def _finish_step(y, seeds_c, pos0, *, bits, do_dither, gain_db):
     existing frames sharding, so each shard hashes its own positions."""
     if gain_db:
         y = y * (10.0 ** (gain_db / 20.0))
-    s = float(1 << (bits - 1))
-    v = y * s
-    if do_dither:
-        pos = pos0 + jnp.arange(y.shape[-1], dtype=jnp.int32)[None, :]
-        v = v + dither.tpdf_noise(seeds_c[:, None], pos)
-    return jnp.clip(jnp.round(v), -s, s - 1.0).astype(jnp.int32)
+    if not do_dither:
+        return dither.quantize_noise(y, bits)
+    pos = pos0 + jnp.arange(y.shape[-1], dtype=jnp.int32)[None, :]
+    return dither.quantize_noise(y, bits, seeds_c[:, None], pos)
 
 
 def _stream_sharded(reader, out_path, cfg, bank, chunk_in, mesh, mean,

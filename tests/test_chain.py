@@ -632,3 +632,79 @@ def test_cli_dynamics_chain_flags():
             chain_delay_ms=0.0, chain_eq=None, chain_fir=None, chain_ir=None,
             chain_wet=1.0, chain_dry=0.0, rate=48000, chain_comp=None,
             chain_sat="fuzz:6", chain_width=None))
+
+
+def test_stream_zero_tail_chain_matches_whole_file(tmp_path):
+    """Regression: a chain whose total tail_frames == 0 (memoryless stages
+    only) must stream correctly — `y[..., -0:]` would have carried the WHOLE
+    previous chunk and re-emitted it."""
+    from f9tpu.ops import quantize
+    from f9tpu.ops.chain import Saturator
+    from f9tpu.ops.resample import resample_rates
+    from f9tpu.pipeline.stream import stream_resample_file
+
+    rng = np.random.default_rng(31)
+    T = int(1.1 * 44100)
+    x = (0.4 * rng.standard_normal((2, T))).astype(np.float32)
+    src = str(tmp_path / "zt.wav")
+    wav.write_wav(src, x, 44100, bits=32)
+    chain = Chain(Saturator("tanh", drive_db=3.0))
+    assert chain.tail_frames(48000) == 0
+    cfg = ProcessingConfig(output_dir=str(tmp_path), target_rate=48000,
+                           quality="low", dither=False, remove_dc=False,
+                           chain=chain)
+    out = str(tmp_path / "zt_out.wav")
+    n = stream_resample_file(src, out, cfg, chunk_seconds=0.2)
+    got, _ = wav.read_wav(out)
+
+    x_read, _ = wav.read_wav(src)
+    y = resample_rates(jnp.asarray(x_read), 44100, 48000, quality="low")
+    ref = np.asarray(quantize(chain.apply(y, 48000),
+                              bits=24)).astype(np.float64) / (1 << 23)
+    assert got.shape[1] == n == ref.shape[1]
+    np.testing.assert_allclose(got, ref, atol=6.0 / (1 << 23))
+
+
+def test_cross_channel_stages_not_channel_shardable():
+    """Compressor (bus link) and StereoWidth (M/S) couple channels: the
+    channel-axis sharding gate must reject them (shard-local link would
+    silently produce different gains per shard)."""
+    from f9tpu.ops.chain import Compressor, FIRInsert, Saturator, StereoWidth
+    from f9tpu.parallel import make_mesh
+    from f9tpu.parallel.sharding import channels_shardable
+
+    mesh = make_mesh(num_files_shards=4, num_channel_shards=2)
+
+    def ok(chain, ch=8):
+        cfg = ProcessingConfig(output_dir="/tmp/x", chain=chain)
+        return channels_shardable(cfg, ch, mesh)
+
+    good, _ = ok(Chain(FIRInsert(np.ones(9, np.float32)),
+                       Saturator("tanh", 3.0)))
+    assert good
+    bad, why = ok(Chain(Compressor(threshold_db=-18)))
+    assert not bad and "Compressor" in why
+    bad2, why2 = ok(Chain(StereoWidth(1.2)))
+    assert not bad2 and "StereoWidth" in why2
+
+
+def test_compressor_blocked_envelope_matches_direct(monkeypatch):
+    """The block-rebased slanted cummax (exact for any length) must equal the
+    single-ramp form; force tiny blocks so the scan path is exercised."""
+    from f9tpu.ops.chain import Compressor
+
+    rng = np.random.default_rng(33)
+    level = (-40.0 + 30.0 * rng.standard_normal((2, 1, 5000))).astype(np.float32)
+    c = 0.002
+    direct = np.asarray(Compressor._slanted_cummax(jnp.asarray(level), c))
+    monkeypatch.setattr(Compressor, "_ENV_BLOCK", 256)
+    blocked = np.asarray(Compressor._slanted_cummax(jnp.asarray(level), c))
+    np.testing.assert_allclose(blocked, direct, atol=2e-4)
+
+    # and against a literal numpy recurrence env[n]=max(lv[n], env[n-1]-c)
+    env = np.empty_like(level[0, 0], dtype=np.float64)
+    run = -1e30
+    for i, v in enumerate(level[0, 0].astype(np.float64)):
+        run = max(v, run - c)
+        env[i] = run
+    np.testing.assert_allclose(blocked[0, 0], env, atol=2e-4)

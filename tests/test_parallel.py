@@ -442,3 +442,37 @@ def test_channels_sharded_dither_decorrelated_and_reproducible():
         # same local index on different shards -> different noise
         assert not np.array_equal(a[f, 0, :n], a[f, c_local, :n])
         assert not np.array_equal(a[f, 0, :n], a[f, 2 * c_local, :n])
+
+
+def test_channels_sharded_dither_bytes_match_unsharded():
+    """Regression: dither noise must key on the GLOBAL channel index — with
+    shard-local indices, corresponding channels on different shards drew
+    byte-identical (correlated) noise and sharded bytes diverged from the
+    unsharded run of the same seed."""
+    from f9tpu.parallel import process_batch_channels_sharded
+
+    mesh = make_mesh(num_files_shards=4, num_channel_shards=2)
+    rng = np.random.default_rng(3)
+    files, C, T = 4, 16, 2205
+    x = (0.3 * rng.standard_normal((files, C, T))).astype(np.float32)
+    valid = np.full(files, T, np.int32)
+    seeds = np.arange(10, 10 + files, dtype=np.int32)
+    cfg = ProcessingConfig(output_dir="/tmp/x", quality="low", dither=True,
+                           remove_dc=False)
+    ref = process_batch(x, valid, cfg, 44100, jnp.asarray(seeds))
+    got = process_batch_channels_sharded(x, valid, cfg, 44100, seeds, mesh)
+    # the noise keys now match exactly; the residual is XLA emitting
+    # z*s+noise as an FMA inside shard_map (1-ulp ties, a handful of +-1
+    # codes) — mismatched noise would flip ~45% of codes by +-1..2
+    diff = (np.asarray(ref.codes).astype(np.int64)
+            - np.asarray(got.codes).astype(np.int64))
+    assert np.abs(diff).max() <= 1
+    assert (diff != 0).mean() < 0.01
+    # sanity: channels genuinely draw different noise (dither on silence)
+    z = np.zeros((1, 4, 2205), np.float32)
+    res = process_batch(z, np.full(1, T, np.int32),
+                        ProcessingConfig(output_dir="/tmp/x", quality="low",
+                                         dither=True, remove_dc=False),
+                        44100, jnp.asarray(np.array([7], np.int32)))
+    c = np.asarray(res.codes)[0]
+    assert not np.array_equal(c[0], c[1])
