@@ -146,6 +146,27 @@ def main() -> None:
         print("ACCURACY GATE FAILED (target -120 dB)", file=sys.stderr)
         sys.exit(1)
 
+    # ---- varispeed (NTSC pull-down 44.1k->44.056k): the banded MXU path —
+    # certify both throughput and oracle parity in the driver artifact ----
+    from f9tpu.ops.resample import resample_banded
+
+    vs_bank = design_cycle_bank(44100, 44056, quality="high")
+    xv = jnp.asarray(xf)
+    wv = measure_op(lambda xx: resample_banded(xx, vs_bank), xv, n=8, repeats=2)
+    vs_x_rt = (files * frames / 44100) / wv
+    xa_vs = xa_h[0]
+    got_vs = np.asarray(resample_banded(jnp.asarray(xa_vs), vs_bank))
+    ref_vs = resample_oracle(xa_vs.astype(np.float64), 44100, 44056,
+                             quality="high")
+    err_vs = got_vs - ref_vs
+    vs_db = 20 * np.log10(np.sqrt((err_vs**2).mean())
+                          / np.sqrt((ref_vs**2).mean()) + 1e-30)
+    print(f"varispeed 44.1k->44.056k (banded): {wv*1000:.2f} ms -> "
+          f"{vs_x_rt:.0f}x RT, {vs_db:.1f} dB vs oracle", file=sys.stderr)
+    if vs_db > -120.0:
+        print("VARISPEED ACCURACY GATE FAILED", file=sys.stderr)
+        sys.exit(1)
+
     baseline_x_rt = 1000.0  # north-star: 1000x real time per chip
     print(json.dumps({
         "metric": "audio-minutes resampled/sec/chip (44.1->48k stereo)",
@@ -155,6 +176,8 @@ def main() -> None:
         "x_realtime": round(x_rt, 1),
         "accuracy_rms_db_vs_oracle": round(float(rms_db), 1),
         "accuracy_gates_db": {k: round(float(v), 1) for k, v in gates.items()},
+        "varispeed_x_realtime": round(vs_x_rt, 1),
+        "varispeed_rms_db": round(float(vs_db), 1),
         "device": str(dev),
     }))
 
