@@ -96,6 +96,29 @@ def run(workdir: str) -> None:
     assert y6.shape[1] > src_out            # the tail extended past the source
     print(f"[6] insert-loop reverb: tail extended {y6.shape[1] - src_out} "
           f"frames past the source and terminated at the noise floor")
+
+    # --- config 7: a full outboard rack in the loop — EQ -> bus compressor
+    # -> tape saturation -> stereo width (the studio "insert chain") ---
+    assert main(["process", f"{lib}/s96_0.wav", "--out", f"{workdir}/c7",
+                 "--rate", "48000", "--quality", "high",
+                 "--chain-eq", "highshelf:8000:0.7:2.0",
+                 "--chain-comp=-20:3:5:120:1",
+                 "--chain-sat", "tanh:3:0.8", "--chain-width", "1.2",
+                 "--seed", "1"]) == 0
+    y7, _ = read_wav(f"{workdir}/c7/s96_0_processed.wav")
+    assert np.isfinite(y7).all() and np.abs(y7).max() <= 1.0
+    print("[7] outboard rack: EQ -> compressor -> saturator -> width")
+
+    # --- config 8: varispeed — NTSC pull-down 44.1k -> 44.056k via the
+    # banded MXU path (dense matrix would be ~0.5 GB), AIFF out ---
+    assert main(["process", f"{lib}/hit.wav", "--out", f"{workdir}/c8",
+                 "--rate", "44056", "--quality", "high",
+                 "--format", "aiff", "--seed", "1"]) == 0
+    from f9tpu.io.aiff import read_aiff
+    y8, r8 = read_aiff(f"{workdir}/c8/hit_processed.aiff")
+    assert r8 == 44056
+    print(f"[8] NTSC pull-down 44.1k->44.056k (banded path), AIFF out: "
+          f"{y8.shape[1]} frames")
     print("demo complete:", workdir)
 
 

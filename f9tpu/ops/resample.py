@@ -86,10 +86,11 @@ def _gather_core(xp: jax.Array, bank: CycleBank, n_out: int) -> jax.Array:
     exact int32: requires L*M + L < 2^31 (guaranteed by resolve_ratio's
     max_denominator of 2^16).
 
-    TPU note: this is a VPU gather path (no MXU) — K fused gather+FMA passes
-    over the output.  For near-unity varispeed ratios the signal is read ~K
-    times; still thousands of x realtime, and the only way these ratios fit
-    on the chip at all.
+    TPU note: this is a VPU gather path (no MXU) — K fused gather+FMA
+    passes over the output.  TPU per-element gathers are effectively serial:
+    measured 15x realtime at quality=high (K=130) vs the banded MXU form's
+    ~49,000x (docs/PERF.md), which is why `_banded_core` is the production
+    dispatch and this form exists as the independent numerical cross-check.
     """
     L, M, K = bank.L, bank.M, bank.taps_per_phase
     if L * M + L >= 2**31:
