@@ -306,6 +306,8 @@ def cmd_stream(args) -> int:
         dither=not args.no_dither,
         remove_dc=not args.keep_dc,
         output_dir=os.path.dirname(os.path.abspath(args.out)) or ".",
+        output_format=getattr(args, "output_format", "wav"),
+        seed=None if args.seed == -1 else args.seed,
     )
     last = [0]
 
@@ -471,9 +473,13 @@ def main(argv: list[str] | None = None) -> int:
 
     p = sub.add_parser("stream", help="constant-memory resample of one long file")
     p.add_argument("input")
-    p.add_argument("--out", required=True, help="output WAV path")
+    p.add_argument("--out", required=True, help="output WAV/AIFF path")
     _add_common_src_args(p)
     p.add_argument("--bits", type=int, default=24, choices=[16, 24, 32])
+    p.add_argument("--format", dest="output_format", default="wav",
+                   choices=["wav", "aiff"], help="output container")
+    p.add_argument("--seed", type=int, default=0,
+                   help="dither seed (-1 = wall clock, non-reproducible)")
     p.add_argument("--no-dither", action="store_true")
     p.add_argument("--keep-dc", action="store_true")
     p.add_argument("--chunk-seconds", type=float, default=20.0)

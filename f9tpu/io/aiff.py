@@ -185,6 +185,60 @@ def write_aiff_codes(path: str, codes: np.ndarray, rate: int,
                       channels, frames, rate, bits)
 
 
+class AiffWriter:
+    """Incremental 16/24/32-bit big-endian AIFF writer; the FORM/COMM/SSND
+    sizes are patched on close — the streaming path's AIFF twin of
+    `wav.WavWriter`."""
+
+    #: byte offsets of the fields patched at close (fixed header layout:
+    #: FORM(8) AIFF(4) COMM(8+18) SSND(8+8) data...)
+    _FORM_SIZE_OFF = 4
+    _COMM_FRAMES_OFF = 12 + 8 + 2          # FORM hdr + 'AIFF' => COMM body
+    _SSND_SIZE_OFF = 12 + 8 + 18 + 4
+
+    def __init__(self, path: str, channels: int, rate: int, bits: int = 24):
+        if bits not in (16, 24, 32):
+            raise ValueError(f"unsupported AIFF bit depth {bits}")
+        self.path = path
+        self.channels = channels
+        self.rate = rate
+        self.bits = bits
+        self.frames_written = 0
+        self._f = open(path, "wb")
+        comm = (struct.pack(">hIh", channels, 0, bits)
+                + _write_extended80(float(rate)))
+        self._f.write(b"FORM" + struct.pack(">I", 0) + b"AIFF")
+        self._f.write(b"COMM" + struct.pack(">I", len(comm)) + comm)
+        self._f.write(b"SSND" + struct.pack(">I", 8) + struct.pack(">II", 0, 0))
+
+    def append_codes(self, codes: np.ndarray) -> None:
+        """(channels, n) int32 PCM codes."""
+        codes = np.asarray(codes, np.int32)
+        inter = np.ascontiguousarray(codes.T).reshape(-1)
+        self._f.write(_aiff_payload_from_codes(inter, self.bits))
+        self.frames_written += codes.shape[1]
+
+    def close(self) -> None:
+        data = self.frames_written * self.channels * (self.bits // 8)
+        if data & 1:
+            self._f.seek(0, 2)
+            self._f.write(b"\x00")  # IFF chunks are word-aligned
+        form_size = 4 + (8 + 18) + (8 + 8 + data) + (data & 1)
+        self._f.seek(self._FORM_SIZE_OFF)
+        self._f.write(struct.pack(">I", form_size))
+        self._f.seek(self._COMM_FRAMES_OFF)
+        self._f.write(struct.pack(">I", self.frames_written))
+        self._f.seek(self._SSND_SIZE_OFF)
+        self._f.write(struct.pack(">I", 8 + data))
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def write_aiff_payload(path: str, payload: np.ndarray, channels: int,
                        rate: int, bits: int = 24) -> None:
     """Write a device-packed little-endian 24-bit payload as AIFF: the host

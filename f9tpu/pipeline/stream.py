@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import ProcessingConfig
+from ..io.aiff import AiffWriter
 from ..io.wav import WavReader, WavWriter
 from ..models.filters import design_cycle_bank
 from ..ops import dither
@@ -177,8 +178,9 @@ def stream_resample_file(
                     f"chain ring-out ({carry_frames} frames) exceeds one "
                     f"streaming chunk ({cycles * bank.L}); raise chunk_seconds")
         carry = jnp.zeros((reader.num_channels, carry_frames), jnp.float32)
-        with WavWriter(out_path, reader.num_channels, cfg.target_rate,
-                       bits=cfg.bits) as writer:
+        writer_cls = AiffWriter if cfg.output_format == "aiff" else WavWriter
+        with writer_cls(out_path, reader.num_channels, cfg.target_rate,
+                        bits=cfg.bits) as writer:
             start = 0
             ci = 0
             while start < T:
@@ -261,7 +263,8 @@ def _stream_sharded(reader, out_path, cfg, bank, chunk_in, mesh, mean,
         return out
 
     written = 0
-    with WavWriter(out_path, C, cfg.target_rate, bits=cfg.bits) as writer:
+    writer_cls = AiffWriter if cfg.output_format == "aiff" else WavWriter
+    with writer_cls(out_path, C, cfg.target_rate, bits=cfg.bits) as writer:
         start = 0
         while start < T:
             x = read_span(start, super_in)

@@ -353,3 +353,39 @@ def test_aiff_codes_and_payload_writers_roundtrip(tmp_path):
 
     with pytest.raises(ValueError, match="24-bit"):
         write_aiff_payload(p2, payload, 2, 48000, bits=16)
+
+
+def test_aiff_incremental_writer_roundtrip(tmp_path):
+    """AiffWriter (streaming twin of WavWriter): sizes patched at close,
+    appended in chunks, reads back exactly."""
+    from f9tpu.io.aiff import AiffWriter, read_aiff, probe_aiff
+
+    rng = np.random.default_rng(19)
+    codes = rng.integers(-(2**23), 2**23, size=(2, 10001), dtype=np.int32)
+    p = str(tmp_path / "inc.aiff")
+    with AiffWriter(p, 2, 44100, bits=24) as w:
+        w.append_codes(codes[:, :3000])
+        w.append_codes(codes[:, 3000:3001])
+        w.append_codes(codes[:, 3001:])
+    info = probe_aiff(p)
+    assert info.num_frames == 10001 and info.sample_rate == 44100
+    y, r = read_aiff(p)
+    np.testing.assert_array_equal(np.round(y * (1 << 23)), codes)
+
+
+def test_stream_aiff_output(tmp_path):
+    from f9tpu.config import ProcessingConfig
+    from f9tpu.io import write_wav
+    from f9tpu.io.aiff import read_aiff
+    from f9tpu.pipeline import stream_resample_file
+
+    rng = np.random.default_rng(20)
+    x = (0.3 * rng.standard_normal((2, 44100))).astype(np.float32)
+    src = str(tmp_path / "s.wav")
+    write_wav(src, x, 44100, bits=24)
+    cfg = ProcessingConfig(output_dir=str(tmp_path), target_rate=48000,
+                           quality="low", seed=3, output_format="aiff")
+    out = str(tmp_path / "s.aiff")
+    n = stream_resample_file(src, out, cfg, chunk_seconds=0.3)
+    y, r = read_aiff(out)
+    assert r == 48000 and y.shape == (2, n) and n == 48000
