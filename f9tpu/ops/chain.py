@@ -352,7 +352,11 @@ class Saturator:
     def apply(self, y: jax.Array, rate: int) -> jax.Array:
         g = np.float32(10.0 ** (self.drive_db / 20.0))
         if self.kind == "tanh":
-            shaped = jnp.tanh(g * y) * np.float32(1.0 / np.tanh(max(g, 1e-9)))
+            # normalisation 1/tanh(g) in float64; for extreme negative drive
+            # tanh(g) ~ g and the curve tends to identity (a hard max(g, eps)
+            # clamp here would instead scale tiny-drive signals down)
+            denom = float(np.tanh(np.float64(g))) or float(g)
+            shaped = jnp.tanh(g * y) * np.float32(1.0 / denom)
         elif self.kind == "soft":
             u = jnp.clip(g * y, -1.0, 1.0)
             shaped = 1.5 * u - 0.5 * u * u * u

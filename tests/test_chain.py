@@ -708,3 +708,32 @@ def test_compressor_blocked_envelope_matches_direct(monkeypatch):
         run = max(v, run - c)
         env[i] = run
     np.testing.assert_allclose(blocked[0, 0], env, atol=2e-4)
+
+
+def test_saturator_extreme_drive_edges():
+    """drive -> -inf dB tends to identity (tanh(g x)/tanh(g) -> x); the old
+    max(g, eps) clamp scaled tiny-drive signals by g/eps instead."""
+    from f9tpu.ops.chain import Saturator
+
+    x = np.linspace(-0.9, 0.9, 64, dtype=np.float32).reshape(1, -1)
+    got = np.asarray(Saturator("tanh", drive_db=-200.0).apply(
+        jnp.asarray(x), 48000))
+    np.testing.assert_allclose(got, x, rtol=1e-5, atol=1e-7)
+    # huge positive drive approaches a hard limiter of the sign
+    got_hi = np.asarray(Saturator("tanh", drive_db=60.0).apply(
+        jnp.asarray(x), 48000))
+    assert np.all(np.abs(got_hi[0, np.abs(x[0]) > 0.05]) > 0.99)
+
+
+def test_compressor_infinite_ratio_is_limiter():
+    from f9tpu.ops.chain import Compressor
+
+    rate = 48000
+    t = np.arange(rate // 2) / rate
+    x = (0.5 * np.sin(2 * np.pi * 997 * t)).astype(np.float32).reshape(1, 1, -1)
+    comp = Compressor(threshold_db=-20.0, ratio=float("inf"), attack_ms=1.0,
+                      release_db_per_s=500.0, knee_db=0.0, detector_ms=5.0)
+    y = np.asarray(comp.apply(jnp.asarray(x), rate))
+    steady = slice(rate // 4, rate // 2 - 500)
+    out_db = 20 * np.log10(np.sqrt((y[0, 0, steady] ** 2).mean()))
+    assert abs(out_db - (-20.0)) < 0.5     # output pinned at the threshold
