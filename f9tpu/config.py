@@ -34,7 +34,11 @@ class ProcessingConfig:
     target_rate: int = 48000            # output ("session") rate
     quality: str = "high"               # QUALITY_PRESETS key
     kind: str = "sinc"                  # "sinc" | "lagrange"
-    bits: int = 24                      # output PCM depth (reference: 24)
+    bits: int = 24
+    """Output PCM depth: 16/24 (reference writes 24,
+    Source/MainComponent.cpp:784-801) or 32 (int32 container; the device
+    graph computes in float32, so ~25 bits are significant — use 24 unless a
+    downstream tool demands 32-bit files)."""
     dither: bool = True                 # TPDF dither before quantize
     seed: int | None = 0
     """Dither RNG seed.  Per-file noise keys derive from (seed, file path), so

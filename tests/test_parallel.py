@@ -476,3 +476,34 @@ def test_channels_sharded_dither_bytes_match_unsharded():
                         44100, jnp.asarray(np.array([7], np.int32)))
     c = np.asarray(res.codes)[0]
     assert not np.array_equal(c[0], c[1])
+
+
+def test_files_sharded_dither_bytes_match_unsharded(tmp_path):
+    """Seeded dither bytes must be identical whether the batch runs on one
+    device or files-sharded over the mesh (noise keys carry no device info)."""
+    from f9tpu.config import ProcessingConfig
+    from f9tpu.io import read_wav, write_wav
+    from f9tpu.pipeline import BatchProcessor, build_output_path
+
+    rng = np.random.default_rng(51)
+    (tmp_path / "in").mkdir()
+    paths = []
+    for i in range(8):
+        x = (0.2 * rng.standard_normal((2, 3000))).astype(np.float32)
+        p = str(tmp_path / "in" / f"d{i}.wav")
+        write_wav(p, x, 44100, bits=24)
+        paths.append(p)
+
+    def run(out, mesh):
+        cfg = ProcessingConfig(output_dir=str(tmp_path / out),
+                               target_rate=48000, quality="low",
+                               batch_size=8, seed=4, remove_dc=False)
+        assert BatchProcessor(cfg, mesh=mesh).run(paths).completed == 8
+        return cfg
+
+    c1 = run("o1", None)
+    c2 = run("o2", make_mesh())
+    for p in paths:
+        a = open(build_output_path(p, c1.output_dir, c1.postfix), "rb").read()
+        b = open(build_output_path(p, c2.output_dir, c2.postfix), "rb").read()
+        assert a == b, p
