@@ -29,7 +29,28 @@ import jax
 import jax.numpy as jnp
 
 
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compile cache (same default as the CLI): a previously
+    compiled graph loads in ~40 ms, which also makes this entry point robust
+    to compile-service slowness once primed."""
+    import os
+    spec = os.environ.get("F9TPU_COMPILE_CACHE", "")
+    if spec.lower() in ("off", "0", "none"):
+        return
+    path = spec or os.path.expanduser("~/.cache/f9tpu/xla")
+    try:
+        import jax
+
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main() -> None:
+    _enable_compile_cache()
     from f9tpu.config import ProcessingConfig
     from f9tpu.models.oracle import resample_oracle
     from f9tpu.pipeline.graph import _cfg_key, _process_impl_rows

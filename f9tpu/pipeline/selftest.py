@@ -15,7 +15,6 @@ import enum
 
 import numpy as np
 
-import jax.numpy as jnp
 
 from ..ops import analysis
 from ..ops.resample import resample_rates
