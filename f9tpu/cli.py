@@ -362,9 +362,18 @@ def cmd_probe(args) -> int:
                  ("  [ok]" if info.is_valid_for_rate(args.require_rate)
                   else f"  [INVALID: need {args.require_rate} Hz]"))
         kind = "float" if info.is_float else "pcm"
+        loud = ""
+        if getattr(args, "loudness", False):
+            from .ops.loudness import integrated_lufs
+
+            x, r = codec.read_audio(f)
+            lufs = float(integrated_lufs(x, r))
+            loud = ("  --.- LUFS (too short/silent)" if lufs <= -199.0
+                    else f"  {lufs:.1f} LUFS")
         print(f"{f}: {info.container} {info.sample_rate} Hz, "
               f"{info.num_channels} ch, {info.num_frames} frames "
-              f"({info.duration_seconds:.3f} s), {info.bit_depth}-bit {kind}{valid}")
+              f"({info.duration_seconds:.3f} s), {info.bit_depth}-bit {kind}"
+              f"{valid}{loud}")
     return code
 
 
@@ -521,6 +530,9 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("probe", help="print file metadata")
     p.add_argument("inputs", nargs="+")
     p.add_argument("--require-rate", type=int, default=None)
+    p.add_argument("--loudness", action="store_true",
+                   help="also measure BS.1770-4 integrated loudness (LUFS) "
+                        "on device")
     p.set_defaults(fn=cmd_probe)
 
     # config defaults go on the *process subparser* (its own defaults would

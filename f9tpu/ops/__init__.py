@@ -23,3 +23,4 @@ from .chain import (  # noqa: F401
     Biquad, Chain, Compressor, Gain, Delay, FIRInsert, ConvolutionReverb,
     Saturator, StereoWidth, fft_convolve,
 )
+from .loudness import integrated_lufs, k_weighting_ir  # noqa: F401

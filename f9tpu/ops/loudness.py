@@ -1,0 +1,140 @@
+"""Integrated loudness (LUFS) per ITU-R BS.1770-4 / EBU R128, TPU-native.
+
+The reference surfaces per-file levels (peak dB readouts in the file list,
+Source/FileListAndLogComponent.cpp) — this module adds the metric modern
+mastering actually standardises on: K-weighted, gated integrated loudness.
+
+Pipeline (all on device, no recurrences):
+
+1. Non-48 kHz input is resampled to 48 kHz with the framework's own SRC
+   (the K-filter coefficients below are the standard's published 48 kHz
+   set; resampling first sidesteps re-deriving them per rate).
+2. K-weighting = the standard's two biquads (high shelf + high-pass),
+   realised as one truncated float64 impulse response driven through the
+   same MXU FIR machinery as `ops.chain.Biquad` (a per-sample IIR would
+   serialise the TPU; the cascade's poles give geometric decay, truncated
+   far below the gating resolution).
+3. 400 ms blocks at 75 % overlap (100 ms hop) via hop-chunk partial sums —
+   a reshape + reduce, no sliding windows.
+4. Two-stage gating: absolute at -70 LUFS, then relative at 10 LU below
+   the absolutely-gated mean.
+
+Reference coefficients: ITU-R BS.1770-4 Table 1/2 (48 kHz).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["integrated_lufs", "k_weighting_ir", "block_loudness"]
+
+#: BS.1770-4 stage 1: high-shelf (+~4 dB above ~1.5 kHz), 48 kHz.
+K_STAGE1_B = (1.53512485958697, -2.69169618940638, 1.19839281085285)
+K_STAGE1_A = (1.0, -1.69065929318241, 0.73248077421585)
+#: BS.1770-4 stage 2: high-pass (~38 Hz), 48 kHz.
+K_STAGE2_B = (1.0, -2.0, 1.0)
+K_STAGE2_A = (1.0, -1.99004745483398, 0.99007225036621)
+
+_RATE = 48000
+_BLOCK_S = 0.400
+_HOP_S = 0.100
+_ABS_GATE_LUFS = -70.0
+_REL_GATE_LU = -10.0
+_OFFSET = -0.691
+
+
+def _iir_response(b, a, n: int) -> np.ndarray:
+    """First ``n`` samples of a biquad's impulse response, float64 exact."""
+    h = np.zeros(n)
+    x1 = x2 = y1 = y2 = 0.0
+    for i in range(n):
+        xn = 1.0 if i == 0 else 0.0
+        yn = b[0] * xn + b[1] * x1 + b[2] * x2 - a[1] * y1 - a[2] * y2
+        h[i] = yn
+        x2, x1 = x1, xn
+        y2, y1 = y1, yn
+    return h
+
+
+@functools.lru_cache(maxsize=1)
+def k_weighting_ir() -> np.ndarray:
+    """Truncated float64 IR of the K-weighting cascade at 48 kHz.
+
+    The high-pass pole radius is ~0.995 -> the tail falls below 1e-9 within
+    ~6000 samples (125 ms); truncation error is ~-180 dB on block energies,
+    far beyond the gating resolution."""
+    n = 8192
+    h1 = _iir_response(K_STAGE1_B, K_STAGE1_A, n)
+    h2 = _iir_response(K_STAGE2_B, K_STAGE2_A, n)
+    h = np.convolve(h1, h2)[:n]
+    # trim the negligible tail (keeps the device conv small)
+    mag = np.abs(h)
+    keep = int(np.max(np.nonzero(mag > mag.max() * 1e-9))) + 1
+    return h[:keep]
+
+
+def k_weight(x: jax.Array) -> jax.Array:
+    """Apply the 48 kHz K-weighting cascade along the last axis (causal FIR
+    on the MXU, precision HIGHEST)."""
+    from .chain import _direct_convolve, fft_convolve
+
+    h = k_weighting_ir().astype(np.float32)
+    if h.shape[0] <= 8192:
+        return _direct_convolve(x, h)
+    return fft_convolve(x, h)
+
+
+def block_loudness(x48: jax.Array) -> jax.Array:
+    """Per-block loudness (LUFS) of a 48 kHz signal ``(C, T)``: 400 ms
+    blocks at 100 ms hop.  Returns ``(n_blocks,)``; blocks are summed over
+    channels with unity weights (BS.1770 surround weights apply to >3-ch
+    setups; this framework's buses are fullband channels)."""
+    hop = int(_HOP_S * _RATE)
+    per_block = int(_BLOCK_S / _HOP_S)              # 4 hops per block
+    C, T = x48.shape
+    n_hops = T // hop
+    if n_hops < per_block:
+        return jnp.full((0,), 0.0, jnp.float32)
+    xk = k_weight(x48)
+    hop_sq = jnp.sum(
+        jnp.square(xk[:, : n_hops * hop]).reshape(C, n_hops, hop), axis=-1)
+    n_blocks = n_hops - per_block + 1
+    # mean square of each 400 ms block = sum of its 4 hop sums / window
+    win = per_block * hop
+    idx = jnp.arange(n_blocks)[:, None] + jnp.arange(per_block)[None, :]
+    block_sq = jnp.sum(hop_sq[:, idx], axis=-1) / win     # (C, n_blocks)
+    z = jnp.sum(block_sq, axis=0)                         # channel sum
+    return _OFFSET + 10.0 * jnp.log10(jnp.maximum(z, 1e-30))
+
+
+def integrated_lufs(x: jax.Array, rate: int) -> jax.Array:
+    """BS.1770-4 integrated loudness of ``x`` (C, T) float32 at ``rate``.
+
+    Returns a scalar (LUFS); silence/too-short input returns -inf-like
+    floor (-200).  Non-48 kHz input rides the framework's own SRC first.
+    """
+    if x.ndim == 1:
+        x = x[None]
+    if rate != _RATE:
+        from .resample import resample_rates
+
+        x = resample_rates(x, int(rate), _RATE, quality="high")
+    lb = block_loudness(x)
+    if lb.shape[0] == 0:
+        return jnp.float32(-200.0)
+    # reconstruct channel-summed mean squares from block loudness
+    z = 10.0 ** ((lb - _OFFSET) / 10.0)
+    abs_mask = lb > _ABS_GATE_LUFS
+    n_abs = jnp.maximum(jnp.sum(abs_mask), 1)
+    z_abs = jnp.sum(jnp.where(abs_mask, z, 0.0)) / n_abs
+    rel_thresh = _OFFSET + 10.0 * jnp.log10(jnp.maximum(z_abs, 1e-30)) \
+        + _REL_GATE_LU
+    mask = abs_mask & (lb > rel_thresh)
+    n = jnp.sum(mask)
+    z_gated = jnp.sum(jnp.where(mask, z, 0.0)) / jnp.maximum(n, 1)
+    lufs = _OFFSET + 10.0 * jnp.log10(jnp.maximum(z_gated, 1e-30))
+    return jnp.where(n > 0, lufs, jnp.float32(-200.0))

@@ -1,0 +1,161 @@
+"""BS.1770-4 integrated loudness: device implementation vs float64 reference
+and against analytic sine expectations."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from f9tpu.ops.loudness import (
+    K_STAGE1_A,
+    K_STAGE1_B,
+    K_STAGE2_A,
+    K_STAGE2_B,
+    _ABS_GATE_LUFS,
+    _OFFSET,
+    _REL_GATE_LU,
+    block_loudness,
+    integrated_lufs,
+    k_weighting_ir,
+)
+
+RATE = 48000
+
+
+def _h_mag2(b, a, f):
+    """|H(e^{jw})|^2 of a biquad at frequency f (float64, exact)."""
+    w = 2 * np.pi * f / RATE
+    z = np.exp(-1j * w)
+    num = b[0] + b[1] * z + b[2] * z * z
+    den = a[0] + a[1] * z + a[2] * z * z
+    return abs(num / den) ** 2
+
+
+def k_gain2(f):
+    return (_h_mag2(K_STAGE1_B, K_STAGE1_A, f)
+            * _h_mag2(K_STAGE2_B, K_STAGE2_A, f))
+
+
+def ref_lufs(x: np.ndarray) -> float:
+    """Independent float64 reference: same published coefficients, separate
+    filtering (np.convolve), framing, and gating code path."""
+    h = k_weighting_ir()
+    xk = np.stack([np.convolve(c.astype(np.float64), h)[: x.shape[1]]
+                   for c in x])
+    hop, per_block = 4800, 4
+    n_hops = x.shape[1] // hop
+    hs = np.sum(xk[:, : n_hops * hop].reshape(x.shape[0], n_hops, hop) ** 2,
+                axis=-1)
+    nb = n_hops - per_block + 1
+    if nb <= 0:
+        return -200.0
+    z = np.array([hs[:, j : j + per_block].sum() / (hop * per_block)
+                  for j in range(nb)])
+    lb = _OFFSET + 10 * np.log10(np.maximum(z, 1e-30))
+    keep = lb > _ABS_GATE_LUFS
+    if not keep.any():
+        return -200.0
+    rel = _OFFSET + 10 * np.log10(z[keep].mean()) + _REL_GATE_LU
+    keep &= lb > rel
+    if not keep.any():
+        return -200.0
+    return float(_OFFSET + 10 * np.log10(z[keep].mean()))
+
+
+def test_k_filter_gain_near_1khz():
+    """The -0.691 offset exists to cancel the K-filter gain near 1 kHz."""
+    g_db = 10 * np.log10(k_gain2(997.0))
+    assert abs(g_db - 0.691) < 0.06
+    # IR truncation preserves the response: compare FFT of the IR
+    h = k_weighting_ir()
+    H = np.fft.rfft(h, 1 << 16)
+    f997 = int(round(997.0 / RATE * (1 << 16)))
+    assert abs(20 * np.log10(abs(H[f997])) - g_db / 2 * 2) < 0.01
+
+
+def test_sine_loudness_analytic():
+    """Stereo 997 Hz at -18 dBFS/channel: LUFS = -0.691
+    + 10log10(2 * A^2/2 * g997)."""
+    A = 10 ** (-18 / 20)
+    t = np.arange(3 * RATE) / RATE
+    s = (A * np.sin(2 * np.pi * 997 * t)).astype(np.float32)
+    x = np.stack([s, s])
+    got = float(integrated_lufs(jnp.asarray(x), RATE))
+    expect = _OFFSET + 10 * np.log10(2 * (A * A / 2) * k_gain2(997.0))
+    assert abs(got - expect) < 0.05, (got, expect)
+
+
+def test_device_matches_float64_reference():
+    rng = np.random.default_rng(8)
+    x = (0.15 * rng.standard_normal((2, 4 * RATE))).astype(np.float32)
+    # shape the signal so gating does something: fade sections
+    x[:, : RATE] *= 0.001
+    got = float(integrated_lufs(jnp.asarray(x), RATE))
+    assert abs(got - ref_lufs(x)) < 0.02
+
+
+def test_absolute_gate_ignores_silence():
+    A = 10 ** (-20 / 20)
+    t = np.arange(2 * RATE) / RATE
+    tone = (A * np.sin(2 * np.pi * 997 * t)).astype(np.float32)
+    x_tone = np.stack([tone, tone])
+    x_padded = np.concatenate([x_tone, np.zeros((2, 8 * RATE), np.float32)],
+                              axis=1)
+    l_tone = float(integrated_lufs(jnp.asarray(x_tone), RATE))
+    l_padded = float(integrated_lufs(jnp.asarray(x_padded), RATE))
+    # blocks straddling the tone->silence edge legitimately count (~0.34 LU);
+    # a BROKEN gate would average the 8 s of silence in:
+    # 10*log10(2/10) = -7 LU
+    assert abs(l_tone - l_padded) < 0.5
+    ungated = l_tone + 10 * np.log10(2 / 10)
+    assert l_padded > ungated + 5.0
+
+
+def test_relative_gate_drops_quiet_sections():
+    t = np.arange(3 * RATE) / RATE
+    loud = (10 ** (-14 / 20) * np.sin(2 * np.pi * 997 * t)).astype(np.float32)
+    quiet = (10 ** (-45 / 20) * np.sin(2 * np.pi * 997 * t)).astype(np.float32)
+    x = np.stack([np.concatenate([loud, quiet])] * 2)
+    got = float(integrated_lufs(jnp.asarray(x), RATE))
+    l_loud = float(integrated_lufs(jnp.asarray(np.stack([loud] * 2)), RATE))
+    # quiet section is ~31 LU below: excluded by the relative gate
+    assert abs(got - l_loud) < 0.3
+
+
+def test_non_48k_input_resampled():
+    A = 10 ** (-18 / 20)
+    r2 = 44100
+    t = np.arange(3 * r2) / r2
+    s = (A * np.sin(2 * np.pi * 997 * t)).astype(np.float32)
+    got = float(integrated_lufs(jnp.asarray(np.stack([s, s])), r2))
+    expect = _OFFSET + 10 * np.log10(2 * (A * A / 2) * k_gain2(997.0))
+    assert abs(got - expect) < 0.05
+
+
+def test_short_or_silent_input_floor():
+    assert float(integrated_lufs(jnp.zeros((2, 1000), jnp.float32), RATE)) \
+        <= -199.0
+    assert float(integrated_lufs(jnp.zeros((2, 5 * RATE), jnp.float32), RATE)) \
+        <= -199.0
+
+
+def test_cli_probe_loudness(tmp_path):
+    from f9tpu.cli import main
+    from f9tpu.io import write_wav
+
+    A = 10 ** (-20 / 20)
+    t = np.arange(RATE) / RATE
+    s = (A * np.sin(2 * np.pi * 997 * t)).astype(np.float32)
+    p = str(tmp_path / "tone.wav")
+    write_wav(p, np.stack([s, s]), RATE, bits=24)
+    import contextlib
+    import io as _io
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["probe", p, "--loudness"])
+    assert rc == 0
+    out = buf.getvalue()
+    assert "LUFS" in out
+    lufs = float(out.split("LUFS")[0].rsplit()[-1])
+    assert -22.0 < lufs < -18.0
