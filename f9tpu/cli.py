@@ -364,12 +364,18 @@ def cmd_probe(args) -> int:
         kind = "float" if info.is_float else "pcm"
         loud = ""
         if getattr(args, "loudness", False):
-            from .ops.loudness import integrated_lufs
+            from .ops.loudness import (integrated_lufs, loudness_range,
+                                       true_peak_db)
 
             x, r = codec.read_audio(f)
             lufs = float(integrated_lufs(x, r))
-            loud = ("  --.- LUFS (too short/silent)" if lufs <= -199.0
-                    else f"  {lufs:.1f} LUFS")
+            if lufs <= -199.0:
+                loud = "  --.- LUFS (too short/silent)"
+            else:
+                tp = float(true_peak_db(x, r))
+                lra = float(loudness_range(x, r))
+                loud = (f"  {lufs:.1f} LUFS, {tp:+.1f} dBTP, "
+                        f"LRA {lra:.1f} LU")
         print(f"{f}: {info.container} {info.sample_rate} Hz, "
               f"{info.num_channels} ch, {info.num_frames} frames "
               f"({info.duration_seconds:.3f} s), {info.bit_depth}-bit {kind}"

@@ -23,4 +23,6 @@ from .chain import (  # noqa: F401
     Biquad, Chain, Compressor, Gain, Delay, FIRInsert, ConvolutionReverb,
     Saturator, StereoWidth, fft_convolve,
 )
-from .loudness import integrated_lufs, k_weighting_ir  # noqa: F401
+from .loudness import (  # noqa: F401
+    integrated_lufs, k_weighting_ir, loudness_range, true_peak_db,
+)

@@ -30,7 +30,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["integrated_lufs", "k_weighting_ir", "block_loudness"]
+__all__ = ["integrated_lufs", "k_weighting_ir", "block_loudness",
+           "true_peak_db", "loudness_range"]
 
 #: BS.1770-4 stage 1: high-shelf (+~4 dB above ~1.5 kHz), 48 kHz.
 K_STAGE1_B = (1.53512485958697, -2.69169618940638, 1.19839281085285)
@@ -109,6 +110,59 @@ def block_loudness(x48: jax.Array) -> jax.Array:
     block_sq = jnp.sum(hop_sq[:, idx], axis=-1) / win     # (C, n_blocks)
     z = jnp.sum(block_sq, axis=0)                         # channel sum
     return _OFFSET + 10.0 * jnp.log10(jnp.maximum(z, 1e-30))
+
+
+def true_peak_db(x: jax.Array, rate: int, oversample: int = 4) -> jax.Array:
+    """True-peak level (dBTP, BS.1770-4 Annex 2): inter-sample peaks exposed
+    by 4x oversampling — here the framework's own windowed-sinc SRC *is* the
+    oversampler (the standard's reference method is exactly a polyphase
+    interpolation filter)."""
+    from .resample import resample_rates
+
+    if x.ndim == 1:
+        x = x[None]
+    y = resample_rates(x, int(rate), int(rate) * int(oversample),
+                       quality="high")
+    pk = jnp.max(jnp.abs(y))
+    return 20.0 * jnp.log10(jnp.maximum(pk, 1e-30))
+
+
+def loudness_range(x: jax.Array, rate: int) -> jax.Array:
+    """Loudness range (LRA, LU) per EBU Tech 3342: short-term loudness
+    (3 s windows, 1 s hop), absolute gate at -70 LUFS, relative gate at
+    -20 LU below the gated mean, LRA = p95 - p10 of what survives."""
+    if x.ndim == 1:
+        x = x[None]
+    if rate != _RATE:
+        from .resample import resample_rates
+
+        x = resample_rates(x, int(rate), _RATE, quality="high")
+    hop = _RATE                                   # 1 s
+    per_block = 3                                 # 3 s windows
+    C, T = x.shape
+    n_hops = T // hop
+    if n_hops < per_block:
+        return jnp.float32(0.0)
+    xk = k_weight(x)
+    hop_sq = jnp.sum(
+        jnp.square(xk[:, : n_hops * hop]).reshape(C, n_hops, hop), axis=-1)
+    n_blocks = n_hops - per_block + 1
+    idx = jnp.arange(n_blocks)[:, None] + jnp.arange(per_block)[None, :]
+    z = jnp.sum(jnp.sum(hop_sq[:, idx], axis=-1), axis=0) / (per_block * hop)
+    st = _OFFSET + 10.0 * jnp.log10(jnp.maximum(z, 1e-30))   # (n_blocks,)
+    abs_mask = st > _ABS_GATE_LUFS
+    n_abs = jnp.maximum(jnp.sum(abs_mask), 1)
+    z_abs = jnp.sum(jnp.where(abs_mask, z, 0.0)) / n_abs
+    rel = _OFFSET + 10.0 * jnp.log10(jnp.maximum(z_abs, 1e-30)) - 20.0
+    mask = abs_mask & (st > rel)
+    # gated percentiles without dynamic shapes: sort with masked values
+    # pushed to +inf, index by the (traced) count of surviving blocks
+    n = jnp.sum(mask)
+    st_sorted = jnp.sort(jnp.where(mask, st, jnp.inf))
+    lo_i = jnp.clip((0.10 * (n - 1)).astype(jnp.int32), 0, n_blocks - 1)
+    hi_i = jnp.clip((0.95 * (n - 1)).astype(jnp.int32), 0, n_blocks - 1)
+    lra = st_sorted[hi_i] - st_sorted[lo_i]
+    return jnp.where(n > 1, lra, jnp.float32(0.0))
 
 
 def integrated_lufs(x: jax.Array, rate: int) -> jax.Array:

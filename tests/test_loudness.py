@@ -159,3 +159,36 @@ def test_cli_probe_loudness(tmp_path):
     assert "LUFS" in out
     lufs = float(out.split("LUFS")[0].rsplit()[-1])
     assert -22.0 < lufs < -18.0
+
+
+def test_true_peak_exposes_intersample_overs():
+    """A 11.025 kHz sine at fs/4 with peak samples straddling the crest:
+    sample peak underestimates; the 4x-oversampled true peak finds ~A."""
+    A = 0.5
+    rate = 44100
+    n = np.arange(2 * rate)
+    # quarter-rate sine with 45-degree phase: samples land at +-A/sqrt(2)
+    s = (A * np.sin(2 * np.pi * n / 4 + np.pi / 4)).astype(np.float32)
+    x = s[None]
+    from f9tpu.ops.loudness import true_peak_db
+
+    sample_peak_db = 20 * np.log10(np.abs(s).max())
+    tp = float(true_peak_db(jnp.asarray(x), rate))
+    assert abs(sample_peak_db - 20 * np.log10(A / np.sqrt(2))) < 0.1
+    assert abs(tp - 20 * np.log10(A)) < 0.2       # ~3 dB above sample peak
+    assert tp > sample_peak_db + 2.5
+
+
+def test_loudness_range_quiet_vs_loud_sections():
+    from f9tpu.ops.loudness import loudness_range
+
+    t = np.arange(10 * RATE) / RATE
+    loud = 10 ** (-14 / 20) * np.sin(2 * np.pi * 997 * t[: 5 * RATE])
+    soft = 10 ** (-26 / 20) * np.sin(2 * np.pi * 997 * t[: 5 * RATE])
+    x = np.stack([np.concatenate([loud, soft])] * 2).astype(np.float32)
+    lra = float(loudness_range(jnp.asarray(x), RATE))
+    # two plateaus 12 LU apart -> LRA ~ 12 (minus window straddling)
+    assert 8.0 < lra < 13.0, lra
+    # steady signal -> near-zero range
+    x2 = np.stack([np.concatenate([loud, loud])] * 2).astype(np.float32)
+    assert float(loudness_range(jnp.asarray(x2), RATE)) < 0.5
