@@ -31,22 +31,11 @@ import jax.numpy as jnp
 
 
 def _enable_compile_cache() -> None:
-    """Persistent XLA compile cache (same default as the CLI): a previously
-    compiled graph loads in ~40 ms, which also makes this entry point robust
-    to compile-service slowness once primed."""
-    import os
-    spec = os.environ.get("F9TPU_COMPILE_CACHE", "")
-    if spec.lower() in ("off", "0", "none"):
-        return
-    path = spec or os.path.expanduser("~/.cache/f9tpu/xla")
     try:
-        import jax
-
-        os.makedirs(path, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        from f9tpu.utils.compilecache import enable_compile_cache
     except Exception:
-        pass
+        return
+    enable_compile_cache()
 
 
 def main() -> None:

@@ -354,6 +354,20 @@ def cmd_probe(args) -> int:
     for f in _expand_inputs(args.inputs):
         try:
             info = codec.probe(f)
+            loud = ""
+            if getattr(args, "loudness", False):
+                # r128_stats shares one SRC-to-48k + K-weighting pass between
+                # the integrated and LRA statistics
+                from .ops.loudness import r128_stats, true_peak_db
+
+                x, r = codec.read_audio(f)
+                lufs, lra = r128_stats(x, r)
+                if lufs <= -199.0:
+                    loud = "  --.- LUFS (too short/silent)"
+                else:
+                    tp = float(true_peak_db(x, r))
+                    loud = (f"  {lufs:.1f} LUFS, {tp:+.1f} dBTP, "
+                            f"LRA {lra:.1f} LU")
         except (ValueError, OSError) as e:
             print(f"{f}: ERROR {e}")
             code = 1
@@ -362,20 +376,6 @@ def cmd_probe(args) -> int:
                  ("  [ok]" if info.is_valid_for_rate(args.require_rate)
                   else f"  [INVALID: need {args.require_rate} Hz]"))
         kind = "float" if info.is_float else "pcm"
-        loud = ""
-        if getattr(args, "loudness", False):
-            from .ops.loudness import (integrated_lufs, loudness_range,
-                                       true_peak_db)
-
-            x, r = codec.read_audio(f)
-            lufs = float(integrated_lufs(x, r))
-            if lufs <= -199.0:
-                loud = "  --.- LUFS (too short/silent)"
-            else:
-                tp = float(true_peak_db(x, r))
-                lra = float(loudness_range(x, r))
-                loud = (f"  {lufs:.1f} LUFS, {tp:+.1f} dBTP, "
-                        f"LRA {lra:.1f} LU")
         print(f"{f}: {info.container} {info.sample_rate} Hz, "
               f"{info.num_channels} ch, {info.num_frames} frames "
               f"({info.duration_seconds:.3f} s), {info.bit_depth}-bit {kind}"
@@ -383,28 +383,10 @@ def cmd_probe(args) -> int:
     return code
 
 
-def _enable_compile_cache() -> None:
-    """Persistent XLA compilation cache: re-running the same config skips the
-    whole compile (serialized executables keyed by HLO hash).  A fresh chain
-    config can cost minutes of TPU compile on a contended compile service;
-    with the cache, every later invocation loads the binary in ~40 ms.
-    Opt out with F9TPU_COMPILE_CACHE=off; point elsewhere by setting it."""
-    spec = os.environ.get("F9TPU_COMPILE_CACHE", "")
-    if spec.lower() in ("off", "0", "none"):
-        return
-    path = spec or os.path.expanduser("~/.cache/f9tpu/xla")
-    try:
-        import jax
-
-        os.makedirs(path, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass       # cache is an optimisation; never block the run on it
-
-
 def main(argv: list[str] | None = None) -> int:
-    _enable_compile_cache()
+    from .utils.compilecache import enable_compile_cache
+
+    enable_compile_cache()
     ap = argparse.ArgumentParser(
         prog="f9tpu",
         description="TPU-native batch audio resampler "

@@ -337,6 +337,11 @@ class Saturator:
             raise ValueError(f"kind must be one of {self.KINDS}, got {kind!r}")
         if not 0.0 <= mix <= 1.0:
             raise ValueError(f"mix must be in [0, 1], got {mix}")
+        if not -100.0 <= drive_db <= 100.0:
+            # beyond ~-700 dB the tanh normalisation's 1/tanh(g) overflows
+            # float32 (and eventually divides by zero); +-100 dB covers any
+            # physical drive with a huge margin
+            raise ValueError(f"drive_db out of range [-100, 100]: {drive_db}")
         self.kind = kind
         self.drive_db = float(drive_db)
         self.mix = float(mix)

@@ -1,8 +1,9 @@
-"""Integrated loudness (LUFS) per ITU-R BS.1770-4 / EBU R128, TPU-native.
+"""EBU R128 / ITU-R BS.1770-4 metering, TPU-native: integrated loudness
+(LUFS), loudness range (LRA), and true peak (dBTP).
 
 The reference surfaces per-file levels (peak dB readouts in the file list,
-Source/FileListAndLogComponent.cpp) — this module adds the metric modern
-mastering actually standardises on: K-weighted, gated integrated loudness.
+Source/FileListAndLogComponent.cpp) — this module adds the metrics modern
+mastering actually standardises on.
 
 Pipeline (all on device, no recurrences):
 
@@ -14,10 +15,13 @@ Pipeline (all on device, no recurrences):
    same MXU FIR machinery as `ops.chain.Biquad` (a per-sample IIR would
    serialise the TPU; the cascade's poles give geometric decay, truncated
    far below the gating resolution).
-3. 400 ms blocks at 75 % overlap (100 ms hop) via hop-chunk partial sums —
-   a reshape + reduce, no sliding windows.
-4. Two-stage gating: absolute at -70 LUFS, then relative at 10 LU below
-   the absolutely-gated mean.
+3. ONE pass of 100 ms hop energies feeds BOTH statistics: integrated
+   loudness uses 400 ms / 75 %-overlap blocks (4 consecutive hops) with
+   -70 LUFS absolute + -10 LU relative gating; LRA (EBU Tech 3342) uses
+   3 s windows at 1 s stride (30 hops, stride 10) with -70 / -20 LU gates
+   and p95 - p10 of the survivors.
+4. True peak (Annex 2) oversamples 4x — with this framework's windowed-sinc
+   SRC, which IS the standard's reference method (a polyphase interpolator).
 
 Reference coefficients: ITU-R BS.1770-4 Table 1/2 (48 kHz).
 """
@@ -31,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["integrated_lufs", "k_weighting_ir", "block_loudness",
-           "true_peak_db", "loudness_range"]
+           "true_peak_db", "loudness_range", "r128_stats"]
 
 #: BS.1770-4 stage 1: high-shelf (+~4 dB above ~1.5 kHz), 48 kHz.
 K_STAGE1_B = (1.53512485958697, -2.69169618940638, 1.19839281085285)
@@ -41,10 +45,13 @@ K_STAGE2_B = (1.0, -2.0, 1.0)
 K_STAGE2_A = (1.0, -1.99004745483398, 0.99007225036621)
 
 _RATE = 48000
-_BLOCK_S = 0.400
-_HOP_S = 0.100
+_HOP = 4800                 # 100 ms
+_I_BLOCK_HOPS = 4           # integrated: 400 ms blocks, 100 ms hop
+_ST_BLOCK_HOPS = 30         # short-term: 3 s windows...
+_ST_STRIDE_HOPS = 10        # ...at 1 s stride
 _ABS_GATE_LUFS = -70.0
 _REL_GATE_LU = -10.0
+_LRA_REL_GATE_LU = -20.0
 _OFFSET = -0.691
 
 
@@ -80,13 +87,41 @@ def k_weighting_ir() -> np.ndarray:
 
 def k_weight(x: jax.Array) -> jax.Array:
     """Apply the 48 kHz K-weighting cascade along the last axis (causal FIR
-    on the MXU, precision HIGHEST)."""
-    from .chain import _direct_convolve, fft_convolve
+    on the MXU, precision HIGHEST; the IR is truncated well under the direct
+    form's economic limit)."""
+    from .chain import _direct_convolve
 
-    h = k_weighting_ir().astype(np.float32)
-    if h.shape[0] <= 8192:
-        return _direct_convolve(x, h)
-    return fft_convolve(x, h)
+    return _direct_convolve(x, k_weighting_ir().astype(np.float32))
+
+
+def _hop_energies(x: jax.Array, rate: int) -> jax.Array:
+    """The shared statistic base: SRC to 48 kHz if needed, K-weight, then
+    per-channel 100 ms hop energy sums ``(C, n_hops)``."""
+    if x.ndim == 1:
+        x = x[None]
+    if rate != _RATE:
+        from .resample import resample_rates
+
+        x = resample_rates(x, int(rate), _RATE, quality="high")
+    C, T = x.shape
+    n_hops = T // _HOP
+    if n_hops == 0:
+        return jnp.zeros((C, 0), jnp.float32)
+    xk = k_weight(x)
+    return jnp.sum(
+        jnp.square(xk[:, : n_hops * _HOP]).reshape(C, n_hops, _HOP), axis=-1)
+
+
+def _windows_db(hop_sq: jax.Array, block_hops: int, stride_hops: int):
+    """Channel-summed mean squares + loudness (dB) of sliding windows of
+    ``block_hops`` hops at ``stride_hops`` stride."""
+    n_hops = hop_sq.shape[-1]
+    n_blocks = (n_hops - block_hops) // stride_hops + 1
+    idx = (jnp.arange(n_blocks)[:, None] * stride_hops
+           + jnp.arange(block_hops)[None, :])
+    z = jnp.sum(jnp.sum(hop_sq[:, idx], axis=-1), axis=0) / (
+        block_hops * _HOP)
+    return z, _OFFSET + 10.0 * jnp.log10(jnp.maximum(z, 1e-30))
 
 
 def block_loudness(x48: jax.Array) -> jax.Array:
@@ -94,22 +129,71 @@ def block_loudness(x48: jax.Array) -> jax.Array:
     blocks at 100 ms hop.  Returns ``(n_blocks,)``; blocks are summed over
     channels with unity weights (BS.1770 surround weights apply to >3-ch
     setups; this framework's buses are fullband channels)."""
-    hop = int(_HOP_S * _RATE)
-    per_block = int(_BLOCK_S / _HOP_S)              # 4 hops per block
-    C, T = x48.shape
-    n_hops = T // hop
-    if n_hops < per_block:
+    hop_sq = _hop_energies(x48, _RATE)
+    if hop_sq.shape[-1] < _I_BLOCK_HOPS:
         return jnp.full((0,), 0.0, jnp.float32)
-    xk = k_weight(x48)
-    hop_sq = jnp.sum(
-        jnp.square(xk[:, : n_hops * hop]).reshape(C, n_hops, hop), axis=-1)
-    n_blocks = n_hops - per_block + 1
-    # mean square of each 400 ms block = sum of its 4 hop sums / window
-    win = per_block * hop
-    idx = jnp.arange(n_blocks)[:, None] + jnp.arange(per_block)[None, :]
-    block_sq = jnp.sum(hop_sq[:, idx], axis=-1) / win     # (C, n_blocks)
-    z = jnp.sum(block_sq, axis=0)                         # channel sum
-    return _OFFSET + 10.0 * jnp.log10(jnp.maximum(z, 1e-30))
+    _, lb = _windows_db(hop_sq, _I_BLOCK_HOPS, 1)
+    return lb
+
+
+def _integrated_from_hops(hop_sq: jax.Array) -> jax.Array:
+    if hop_sq.shape[-1] < _I_BLOCK_HOPS:
+        return jnp.float32(-200.0)
+    z, lb = _windows_db(hop_sq, _I_BLOCK_HOPS, 1)
+    abs_mask = lb > _ABS_GATE_LUFS
+    n_abs = jnp.maximum(jnp.sum(abs_mask), 1)
+    z_abs = jnp.sum(jnp.where(abs_mask, z, 0.0)) / n_abs
+    rel = _OFFSET + 10.0 * jnp.log10(jnp.maximum(z_abs, 1e-30)) + _REL_GATE_LU
+    mask = abs_mask & (lb > rel)
+    n = jnp.sum(mask)
+    z_gated = jnp.sum(jnp.where(mask, z, 0.0)) / jnp.maximum(n, 1)
+    lufs = _OFFSET + 10.0 * jnp.log10(jnp.maximum(z_gated, 1e-30))
+    return jnp.where(n > 0, lufs, jnp.float32(-200.0))
+
+
+def _lra_from_hops(hop_sq: jax.Array) -> jax.Array:
+    if hop_sq.shape[-1] < _ST_BLOCK_HOPS:
+        return jnp.float32(0.0)
+    z, st = _windows_db(hop_sq, _ST_BLOCK_HOPS, _ST_STRIDE_HOPS)
+    n_blocks = st.shape[0]
+    abs_mask = st > _ABS_GATE_LUFS
+    n_abs = jnp.maximum(jnp.sum(abs_mask), 1)
+    z_abs = jnp.sum(jnp.where(abs_mask, z, 0.0)) / n_abs
+    rel = (_OFFSET + 10.0 * jnp.log10(jnp.maximum(z_abs, 1e-30))
+           + _LRA_REL_GATE_LU)
+    mask = abs_mask & (st > rel)
+    # gated percentiles without dynamic shapes: sort with masked values
+    # pushed to +inf, index by the (traced) count of surviving blocks
+    n = jnp.sum(mask)
+    st_sorted = jnp.sort(jnp.where(mask, st, jnp.inf))
+    lo_i = jnp.clip((0.10 * (n - 1)).astype(jnp.int32), 0, n_blocks - 1)
+    hi_i = jnp.clip((0.95 * (n - 1)).astype(jnp.int32), 0, n_blocks - 1)
+    lra = st_sorted[hi_i] - st_sorted[lo_i]
+    return jnp.where(n > 1, lra, jnp.float32(0.0))
+
+
+def integrated_lufs(x: jax.Array, rate: int) -> jax.Array:
+    """BS.1770-4 integrated loudness of ``x`` (C, T) float32 at ``rate``.
+
+    Returns a scalar (LUFS); silence/too-short input returns a -200 floor.
+    Non-48 kHz input rides the framework's own SRC first.
+    """
+    return _integrated_from_hops(_hop_energies(x, rate))
+
+
+def loudness_range(x: jax.Array, rate: int) -> jax.Array:
+    """Loudness range (LRA, LU) per EBU Tech 3342: short-term loudness
+    (3 s windows, 1 s stride), absolute gate at -70 LUFS, relative gate at
+    -20 LU below the gated mean, LRA = p95 - p10 of what survives."""
+    return _lra_from_hops(_hop_energies(x, rate))
+
+
+def r128_stats(x: jax.Array, rate: int) -> tuple[float, float]:
+    """(integrated LUFS, LRA) from ONE resample + K-weighting pass — both
+    statistics derive from the same 100 ms hop energies."""
+    hop_sq = _hop_energies(x, rate)
+    return (float(_integrated_from_hops(hop_sq)),
+            float(_lra_from_hops(hop_sq)))
 
 
 def true_peak_db(x: jax.Array, rate: int, oversample: int = 4) -> jax.Array:
@@ -125,70 +209,3 @@ def true_peak_db(x: jax.Array, rate: int, oversample: int = 4) -> jax.Array:
                        quality="high")
     pk = jnp.max(jnp.abs(y))
     return 20.0 * jnp.log10(jnp.maximum(pk, 1e-30))
-
-
-def loudness_range(x: jax.Array, rate: int) -> jax.Array:
-    """Loudness range (LRA, LU) per EBU Tech 3342: short-term loudness
-    (3 s windows, 1 s hop), absolute gate at -70 LUFS, relative gate at
-    -20 LU below the gated mean, LRA = p95 - p10 of what survives."""
-    if x.ndim == 1:
-        x = x[None]
-    if rate != _RATE:
-        from .resample import resample_rates
-
-        x = resample_rates(x, int(rate), _RATE, quality="high")
-    hop = _RATE                                   # 1 s
-    per_block = 3                                 # 3 s windows
-    C, T = x.shape
-    n_hops = T // hop
-    if n_hops < per_block:
-        return jnp.float32(0.0)
-    xk = k_weight(x)
-    hop_sq = jnp.sum(
-        jnp.square(xk[:, : n_hops * hop]).reshape(C, n_hops, hop), axis=-1)
-    n_blocks = n_hops - per_block + 1
-    idx = jnp.arange(n_blocks)[:, None] + jnp.arange(per_block)[None, :]
-    z = jnp.sum(jnp.sum(hop_sq[:, idx], axis=-1), axis=0) / (per_block * hop)
-    st = _OFFSET + 10.0 * jnp.log10(jnp.maximum(z, 1e-30))   # (n_blocks,)
-    abs_mask = st > _ABS_GATE_LUFS
-    n_abs = jnp.maximum(jnp.sum(abs_mask), 1)
-    z_abs = jnp.sum(jnp.where(abs_mask, z, 0.0)) / n_abs
-    rel = _OFFSET + 10.0 * jnp.log10(jnp.maximum(z_abs, 1e-30)) - 20.0
-    mask = abs_mask & (st > rel)
-    # gated percentiles without dynamic shapes: sort with masked values
-    # pushed to +inf, index by the (traced) count of surviving blocks
-    n = jnp.sum(mask)
-    st_sorted = jnp.sort(jnp.where(mask, st, jnp.inf))
-    lo_i = jnp.clip((0.10 * (n - 1)).astype(jnp.int32), 0, n_blocks - 1)
-    hi_i = jnp.clip((0.95 * (n - 1)).astype(jnp.int32), 0, n_blocks - 1)
-    lra = st_sorted[hi_i] - st_sorted[lo_i]
-    return jnp.where(n > 1, lra, jnp.float32(0.0))
-
-
-def integrated_lufs(x: jax.Array, rate: int) -> jax.Array:
-    """BS.1770-4 integrated loudness of ``x`` (C, T) float32 at ``rate``.
-
-    Returns a scalar (LUFS); silence/too-short input returns -inf-like
-    floor (-200).  Non-48 kHz input rides the framework's own SRC first.
-    """
-    if x.ndim == 1:
-        x = x[None]
-    if rate != _RATE:
-        from .resample import resample_rates
-
-        x = resample_rates(x, int(rate), _RATE, quality="high")
-    lb = block_loudness(x)
-    if lb.shape[0] == 0:
-        return jnp.float32(-200.0)
-    # reconstruct channel-summed mean squares from block loudness
-    z = 10.0 ** ((lb - _OFFSET) / 10.0)
-    abs_mask = lb > _ABS_GATE_LUFS
-    n_abs = jnp.maximum(jnp.sum(abs_mask), 1)
-    z_abs = jnp.sum(jnp.where(abs_mask, z, 0.0)) / n_abs
-    rel_thresh = _OFFSET + 10.0 * jnp.log10(jnp.maximum(z_abs, 1e-30)) \
-        + _REL_GATE_LU
-    mask = abs_mask & (lb > rel_thresh)
-    n = jnp.sum(mask)
-    z_gated = jnp.sum(jnp.where(mask, z, 0.0)) / jnp.maximum(n, 1)
-    lufs = _OFFSET + 10.0 * jnp.log10(jnp.maximum(z_gated, 1e-30))
-    return jnp.where(n > 0, lufs, jnp.float32(-200.0))

@@ -53,22 +53,31 @@ def _h_rev_f32_cached(bank: CycleBank) -> np.ndarray:
     return np.ascontiguousarray(bank.H[:, ::-1], dtype=np.float32)
 
 
-def _pad_for_cycles(x: jax.Array, bank: CycleBank, out_len: int | None):
-    """Shared prologue of every whole-signal entry point: resolve out_len,
-    trim the input to the cycle budget, and zero-pad to exactly
-    ``(Q-1)*M + W`` with ``pad_front`` leading zeros.  Returns
-    ``(out_len, padded)`` — ``padded`` is None for empty in/out."""
+def _cycle_budget(T: int, bank: CycleBank, out_len: int | None):
+    """The one place the whole-signal padding math lives: resolve out_len,
+    the cycle count Q, how much input to keep, and the front/back zero pads
+    reaching exactly ``(Q-1)*M + W`` total.  Every entry point — the dense
+    conv (`resample`, which applies the pads inside the conv), the gather
+    and banded varispeed forms (which apply them via jnp.pad) — derives its
+    numbers here."""
     L, M, W = bank.L, bank.M, bank.W
-    T = x.shape[-1]
     if out_len is None:
         out_len = bank.out_len(T)
-    if T == 0 or out_len == 0:
-        return out_len, None
     Q = -(-out_len // L)
     padded = (Q - 1) * M + W
     pad_front = bank.pad_front
     keep_T = min(T, max(0, padded - pad_front))
     pad_back = padded - pad_front - keep_T
+    return out_len, Q, keep_T, pad_front, pad_back
+
+
+def _pad_for_cycles(x: jax.Array, bank: CycleBank, out_len: int | None):
+    """`_cycle_budget` + the explicit jnp.pad: returns ``(out_len, padded)``
+    — ``padded`` is None for empty in/out."""
+    T = x.shape[-1]
+    out_len, _Q, keep_T, pad_front, pad_back = _cycle_budget(T, bank, out_len)
+    if T == 0 or out_len == 0:
+        return out_len, None
     xp = jnp.pad(x[..., :keep_T],
                  [(0, 0)] * (x.ndim - 1) + [(pad_front, pad_back)])
     return out_len, xp
@@ -246,19 +255,13 @@ def resample(x: jax.Array, bank: CycleBank, out_len: int | None = None) -> jax.A
         return resample_banded(x, bank, out_len=out_len)
     L, M, W = bank.L, bank.M, bank.W
     T = x.shape[-1]
-    if out_len is None:
-        out_len = bank.out_len(T)
+    # When out_len is smaller than the natural length, keep_T trims the input
+    # so the conv emits exactly Q cycles — extra cycles would corrupt the
+    # (B, Q*L) reshape (mixing rows across batch entries) or fail outright.
+    out_len, Q, keep_T, pad_front, pad_back = _cycle_budget(T, bank, out_len)
     if T == 0 or out_len == 0:
         return jnp.zeros((*x.shape[:-1], out_len), dtype=x.dtype)
-    Q = -(-out_len // L)  # cycles
-    padded = (Q - 1) * M + W
-    pad_front = bank.pad_front
-    # When out_len is smaller than the natural length, trim the input so the
-    # conv emits exactly Q cycles — extra cycles would corrupt the (B, Q*L)
-    # reshape (mixing rows across batch entries) or fail outright.
-    keep_T = min(T, max(0, padded - pad_front))
     x = x[..., :keep_T]
-    pad_back = padded - pad_front - keep_T
 
     lead = x.shape[:-1]
     xb = x.reshape(-1, 1, keep_T)  # (B, C=1, T) for conv

@@ -716,9 +716,14 @@ def test_saturator_extreme_drive_edges():
     from f9tpu.ops.chain import Saturator
 
     x = np.linspace(-0.9, 0.9, 64, dtype=np.float32).reshape(1, -1)
-    got = np.asarray(Saturator("tanh", drive_db=-200.0).apply(
+    got = np.asarray(Saturator("tanh", drive_db=-100.0).apply(
         jnp.asarray(x), 48000))
     np.testing.assert_allclose(got, x, rtol=1e-5, atol=1e-7)
+    # beyond the bound 1/tanh(g) would overflow float32 -> rejected upfront
+    with pytest.raises(ValueError, match="drive_db"):
+        Saturator("tanh", drive_db=-200.0)
+    with pytest.raises(ValueError, match="drive_db"):
+        Saturator("tanh", drive_db=101.0)
     # huge positive drive approaches a hard limiter of the sign
     got_hi = np.asarray(Saturator("tanh", drive_db=60.0).apply(
         jnp.asarray(x), 48000))
