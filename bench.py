@@ -76,7 +76,7 @@ def main() -> None:
     x = jnp.asarray(xb.reshape(files, channels, n_rows, bank.M))
 
     t0 = time.time()
-    wall = measure_op(step, x, n=8, repeats=2)
+    wall = measure_op(step, x, n=8, repeats=3)
     print(f"measurement took {time.time()-t0:.1f}s total", file=sys.stderr)
 
     audio_seconds = files * frames / rate_in
@@ -162,7 +162,7 @@ def main() -> None:
 
     vs_bank = design_cycle_bank(44100, 44056, quality="high")
     xv = jnp.asarray(xf)
-    wv = measure_op(lambda xx: resample_banded(xx, vs_bank), xv, n=8, repeats=2)
+    wv = measure_op(lambda xx: resample_banded(xx, vs_bank), xv, n=8, repeats=3)
     vs_x_rt = (files * frames / 44100) / wv
     xa_vs = xa_h[0]
     got_vs = np.asarray(resample_banded(jnp.asarray(xa_vs), vs_bank))
