@@ -392,6 +392,10 @@ def main(argv: list[str] | None = None) -> int:
         description="TPU-native batch audio resampler "
                     "(capabilities of F9 JUCE Batch Resampler Studio)",
     )
+    from .version import __version__
+
+    ap.add_argument("--version", action="version",
+                    version=f"f9tpu {__version__}")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("process", help="batch resample files")
