@@ -94,7 +94,29 @@ def probe_aiff(path: str) -> AudioFileInfo:
         bit_depth=abs(bits),
         is_float=comp in (b"fl32", b"FL32", b"fl64", b"FL64"),
         container="aiff",
+        byte_order="little" if comp == b"sowt" else "big",
     )
+
+
+def read_raw_pcm_aiff(path: str):
+    """Raw interleaved PCM payload bytes (uint8) + metadata for the on-device
+    codec (`f9tpu.ops.devcodec`): integer PCM 16/24-bit AIFF, either byte
+    order ("NONE" big-endian or AIFC "sowt" little-endian — the info's
+    ``byte_order`` says which; the device unpack handles both)."""
+    with open(path, "rb") as f:
+        raw = f.read()
+    comm, ssnd = _parse(raw, path)
+    channels, frames, bits, rate, comp = comm
+    if comp not in (b"NONE", b"sowt") or bits not in (16, 24):
+        raise ValueError(
+            f"{path}: raw path supports 16/24-bit integer PCM AIFF only")
+    if ssnd is None:
+        raise ValueError(f"{path}: missing SSND chunk")
+    off, size = ssnd
+    bpf = channels * (bits // 8)
+    want = min(size, frames * bpf)
+    payload = np.frombuffer(raw, np.uint8, count=want, offset=off)
+    return payload, probe_aiff(path)
 
 
 def read_aiff(path: str) -> tuple[np.ndarray, int]:

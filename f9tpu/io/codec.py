@@ -10,7 +10,8 @@ import numpy as np
 from .aiff import probe_aiff, read_aiff
 from .wav import AudioFileInfo, probe_wav, read_wav
 
-__all__ = ["SUPPORTED_EXTENSIONS", "probe", "read_audio", "is_supported"]
+__all__ = ["SUPPORTED_EXTENSIONS", "probe", "read_audio", "read_raw_pcm",
+           "is_supported"]
 
 SUPPORTED_EXTENSIONS = (".wav", ".aif", ".aiff")
 
@@ -35,3 +36,17 @@ def probe(path: str) -> AudioFileInfo:
 def read_audio(path: str) -> tuple[np.ndarray, int]:
     """Decode any supported file to planar float32 (channels, frames) + rate."""
     return read_wav(path) if _kind(path) == "wav" else read_aiff(path)
+
+
+def read_raw_pcm(path: str):
+    """Raw interleaved integer-PCM payload + metadata for the on-device
+    codec, from either container.  Payload endianness is
+    ``info.byte_order`` ("little" for WAV and AIFC sowt, "big" for AIFF
+    NONE); `f9tpu.ops.devcodec.unpack_pcm_interleaved` handles both."""
+    if _kind(path) == "wav":
+        from .wav import read_raw_pcm as _wav_raw
+
+        return _wav_raw(path)
+    from .aiff import read_raw_pcm_aiff
+
+    return read_raw_pcm_aiff(path)

@@ -43,6 +43,7 @@ class AudioFileInfo:
     bit_depth: int
     is_float: bool
     container: str  # "wav" | "aiff"
+    byte_order: str = "little"   # payload endianness ("little" | "big")
 
     @property
     def duration_seconds(self) -> float:

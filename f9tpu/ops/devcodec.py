@@ -28,11 +28,14 @@ def bytes_per_frame(channels: int, bits: int) -> int:
     return channels * (bits // 8)
 
 
-def unpack_pcm_interleaved(raw: jax.Array, channels: int, bits: int) -> jax.Array:
+def unpack_pcm_interleaved(raw: jax.Array, channels: int, bits: int,
+                           big_endian: bool = False) -> jax.Array:
     """uint8 ``(..., frames*channels*bits//8)`` -> float32 ``(..., channels, frames)``.
 
-    Little-endian interleaved PCM, 16 or 24 bit (the reference's input
-    formats; Source/MainComponent.cpp:718-742).
+    Interleaved integer PCM, 16 or 24 bit.  Little-endian is the WAV wire
+    format (the reference's input, Source/MainComponent.cpp:718-742);
+    ``big_endian=True`` decodes AIFF "NONE" payloads — same bit math with
+    the byte lanes reversed, zero extra cost.
     """
     nbytes = bits // 8
     lead = raw.shape[:-1]
@@ -41,12 +44,13 @@ def unpack_pcm_interleaved(raw: jax.Array, channels: int, bits: int) -> jax.Arra
     # drop a trailing partial frame (truncated payload) like the host decoder
     raw = raw[..., : frames * channels * nbytes]
     b = raw.reshape(*lead, frames, channels, nbytes).astype(jnp.int32)
+    lo, mid, hi = ((nbytes - 1, 1, 0) if big_endian else (0, 1, nbytes - 1))
     if bits == 16:
-        v = b[..., 0] | (b[..., 1] << 8)
+        v = b[..., lo] | (b[..., hi] << 8)
         v = (v << 16) >> 16  # sign extend
         x = v.astype(jnp.float32) * (1.0 / 32768.0)
     elif bits == 24:
-        v = b[..., 0] | (b[..., 1] << 8) | (b[..., 2] << 16)
+        v = b[..., lo] | (b[..., mid] << 8) | (b[..., hi] << 16)
         v = (v << 8) >> 8
         x = v.astype(jnp.float32) * (1.0 / 8388608.0)
     else:

@@ -68,8 +68,10 @@ def _front_end(x, frames_valid, routing, out_channels, raw_in):
     if raw_in is not None:
         from ..ops.devcodec import unpack_pcm_interleaved
 
-        in_channels, in_bits = raw_in
-        x = unpack_pcm_interleaved(x, in_channels, in_bits)
+        in_channels, in_bits, in_big = (raw_in if len(raw_in) == 3
+                                        else (*raw_in, False))
+        x = unpack_pcm_interleaved(x, in_channels, in_bits,
+                                   big_endian=in_big)
     files = x.shape[0]
     if out_channels is not None and x.shape[1] == 1 and out_channels != 1:
         x = jnp.broadcast_to(x, (files, out_channels, x.shape[-1]))
@@ -491,6 +493,7 @@ def process_batch_raw(
     key: jax.Array,
     in_channels: int,
     in_bits: int,
+    in_big_endian: bool = False,
     latency_frames: int | jax.Array = 0,
     noise_floor_db: float | None = None,
     rows_layout: bool = False,
@@ -514,7 +517,7 @@ def process_batch_raw(
             rate_in=rate_in,
             rate_out=cfg.target_rate,
             cfg_key=_cfg_key(cfg, 0),
-            raw_in=(in_channels, in_bits),
+            raw_in=(in_channels, in_bits, in_big_endian),
         )
         # int32 codes in rows layout (device packing would tile-pad the byte
         # dims); the host flattens and packs with the native loop
@@ -536,7 +539,7 @@ def process_batch_raw(
         rate_out=cfg.target_rate,
         cfg_key=_cfg_key(cfg, pad_frames),
         static_zero_latency=isinstance(latency_frames, int) and latency_frames == 0,
-        raw_in=(in_channels, in_bits),
+        raw_in=(in_channels, in_bits, in_big_endian),
         packed_out=True,
         chain=cfg.chain,
     )

@@ -145,15 +145,17 @@ class BatchProcessor:
                             sample_rate=info.sample_rate,
                             num_channels=info.num_channels,
                             num_frames=info.num_frames)
-            # raw fast-path signature: integer-PCM WAV can be uploaded as
-            # container bytes and decoded on device (f9tpu.ops.devcodec);
-            # everything else decodes on the host.
+            # raw fast-path signature: integer-PCM WAV/AIFF can be uploaded
+            # as container bytes and decoded on device (f9tpu.ops.devcodec,
+            # either byte order); everything else decodes on the host.
             raw_bits = (info.bit_depth
-                        if (info.container == "wav" and not info.is_float
+                        if (not info.is_float
                             and info.bit_depth in (16, 24) and cfg.bits == 24)
                         else 0)
+            raw_be = bool(raw_bits) and info.byte_order == "big"
             groups.setdefault(
-                (info.sample_rate, info.num_channels, raw_bits), []).append(info)
+                (info.sample_rate, info.num_channels, raw_bits, raw_be),
+                []).append(info)
 
         # ---- collision-safe output naming: two inputs with the same stem
         # must not write the same output file (concurrent encoders would
@@ -178,7 +180,7 @@ class BatchProcessor:
         # ---- auto-calibration per rate pair (MainViewModel.swift:195-206) ----
         latencies: dict[int, int] = {}
         noise_floors: dict[int, float] = {}
-        for rate_in, _, _ in groups:
+        for rate_in, _, _, _ in groups:
             if rate_in in latencies:
                 continue
             if cfg.latency_frames is not None:
@@ -251,7 +253,7 @@ class BatchProcessor:
                         try:
                             t0 = time.time()
                             if raw_bits:
-                                data, rinfo = wav.read_raw_pcm(info.path)
+                                data, rinfo = codec.read_raw_pcm(info.path)
                                 rate = rinfo.sample_rate
                                 audio_s = rinfo.num_frames / rate
                             elif native_eligible(info):
@@ -340,7 +342,7 @@ class BatchProcessor:
             return (zlib.crc32(path.encode())
                     ^ ((base_seed * 2654435761) & 0xFFFFFFFF)) & 0x7FFFFFFF
 
-        for (rate_in, channels, raw_bits), infos in groups.items():
+        for (rate_in, channels, raw_bits, raw_be), infos in groups.items():
             if stop_event.is_set():
                 break
             infos = [i for i in infos
@@ -538,6 +540,7 @@ class BatchProcessor:
                             res = process_batch_raw(
                                 x, valid, cfg, rate_in, sub,
                                 in_channels=channels, in_bits=raw_bits,
+                                in_big_endian=raw_be,
                                 latency_frames=lat, noise_floor_db=group_nf,
                                 rows_layout=use_rows)
                         else:
