@@ -114,9 +114,25 @@ def read_raw_pcm_aiff(path: str):
         raise ValueError(f"{path}: missing SSND chunk")
     off, size = ssnd
     bpf = channels * (bits // 8)
-    want = min(size, frames * bpf)
+    # clamp to what the file actually holds: a truncated transfer short-reads
+    # (like the WAV raw reader) instead of crashing, and a malformed SSND
+    # size (< header) must not go negative — np.frombuffer treats a negative
+    # count as "the whole rest of the buffer", i.e. garbage audio
+    want = min(size, frames * bpf, max(0, len(raw) - off))
+    if want <= 0:
+        raise ValueError(f"{path}: empty or malformed SSND payload")
     payload = np.frombuffer(raw, np.uint8, count=want, offset=off)
-    return payload, probe_aiff(path)
+    info = AudioFileInfo(
+        path=path,
+        sample_rate=int(round(rate)),
+        num_channels=channels,
+        num_frames=min(frames, want // bpf),
+        bit_depth=bits,
+        is_float=False,
+        container="aiff",
+        byte_order="little" if comp == b"sowt" else "big",
+    )
+    return payload, info
 
 
 def read_aiff(path: str) -> tuple[np.ndarray, int]:

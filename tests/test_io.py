@@ -391,7 +391,7 @@ def test_stream_aiff_output(tmp_path):
     assert r == 48000 and y.shape == (2, n) and n == 48000
 
 
-@pytest.mark.parametrize("src_fmt", ["aiff_be", "aiff_sowt", "wav"])
+@pytest.mark.parametrize("src_fmt", ["wav", "aiff_be", "aiff_sowt"])
 def test_raw_device_path_all_containers(tmp_path, src_fmt):
     """Integer-PCM AIFF (both byte orders) rides the on-device raw codec
     path like WAV: identical audio in any container yields byte-identical
@@ -438,9 +438,41 @@ def test_raw_device_path_all_containers(tmp_path, src_fmt):
     out = [f for f in os.listdir(tmp_path / "out") if f.endswith(".wav")][0]
     y, r = read_wav(str(tmp_path / "out" / out))
     assert r == 48000 and np.isfinite(y).all()
-    # cross-container identity: stash for comparison across params via file
+    # cross-container identity: 'wav' runs FIRST (parametrize order) and
+    # stashes the reference; both AIFF variants must match it exactly
     ref_p = tmp_path.parent / "raw_path_ref.npy"
     if src_fmt == "wav":
         np.save(ref_p, y)
-    elif ref_p.exists():
+    else:
+        assert ref_p.exists(), "param order broken: wav must run first"
         np.testing.assert_array_equal(y, np.load(ref_p))
+
+
+def test_raw_aiff_truncated_and_malformed(tmp_path):
+    """Truncated AIFF short-reads like the WAV raw reader; a malformed SSND
+    size must raise, not decode trailing bytes as audio."""
+    import struct as _st
+
+    from f9tpu.io.aiff import read_raw_pcm_aiff, write_aiff
+
+    x = (0.2 * np.random.default_rng(0).standard_normal((2, 1000))
+         ).astype(np.float32)
+    p = str(tmp_path / "t.aiff")
+    write_aiff(p, x, 44100, bits=24)
+    whole = open(p, "rb").read()
+    # truncate mid-payload
+    cut = str(tmp_path / "cut.aiff")
+    open(cut, "wb").write(whole[: len(whole) - 1500])
+    payload, info = read_raw_pcm_aiff(cut)
+    assert payload.size % 6 == 0 or payload.size > 0
+    assert info.num_frames < 1000
+
+    # malformed SSND size smaller than its own header
+    from f9tpu.io.aiff import _write_extended80
+    comm = _st.pack(">hIh", 2, 1000, 24) + _write_extended80(44100.0)
+    body = b"AIFF" + b"COMM" + _st.pack(">I", len(comm)) + comm
+    body += b"SSND" + _st.pack(">I", 4) + b"\x00\x00\x00\x00" + b"JUNKJUNK"
+    bad = str(tmp_path / "bad.aiff")
+    open(bad, "wb").write(b"FORM" + _st.pack(">I", len(body)) + body)
+    with pytest.raises(ValueError, match="SSND"):
+        read_raw_pcm_aiff(bad)
