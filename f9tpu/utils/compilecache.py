@@ -24,6 +24,8 @@ def enable_compile_cache() -> None:
 
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        min_secs = float(os.environ.get("F9TPU_COMPILE_CACHE_MIN_SECS", "1.0"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          min_secs)
     except Exception:
         pass       # the cache is an optimisation; never block the run on it

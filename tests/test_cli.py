@@ -205,7 +205,10 @@ def test_cli_compile_cache_populated(tmp_path, monkeypatch):
     x = (0.1 * np.random.default_rng(0).standard_normal((1, 4410))).astype(np.float32)
     write_wav(str(tmp_path / "in" / "c.wav"), x, 44100, bits=24)
     cache = tmp_path / "xla_cache"
-    env = dict(os.environ, F9TPU_COMPILE_CACHE=str(cache))
+    # persist even sub-second compiles: on a warm machine the tiny test graph
+    # can compile in <1 s and would otherwise skip the cache write (flaky)
+    env = dict(os.environ, F9TPU_COMPILE_CACHE=str(cache),
+               F9TPU_COMPILE_CACHE_MIN_SECS="0")
     # this environment pre-sets jax_platforms via site config, which overrides
     # the JAX_PLATFORMS env var — force the CPU backend in-process instead
     code = ("import jax; jax.config.update('jax_platforms', 'cpu');"
