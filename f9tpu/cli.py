@@ -69,7 +69,7 @@ def _add_common_src_args(p: argparse.ArgumentParser) -> None:
 #: Stored under their CLI names so the round-trip is exact.
 _CONFIG_KEYS = (
     "rate", "quality", "kind", "bits", "postfix", "output_format",
-    "no_dither", "keep_dc",
+    "no_dither", "keep_dc", "normalize_lufs",
     "gain", "reverb", "noise_floor", "margin", "require_rate", "batch_size",
     "routing", "channels", "device_layout", "seed",
     "chain_ir", "chain_wet", "chain_dry", "chain_fir", "chain_delay_ms",
@@ -199,6 +199,7 @@ def cmd_process(args) -> int:
         require_input_rate=args.require_rate,
         batch_size=args.batch_size,
         gain_db=args.gain,
+        normalize_lufs=args.normalize_lufs,
         channel_routing=(
             [int(c) for c in args.routing.split(",")] if args.routing else None),
         output_channels=args.channels,
@@ -411,6 +412,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--no-dither", action="store_true")
     p.add_argument("--keep-dc", action="store_true", help="skip DC offset removal")
     p.add_argument("--gain", type=float, default=0.0, help="gain dB")
+    p.add_argument("--normalize-lufs", type=float, default=None,
+                   metavar="TARGET",
+                   help="loudness-normalize each file to TARGET integrated "
+                        "LUFS (BS.1770-4, measured on the source; negative "
+                        "value needs the = form: --normalize-lufs=-14)")
     p.add_argument("--reverb", action="store_true",
                    help="reverb mode: keep tails until below noise floor")
     p.add_argument("--noise-floor", type=float, default=None,

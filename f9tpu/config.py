@@ -47,6 +47,12 @@ class ProcessingConfig:
     ``None`` opts into wall-clock seeding (fresh noise every run)."""
     remove_dc: bool = True              # Source/MainComponent.cpp:884-902
     gain_db: float = 0.0
+    normalize_lufs: float | None = None
+    """Loudness-normalize each file to this integrated LUFS target (BS.1770-4
+    measured on the decoded SOURCE; the per-file gain is applied at the
+    output stage, after the chain).  Forces host decode (the raw-bytes device
+    path has no float samples to meter).  Silent/too-short files pass
+    through ungained.  None = off."""
 
     # --- input validation ---
     require_input_rate: int | None = None
@@ -135,6 +141,9 @@ class ProcessingConfig:
             raise ValueError("device_layout must be 'packed' or 'rows'")
         if self.output_format not in ("wav", "aiff"):
             raise ValueError("output_format must be 'wav' or 'aiff'")
+        if self.normalize_lufs is not None and not (
+                -70.0 <= self.normalize_lufs <= 0.0):
+            raise ValueError("normalize_lufs out of range [-70, 0] LUFS")
         if self.chain is not None and not (
                 callable(getattr(self.chain, "apply", None))
                 and callable(getattr(self.chain, "tail_frames", None))

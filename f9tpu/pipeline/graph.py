@@ -117,6 +117,7 @@ def _process_impl(
     packed_out: bool = False,
     chain=None,
     channel_axis: str | None = None,
+    gain_lin=None,
 ):
     (quality, kind, bits, do_dither, remove_dc, gain_db, trim_enabled,
      reverb_mode, margin_pct, tail_mode, tail_window_ms, tail_hop_ms,
@@ -200,6 +201,9 @@ def _process_impl(
         mean = jnp.zeros((files, 1, 1), jnp.float32)
     y = jax.lax.optimization_barrier(ym)
     g = 10.0 ** (gain_db / 20.0) if gain_db else 1.0
+    if gain_lin is not None:
+        # per-file loudness-normalization gain (traced: no recompiles)
+        g = g * gain_lin.reshape(files, 1, 1)
     z = jnp.where(vmask, (y - mean) * g, 0.0)
 
     if channel_axis is None:
@@ -275,6 +279,7 @@ def _process_impl_rows(
     rate_out: int,
     cfg_key: tuple,
     raw_in: tuple[int, int] | None = None,
+    gain_lin=None,
 ):
     """Rows-layout fast path (no reverb, zero chain latency).
 
@@ -340,6 +345,8 @@ def _process_impl_rows(
         mean = jnp.zeros((files, 1, 1, 1), jnp.float32)
     y = jax.lax.optimization_barrier(ym)
     g = 10.0 ** (gain_db / 20.0) if gain_db else 1.0
+    if gain_lin is not None:
+        g = g * gain_lin.reshape(files, 1, 1, 1)
     z = jnp.where(valid, (y - mean) * g, 0.0)
 
     pk_db = analysis._amp_to_db(jnp.max(jnp.abs(z), axis=(1, 2, 3)))
@@ -435,6 +442,7 @@ def process_batch(
     pad_frames: int | None = None,
     noise_floor_db: float | None = None,
     rows_layout: bool = False,
+    per_file_gain_db=None,
 ) -> ProcessResult:
     """Run one fixed-shape batch through the fused graph.
 
@@ -444,7 +452,15 @@ def process_batch(
     measured floor) without recompiling.  ``rows_layout=True`` (non-reverb,
     zero-latency batches only) keeps codes in the SRC's native (n_rows, L)
     tiling — ~2x faster on device; flatten on the host (see ProcessResult).
+    ``per_file_gain_db``: optional (files,) per-file output gain in dB
+    (loudness normalization) — a traced array, so it never recompiles.
     """
+    gain_lin = None
+    if per_file_gain_db is not None:
+        import numpy as _np
+
+        gain_lin = jnp.asarray(
+            10.0 ** (_np.asarray(per_file_gain_db, _np.float32) / 20.0))
     if noise_floor_db is None:
         noise_floor_db = cfg.noise_floor_db
     rows_ok = (rows_layout and not cfg.reverb_mode and cfg.chain is None
@@ -461,6 +477,7 @@ def process_batch(
             rate_in=rate_in,
             rate_out=cfg.target_rate,
             cfg_key=_cfg_key(cfg, 0),
+            gain_lin=gain_lin,
         )
         return ProcessResult(codes=codes, out_frames=out_frames,
                              tail_terminated=terminated, peak_db=pk,
@@ -480,6 +497,7 @@ def process_batch(
         cfg_key=_cfg_key(cfg, pad_frames),
         static_zero_latency=isinstance(latency_frames, int) and latency_frames == 0,
         chain=cfg.chain,
+        gain_lin=gain_lin,
     )
     return ProcessResult(
         codes=codes,

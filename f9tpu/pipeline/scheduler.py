@@ -68,6 +68,7 @@ class _Decoded:
     entry_path: str
     data: np.ndarray      # (channels, frames) float32
     rate: int
+    gain_db: float = 0.0  # per-file loudness-normalization gain
 
 
 class BatchProcessor:
@@ -150,7 +151,8 @@ class BatchProcessor:
             # either byte order); everything else decodes on the host.
             raw_bits = (info.bit_depth
                         if (not info.is_float
-                            and info.bit_depth in (16, 24) and cfg.bits == 24)
+                            and info.bit_depth in (16, 24) and cfg.bits == 24
+                            and cfg.normalize_lufs is None)
                         else 0)
             raw_be = bool(raw_bits) and info.byte_order == "big"
             groups.setdefault(
@@ -266,12 +268,27 @@ class BatchProcessor:
                                 data, rate = codec.read_audio(info.path)
                                 audio_s = data.shape[-1] / rate
                             self.throughput.add("decode", audio_s, time.time() - t0)
+                            gain_db = 0.0
+                            if cfg.normalize_lufs is not None and not raw_bits:
+                                from ..ops.loudness import integrated_lufs
+
+                                lufs = float(integrated_lufs(data, rate))
+                                if lufs > -199.0:
+                                    gain_db = float(np.clip(
+                                        cfg.normalize_lufs - lufs, -40.0, 40.0))
+                                    self.log.append(
+                                        f"Normalize: "
+                                        f"{os.path.basename(info.path)} "
+                                        f"{lufs:.1f} LUFS -> "
+                                        f"{cfg.normalize_lufs:.1f} "
+                                        f"({gain_db:+.1f} dB)")
                             # per-file progress stages (the reference's throttled
                             # progress callbacks, AudioProcessingService.swift:209-214):
                             # decoded 0.3 -> device done 0.7 -> encoded 1.0
                             manifest.update(info.path, FileStatus.PROCESSING,
                                             progress=0.3)
-                            out_q.put(_Decoded(info.path, data, rate))
+                            out_q.put(_Decoded(info.path, data, rate,
+                                               gain_db=gain_db))
                         except (ValueError, OSError, struct.error, EOFError,
                                 TimeoutError) as err:
                             manifest.update(info.path, FileStatus.FAILED,
@@ -395,6 +412,10 @@ class BatchProcessor:
                         "Channel sharding: raw-bytes path has no channel "
                         "axis; decoding on host for this group")
                     # fall through: raw_bits stays, files-axis sharding only
+                elif cfg.normalize_lufs is not None:
+                    self.log.append(
+                        "Channel sharding: loudness normalization uses "
+                        "per-file gains (files-axis sharding only)")
                 else:
                     use_cp, reason = channels_shardable(cfg, channels, self.mesh)
                     if not use_cp:
@@ -488,8 +509,12 @@ class BatchProcessor:
                     bs = self.cfg.batch_size
                     valid = np.zeros(bs, np.int32)
                     seeds = np.zeros(bs, np.int32)
+                    gains = np.zeros(bs, np.float32)
                     for i, d in enumerate(batch_x):
                         seeds[i] = file_seed(d.entry_path)
+                        gains[i] = d.gain_db
+                    norm_gains = (gains if cfg.normalize_lufs is not None
+                                  else None)
                     if raw_bits:
                         bpf = channels * (raw_bits // 8)
                         x = np.zeros((bs, blen * bpf), np.uint8)
@@ -546,7 +571,8 @@ class BatchProcessor:
                         else:
                             res = process_batch(
                                 x, valid, cfg, rate_in, sub, latency_frames=lat,
-                                noise_floor_db=group_nf, rows_layout=use_rows)
+                                noise_floor_db=group_nf, rows_layout=use_rows,
+                                per_file_gain_db=norm_gains)
                     except Exception as err:  # compile/dispatch failure
                         stop_event.set()
                         manifest.fail_remaining(f"device step failed: {err}")

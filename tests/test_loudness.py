@@ -192,3 +192,41 @@ def test_loudness_range_quiet_vs_loud_sections():
     # steady signal -> near-zero range
     x2 = np.stack([np.concatenate([loud, loud])] * 2).astype(np.float32)
     assert float(loudness_range(jnp.asarray(x2), RATE)) < 0.5
+
+
+def test_loudness_normalization_end_to_end(tmp_path):
+    """--normalize-lufs: files at very different levels land on the target
+    integrated loudness; silence passes through ungained."""
+    import jax.numpy as jnp
+
+    from f9tpu.config import ProcessingConfig
+    from f9tpu.io import read_wav, write_wav
+    from f9tpu.ops.loudness import integrated_lufs
+    from f9tpu.pipeline import BatchProcessor
+
+    rate = 48000
+    t = np.arange(3 * rate) / rate
+    (tmp_path / "in").mkdir()
+    levels = {"loud": -10.0, "soft": -34.0}
+    for name, db in levels.items():
+        a = 10 ** (db / 20)
+        s = (a * np.sin(2 * np.pi * 997 * t)).astype(np.float32)
+        write_wav(str(tmp_path / "in" / f"{name}.wav"),
+                  np.stack([s, s]), rate, bits=24)
+    write_wav(str(tmp_path / "in" / "silence.wav"),
+              np.zeros((2, 2 * rate), np.float32), rate, bits=24)
+
+    cfg = ProcessingConfig(output_dir=str(tmp_path / "out"), target_rate=44100,
+                           quality="low", seed=1, normalize_lufs=-20.0)
+    res = BatchProcessor(cfg).run([
+        str(tmp_path / "in" / "loud.wav"),
+        str(tmp_path / "in" / "soft.wav"),
+        str(tmp_path / "in" / "silence.wav"),
+    ])
+    assert res.completed == 3 and res.failed == 0
+    for name in levels:
+        y, r = read_wav(str(tmp_path / "out" / f"{name}_processed.wav"))
+        got = float(integrated_lufs(jnp.asarray(y.astype(np.float32)), r))
+        assert abs(got - (-20.0)) < 0.5, (name, got)
+    ys, _ = read_wav(str(tmp_path / "out" / "silence_processed.wav"))
+    assert np.abs(ys).max() <= 2 / (1 << 23)     # dither-level only
