@@ -69,7 +69,7 @@ def _add_common_src_args(p: argparse.ArgumentParser) -> None:
 #: Stored under their CLI names so the round-trip is exact.
 _CONFIG_KEYS = (
     "rate", "quality", "kind", "bits", "postfix", "output_format",
-    "no_dither", "keep_dc", "normalize_lufs",
+    "no_dither", "keep_dc", "normalize_lufs", "normalize_tp_db",
     "gain", "reverb", "noise_floor", "margin", "require_rate", "batch_size",
     "routing", "channels", "device_layout", "seed",
     "chain_ir", "chain_wet", "chain_dry", "chain_fir", "chain_delay_ms",
@@ -200,6 +200,7 @@ def cmd_process(args) -> int:
         batch_size=args.batch_size,
         gain_db=args.gain,
         normalize_lufs=args.normalize_lufs,
+        normalize_tp_db=args.normalize_tp_db,
         channel_routing=(
             [int(c) for c in args.routing.split(",")] if args.routing else None),
         output_channels=args.channels,
@@ -417,6 +418,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="loudness-normalize each file to TARGET integrated "
                         "LUFS (BS.1770-4, measured on the source; negative "
                         "value needs the = form: --normalize-lufs=-14)")
+    p.add_argument("--normalize-tp", dest="normalize_tp_db", type=float,
+                   default=None, metavar="CEILING",
+                   help="with --normalize-lufs: cap gains so the true peak "
+                        "stays <= CEILING dBTP (= form for negatives)")
     p.add_argument("--reverb", action="store_true",
                    help="reverb mode: keep tails until below noise floor")
     p.add_argument("--noise-floor", type=float, default=None,

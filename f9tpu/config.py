@@ -53,6 +53,12 @@ class ProcessingConfig:
     output stage, after the chain).  Forces host decode (the raw-bytes device
     path has no float samples to meter).  Silent/too-short files pass
     through ungained.  None = off."""
+    normalize_tp_db: float | None = None
+    """With ``normalize_lufs``: cap the per-file gain so the projected true
+    peak (BS.1770-4 Annex 2, 4x oversampled) stays at or below this ceiling
+    in dBTP (e.g. -1.0 for streaming deliverables).  Quiet files may then
+    land below the loudness target — the ceiling wins, as in mastering
+    practice.  None = no ceiling."""
 
     # --- input validation ---
     require_input_rate: int | None = None
@@ -144,6 +150,13 @@ class ProcessingConfig:
         if self.normalize_lufs is not None and not (
                 -70.0 <= self.normalize_lufs <= 0.0):
             raise ValueError("normalize_lufs out of range [-70, 0] LUFS")
+        if self.normalize_tp_db is not None:
+            if self.normalize_lufs is None:
+                raise ValueError(
+                    "normalize_tp_db requires normalize_lufs (it caps the "
+                    "normalization gain)")
+            if not -20.0 <= self.normalize_tp_db <= 0.0:
+                raise ValueError("normalize_tp_db out of range [-20, 0] dBTP")
         if self.chain is not None and not (
                 callable(getattr(self.chain, "apply", None))
                 and callable(getattr(self.chain, "tail_frames", None))

@@ -230,3 +230,36 @@ def test_loudness_normalization_end_to_end(tmp_path):
         assert abs(got - (-20.0)) < 0.5, (name, got)
     ys, _ = read_wav(str(tmp_path / "out" / "silence_processed.wav"))
     assert np.abs(ys).max() <= 2 / (1 << 23)     # dither-level only
+
+
+def test_true_peak_ceiling_caps_normalization(tmp_path):
+    """--normalize-tp: a quiet-but-peaky file whose LUFS gain would push the
+    true peak over the ceiling gets its gain capped (ceiling wins)."""
+    import jax.numpy as jnp
+
+    from f9tpu.config import ProcessingConfig
+    from f9tpu.io import read_wav, write_wav
+    from f9tpu.ops.loudness import integrated_lufs, true_peak_db
+    from f9tpu.pipeline import BatchProcessor
+
+    rate = 48000
+    t = np.arange(3 * rate) / rate
+    # mostly quiet tone with a short loud transient: low LUFS, high peak
+    s = (10 ** (-30 / 20) * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    s[rate : rate + 200] = 0.5
+    src = str(tmp_path / "peaky.wav")
+    write_wav(src, np.stack([s, s]), rate, bits=24)
+
+    cfg = ProcessingConfig(output_dir=str(tmp_path / "out"), target_rate=44100,
+                           quality="low", seed=1, normalize_lufs=-14.0,
+                           normalize_tp_db=-1.0)
+    assert BatchProcessor(cfg).run([src]).completed == 1
+    y, r = read_wav(str(tmp_path / "out" / "peaky_processed.wav"))
+    yf = jnp.asarray(y.astype(np.float32))
+    tp = float(true_peak_db(yf, r))
+    lufs = float(integrated_lufs(yf, r))
+    assert tp <= -0.8, tp                       # ceiling respected (+0.2 tol)
+    assert lufs < -15.0                         # under target: ceiling won
+
+    with pytest.raises(ValueError, match="normalize_tp_db requires"):
+        ProcessingConfig(output_dir="x", normalize_tp_db=-1.0).validate()
