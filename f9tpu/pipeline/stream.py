@@ -116,6 +116,10 @@ def stream_resample_file(
     if cfg.reverb_mode:
         raise ValueError("reverb-mode tail handling is a batch-path feature; "
                          "captures are bounded at 60 s there (use process)")
+    if cfg.normalize_lufs is not None:
+        raise ValueError("loudness normalization needs the whole file's "
+                         "integrated loudness before the first chunk is "
+                         "written (use process)")
     if cfg.latency_frames:
         raise ValueError("external chain latency is not supported on the "
                          "streaming path (the SRC chain is delay-free)")

@@ -263,3 +263,16 @@ def test_true_peak_ceiling_caps_normalization(tmp_path):
 
     with pytest.raises(ValueError, match="normalize_tp_db requires"):
         ProcessingConfig(output_dir="x", normalize_tp_db=-1.0).validate()
+
+
+def test_stream_rejects_normalization(tmp_path):
+    from f9tpu.config import ProcessingConfig
+    from f9tpu.io import write_wav
+    from f9tpu.pipeline import stream_resample_file
+
+    src = str(tmp_path / "s.wav")
+    write_wav(src, np.zeros((1, 4800), np.float32), 48000, bits=24)
+    cfg = ProcessingConfig(output_dir=str(tmp_path), target_rate=44100,
+                           quality="low", normalize_lufs=-14.0)
+    with pytest.raises(ValueError, match="integrated loudness"):
+        stream_resample_file(src, str(tmp_path / "o.wav"), cfg)
