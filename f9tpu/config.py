@@ -58,7 +58,9 @@ class ProcessingConfig:
     peak (BS.1770-4 Annex 2, 4x oversampled) stays at or below this ceiling
     in dBTP (e.g. -1.0 for streaming deliverables).  Quiet files may then
     land below the loudness target — the ceiling wins, as in mastering
-    practice.  None = no ceiling."""
+    practice.  SOURCE-referenced: exact for plain resampling; with an insert
+    chain the chain reshapes peaks after the measurement, so verify
+    deliverables with ``probe --loudness``.  None = no ceiling."""
 
     # --- input validation ---
     require_input_rate: int | None = None

