@@ -239,6 +239,7 @@ def cmd_process(args) -> int:
             "wall_seconds": res.wall_seconds,
             "x_realtime": res.x_realtime,
             "throughput": res.throughput,
+            "per_file": res.per_file,
         }, indent=1))
     return 0 if (res.failed == 0 and res.invalid == 0) else 1
 

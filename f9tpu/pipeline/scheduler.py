@@ -57,6 +57,10 @@ class BatchResult:
     audio_seconds_out: float
     wall_seconds: float
     throughput: dict
+    per_file: dict = dataclasses.field(default_factory=dict)
+    """Per-file device metrics keyed by input path: out_frames, peak_db,
+    rms_db, noise_floor_db (the file-list readouts of the reference, as
+    machine-readable data)."""
 
     @property
     def x_realtime(self) -> float:
@@ -227,6 +231,7 @@ class BatchProcessor:
         audio_in = audio_out = 0.0
         stop_event = threading.Event()
         errors: list[str] = []
+        per_file_metrics: dict[str, dict] = {}
 
         def decode_stage(infos, out_q, raw_bits=0):
             # C++ thread-pool decode for integer-PCM WAVs (the JUCE
@@ -485,6 +490,8 @@ class BatchProcessor:
                                     codes.shape[0], codes.shape[1], -1)
                             out_frames = np.asarray(res.out_frames)
                             pk = np.asarray(res.peak_db)
+                            rms = np.asarray(res.rms_db)
+                            nf = np.asarray(res.noise_floor_db)
                         except Exception as err:
                             stop_event.set()
                             manifest.fail_remaining(f"device step failed: {err}")
@@ -498,6 +505,12 @@ class BatchProcessor:
                             manifest.set_progress(p, 0.7)
                             audio_in += c_valid[i] / c_rate_in
                             audio_out += int(out_frames[i]) / cfg.target_rate
+                            per_file_metrics[p] = {
+                                "out_frames": int(out_frames[i]),
+                                "peak_db": round(float(pk[i]), 2),
+                                "rms_db": round(float(rms[i]), 2),
+                                "noise_floor_db": round(float(nf[i]), 2),
+                            }
                             enc_q.put((p, codes[i], int(out_frames[i]),
                                        cfg.target_rate,
                                        {"peak_db": float(pk[i]),
@@ -633,6 +646,7 @@ class BatchProcessor:
             audio_seconds_out=audio_out,
             wall_seconds=wall,
             throughput=self.throughput.summary(),
+            per_file=per_file_metrics,
         )
         self.log.append(
             f"Batch done in {wall:.2f}s: {result.completed} completed, "

@@ -968,3 +968,20 @@ def test_kitchen_sink_pipeline(tmp_path):
     src_out = int(np.ceil(len(hit) * 48000 / rate))
     assert y.shape[1] > src_out                    # reverb tail kept
     assert float(true_peak_db(jnp.asarray(y.astype(np.float32)), r)) < 0.0
+
+
+def test_batch_result_per_file_metrics(tmp_path):
+    """BatchResult.per_file exposes the device metrics machine-readably (the
+    reference's per-file list readouts)."""
+    (tmp_path / "in").mkdir(exist_ok=True)
+    paths = make_lib(tmp_path / "in", n=2)
+    cfg = ProcessingConfig(output_dir=str(tmp_path / "out"), target_rate=48000,
+                           quality="low", seed=1)
+    res = BatchProcessor(cfg).run(paths)
+    assert res.completed == 2
+    assert set(res.per_file) == set(paths)
+    for p, m in res.per_file.items():
+        assert m["out_frames"] > 0
+        assert -30.0 < m["peak_db"] < 0.0        # ~0.4 amplitude sines
+        assert -30.0 < m["rms_db"] < m["peak_db"] + 0.1
+        assert m["noise_floor_db"] <= m["rms_db"]
