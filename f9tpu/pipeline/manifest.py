@@ -41,6 +41,9 @@ class JobEntry:
     num_channels: int | None = None
     num_frames: int | None = None
     progress: float = 0.0   # per-file progress double (Source/AppState.h:294-298)
+    metrics: dict | None = None
+    """Device metrics recorded at completion (out_frames, peak_db, rms_db,
+    noise_floor_db) — the file-list readouts, persisted for tooling."""
 
     def to_json(self) -> dict:
         d = dataclasses.asdict(self)
@@ -51,7 +54,8 @@ class JobEntry:
     def from_json(cls, d: dict) -> "JobEntry":
         d = dict(d)
         d["status"] = FileStatus(d["status"])
-        return cls(**d)
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
 
 
 class JobManifest:

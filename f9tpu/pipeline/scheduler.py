@@ -350,6 +350,7 @@ class BatchProcessor:
                             path, FileStatus.COMPLETED,
                             output_path=out_path,
                             output_size=os.path.getsize(out_path),
+                            metrics=per_file_metrics.get(path),
                             progress=1.0)
                         self.log.append(
                             f"Completed: {os.path.basename(out_path)} "

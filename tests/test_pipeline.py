@@ -977,9 +977,14 @@ def test_batch_result_per_file_metrics(tmp_path):
     paths = make_lib(tmp_path / "in", n=2)
     cfg = ProcessingConfig(output_dir=str(tmp_path / "out"), target_rate=48000,
                            quality="low", seed=1)
-    res = BatchProcessor(cfg).run(paths)
+    res = BatchProcessor(cfg).run(
+        paths, manifest_path=str(tmp_path / "m.json"))
     assert res.completed == 2
     assert set(res.per_file) == set(paths)
+    # metrics persist in the manifest for tooling (and resume tolerates them)
+    from f9tpu.pipeline import JobManifest
+    m = JobManifest.load_or_create(paths, str(tmp_path / "m.json"))
+    assert m.get(paths[0]).metrics["out_frames"] > 0
     for p, m in res.per_file.items():
         assert m["out_frames"] > 0
         assert -30.0 < m["peak_db"] < 0.0        # ~0.4 amplitude sines
