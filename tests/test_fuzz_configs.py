@@ -36,6 +36,10 @@ def _random_cfg(rng, out_dir):
         kw["chain"] = Chain(Gain(-1.5), Saturator("soft", 3.0, 0.7))
     if rng.integers(3) == 0:
         kw["output_channels"] = 2       # mono fan-out
+    if rng.integers(3) == 0:
+        kw["normalize_lufs"] = float(rng.choice([-14.0, -20.0, -24.0]))
+        if rng.integers(2):
+            kw["normalize_tp_db"] = -1.0
     return ProcessingConfig(**kw)
 
 
