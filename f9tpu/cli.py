@@ -21,6 +21,7 @@ import argparse
 import glob
 import json
 import os
+import struct
 import sys
 
 import numpy as np
@@ -371,7 +372,7 @@ def cmd_probe(args) -> int:
                     tp = float(true_peak_db(x, r))
                     loud = (f"  {lufs:.1f} LUFS, {tp:+.1f} dBTP, "
                             f"LRA {lra:.1f} LU")
-        except (ValueError, OSError) as e:
+        except (ValueError, OSError, struct.error, EOFError) as e:
             print(f"{f}: ERROR {e}")
             code = 1
             continue

@@ -50,9 +50,11 @@ class ProcessingConfig:
     normalize_lufs: float | None = None
     """Loudness-normalize each file to this integrated LUFS target (BS.1770-4
     measured on the decoded SOURCE; the per-file gain is applied at the
-    output stage, after the chain).  Forces host decode (the raw-bytes device
+    output stage, after the chain, composed with ``gain_db`` so the NET
+    output gain hits the target).  Forces host decode (the raw-bytes device
     path has no float samples to meter).  Silent/too-short files pass
-    through ungained.  None = off."""
+    through ungained; per-file gains are clamped to +-40 dB (extreme
+    material lands short of target, logged).  None = off."""
     normalize_tp_db: float | None = None
     """With ``normalize_lufs``: cap the per-file gain so the projected true
     peak (BS.1770-4 Annex 2, 4x oversampled) stays at or below this ceiling

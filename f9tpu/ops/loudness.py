@@ -94,9 +94,26 @@ def k_weight(x: jax.Array) -> jax.Array:
     return _direct_convolve(x, k_weighting_ir().astype(np.float32))
 
 
-def _hop_energies(x: jax.Array, rate: int) -> jax.Array:
+def _bucket(n: int, lo: int = 64) -> int:
+    """Next power-of-two >= max(n, lo): bounds the number of distinct XLA
+    compiles across arbitrary file lengths (~12 buckets for 6 s..2 h)."""
+    b = lo
+    while b < n:
+        b <<= 1
+    return b
+
+
+def _hop_energies(x: jax.Array, rate: int):
     """The shared statistic base: SRC to 48 kHz if needed, K-weight, then
-    per-channel 100 ms hop energy sums ``(C, n_hops)``."""
+    per-channel 100 ms hop energy sums.
+
+    Returns ``(hop_sq (C, n_bucket_hops), n_valid_hops)``: the signal is
+    zero-padded to a power-of-two hop count so every file length in a bucket
+    shares ONE compiled graph (per-file shapes would compile a fresh SRC +
+    FIR graph per length — CLAUDE.md documents why that is unacceptable
+    here), and the sub-hop tail (< 100 ms) is dropped.  Statistics mask
+    windows by ``n_valid_hops`` (traced), which is exactly equivalent to
+    computing on the hop-trimmed signal."""
     if x.ndim == 1:
         x = x[None]
     if rate != _RATE:
@@ -106,22 +123,29 @@ def _hop_energies(x: jax.Array, rate: int) -> jax.Array:
     C, T = x.shape
     n_hops = T // _HOP
     if n_hops == 0:
-        return jnp.zeros((C, 0), jnp.float32)
-    xk = k_weight(x)
-    return jnp.sum(
-        jnp.square(xk[:, : n_hops * _HOP]).reshape(C, n_hops, _HOP), axis=-1)
+        return jnp.zeros((C, 0), jnp.float32), 0
+    nb = _bucket(n_hops)
+    xp = jnp.pad(x[:, : n_hops * _HOP], ((0, 0), (0, nb * _HOP - n_hops * _HOP)))
+    xk = k_weight(xp)
+    hop_sq = jnp.sum(jnp.square(xk).reshape(C, nb, _HOP), axis=-1)
+    return hop_sq, n_hops
 
 
-def _windows_db(hop_sq: jax.Array, block_hops: int, stride_hops: int):
+def _windows_db(hop_sq: jax.Array, block_hops: int, stride_hops: int,
+                n_valid_hops):
     """Channel-summed mean squares + loudness (dB) of sliding windows of
-    ``block_hops`` hops at ``stride_hops`` stride."""
+    ``block_hops`` hops at ``stride_hops`` stride, plus the validity mask
+    for windows that end within the first ``n_valid_hops`` hops (windows
+    reaching into the bucket's zero padding are excluded — identical to
+    computing on the hop-trimmed signal)."""
     n_hops = hop_sq.shape[-1]
-    n_blocks = (n_hops - block_hops) // stride_hops + 1
-    idx = (jnp.arange(n_blocks)[:, None] * stride_hops
-           + jnp.arange(block_hops)[None, :])
+    n_blocks = max(0, (n_hops - block_hops) // stride_hops + 1)
+    starts = jnp.arange(n_blocks) * stride_hops
+    idx = starts[:, None] + jnp.arange(block_hops)[None, :]
     z = jnp.sum(jnp.sum(hop_sq[:, idx], axis=-1), axis=0) / (
         block_hops * _HOP)
-    return z, _OFFSET + 10.0 * jnp.log10(jnp.maximum(z, 1e-30))
+    in_valid = (starts + block_hops) <= n_valid_hops
+    return z, _OFFSET + 10.0 * jnp.log10(jnp.maximum(z, 1e-30)), in_valid
 
 
 def block_loudness(x48: jax.Array) -> jax.Array:
@@ -129,18 +153,18 @@ def block_loudness(x48: jax.Array) -> jax.Array:
     blocks at 100 ms hop.  Returns ``(n_blocks,)``; blocks are summed over
     channels with unity weights (BS.1770 surround weights apply to >3-ch
     setups; this framework's buses are fullband channels)."""
-    hop_sq = _hop_energies(x48, _RATE)
-    if hop_sq.shape[-1] < _I_BLOCK_HOPS:
+    hop_sq, n_valid = _hop_energies(x48, _RATE)
+    if n_valid < _I_BLOCK_HOPS:
         return jnp.full((0,), 0.0, jnp.float32)
-    _, lb = _windows_db(hop_sq, _I_BLOCK_HOPS, 1)
-    return lb
+    _, lb, _ = _windows_db(hop_sq, _I_BLOCK_HOPS, 1, n_valid)
+    return lb[: n_valid - _I_BLOCK_HOPS + 1]
 
 
-def _integrated_from_hops(hop_sq: jax.Array) -> jax.Array:
-    if hop_sq.shape[-1] < _I_BLOCK_HOPS:
+def _integrated_from_hops(hop_sq: jax.Array, n_valid) -> jax.Array:
+    if hop_sq.shape[-1] < _I_BLOCK_HOPS or n_valid < _I_BLOCK_HOPS:
         return jnp.float32(-200.0)
-    z, lb = _windows_db(hop_sq, _I_BLOCK_HOPS, 1)
-    abs_mask = lb > _ABS_GATE_LUFS
+    z, lb, in_valid = _windows_db(hop_sq, _I_BLOCK_HOPS, 1, n_valid)
+    abs_mask = in_valid & (lb > _ABS_GATE_LUFS)
     n_abs = jnp.maximum(jnp.sum(abs_mask), 1)
     z_abs = jnp.sum(jnp.where(abs_mask, z, 0.0)) / n_abs
     rel = _OFFSET + 10.0 * jnp.log10(jnp.maximum(z_abs, 1e-30)) + _REL_GATE_LU
@@ -151,12 +175,13 @@ def _integrated_from_hops(hop_sq: jax.Array) -> jax.Array:
     return jnp.where(n > 0, lufs, jnp.float32(-200.0))
 
 
-def _lra_from_hops(hop_sq: jax.Array) -> jax.Array:
-    if hop_sq.shape[-1] < _ST_BLOCK_HOPS:
+def _lra_from_hops(hop_sq: jax.Array, n_valid) -> jax.Array:
+    if hop_sq.shape[-1] < _ST_BLOCK_HOPS or n_valid < _ST_BLOCK_HOPS:
         return jnp.float32(0.0)
-    z, st = _windows_db(hop_sq, _ST_BLOCK_HOPS, _ST_STRIDE_HOPS)
+    z, st, in_valid = _windows_db(hop_sq, _ST_BLOCK_HOPS, _ST_STRIDE_HOPS,
+                                  n_valid)
     n_blocks = st.shape[0]
-    abs_mask = st > _ABS_GATE_LUFS
+    abs_mask = in_valid & (st > _ABS_GATE_LUFS)
     n_abs = jnp.maximum(jnp.sum(abs_mask), 1)
     z_abs = jnp.sum(jnp.where(abs_mask, z, 0.0)) / n_abs
     rel = (_OFFSET + 10.0 * jnp.log10(jnp.maximum(z_abs, 1e-30))
@@ -178,22 +203,22 @@ def integrated_lufs(x: jax.Array, rate: int) -> jax.Array:
     Returns a scalar (LUFS); silence/too-short input returns a -200 floor.
     Non-48 kHz input rides the framework's own SRC first.
     """
-    return _integrated_from_hops(_hop_energies(x, rate))
+    return _integrated_from_hops(*_hop_energies(x, rate))
 
 
 def loudness_range(x: jax.Array, rate: int) -> jax.Array:
     """Loudness range (LRA, LU) per EBU Tech 3342: short-term loudness
     (3 s windows, 1 s stride), absolute gate at -70 LUFS, relative gate at
     -20 LU below the gated mean, LRA = p95 - p10 of what survives."""
-    return _lra_from_hops(_hop_energies(x, rate))
+    return _lra_from_hops(*_hop_energies(x, rate))
 
 
 def r128_stats(x: jax.Array, rate: int) -> tuple[float, float]:
     """(integrated LUFS, LRA) from ONE resample + K-weighting pass — both
     statistics derive from the same 100 ms hop energies."""
-    hop_sq = _hop_energies(x, rate)
-    return (float(_integrated_from_hops(hop_sq)),
-            float(_lra_from_hops(hop_sq)))
+    hop_sq, n_valid = _hop_energies(x, rate)
+    return (float(_integrated_from_hops(hop_sq, n_valid)),
+            float(_lra_from_hops(hop_sq, n_valid)))
 
 
 def true_peak_db(x: jax.Array, rate: int, oversample: int = 4) -> jax.Array:
@@ -205,6 +230,13 @@ def true_peak_db(x: jax.Array, rate: int, oversample: int = 4) -> jax.Array:
 
     if x.ndim == 1:
         x = x[None]
+    # pad to a power-of-two length bucket: one compiled oversampler per size
+    # class instead of one per file length (padding zeros cannot raise the
+    # peak)
+    T = x.shape[-1]
+    nb = _bucket(T, lo=1 << 14)
+    if nb > T:
+        x = jnp.pad(x, ((0, 0), (0, nb - T)))
     y = resample_rates(x, int(rate), int(rate) * int(oversample),
                        quality="high")
     pk = jnp.max(jnp.abs(y))

@@ -279,26 +279,33 @@ class BatchProcessor:
 
                                 lufs = float(integrated_lufs(data, rate))
                                 if lufs > -199.0:
-                                    gain_db = float(np.clip(
-                                        cfg.normalize_lufs - lufs, -40.0, 40.0))
-                                    capped = ""
+                                    # compose with the static cfg.gain_db
+                                    # (both multiply in the graph): the
+                                    # NET output gain must hit the target
+                                    want = (cfg.normalize_lufs - lufs
+                                            - cfg.gain_db)
+                                    gain_db = float(np.clip(want, -40.0, 40.0))
+                                    note = ("" if gain_db == want else
+                                            ", clamped at +-40 dB — target "
+                                            "missed by "
+                                            f"{abs(want - gain_db):.1f} LU")
                                     if cfg.normalize_tp_db is not None:
                                         from ..ops.loudness import true_peak_db
 
                                         tp = float(true_peak_db(data, rate))
-                                        over = (tp + gain_db
+                                        over = (tp + gain_db + cfg.gain_db
                                                 - cfg.normalize_tp_db)
                                         if over > 0:
                                             gain_db -= over
-                                            capped = (f", capped at "
-                                                      f"{cfg.normalize_tp_db:+.1f}"
-                                                      f" dBTP")
+                                            note = (f", capped at "
+                                                    f"{cfg.normalize_tp_db:+.1f}"
+                                                    f" dBTP")
                                     self.log.append(
                                         f"Normalize: "
                                         f"{os.path.basename(info.path)} "
                                         f"{lufs:.1f} LUFS -> "
                                         f"{cfg.normalize_lufs:.1f} "
-                                        f"({gain_db:+.1f} dB{capped})")
+                                        f"({gain_db:+.1f} dB{note})")
                             # per-file progress stages (the reference's throttled
                             # progress callbacks, AudioProcessingService.swift:209-214):
                             # decoded 0.3 -> device done 0.7 -> encoded 1.0

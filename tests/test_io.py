@@ -391,61 +391,55 @@ def test_stream_aiff_output(tmp_path):
     assert r == 48000 and y.shape == (2, n) and n == 48000
 
 
-@pytest.mark.parametrize("src_fmt", ["wav", "aiff_be", "aiff_sowt"])
-def test_raw_device_path_all_containers(tmp_path, src_fmt):
+def test_raw_device_path_all_containers(tmp_path):
     """Integer-PCM AIFF (both byte orders) rides the on-device raw codec
     path like WAV: identical audio in any container yields byte-identical
-    batch output (same seed -> same dither)."""
+    batch output — self-contained (all three run and compare here)."""
+    import struct as _st
+
     from f9tpu.config import ProcessingConfig
     from f9tpu.io import read_wav, write_wav
-    from f9tpu.io.aiff import write_aiff
+    from f9tpu.io.aiff import _write_extended80, write_aiff
+    from f9tpu.io.wav import _pack24_dispatch
     from f9tpu.pipeline import BatchProcessor
 
     rng = np.random.default_rng(23)
     codes = rng.integers(-(2**23), 2**23, size=(2, 5000), dtype=np.int32)
-    x = (codes.astype(np.float32) / (1 << 23))
+    x = codes.astype(np.float32) / (1 << 23)
     (tmp_path / "in").mkdir()
-    if src_fmt == "wav":
-        src = str(tmp_path / "in" / "s.wav")
-        write_wav(src, x, 44100, bits=24)
-    else:
-        src = str(tmp_path / "in" / "s.aiff")
-        if src_fmt == "aiff_be":
-            write_aiff(src, x, 44100, bits=24)          # big-endian NONE
-        else:
-            # hand-build an AIFC sowt (little-endian) file
-            import struct as _st
 
-            from f9tpu.io.aiff import _write_extended80
-            from f9tpu.io.wav import _pack24_dispatch
+    wav_p = str(tmp_path / "in" / "s.wav")
+    write_wav(wav_p, x, 44100, bits=24)
+    be_p = str(tmp_path / "in" / "be.aiff")
+    write_aiff(be_p, x, 44100, bits=24)            # big-endian NONE
+    # hand-build an AIFC sowt (little-endian) file
+    inter = np.ascontiguousarray(codes.T).reshape(-1)
+    payload = _pack24_dispatch(inter).tobytes()
+    comm = (_st.pack(">hIh", 2, 5000, 24) + _write_extended80(44100.0)
+            + b"sowt" + b"\x00\x00")
+    ssnd = _st.pack(">II", 0, 0) + payload
+    body = b"AIFC"
+    body += b"COMM" + _st.pack(">I", len(comm)) + comm
+    body += b"SSND" + _st.pack(">I", len(ssnd)) + ssnd
+    sowt_p = str(tmp_path / "in" / "lt.aiff")
+    with open(sowt_p, "wb") as f:
+        f.write(b"FORM" + _st.pack(">I", len(body)) + body)
 
-            inter = np.ascontiguousarray(codes.T).reshape(-1)
-            payload = _pack24_dispatch(inter).tobytes()
-            comm = (_st.pack(">hIh", 2, 5000, 24) + _write_extended80(44100.0)
-                    + b"sowt" + b"\x00\x00")
-            ssnd = _st.pack(">II", 0, 0) + payload
-            body = b"AIFC"
-            body += b"COMM" + _st.pack(">I", len(comm)) + comm
-            body += b"SSND" + _st.pack(">I", len(ssnd)) + ssnd
-            with open(src, "wb") as f:
-                f.write(b"FORM" + _st.pack(">I", len(body)) + body)
-
-    # dither off: the noise is keyed by (seed, PATH) by design, and the
-    # three containers necessarily have different paths
-    cfg = ProcessingConfig(output_dir=str(tmp_path / "out"), target_rate=48000,
-                           quality="low", dither=False, remove_dc=False)
-    assert BatchProcessor(cfg).run([src]).completed == 1
-    out = [f for f in os.listdir(tmp_path / "out") if f.endswith(".wav")][0]
-    y, r = read_wav(str(tmp_path / "out" / out))
-    assert r == 48000 and np.isfinite(y).all()
-    # cross-container identity: 'wav' runs FIRST (parametrize order) and
-    # stashes the reference; both AIFF variants must match it exactly
-    ref_p = tmp_path.parent / "raw_path_ref.npy"
-    if src_fmt == "wav":
-        np.save(ref_p, y)
-    else:
-        assert ref_p.exists(), "param order broken: wav must run first"
-        np.testing.assert_array_equal(y, np.load(ref_p))
+    outs = {}
+    for name, src in (("wav", wav_p), ("be", be_p), ("sowt", sowt_p)):
+        # dither off: the noise is keyed by (seed, PATH) by design, and the
+        # three containers necessarily have different paths
+        cfg = ProcessingConfig(output_dir=str(tmp_path / f"out_{name}"),
+                               target_rate=48000, quality="low",
+                               dither=False, remove_dc=False)
+        assert BatchProcessor(cfg).run([src]).completed == 1
+        fn = [f for f in os.listdir(tmp_path / f"out_{name}")
+              if f.endswith(".wav")][0]
+        y, r = read_wav(str(tmp_path / f"out_{name}" / fn))
+        assert r == 48000 and np.isfinite(y).all()
+        outs[name] = y
+    np.testing.assert_array_equal(outs["wav"], outs["be"])
+    np.testing.assert_array_equal(outs["wav"], outs["sowt"])
 
 
 def test_raw_aiff_truncated_and_malformed(tmp_path):
@@ -464,7 +458,7 @@ def test_raw_aiff_truncated_and_malformed(tmp_path):
     cut = str(tmp_path / "cut.aiff")
     open(cut, "wb").write(whole[: len(whole) - 1500])
     payload, info = read_raw_pcm_aiff(cut)
-    assert payload.size % 6 == 0 or payload.size > 0
+    assert payload.size > 0 and payload.size % 6 == 0
     assert info.num_frames < 1000
 
     # malformed SSND size smaller than its own header
