@@ -119,6 +119,19 @@ def run(workdir: str) -> None:
     assert r8 == 44056
     print(f"[8] NTSC pull-down 44.1k->44.056k (banded path), AIFF out: "
           f"{y8.shape[1]} frames")
+
+    # --- config 9: loudness normalization to a streaming deliverable ---
+    assert main(["process", f"{lib}/hit.wav", f"{lib}/s96_0.wav",
+                 "--out", f"{workdir}/c9", "--rate", "48000",
+                 "--quality", "high", "--normalize-lufs=-16",
+                 "--normalize-tp=-1", "--seed", "1"]) == 0
+    from f9tpu.ops.loudness import integrated_lufs
+    import jax.numpy as jnp
+    for stem in ("hit", "s96_0"):
+        y9, r9 = read_wav(f"{workdir}/c9/{stem}_processed.wav")
+        lufs = float(integrated_lufs(jnp.asarray(y9.astype(np.float32)), r9))
+        assert lufs < -14.0            # at target or ceiling-limited below it
+    print("[9] loudness-normalized to -16 LUFS / -1 dBTP ceiling")
     print("demo complete:", workdir)
 
 

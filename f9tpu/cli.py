@@ -355,6 +355,7 @@ def cmd_devices(args) -> int:
 
 def cmd_probe(args) -> int:
     code = 0
+    rows = []
     for f in _expand_inputs(args.inputs):
         try:
             info = codec.probe(f)
@@ -366,6 +367,7 @@ def cmd_probe(args) -> int:
 
                 x, r = codec.read_audio(f)
                 lufs, lra = r128_stats(x, r)
+                tp = None
                 if lufs <= -199.0:
                     loud = "  --.- LUFS (too short/silent)"
                 else:
@@ -380,10 +382,26 @@ def cmd_probe(args) -> int:
                  ("  [ok]" if info.is_valid_for_rate(args.require_rate)
                   else f"  [INVALID: need {args.require_rate} Hz]"))
         kind = "float" if info.is_float else "pcm"
-        print(f"{f}: {info.container} {info.sample_rate} Hz, "
-              f"{info.num_channels} ch, {info.num_frames} frames "
-              f"({info.duration_seconds:.3f} s), {info.bit_depth}-bit {kind}"
-              f"{valid}{loud}")
+        if getattr(args, "json", False):
+            row = {"path": f, "container": info.container,
+                   "sample_rate": info.sample_rate,
+                   "channels": info.num_channels,
+                   "frames": info.num_frames,
+                   "seconds": round(info.duration_seconds, 3),
+                   "bit_depth": info.bit_depth, "is_float": info.is_float}
+            if getattr(args, "loudness", False):
+                row["lufs"] = None if lufs <= -199.0 else round(lufs, 2)
+                if lufs > -199.0:
+                    row["true_peak_db"] = round(tp, 2)
+                    row["lra_lu"] = round(lra, 2)
+            rows.append(row)
+        else:
+            print(f"{f}: {info.container} {info.sample_rate} Hz, "
+                  f"{info.num_channels} ch, {info.num_frames} frames "
+                  f"({info.duration_seconds:.3f} s), {info.bit_depth}-bit {kind}"
+                  f"{valid}{loud}")
+    if getattr(args, "json", False):
+        print(json.dumps(rows, indent=1))
     return code
 
 
@@ -538,6 +556,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--loudness", action="store_true",
                    help="also measure BS.1770-4 integrated loudness (LUFS) "
                         "on device")
+    p.add_argument("--json", action="store_true",
+                   help="machine-readable output (one list of objects)")
     p.set_defaults(fn=cmd_probe)
 
     # config defaults go on the *process subparser* (its own defaults would

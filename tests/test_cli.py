@@ -232,3 +232,21 @@ def test_cli_compile_cache_populated(tmp_path, monkeypatch):
         capture_output=True, text=True, env=env2, timeout=120)
     assert r2.returncode == 0
     assert not cache2.exists()
+
+
+def test_cli_probe_json_with_loudness(tmp_path, capsys):
+    import json
+
+    t = np.arange(48000) / 48000
+    s = (0.1 * np.sin(2 * np.pi * 997 * t)).astype(np.float32)
+    p = str(tmp_path / "j.wav")
+    write_wav(p, np.stack([s, s]), 48000, bits=24)
+    assert main(["probe", p, "--loudness", "--json"]) == 0
+    rows = json.loads(capsys.readouterr().out)
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["sample_rate"] == 48000 and r["channels"] == 2
+    # stereo sine: +3 dB channel sum cancels the -3 dB RMS-vs-peak, and the
+    # -0.691 offset cancels the K-gain at 997 Hz -> LUFS == peak dBFS
+    assert -21 < r["lufs"] < -19
+    assert "true_peak_db" in r and "lra_lu" in r

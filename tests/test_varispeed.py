@@ -48,6 +48,7 @@ def test_varispeed_bank_skips_dense_matrix():
     (44056, 44100, "low"),      # NTSC pull-up
     (44100, 44056, "medium"),
     (192000, 44056, "low"),     # extreme: 4.36x downsample onto a pull ratio
+    (44100, 44056, "ultra"),    # JUCE-oracle-grade taps on the pull ratio
 ])
 def test_varispeed_parity_vs_oracle(rate_in, rate_out, quality):
     rng = np.random.default_rng(3)
