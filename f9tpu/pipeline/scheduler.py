@@ -232,6 +232,7 @@ class BatchProcessor:
         stop_event = threading.Event()
         errors: list[str] = []
         per_file_metrics: dict[str, dict] = {}
+        norm_info: dict[str, dict] = {}
 
         def decode_stage(infos, out_q, raw_bits=0):
             # C++ thread-pool decode for integer-PCM WAVs (the JUCE
@@ -300,6 +301,10 @@ class BatchProcessor:
                                             note = (f", capped at "
                                                     f"{cfg.normalize_tp_db:+.1f}"
                                                     f" dBTP")
+                                    norm_info[info.path] = {
+                                        "source_lufs": round(lufs, 2),
+                                        "applied_gain_db": round(gain_db, 2),
+                                    }
                                     self.log.append(
                                         f"Normalize: "
                                         f"{os.path.basename(info.path)} "
@@ -518,6 +523,7 @@ class BatchProcessor:
                                 "peak_db": round(float(pk[i]), 2),
                                 "rms_db": round(float(rms[i]), 2),
                                 "noise_floor_db": round(float(nf[i]), 2),
+                                **norm_info.get(p, {}),
                             }
                             enc_q.put((p, codes[i], int(out_frames[i]),
                                        cfg.target_rate,

@@ -228,6 +228,10 @@ def test_loudness_normalization_end_to_end(tmp_path):
         y, r = read_wav(str(tmp_path / "out" / f"{name}_processed.wav"))
         got = float(integrated_lufs(jnp.asarray(y.astype(np.float32)), r))
         assert abs(got - (-20.0)) < 0.5, (name, got)
+    # the measurement + applied gain surface in the per-file metrics
+    loud_m = res.per_file[str(tmp_path / "in" / "loud.wav")]
+    assert abs(loud_m["source_lufs"] - (-10.0)) < 0.3
+    assert abs(loud_m["applied_gain_db"] - (-10.0)) < 0.3
     ys, _ = read_wav(str(tmp_path / "out" / "silence_processed.wav"))
     assert np.abs(ys).max() <= 2 / (1 << 23)     # dither-level only
 
