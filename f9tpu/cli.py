@@ -375,7 +375,10 @@ def cmd_probe(args) -> int:
                     loud = (f"  {lufs:.1f} LUFS, {tp:+.1f} dBTP, "
                             f"LRA {lra:.1f} LU")
         except (ValueError, OSError, struct.error, EOFError) as e:
-            print(f"{f}: ERROR {e}")
+            if getattr(args, "json", False):
+                rows.append({"path": f, "error": str(e)})
+            else:
+                print(f"{f}: ERROR {e}")
             code = 1
             continue
         valid = ("" if args.require_rate is None else

@@ -250,3 +250,20 @@ def test_cli_probe_json_with_loudness(tmp_path, capsys):
     # -0.691 offset cancels the K-gain at 997 Hz -> LUFS == peak dBFS
     assert -21 < r["lufs"] < -19
     assert "true_peak_db" in r and "lra_lu" in r
+
+
+def test_cli_probe_json_keeps_stream_clean_on_error(tmp_path, capsys):
+    """--json output must stay parseable when a file fails: errors become
+    rows, not stray text."""
+    import json
+
+    good = str(tmp_path / "g.wav")
+    write_wav(good, np.zeros((1, 1000), np.float32), 44100, bits=24)
+    bad = str(tmp_path / "bad.wav")
+    open(bad, "wb").write(b"RIFFgarbage")
+    rc = main(["probe", good, bad, "--json"])
+    assert rc == 1
+    rows = json.loads(capsys.readouterr().out)    # must parse cleanly
+    assert len(rows) == 2
+    assert rows[0]["sample_rate"] == 44100
+    assert "error" in rows[1]
