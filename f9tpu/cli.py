@@ -71,6 +71,7 @@ def _add_common_src_args(p: argparse.ArgumentParser) -> None:
 _CONFIG_KEYS = (
     "rate", "quality", "kind", "bits", "postfix", "output_format",
     "no_dither", "keep_dc", "normalize_lufs", "normalize_tp_db",
+    "keep_metadata",
     "gain", "reverb", "noise_floor", "margin", "require_rate", "batch_size",
     "routing", "channels", "device_layout", "seed",
     "chain_ir", "chain_wet", "chain_dry", "chain_fir", "chain_delay_ms",
@@ -194,6 +195,7 @@ def cmd_process(args) -> int:
         output_dir=args.out,
         postfix=args.postfix,
         output_format=args.output_format,
+        keep_metadata=args.keep_metadata,
         reverb_mode=args.reverb,
         noise_floor_db=args.noise_floor,
         noise_floor_margin_pct=args.margin,
@@ -430,6 +432,9 @@ def main(argv: list[str] | None = None) -> int:
     _add_common_src_args(p)
     p.add_argument("--bits", type=int, default=24, choices=[16, 24, 32])
     p.add_argument("--postfix", default="_processed")
+    p.add_argument("--keep-metadata", action="store_true",
+                   help="carry bext/LIST/cue/smpl/iXML metadata chunks from "
+                        "WAV sources into WAV outputs")
     p.add_argument("--format", dest="output_format", default="wav",
                    choices=["wav", "aiff"],
                    help="output container (wav = reference behaviour)")

@@ -74,6 +74,11 @@ class ProcessingConfig:
     # originals are never overwritten; postfix appended before extension) ---
     output_dir: str = ""
     postfix: str = "_processed"
+    keep_metadata: bool = False
+    """Carry the source's metadata chunks (Broadcast-WAV 'bext', LIST/INFO,
+    cue/smpl/iXML/axml/ID3) into the output file (WAV outputs only; appended
+    after 'data' with the RIFF size patched).  Off by default — the
+    reference's writers drop metadata."""
     output_format: str = "wav"
     """Output container: "wav" (reference behaviour,
     Source/MainComponent.cpp:784-801) or "aiff" (big-endian PCM; the

@@ -118,6 +118,55 @@ def _scan_wav_header(f, path: str):
     return fmt, data_off, data_size
 
 
+def read_extra_chunks(path: str, max_bytes: int = 1 << 24) -> list:
+    """Metadata chunks worth carrying through processing (Broadcast-WAV
+    'bext', 'LIST'/INFO, 'cue ', 'smpl', 'iXML', 'axml', 'ID3 '), as
+    ``[(chunk_id: bytes, payload: bytes), ...]`` in file order.  Oversized
+    chunks (> max_bytes) are skipped — they are almost certainly corrupt
+    sizes, and a bad size must not buffer gigabytes."""
+    keep = (b"bext", b"LIST", b"cue ", b"smpl", b"iXML", b"axml", b"ID3 ",
+            b"_PMX")
+    out = []
+    with open(path, "rb") as f:
+        head = f.read(12)
+        if len(head) < 12 or head[0:4] != _RIFF or head[8:12] != _WAVE:
+            raise ValueError(f"{path}: not a RIFF/WAVE file")
+        while True:
+            hdr = f.read(8)
+            if len(hdr) < 8:
+                break
+            cid = hdr[0:4]
+            (size,) = struct.unpack("<I", hdr[4:8])
+            pos = f.tell()
+            if cid in keep and size <= max_bytes:
+                payload = f.read(size)
+                if len(payload) == size:
+                    out.append((cid, payload))
+            f.seek(pos + size + (size & 1))
+    return out
+
+
+def append_chunks(path: str, chunks: list) -> None:
+    """Append metadata chunks to an existing WAV and patch the RIFF size
+    (chunk order after 'data' is legal RIFF; every mainstream reader walks
+    chunks).  Used by the pipeline's --keep-metadata passthrough."""
+    if not chunks:
+        return
+    with open(path, "r+b") as f:
+        f.seek(0, 2)
+        end = f.tell()
+        if end & 1:
+            f.write(b"\x00")
+            end += 1
+        for cid, payload in chunks:
+            f.write(cid + struct.pack("<I", len(payload)) + payload)
+            if len(payload) & 1:
+                f.write(b"\x00")
+        total = f.tell()
+        f.seek(4)
+        f.write(struct.pack("<I", total - 8))
+
+
 def probe_wav(path: str) -> AudioFileInfo:
     """Metadata without decoding samples (seek-based; metadata chunks of any
     size before 'data' are fine)."""

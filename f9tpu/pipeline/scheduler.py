@@ -357,6 +357,16 @@ class BatchProcessor:
                                       else wav.write_wav_codes)
                             writer(out_path, codes[:, :out_frames], rate_out,
                                    bits=cfg.bits)
+                        if (cfg.keep_metadata
+                                and cfg.output_format == "wav"
+                                and path.lower().endswith(".wav")):
+                            try:
+                                chunks = wav.read_extra_chunks(path)
+                                wav.append_chunks(out_path, chunks)
+                            except (ValueError, OSError) as err:
+                                self.log.append(
+                                    f"Metadata passthrough skipped for "
+                                    f"{os.path.basename(path)}: {err}")
                         self.throughput.add("encode", out_frames / rate_out, time.time() - t0)
                         manifest.update(
                             path, FileStatus.COMPLETED,

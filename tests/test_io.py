@@ -470,3 +470,43 @@ def test_raw_aiff_truncated_and_malformed(tmp_path):
     open(bad, "wb").write(b"FORM" + _st.pack(">I", len(body)) + body)
     with pytest.raises(ValueError, match="SSND"):
         read_raw_pcm_aiff(bad)
+
+
+def test_metadata_passthrough(tmp_path):
+    """--keep-metadata: bext/LIST chunks survive processing; the output stays
+    a valid WAV and the manifest size-verification still matches."""
+    import struct as _st
+
+    from f9tpu.config import ProcessingConfig
+    from f9tpu.io import read_wav, write_wav
+    from f9tpu.io.wav import append_chunks, read_extra_chunks
+    from f9tpu.pipeline import BatchProcessor
+
+    (tmp_path / "in").mkdir()
+    x = (0.2 * np.random.default_rng(0).standard_normal((2, 4410))
+         ).astype(np.float32)
+    src = str(tmp_path / "in" / "b.wav")
+    write_wav(src, x, 44100, bits=24)
+    bext = b"Description goes here".ljust(602, b"\x00")
+    info = b"INFO" + b"IART" + _st.pack("<I", 5) + b"f9tp\x00" + b"\x00"
+    append_chunks(src, [(b"bext", bext), (b"LIST", info)])
+
+    got = read_extra_chunks(src)
+    assert [cid for cid, _ in got] == [b"bext", b"LIST"]
+    y0, r0 = read_wav(src)            # reader unaffected by trailing chunks
+    assert r0 == 44100 and y0.shape == x.shape
+
+    cfg = ProcessingConfig(output_dir=str(tmp_path / "out"), target_rate=48000,
+                           quality="low", seed=1, keep_metadata=True)
+    res = BatchProcessor(cfg).run([src],
+                                  manifest_path=str(tmp_path / "m.json"))
+    assert res.completed == 1
+    out = str(tmp_path / "out" / "b_processed.wav")
+    carried = read_extra_chunks(out)
+    assert (b"bext", bext) in carried and (b"LIST", info) in carried
+    y, r = read_wav(out)
+    assert r == 48000 and y.shape[1] == 4800
+    # resume still verifies (size recorded after append)
+    res2 = BatchProcessor(cfg).run([src],
+                                   manifest_path=str(tmp_path / "m.json"))
+    assert res2.completed == 1 and res2.audio_seconds_in == 0.0
