@@ -389,6 +389,9 @@ def cmd_probe(args) -> int:
         kind = "float" if info.is_float else "pcm"
         if getattr(args, "json", False):
             row = {"path": f, "container": info.container,
+                   **({} if args.require_rate is None else
+                      {"valid_for_rate":
+                       info.is_valid_for_rate(args.require_rate)}),
                    "sample_rate": info.sample_rate,
                    "channels": info.num_channels,
                    "frames": info.num_frames,

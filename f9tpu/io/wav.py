@@ -126,45 +126,95 @@ def read_extra_chunks(path: str, max_bytes: int = 1 << 24) -> list:
     sizes, and a bad size must not buffer gigabytes."""
     keep = (b"bext", b"LIST", b"cue ", b"smpl", b"iXML", b"axml", b"ID3 ",
             b"_PMX")
-    out = []
     with open(path, "rb") as f:
-        head = f.read(12)
-        if len(head) < 12 or head[0:4] != _RIFF or head[8:12] != _WAVE:
-            raise ValueError(f"{path}: not a RIFF/WAVE file")
-        while True:
-            hdr = f.read(8)
-            if len(hdr) < 8:
-                break
-            cid = hdr[0:4]
-            (size,) = struct.unpack("<I", hdr[4:8])
-            pos = f.tell()
-            if cid in keep and size <= max_bytes:
-                payload = f.read(size)
-                if len(payload) == size:
-                    out.append((cid, payload))
-            f.seek(pos + size + (size & 1))
+        raw = f.read()
+    buf = memoryview(raw)
+    if len(raw) < 12 or bytes(buf[0:4]) != _RIFF or bytes(buf[8:12]) != _WAVE:
+        raise ValueError(f"{path}: not a RIFF/WAVE file")
+    out = []
+    for cid, off, size in _iter_chunks(buf, 12, len(raw)):
+        if cid in keep and size <= max_bytes and off + size <= len(raw):
+            out.append((cid, bytes(buf[off : off + size])))
+    return out
+
+
+def scale_metadata_chunks(chunks: list, rate_in: int, rate_out: int) -> list:
+    """Rescale the sample-indexed fields of carried metadata to the output
+    rate: 'cue ' point positions/offsets, 'smpl' sample period + loop
+    bounds, and the Broadcast-WAV 'bext' TimeReference.  Everything else
+    passes verbatim; malformed structures pass verbatim too (best effort —
+    no worse than an un-scaled copy)."""
+    if rate_in == rate_out:
+        return chunks
+
+    def s(v: int) -> int:
+        return int(round(v * rate_out / rate_in)) & 0xFFFFFFFF
+
+    out = []
+    for cid, payload in chunks:
+        try:
+            if cid == b"cue " and len(payload) >= 4:
+                (n,) = struct.unpack_from("<I", payload, 0)
+                b = bytearray(payload)
+                for i in range(n):
+                    base = 4 + 24 * i
+                    if base + 24 > len(b):
+                        break
+                    pos, = struct.unpack_from("<I", b, base + 4)
+                    off, = struct.unpack_from("<I", b, base + 20)
+                    struct.pack_into("<I", b, base + 4, s(pos))
+                    struct.pack_into("<I", b, base + 20, s(off))
+                payload = bytes(b)
+            elif cid == b"smpl" and len(payload) >= 36:
+                b = bytearray(payload)
+                struct.pack_into("<I", b, 8, int(round(1e9 / rate_out)))
+                (n_loops,) = struct.unpack_from("<I", b, 28)
+                for i in range(n_loops):
+                    base = 36 + 24 * i
+                    if base + 24 > len(b):
+                        break
+                    lo, = struct.unpack_from("<I", b, base + 8)
+                    hi, = struct.unpack_from("<I", b, base + 12)
+                    struct.pack_into("<I", b, base + 8, s(lo))
+                    struct.pack_into("<I", b, base + 12, s(hi))
+                payload = bytes(b)
+            elif cid == b"bext" and len(payload) >= 346:
+                b = bytearray(payload)
+                (tref,) = struct.unpack_from("<Q", b, 338)
+                struct.pack_into("<Q", b, 338,
+                                 int(round(tref * rate_out / rate_in)))
+                payload = bytes(b)
+        except struct.error:
+            pass
+        out.append((cid, payload))
     return out
 
 
 def append_chunks(path: str, chunks: list) -> None:
     """Append metadata chunks to an existing WAV and patch the RIFF size
     (chunk order after 'data' is legal RIFF; every mainstream reader walks
-    chunks).  Used by the pipeline's --keep-metadata passthrough."""
+    chunks).  On any mid-write failure the file is truncated back to its
+    original, valid length before the error propagates."""
     if not chunks:
         return
     with open(path, "r+b") as f:
         f.seek(0, 2)
-        end = f.tell()
-        if end & 1:
-            f.write(b"\x00")
-            end += 1
-        for cid, payload in chunks:
-            f.write(cid + struct.pack("<I", len(payload)) + payload)
-            if len(payload) & 1:
+        end0 = f.tell()
+        try:
+            end = end0
+            if end & 1:
                 f.write(b"\x00")
-        total = f.tell()
-        f.seek(4)
-        f.write(struct.pack("<I", total - 8))
+                end += 1
+            for cid, payload in chunks:
+                f.write(cid + struct.pack("<I", len(payload)) + payload)
+                if len(payload) & 1:
+                    f.write(b"\x00")
+            total = f.tell()
+            f.seek(4)
+            f.write(struct.pack("<I", total - 8))
+        except OSError:
+            f.truncate(end0)     # restore a valid file (metadata dropped)
+            raise
 
 
 def probe_wav(path: str) -> AudioFileInfo:

@@ -361,7 +361,10 @@ class BatchProcessor:
                                 and cfg.output_format == "wav"
                                 and path.lower().endswith(".wav")):
                             try:
-                                chunks = wav.read_extra_chunks(path)
+                                chunks = wav.scale_metadata_chunks(
+                                    wav.read_extra_chunks(path),
+                                    metrics.get("rate_in", rate_out),
+                                    rate_out)
                                 wav.append_chunks(out_path, chunks)
                             except (ValueError, OSError) as err:
                                 self.log.append(
@@ -538,6 +541,7 @@ class BatchProcessor:
                             enc_q.put((p, codes[i], int(out_frames[i]),
                                        cfg.target_rate,
                                        {"peak_db": float(pk[i]),
+                                        "rate_in": c_rate_in,
                                         "payload": bool(raw_bits)
                                                    and res.layout == "flat",
                                         "out_channels": out_ch}))

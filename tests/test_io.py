@@ -510,3 +510,32 @@ def test_metadata_passthrough(tmp_path):
     res2 = BatchProcessor(cfg).run([src],
                                    manifest_path=str(tmp_path / "m.json"))
     assert res2.completed == 1 and res2.audio_seconds_in == 0.0
+
+
+def test_metadata_sample_indexed_fields_rescaled():
+    """cue positions, smpl period/loops, and bext TimeReference must scale
+    to the output rate (a 1.000 s marker stays at 1.000 s)."""
+    import struct as _st
+
+    from f9tpu.io.wav import scale_metadata_chunks
+
+    cue = _st.pack("<I", 1) + _st.pack("<IIIIII", 1, 44100, 0x61746164,
+                                       0, 0, 44100)
+    smpl = bytearray(36 + 24)
+    _st.pack_into("<I", smpl, 8, int(round(1e9 / 44100)))
+    _st.pack_into("<I", smpl, 28, 1)
+    _st.pack_into("<II", smpl, 36 + 8, 22050, 44100)
+    bext = bytearray(602)
+    _st.pack_into("<Q", bext, 338, 44100 * 3600)     # 1 h since midnight
+    chunks = [(b"cue ", cue), (b"smpl", bytes(smpl)), (b"bext", bytes(bext))]
+    out = dict(scale_metadata_chunks(chunks, 44100, 48000))
+
+    pos = _st.unpack_from("<I", out[b"cue "], 4 + 4)[0]
+    off = _st.unpack_from("<I", out[b"cue "], 4 + 20)[0]
+    assert pos == off == 48000                       # 1.000 s at 48 k
+    assert _st.unpack_from("<I", out[b"smpl"], 8)[0] == int(round(1e9 / 48000))
+    lo, hi = _st.unpack_from("<II", out[b"smpl"], 36 + 8)
+    assert (lo, hi) == (24000, 48000)
+    assert _st.unpack_from("<Q", out[b"bext"], 338)[0] == 48000 * 3600
+    # same-rate passthrough is identity
+    assert scale_metadata_chunks(chunks, 48000, 48000) is chunks
