@@ -990,3 +990,26 @@ def test_batch_result_per_file_metrics(tmp_path):
         assert -30.0 < m["peak_db"] < 0.0        # ~0.4 amplitude sines
         assert -30.0 < m["rms_db"] < m["peak_db"] + 0.1
         assert m["noise_floor_db"] <= m["rms_db"]
+
+
+def test_outputs_invariant_to_batch_grouping(tmp_path):
+    """The dither contract's strongest claim, tested directly: the same
+    seeded files produce byte-identical outputs whether they are processed
+    one per batch or all in one batch (noise keys carry no batch geometry)."""
+    (tmp_path / "in").mkdir(exist_ok=True)
+    paths = make_lib(tmp_path / "in", n=4)
+
+    def run(out, batch_size):
+        cfg = ProcessingConfig(output_dir=str(tmp_path / out),
+                               target_rate=48000, quality="low", seed=7,
+                               batch_size=batch_size,
+                               bucket_frames=(1 << 14, 1 << 16))
+        assert BatchProcessor(cfg).run(paths).completed == 4
+        return {p: open(build_output_path(p, str(tmp_path / out),
+                                          cfg.postfix), "rb").read()
+                for p in paths}
+
+    a = run("o1", 1)
+    b = run("o2", 4)
+    for p in paths:
+        assert a[p] == b[p], p
