@@ -86,12 +86,18 @@ def k_weighting_ir() -> np.ndarray:
 
 
 def k_weight(x: jax.Array) -> jax.Array:
-    """Apply the 48 kHz K-weighting cascade along the last axis (causal FIR
-    on the MXU, precision HIGHEST; the IR is truncated well under the direct
-    form's economic limit)."""
-    from .chain import _direct_convolve
+    """Apply the 48 kHz K-weighting cascade along the last axis.
 
-    return _direct_convolve(x, k_weighting_ir().astype(np.float32))
+    The ~5k-tap IR makes the direct MXU form cost ~1 GFLOP/second of audio
+    (measured ~2 s for a 30 s stereo file); above a short-signal threshold
+    the partitioned-FFT convolver is ~20x cheaper, so metering stays a
+    negligible add-on to normalization runs."""
+    from .chain import _direct_convolve, fft_convolve
+
+    h = k_weighting_ir().astype(np.float32)
+    if x.shape[-1] <= (1 << 16):
+        return _direct_convolve(x, h)
+    return fft_convolve(x, h)
 
 
 def _bucket(n: int, lo: int = 64) -> int:
