@@ -298,7 +298,28 @@ def cmd_selftest(args) -> int:
     rep = run_loop_test(args.rate_in, args.rate, quality=args.quality,
                         kind=args.kind)
     print(f"{rep.verdict.value}: {rep.detail}")
-    return 0 if rep.verdict.value == "loop_detected" else 1
+    ok = rep.verdict.value == "loop_detected"
+    if getattr(args, "parity", False):
+        # numerical self-check: the device SRC vs the float64 host oracle on
+        # fresh noise — catches a silently miscompiling/misbehaving device
+        # (the deeper analogue of the reference's 1 kHz loop listen)
+        from .models.oracle import resample_oracle
+        from .ops.resample import resample_rates
+
+        rng = np.random.default_rng(0)
+        x = (0.25 * rng.standard_normal(args.rate_in // 2)).astype(np.float32)
+        y = np.asarray(resample_rates(x, args.rate_in, args.rate,
+                                      quality=args.quality, kind=args.kind))
+        ref = resample_oracle(x, args.rate_in, args.rate,
+                              quality=args.quality, kind=args.kind)
+        err = y.astype(np.float64) - ref
+        db = 20 * np.log10(np.sqrt((err**2).mean())
+                           / np.sqrt((ref**2).mean()) + 1e-30)
+        good = db <= -120.0
+        print(f"parity: {db:.1f} dB RMS vs float64 oracle "
+              f"[{'OK' if good else 'FAIL (target -120)'}]")
+        ok = ok and good
+    return 0 if ok else 1
 
 
 def cmd_stream(args) -> int:
@@ -558,6 +579,9 @@ def main(argv: list[str] | None = None) -> int:
 
     p = sub.add_parser("selftest", help="device loop test (1 kHz tone)")
     p.add_argument("--rate-in", type=int, default=48000)
+    p.add_argument("--parity", action="store_true",
+                   help="also verify device SRC parity vs the float64 "
+                        "oracle (<= -120 dB)")
     _add_common_src_args(p)
     p.set_defaults(fn=cmd_selftest)
 

@@ -267,3 +267,11 @@ def test_cli_probe_json_keeps_stream_clean_on_error(tmp_path, capsys):
     assert len(rows) == 2
     assert rows[0]["sample_rate"] == 44100
     assert "error" in rows[1]
+
+
+def test_cli_selftest_parity(capsys):
+    rc = main(["selftest", "--rate-in", "44100", "--rate", "48000",
+               "--quality", "low", "--parity"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "loop_detected" in out and "parity:" in out and "[OK]" in out
