@@ -99,15 +99,19 @@ def _build_chain(args):
         q = float(parts[2]) if len(parts) > 2 else 0.70710678
         gain = float(parts[3]) if len(parts) > 3 else 0.0
         stages.append(Biquad(kind, freq, q=q, gain_db=gain))
-    if getattr(args, "chain_fir", None):
-        taps, taps_rate = codec.read_audio(args.chain_fir)
-        if taps_rate != args.rate:
-            # same treatment as IRs: a filter captured at another rate keeps
-            # its frequency response by oracle-resampling to the session rate
+    def _read_at_session_rate(path):
+        # filters/IRs captured at another rate keep their frequency response
+        # by oracle-resampling (host float64, exact) to the session rate
+        arr, arr_rate = codec.read_audio(path)
+        if arr_rate != args.rate:
             from .models.oracle import resample_oracle
 
-            taps = resample_oracle(taps.astype(np.float64), taps_rate,
-                                   args.rate).astype(np.float32)
+            arr = resample_oracle(arr.astype(np.float64), arr_rate,
+                                  args.rate).astype(np.float32)
+        return arr
+
+    if getattr(args, "chain_fir", None):
+        taps = _read_at_session_rate(args.chain_fir)
         stages.append(FIRInsert(taps[0]))
     if getattr(args, "chain_comp", None):
         parts = str(args.chain_comp).split(":")
@@ -140,14 +144,7 @@ def _build_chain(args):
         except ValueError as e:
             raise SystemExit(f"--chain-width: {e}")
     if getattr(args, "chain_ir", None):
-        ir, ir_rate = codec.read_audio(args.chain_ir)
-        if ir_rate != args.rate:
-            # IRs are calibrated captures; resample to the session rate with
-            # the float64 oracle (host-side, exact) rather than erroring out
-            from .models.oracle import resample_oracle
-
-            ir = resample_oracle(ir.astype(np.float64), ir_rate,
-                                 args.rate).astype(np.float32)
+        ir = _read_at_session_rate(args.chain_ir)
         if ir.shape[0] == 1:
             ir = ir[0]
         stages.append(ConvolutionReverb(ir, wet=args.chain_wet,
@@ -169,7 +166,13 @@ def _apply_config_file(parser, argv) -> None:
         return
     with open(path) as f:
         data = json.load(f)
-    parser.set_defaults(**{k: v for k, v in data.items() if k in _CONFIG_KEYS})
+    vals = {k: v for k, v in data.items() if k in _CONFIG_KEYS}
+    # append-action options (--chain-eq) would MERGE a config default with
+    # explicit command-line values; when the user passed the flag, the
+    # config's list must not contribute ("command line always wins")
+    if any(a == "--chain-eq" or a.startswith("--chain-eq=") for a in argv):
+        vals.pop("chain_eq", None)
+    parser.set_defaults(**vals)
 
 
 def _save_config(args) -> None:

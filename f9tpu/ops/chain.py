@@ -285,16 +285,23 @@ class Biquad:
             return cached
         b, a = self.coefficients(rate)
         n_max = max(16, int(self.max_ir_seconds * rate))
-        # direct-form recursion in float64 (host, exact)
+        # direct-form recursion in float64 (host, exact).  Truncation uses a
+        # pole-radius envelope tracker, NOT consecutive small samples: a
+        # high-Q low-frequency section's IR passes through zero every
+        # half-period while its envelope is still large, and the old
+        # two-small-samples test cut such tails at -69 dB (measured).
+        r = min(0.999999, float(np.sqrt(max(a[2], 0.0))))
         h = np.zeros(n_max)
         x1 = x2 = y1 = y2 = 0.0
+        env = 0.0
         for n in range(n_max):
             xn = 1.0 if n == 0 else 0.0
             yn = b[0] * xn + b[1] * x1 + b[2] * x2 - a[1] * y1 - a[2] * y2
             h[n] = yn
             x2, x1 = x1, xn
             y2, y1 = y1, yn
-            if n > 8 and abs(yn) < 1e-10 and abs(y1) < 1e-10:
+            env = max(abs(yn), env * r)
+            if n > 8 and env < 1e-10:
                 h = h[: n + 1]
                 break
         self._ir_cache[rate] = h
@@ -558,11 +565,16 @@ class ConvolutionReverb:
         n_ir = self.ir.shape[0]
         if n_ir == 1:
             wet = fft_convolve(y, self.ir[0])
+        elif y.ndim < 2:
+            # the 1-D calibration impulse: measure through the FIRST IR
+            # channel (group delay is per-unit, not per-channel; without
+            # this, a true-stereo IR crashed the whole batch in calibration)
+            wet = fft_convolve(y, self.ir[0])
         else:
-            if y.ndim < 2 or y.shape[-2] != n_ir:
+            if y.shape[-2] != n_ir:
                 raise ValueError(
                     f"multichannel IR has {n_ir} channels but the signal's "
-                    f"channel axis is {y.shape[-2] if y.ndim > 1 else 1}")
+                    f"channel axis is {y.shape[-2]}")
             wet = jnp.stack(
                 [fft_convolve(y[..., c, :], self.ir[c]) for c in range(n_ir)],
                 axis=-2)

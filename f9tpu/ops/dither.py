@@ -78,6 +78,16 @@ def channel_seeds(seeds: jax.Array, channels) -> jax.Array:
     return seeds.astype(jnp.uint32)[..., None] ^ (c * jnp.uint32(0x9E3779B9))
 
 
+def file_seed(base_seed: int, path: str) -> int:
+    """Deterministic per-file noise seed from (run seed, file path) — the ONE
+    derivation both the batch scheduler and the streaming path use, so the
+    same file draws the same noise however it is processed."""
+    import zlib
+
+    return (zlib.crc32(path.encode())
+            ^ ((base_seed * 2654435761) & 0xFFFFFFFF)) & 0x7FFFFFFF
+
+
 def noise_seeds(key: jax.Array, files: int) -> jax.Array:
     """Normalise the graph's ``key`` argument (one PRNG key | per-file int32
     seed vector) to per-file uint32 hash seeds for `tpdf_noise`."""

@@ -95,6 +95,10 @@ def render_playlist(
     if monitor:
         if len(tuple(monitor_channels)) != 2:
             raise ValueError("monitor_channels must be exactly two channels")
+        if monitor_channels[0] == monitor_channels[1]:
+            # numpy fancy-index accumulation with duplicate indices applies
+            # only the LAST row (the left monitor send would silently vanish)
+            raise ValueError("monitor_channels must be two DISTINCT channels")
         ml, mr = monitor_channels
         if not (0 <= ml < output_channels and 0 <= mr < output_channels):
             raise ValueError(

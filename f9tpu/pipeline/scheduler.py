@@ -23,7 +23,6 @@ import queue
 import struct
 import threading
 import time
-import zlib
 
 import jax
 import jax.numpy as jnp
@@ -399,8 +398,9 @@ class BatchProcessor:
                      else int(time.time()) & 0x7FFFFFFF)
 
         def file_seed(path: str) -> int:
-            return (zlib.crc32(path.encode())
-                    ^ ((base_seed * 2654435761) & 0xFFFFFFFF)) & 0x7FFFFFFF
+            from ..ops.dither import file_seed as _fs
+
+            return _fs(base_seed, path)
 
         for (rate_in, channels, raw_bits, raw_be), infos in groups.items():
             if stop_event.is_set():

@@ -162,12 +162,11 @@ def stream_resample_file(
         # batch scheduler does, so the SAME file streamed or batch-processed
         # emits byte-identical output (noise is keyed by absolute output
         # frame position, chunk-size invariant — ops/dither.py)
-        import zlib
+        from ..ops.dither import file_seed
 
         base_seed = (cfg.seed if cfg.seed is not None
                      else int(time.time()) & 0x7FFFFFFF)
-        seed32 = (zlib.crc32(in_path.encode())
-                  ^ ((base_seed * 2654435761) & 0xFFFFFFFF)) & 0x7FFFFFFF
+        seed32 = file_seed(base_seed, in_path)
         seeds_c = dither.channel_seeds(jnp.uint32(seed32),
                                        reader.num_channels)
         written = 0
