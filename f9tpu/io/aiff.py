@@ -223,6 +223,81 @@ def write_aiff_codes(path: str, codes: np.ndarray, rate: int,
                       channels, frames, rate, bits)
 
 
+def read_extra_chunks_aiff(path: str, max_bytes: int = 1 << 24) -> list:
+    """Metadata chunks worth carrying through processing (NAME/AUTH/(c)/ANNO
+    text, COMT comments, MARK markers, INST instrument), as
+    ``[(chunk_id, payload_bytes), ...]``; oversized (corrupt-size) chunks
+    are skipped."""
+    keep = (b"NAME", b"AUTH", b"(c) ", b"ANNO", b"COMT", b"MARK", b"INST")
+    with open(path, "rb") as f:
+        raw = f.read()
+    buf = memoryview(raw)
+    if len(raw) < 12 or bytes(buf[0:4]) != b"FORM" \
+            or bytes(buf[8:12]) not in (b"AIFF", b"AIFC"):
+        raise ValueError(f"{path}: not an AIFF/AIFC file")
+    out = []
+    for cid, off, size in _chunks(buf, 12, len(raw)):
+        if cid in keep and size <= max_bytes and off + size <= len(raw):
+            out.append((cid, bytes(buf[off : off + size])))
+    return out
+
+
+def scale_metadata_chunks_aiff(chunks: list, rate_in: int,
+                               rate_out: int) -> list:
+    """Rescale MARK marker positions (the only sample-indexed AIFF metadata
+    carried) to the output rate; INST references markers by id, text chunks
+    are rate-agnostic — both pass verbatim.  Malformed structures pass
+    verbatim (best effort)."""
+    if rate_in == rate_out:
+        return chunks
+    out = []
+    for cid, payload in chunks:
+        if cid == b"MARK" and len(payload) >= 2:
+            try:
+                b = bytearray(payload)
+                (n,) = struct.unpack_from(">H", b, 0)
+                pos = 2
+                for _ in range(n):
+                    if pos + 6 > len(b):
+                        break
+                    (p,) = struct.unpack_from(">I", b, pos + 2)
+                    struct.pack_into(
+                        ">I", b, pos + 2,
+                        int(round(p * rate_out / rate_in)) & 0xFFFFFFFF)
+                    # skip id(2) + position(4) + pstring name (padded even)
+                    name_len = b[pos + 6] if pos + 6 < len(b) else 0
+                    pos += 6 + 1 + name_len
+                    pos += pos & 1
+                payload = bytes(b)
+            except struct.error:
+                pass
+        out.append((cid, payload))
+    return out
+
+
+def append_chunks_aiff(path: str, chunks: list) -> None:
+    """Append metadata chunks to an existing AIFF and patch the FORM size;
+    truncates back to the original valid file on a mid-write failure."""
+    if not chunks:
+        return
+    with open(path, "r+b") as f:
+        f.seek(0, 2)
+        end0 = f.tell()
+        try:
+            if end0 & 1:
+                f.write(b"\x00")
+            for cid, payload in chunks:
+                f.write(cid + struct.pack(">I", len(payload)) + payload)
+                if len(payload) & 1:
+                    f.write(b"\x00")
+            total = f.tell()
+            f.seek(4)
+            f.write(struct.pack(">I", total - 8))
+        except OSError:
+            f.truncate(end0)
+            raise
+
+
 class AiffWriter:
     """Incremental 16/24/32-bit big-endian AIFF writer; the FORM/COMM/SSND
     sizes are patched on close — the streaming path's AIFF twin of

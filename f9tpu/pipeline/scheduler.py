@@ -356,15 +356,25 @@ class BatchProcessor:
                                       else wav.write_wav_codes)
                             writer(out_path, codes[:, :out_frames], rate_out,
                                    bits=cfg.bits)
-                        if (cfg.keep_metadata
-                                and cfg.output_format == "wav"
-                                and path.lower().endswith(".wav")):
+                        if cfg.keep_metadata:
+                            # same-container passthrough only (chunk formats
+                            # don't translate across RIFF <-> IFF)
+                            src_wav = path.lower().endswith(".wav")
+                            r_in = metrics.get("rate_in", rate_out)
                             try:
-                                chunks = wav.scale_metadata_chunks(
-                                    wav.read_extra_chunks(path),
-                                    metrics.get("rate_in", rate_out),
-                                    rate_out)
-                                wav.append_chunks(out_path, chunks)
+                                if src_wav and cfg.output_format == "wav":
+                                    wav.append_chunks(
+                                        out_path,
+                                        wav.scale_metadata_chunks(
+                                            wav.read_extra_chunks(path),
+                                            r_in, rate_out))
+                                elif (not src_wav
+                                      and cfg.output_format == "aiff"):
+                                    aiff.append_chunks_aiff(
+                                        out_path,
+                                        aiff.scale_metadata_chunks_aiff(
+                                            aiff.read_extra_chunks_aiff(path),
+                                            r_in, rate_out))
                             except (ValueError, OSError) as err:
                                 self.log.append(
                                     f"Metadata passthrough skipped for "

@@ -539,3 +539,40 @@ def test_metadata_sample_indexed_fields_rescaled():
     assert _st.unpack_from("<Q", out[b"bext"], 338)[0] == 48000 * 3600
     # same-rate passthrough is identity
     assert scale_metadata_chunks(chunks, 48000, 48000) is chunks
+
+
+def test_aiff_metadata_passthrough(tmp_path):
+    """aiff -> aiff with --keep-metadata: NAME/ANNO carried verbatim, MARK
+    positions rescaled to the output rate."""
+    import struct as _st
+
+    from f9tpu.config import ProcessingConfig
+    from f9tpu.io.aiff import (append_chunks_aiff, read_aiff,
+                               read_extra_chunks_aiff, write_aiff)
+    from f9tpu.pipeline import BatchProcessor
+
+    (tmp_path / "in").mkdir()
+    x = (0.2 * np.random.default_rng(1).standard_normal((2, 44100))
+         ).astype(np.float32)
+    src = str(tmp_path / "in" / "m.aiff")
+    write_aiff(src, x, 44100, bits=24)
+    name = b"Session take 3"
+    # one marker at sample 44100 (1.000 s), pstring name "hit" (len 3 + pad)
+    mark = _st.pack(">H", 1) + _st.pack(">HI", 1, 44100) + b"\x03hit"
+    append_chunks_aiff(src, [(b"NAME", name), (b"MARK", mark)])
+    got = dict(read_extra_chunks_aiff(src))
+    assert got[b"NAME"] == name and b"MARK" in got
+    y0, r0 = read_aiff(src)                  # reader unaffected
+    assert r0 == 44100 and y0.shape == x.shape
+
+    cfg = ProcessingConfig(output_dir=str(tmp_path / "out"), target_rate=48000,
+                           quality="low", seed=1, keep_metadata=True,
+                           output_format="aiff")
+    assert BatchProcessor(cfg).run([src]).completed == 1
+    out = str(tmp_path / "out" / "m_processed.aiff")
+    carried = dict(read_extra_chunks_aiff(out))
+    assert carried[b"NAME"] == name
+    pos = _st.unpack_from(">I", carried[b"MARK"], 4)[0]
+    assert pos == 48000                      # 1.000 s at the output rate
+    y, r = read_aiff(out)
+    assert r == 48000 and y.shape[1] == 48000
