@@ -217,6 +217,15 @@ def stream_resample_file(
                     progress_cb(min(1.0, start / max(T, 1)))
                 if written >= out_total:
                     break
+        if cfg.keep_metadata and cfg.output_format == "wav":
+            from ..io.wav import (append_chunks, read_extra_chunks,
+                                  scale_metadata_chunks)
+
+            try:
+                append_chunks(out_path, scale_metadata_chunks(
+                    read_extra_chunks(in_path), rate_in, cfg.target_rate))
+            except (ValueError, OSError):
+                pass      # metadata is best-effort; the audio is complete
         return written
 
 

@@ -576,3 +576,25 @@ def test_aiff_metadata_passthrough(tmp_path):
     assert pos == 48000                      # 1.000 s at the output rate
     y, r = read_aiff(out)
     assert r == 48000 and y.shape[1] == 48000
+
+
+def test_stream_metadata_passthrough(tmp_path):
+    import struct as _st
+
+    from f9tpu.config import ProcessingConfig
+    from f9tpu.io import write_wav
+    from f9tpu.io.wav import append_chunks, read_extra_chunks
+    from f9tpu.pipeline import stream_resample_file
+
+    x = (0.2 * np.random.default_rng(2).standard_normal((2, 44100))
+         ).astype(np.float32)
+    src = str(tmp_path / "s.wav")
+    write_wav(src, x, 44100, bits=24)
+    bext = b"Streamed".ljust(602, b"\x00")
+    append_chunks(src, [(b"bext", bext)])
+    cfg = ProcessingConfig(output_dir=str(tmp_path), target_rate=48000,
+                           quality="low", seed=1, keep_metadata=True)
+    out = str(tmp_path / "s48.wav")
+    n = stream_resample_file(src, out, cfg, chunk_seconds=0.3)
+    assert n == 48000
+    assert (b"bext", bext) in read_extra_chunks(out)
