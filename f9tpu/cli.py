@@ -337,6 +337,7 @@ def cmd_stream(args) -> int:
         remove_dc=not args.keep_dc,
         output_dir=os.path.dirname(os.path.abspath(args.out)) or ".",
         output_format=getattr(args, "output_format", "wav"),
+        keep_metadata=getattr(args, "keep_metadata", False),
         seed=None if args.seed == -1 else args.seed,
     )
     last = [0]
@@ -545,6 +546,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--bits", type=int, default=24, choices=[16, 24, 32])
     p.add_argument("--format", dest="output_format", default="wav",
                    choices=["wav", "aiff"], help="output container")
+    p.add_argument("--keep-metadata", action="store_true",
+                   help="carry bext/LIST/cue metadata (WAV outputs)")
     p.add_argument("--seed", type=int, default=0,
                    help="dither seed (-1 = wall clock, non-reproducible)")
     p.add_argument("--no-dither", action="store_true")
