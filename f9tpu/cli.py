@@ -461,8 +461,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--bits", type=int, default=24, choices=[16, 24, 32])
     p.add_argument("--postfix", default="_processed")
     p.add_argument("--keep-metadata", action="store_true",
-                   help="carry bext/LIST/cue/smpl/iXML metadata chunks from "
-                        "WAV sources into WAV outputs")
+                   help="carry metadata chunks into same-container outputs "
+                        "(WAV bext/LIST/cue/smpl/iXML; AIFF NAME/MARK/INST), "
+                        "sample positions rescaled to the output rate")
     p.add_argument("--format", dest="output_format", default="wav",
                    choices=["wav", "aiff"],
                    help="output container (wav = reference behaviour)")

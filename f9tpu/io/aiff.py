@@ -228,18 +228,11 @@ def read_extra_chunks_aiff(path: str, max_bytes: int = 1 << 24) -> list:
     text, COMT comments, MARK markers, INST instrument), as
     ``[(chunk_id, payload_bytes), ...]``; oversized (corrupt-size) chunks
     are skipped."""
+    from .wav import _seek_kept_chunks
+
     keep = (b"NAME", b"AUTH", b"(c) ", b"ANNO", b"COMT", b"MARK", b"INST")
-    with open(path, "rb") as f:
-        raw = f.read()
-    buf = memoryview(raw)
-    if len(raw) < 12 or bytes(buf[0:4]) != b"FORM" \
-            or bytes(buf[8:12]) not in (b"AIFF", b"AIFC"):
-        raise ValueError(f"{path}: not an AIFF/AIFC file")
-    out = []
-    for cid, off, size in _chunks(buf, 12, len(raw)):
-        if cid in keep and size <= max_bytes and off + size <= len(raw):
-            out.append((cid, bytes(buf[off : off + size])))
-    return out
+    return _seek_kept_chunks(path, (b"FORM", (b"AIFF", b"AIFC"), "AIFF/AIFC"),
+                             keep, True, max_bytes)
 
 
 def scale_metadata_chunks_aiff(chunks: list, rate_in: int,
@@ -278,24 +271,9 @@ def scale_metadata_chunks_aiff(chunks: list, rate_in: int,
 def append_chunks_aiff(path: str, chunks: list) -> None:
     """Append metadata chunks to an existing AIFF and patch the FORM size;
     truncates back to the original valid file on a mid-write failure."""
-    if not chunks:
-        return
-    with open(path, "r+b") as f:
-        f.seek(0, 2)
-        end0 = f.tell()
-        try:
-            if end0 & 1:
-                f.write(b"\x00")
-            for cid, payload in chunks:
-                f.write(cid + struct.pack(">I", len(payload)) + payload)
-                if len(payload) & 1:
-                    f.write(b"\x00")
-            total = f.tell()
-            f.seek(4)
-            f.write(struct.pack(">I", total - 8))
-        except OSError:
-            f.truncate(end0)
-            raise
+    from .wav import _append_chunks_generic
+
+    _append_chunks_generic(path, chunks, big_endian=True)
 
 
 class AiffWriter:

@@ -118,24 +118,69 @@ def _scan_wav_header(f, path: str):
     return fmt, data_off, data_size
 
 
+def _seek_kept_chunks(path: str, magics: tuple, keep: tuple,
+                      big_endian: bool, max_bytes: int) -> list:
+    """Seek-based metadata collection shared by the WAV and AIFF readers:
+    reads only the 8-byte chunk headers plus the kept payloads — the input
+    may be bigger than RAM (the streaming path's constant-memory contract),
+    so the file is NEVER slurped whole."""
+    fmt = ">I" if big_endian else "<I"
+    out = []
+    with open(path, "rb") as f:
+        head = f.read(12)
+        if len(head) < 12 or head[0:4] != magics[0] \
+                or head[8:12] not in magics[1]:
+            raise ValueError(f"{path}: not a {magics[2]} file")
+        while True:
+            hdr = f.read(8)
+            if len(hdr) < 8:
+                break
+            cid = hdr[0:4]
+            (size,) = struct.unpack(fmt, hdr[4:8])
+            pos = f.tell()
+            if cid in keep and size <= max_bytes:
+                payload = f.read(size)
+                if len(payload) == size:
+                    out.append((cid, payload))
+            f.seek(pos + size + (size & 1))
+    return out
+
+
+def _append_chunks_generic(path: str, chunks: list, big_endian: bool) -> None:
+    """Append metadata chunks and patch the container size (RIFF or FORM);
+    truncates back to the original, valid file on a mid-write failure."""
+    if not chunks:
+        return
+    fmt = ">I" if big_endian else "<I"
+    with open(path, "r+b") as f:
+        f.seek(0, 2)
+        end0 = f.tell()
+        try:
+            if end0 & 1:
+                f.write(b"\x00")
+            for cid, payload in chunks:
+                f.write(cid + struct.pack(fmt, len(payload)) + payload)
+                if len(payload) & 1:
+                    f.write(b"\x00")
+            total = f.tell()
+            f.seek(4)
+            f.write(struct.pack(fmt, total - 8))
+        except OSError:
+            f.truncate(end0)     # restore a valid file (metadata dropped)
+            raise
+
+
 def read_extra_chunks(path: str, max_bytes: int = 1 << 24) -> list:
     """Metadata chunks worth carrying through processing (Broadcast-WAV
     'bext', 'LIST'/INFO, 'cue ', 'smpl', 'iXML', 'axml', 'ID3 '), as
     ``[(chunk_id: bytes, payload: bytes), ...]`` in file order.  Oversized
     chunks (> max_bytes) are skipped — they are almost certainly corrupt
-    sizes, and a bad size must not buffer gigabytes."""
+    sizes, and a bad size must not buffer gigabytes.  Seek-based: safe on
+    files bigger than RAM."""
     keep = (b"bext", b"LIST", b"cue ", b"smpl", b"iXML", b"axml", b"ID3 ",
             b"_PMX")
-    with open(path, "rb") as f:
-        raw = f.read()
-    buf = memoryview(raw)
-    if len(raw) < 12 or bytes(buf[0:4]) != _RIFF or bytes(buf[8:12]) != _WAVE:
-        raise ValueError(f"{path}: not a RIFF/WAVE file")
-    out = []
-    for cid, off, size in _iter_chunks(buf, 12, len(raw)):
-        if cid in keep and size <= max_bytes and off + size <= len(raw):
-            out.append((cid, bytes(buf[off : off + size])))
-    return out
+    return _seek_kept_chunks(path, (_RIFF, (_WAVE,), "RIFF/WAVE"), keep,
+                             False, max_bytes)
 
 
 def scale_metadata_chunks(chunks: list, rate_in: int, rate_out: int) -> list:
@@ -195,26 +240,7 @@ def append_chunks(path: str, chunks: list) -> None:
     (chunk order after 'data' is legal RIFF; every mainstream reader walks
     chunks).  On any mid-write failure the file is truncated back to its
     original, valid length before the error propagates."""
-    if not chunks:
-        return
-    with open(path, "r+b") as f:
-        f.seek(0, 2)
-        end0 = f.tell()
-        try:
-            end = end0
-            if end & 1:
-                f.write(b"\x00")
-                end += 1
-            for cid, payload in chunks:
-                f.write(cid + struct.pack("<I", len(payload)) + payload)
-                if len(payload) & 1:
-                    f.write(b"\x00")
-            total = f.tell()
-            f.seek(4)
-            f.write(struct.pack("<I", total - 8))
-        except OSError:
-            f.truncate(end0)     # restore a valid file (metadata dropped)
-            raise
+    _append_chunks_generic(path, chunks, big_endian=False)
 
 
 def probe_wav(path: str) -> AudioFileInfo:

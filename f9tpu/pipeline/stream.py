@@ -171,8 +171,10 @@ def stream_resample_file(
                                        reader.num_channels)
         written = 0
         if mesh is not None:
-            return _stream_sharded(reader, out_path, cfg, bank, chunk_in,
-                                   mesh, mean, seeds_c, progress_cb)
+            n = _stream_sharded(reader, out_path, cfg, bank, chunk_in,
+                                mesh, mean, seeds_c, progress_cb)
+            _carry_metadata(in_path, out_path, cfg, rate_in)
+            return n
         carry_frames = 0
         if cfg.chain is not None:
             carry_frames = int(cfg.chain.tail_frames(cfg.target_rate))
@@ -217,16 +219,23 @@ def stream_resample_file(
                     progress_cb(min(1.0, start / max(T, 1)))
                 if written >= out_total:
                     break
-        if cfg.keep_metadata and cfg.output_format == "wav":
-            from ..io.wav import (append_chunks, read_extra_chunks,
-                                  scale_metadata_chunks)
-
-            try:
-                append_chunks(out_path, scale_metadata_chunks(
-                    read_extra_chunks(in_path), rate_in, cfg.target_rate))
-            except (ValueError, OSError):
-                pass      # metadata is best-effort; the audio is complete
+        _carry_metadata(in_path, out_path, cfg, rate_in)
         return written
+
+
+def _carry_metadata(in_path: str, out_path: str, cfg, rate_in: int) -> None:
+    """Best-effort --keep-metadata for the streaming path (WAV->WAV; the
+    reader walk is seek-based, so inputs bigger than RAM stay safe)."""
+    if not (cfg.keep_metadata and cfg.output_format == "wav"):
+        return
+    from ..io.wav import (append_chunks, read_extra_chunks,
+                          scale_metadata_chunks)
+
+    try:
+        append_chunks(out_path, scale_metadata_chunks(
+            read_extra_chunks(in_path), rate_in, cfg.target_rate))
+    except (ValueError, OSError, MemoryError):
+        pass      # metadata is best-effort; the audio is complete
 
 
 @functools.partial(jax.jit, static_argnames=("bits", "do_dither", "gain_db"))
