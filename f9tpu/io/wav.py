@@ -26,9 +26,25 @@ _RIFF = b"RIFF"
 _WAVE = b"WAVE"
 _FMT = b"fmt "
 _DATA = b"data"
+_RF64 = b"RF64"
+_BW64 = b"BW64"     # EBU Tech 3306 alias of RF64
+_DS64 = b"ds64"
+_JUNK = b"JUNK"
+_RIFF_MAGICS = (_RIFF, _RF64, _BW64)
+_SIZE_SENTINEL = 0xFFFFFFFF   # 32-bit size fields of an RF64 file hold this;
+# real 64-bit sizes live in the ds64 chunk (EBU Tech 3306, what JUCE's
+# WavAudioFormat emits transparently — the behaviour the reference relies on,
+# Source/MainComponent.cpp:784-801)
+_DS64_SLOT = 36               # ds64/JUNK chunk bytes: 8 header + 28 payload
 WAVE_FORMAT_PCM = 1
 WAVE_FORMAT_IEEE_FLOAT = 3
 WAVE_FORMAT_EXTENSIBLE = 0xFFFE
+# KSDATAFORMAT_SUBTYPE_* GUID = <format tag as first 4 LE bytes> + fixed tail
+_GUID_TAIL = b"\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+#: standard dwChannelMask speaker layouts by channel count (quad, 5.0, 5.1,
+#: 6.1, 7.1); other counts get 0 = "positions unspecified", which is legal
+#: and what MCFX-style discrete-bus deliverables want
+_SPEAKER_MASKS = {3: 0x7, 4: 0x33, 5: 0x37, 6: 0x3F, 7: 0x70F, 8: 0x63F}
 
 
 @dataclasses.dataclass(frozen=True)
@@ -65,20 +81,31 @@ def _iter_chunks(buf: memoryview, start: int, end: int):
 
 
 def _parse_wav(buf: memoryview, path: str):
-    if bytes(buf[0:4]) != _RIFF or bytes(buf[8:12]) != _WAVE:
+    if bytes(buf[0:4]) not in _RIFF_MAGICS or bytes(buf[8:12]) != _WAVE:
         raise ValueError(f"{path}: not a RIFF/WAVE file")
     fmt = None
     data_off = data_size = None
-    for cid, off, size in _iter_chunks(buf, 12, len(buf)):
-        if cid == _FMT:
+    ds64_data = None
+    pos = 12
+    end = len(buf)
+    while pos + 8 <= end:
+        cid = bytes(buf[pos : pos + 4])
+        (size,) = struct.unpack_from("<I", buf, pos + 4)
+        off = pos + 8
+        if cid == _DS64 and size >= 28:
+            _riff64, ds64_data, _samples = struct.unpack_from("<QQQ", buf, off)
+        elif cid == _FMT:
             tag, channels, rate, _, block_align, bits = struct.unpack_from("<HHIIHH", buf, off)
             if tag == WAVE_FORMAT_EXTENSIBLE and size >= 40:
                 (sub,) = struct.unpack_from("<H", buf, off + 24)
                 tag = sub
             fmt = (tag, channels, rate, block_align, bits)
         elif cid == _DATA:
+            if size == _SIZE_SENTINEL and ds64_data is not None:
+                size = ds64_data   # RF64: real 64-bit size from ds64
             data_off, data_size = off, size  # declared size (file may extend
             # beyond this buffer; callers clamp to what they actually hold)
+        pos = off + size + (size & 1)
     if fmt is None or data_off is None:
         raise ValueError(f"{path}: missing fmt/data chunk")
     return fmt, data_off, data_size
@@ -89,10 +116,11 @@ def _scan_wav_header(f, path: str):
     without reading chunk payloads, so metadata chunks of any size (e.g.
     Broadcast-WAV 'bext') before 'data' are skipped correctly."""
     head = f.read(12)
-    if len(head) < 12 or head[0:4] != _RIFF or head[8:12] != _WAVE:
+    if len(head) < 12 or head[0:4] not in _RIFF_MAGICS or head[8:12] != _WAVE:
         raise ValueError(f"{path}: not a RIFF/WAVE file")
     fmt = None
     data_off = data_size = None
+    ds64_data = None
     while True:
         hdr = f.read(8)
         if len(hdr) < 8:
@@ -100,7 +128,10 @@ def _scan_wav_header(f, path: str):
         cid = hdr[0:4]
         (size,) = struct.unpack("<I", hdr[4:8])
         pos = f.tell()
-        if cid == _FMT:
+        if cid == _DS64 and size >= 28:
+            payload = f.read(24)
+            _riff64, ds64_data, _samples = struct.unpack("<QQQ", payload)
+        elif cid == _FMT:
             payload = f.read(min(size, 64))
             tag, channels, rate, _, block_align, bits = struct.unpack_from(
                 "<HHIIHH", payload, 0)
@@ -109,6 +140,8 @@ def _scan_wav_header(f, path: str):
                 tag = sub
             fmt = (tag, channels, rate, block_align, bits)
         elif cid == _DATA:
+            if size == _SIZE_SENTINEL and ds64_data is not None:
+                size = ds64_data   # RF64: real 64-bit size from ds64
             data_off, data_size = pos, size
             if fmt is not None:
                 break
@@ -126,9 +159,10 @@ def _seek_kept_chunks(path: str, magics: tuple, keep: tuple,
     so the file is NEVER slurped whole."""
     fmt = ">I" if big_endian else "<I"
     out = []
+    ds64_data = None
     with open(path, "rb") as f:
         head = f.read(12)
-        if len(head) < 12 or head[0:4] != magics[0] \
+        if len(head) < 12 or head[0:4] not in magics[0] \
                 or head[8:12] not in magics[1]:
             raise ValueError(f"{path}: not a {magics[2]} file")
         while True:
@@ -138,7 +172,12 @@ def _seek_kept_chunks(path: str, magics: tuple, keep: tuple,
             cid = hdr[0:4]
             (size,) = struct.unpack(fmt, hdr[4:8])
             pos = f.tell()
-            if cid in keep and size <= max_bytes:
+            if not big_endian and cid == _DS64 and size >= 28:
+                _r, ds64_data, _s = struct.unpack("<QQQ", f.read(24))
+            elif not big_endian and cid == _DATA \
+                    and size == _SIZE_SENTINEL and ds64_data is not None:
+                size = ds64_data  # RF64: walk past the >4 GiB data chunk
+            elif cid in keep and size <= max_bytes:
                 payload = f.read(size)
                 if len(payload) == size:
                     out.append((cid, payload))
@@ -153,6 +192,9 @@ def _append_chunks_generic(path: str, chunks: list, big_endian: bool) -> None:
         return
     fmt = ">I" if big_endian else "<I"
     with open(path, "r+b") as f:
+        f.seek(0)
+        magic = f.read(4)
+        rf64 = (not big_endian) and magic in (_RF64, _BW64)
         f.seek(0, 2)
         end0 = f.tell()
         try:
@@ -163,8 +205,16 @@ def _append_chunks_generic(path: str, chunks: list, big_endian: bool) -> None:
                 if len(payload) & 1:
                     f.write(b"\x00")
             total = f.tell()
-            f.seek(4)
-            f.write(struct.pack(fmt, total - 8))
+            if rf64:
+                # the 32-bit RIFF size stays at the sentinel; the real size is
+                # the ds64 riffSize (first chunk after WAVE per EBU Tech 3306)
+                f.seek(12)
+                if f.read(4) == _DS64:
+                    f.seek(20)
+                    f.write(struct.pack("<Q", total - 8))
+            else:
+                f.seek(4)
+                f.write(struct.pack(fmt, total - 8))
         except OSError:
             f.truncate(end0)     # restore a valid file (metadata dropped)
             raise
@@ -179,8 +229,8 @@ def read_extra_chunks(path: str, max_bytes: int = 1 << 24) -> list:
     files bigger than RAM."""
     keep = (b"bext", b"LIST", b"cue ", b"smpl", b"iXML", b"axml", b"ID3 ",
             b"_PMX")
-    return _seek_kept_chunks(path, (_RIFF, (_WAVE,), "RIFF/WAVE"), keep,
-                             False, max_bytes)
+    return _seek_kept_chunks(path, (_RIFF_MAGICS, (_WAVE,), "RIFF/WAVE"),
+                             keep, False, max_bytes)
 
 
 def scale_metadata_chunks(chunks: list, rate_in: int, rate_out: int) -> list:
@@ -228,6 +278,20 @@ def scale_metadata_chunks(chunks: list, rate_in: int, rate_out: int) -> list:
                 (tref,) = struct.unpack_from("<Q", b, 338)
                 struct.pack_into("<Q", b, 338,
                                  int(round(tref * rate_out / rate_in)))
+                payload = bytes(b)
+            elif cid == b"LIST" and payload[:4] == b"adtl":
+                # region lengths live in adtl/ltxt dwSampleLength (offset 4
+                # of the ltxt body) — rescale them so carried regions stay
+                # consistent with the rescaled cue points
+                b = bytearray(payload)
+                pos = 4
+                while pos + 8 <= len(b):
+                    sid = bytes(b[pos : pos + 4])
+                    (ssz,) = struct.unpack_from("<I", b, pos + 4)
+                    if sid == b"ltxt" and ssz >= 8 and pos + 16 <= len(b):
+                        (slen,) = struct.unpack_from("<I", b, pos + 12)
+                        struct.pack_into("<I", b, pos + 12, s(slen))
+                    pos += 8 + ssz + (ssz & 1)
                 payload = bytes(b)
         except struct.error:
             pass
@@ -333,24 +397,51 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
     return np.ascontiguousarray(x[: frames * channels].reshape(frames, channels).T), rate
 
 
-def _wav_header(num_frames: int, channels: int, rate: int, bits: int, is_float: bool) -> bytes:
+def _fmt_chunk(channels: int, rate: int, bits: int, is_float: bool) -> bytes:
+    """The fmt chunk (id + size + body).  >2 channels emit
+    WAVE_FORMAT_EXTENSIBLE with a standard speaker mask — what JUCE writes
+    for the MCFX multichannel deliverables the reference targets
+    (/root/reference/Docs/MultiChannel MCFX with JUCE.md:85-163); mono and
+    stereo stay plain PCM/float for maximum compatibility."""
+    bytes_per_frame = channels * (bits // 8)
+    tag = WAVE_FORMAT_IEEE_FLOAT if is_float else WAVE_FORMAT_PCM
+    base = struct.pack("<HHIIHH", tag, channels, rate,
+                       rate * bytes_per_frame, bytes_per_frame, bits)
+    if channels <= 2:
+        return _FMT + struct.pack("<I", 16) + base
+    mask = _SPEAKER_MASKS.get(channels, 0)
+    head = struct.pack("<HHIIHH", WAVE_FORMAT_EXTENSIBLE, channels, rate,
+                       rate * bytes_per_frame, bytes_per_frame, bits)
+    ext = struct.pack("<HHI", 22, bits, mask) + struct.pack("<I", tag) + _GUID_TAIL
+    return _FMT + struct.pack("<I", 40) + head + ext
+
+
+def _wav_header(num_frames: int, channels: int, rate: int, bits: int,
+                is_float: bool, reserve_upgrade: bool = False) -> bytes:
+    """WAV header up to and including the data chunk header.
+
+    Auto-upgrades to RF64 (64-bit sizes in a ds64 chunk, 32-bit fields at
+    the sentinel) whenever the RIFF sizes would overflow 32 bits — the
+    transparent >4 GiB handling the reference gets from JUCE's WavAudioFormat
+    (Source/MainComponent.cpp:784-801).  ``reserve_upgrade`` adds a 36-byte
+    JUNK placeholder where ds64 would live, so an incremental writer can
+    flip RIFF -> RF64 at close without moving the payload."""
     bytes_per_frame = channels * (bits // 8)
     data_size = num_frames * bytes_per_frame
-    tag = WAVE_FORMAT_IEEE_FLOAT if is_float else WAVE_FORMAT_PCM
-    hdr = b"".join(
-        [
-            _RIFF,
-            # RIFF size includes the pad byte of an odd-sized data chunk
-            struct.pack("<I", 36 + data_size + (data_size & 1)),
-            _WAVE,
-            _FMT,
-            struct.pack("<IHHIIHH", 16, tag, channels, rate,
-                        rate * bytes_per_frame, bytes_per_frame, bits),
-            _DATA,
-            struct.pack("<I", data_size),
-        ]
-    )
-    return hdr
+    fmt_chunk = _fmt_chunk(channels, rate, bits, is_float)
+    slot = _DS64_SLOT if reserve_upgrade else 0
+    riff_size = 4 + slot + len(fmt_chunk) + 8 + data_size + (data_size & 1)
+    rf64 = riff_size > _SIZE_SENTINEL or data_size >= _SIZE_SENTINEL
+    if rf64 and not reserve_upgrade:
+        riff_size += _DS64_SLOT
+    if rf64:
+        pre = (_DS64 + struct.pack("<I", 28)
+               + struct.pack("<QQQI", riff_size, data_size, num_frames, 0))
+        return (_RF64 + struct.pack("<I", _SIZE_SENTINEL) + _WAVE + pre
+                + fmt_chunk + _DATA + struct.pack("<I", _SIZE_SENTINEL))
+    pre = (_JUNK + struct.pack("<I", 28) + b"\x00" * 28) if reserve_upgrade else b""
+    return (_RIFF + struct.pack("<I", riff_size) + _WAVE + pre
+            + fmt_chunk + _DATA + struct.pack("<I", data_size))
 
 
 def write_wav_codes(path: str, codes: np.ndarray, rate: int, bits: int = 24) -> None:
@@ -456,7 +547,13 @@ class WavReader:
 
 
 class WavWriter:
-    """Incremental 16/24/32-bit PCM writer; the header is patched on close."""
+    """Incremental 16/24/32-bit PCM writer; the header is patched on close.
+
+    A 36-byte JUNK placeholder after the RIFF header reserves the ds64 slot:
+    when the finished stream exceeds 32-bit RIFF sizes, close() flips the
+    container to RF64 in place (EBU Tech 3306) instead of corrupting the
+    header — hour-long 8-ch/192 k outputs just work, as they do through
+    JUCE's writer in the reference (Source/MainComponent.cpp:784-801)."""
 
     def __init__(self, path: str, channels: int, rate: int, bits: int = 24):
         self.path = path
@@ -465,7 +562,8 @@ class WavWriter:
         self.bits = bits
         self.frames_written = 0
         self._f = open(path, "wb")
-        self._f.write(_wav_header(0, channels, rate, bits, is_float=False))
+        self._f.write(_wav_header(0, channels, rate, bits, is_float=False,
+                                  reserve_upgrade=True))
 
     def append_codes(self, codes: np.ndarray) -> None:
         """(channels, n) int32 PCM codes."""
@@ -487,8 +585,11 @@ class WavWriter:
             self._f.seek(0, 2)
             self._f.write(b"\x00")  # RIFF word alignment
         self._f.seek(0)
+        # same byte length whether this resolves to RIFF+JUNK or RF64+ds64,
+        # so the payload written after the initial header stays in place
         self._f.write(_wav_header(self.frames_written, self.channels, self.rate,
-                                  self.bits, is_float=False))
+                                  self.bits, is_float=False,
+                                  reserve_upgrade=True))
         self._f.close()
 
     def __enter__(self):

