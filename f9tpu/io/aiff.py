@@ -15,7 +15,8 @@ import numpy as np
 
 from .wav import AudioFileInfo, _pack24
 
-__all__ = ["probe_aiff", "read_aiff", "write_aiff"]
+__all__ = ["probe_aiff", "read_aiff", "write_aiff", "AiffReader",
+           "AiffWriter"]
 
 
 def _read_extended80(b: bytes) -> float:
@@ -76,15 +77,131 @@ def _parse(raw: bytes, path: str):
     return comm, ssnd
 
 
+def _scan_aiff_header(f, path: str):
+    """Seek-based COMM/SSND scan (the AIFF twin of `wav._scan_wav_header`):
+    reads only chunk headers + the small COMM payload, so metadata chunks of
+    any size are skipped and files bigger than RAM stay safe."""
+    head = f.read(12)
+    if len(head) < 12 or head[0:4] != b"FORM" \
+            or head[8:12] not in (b"AIFF", b"AIFC"):
+        raise ValueError(f"{path}: not an AIFF/AIFC file")
+    is_aifc = head[8:12] == b"AIFC"
+    comm = None
+    ssnd = None
+    while True:
+        hdr = f.read(8)
+        if len(hdr) < 8:
+            break
+        cid = hdr[0:4]
+        (size,) = struct.unpack(">I", hdr[4:8])
+        pos = f.tell()
+        if cid == b"COMM":
+            payload = f.read(min(size, 64))
+            channels, frames, bits = struct.unpack_from(">hIh", payload, 0)
+            rate = _read_extended80(payload[8:18])
+            comp = payload[18:22] if (is_aifc and size >= 22) else b"NONE"
+            comm = (channels, frames, bits, rate, comp)
+        elif cid == b"SSND" and size >= 8:
+            offset, _block = struct.unpack(">II", f.read(8))
+            ssnd = (pos + 8 + offset, size - 8 - offset)
+            if comm is not None:
+                break
+        f.seek(pos + size + (size & 1))
+    if comm is None:
+        raise ValueError(f"{path}: missing COMM chunk")
+    return comm, ssnd
+
+
+def _decode_aiff_samples(data, channels: int, bits: int, comp: bytes,
+                         path: str) -> np.ndarray:
+    """Interleaved sample bytes -> flat float32, per COMM compression type
+    (shared by the whole-file reader and the incremental `AiffReader`)."""
+    little = comp == b"sowt"
+    endian = "<" if little else ">"
+    if comp in (b"fl32", b"FL32"):
+        return np.frombuffer(data, endian + "f4").astype(np.float32)
+    if comp in (b"fl64", b"FL64"):
+        return np.frombuffer(data, endian + "f8").astype(np.float32)
+    if comp in (b"NONE", b"sowt"):
+        if bits == 16:
+            return np.frombuffer(data, endian + "i2").astype(np.float32) / 32768.0
+        if bits == 24:
+            b24 = np.frombuffer(data, np.uint8)
+            b3 = b24[: len(b24) // 3 * 3].reshape(-1, 3).astype(np.uint32)
+            if little:
+                v = b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16)
+            else:
+                v = b3[:, 2] | (b3[:, 1] << 8) | (b3[:, 0] << 16)
+            return ((v.astype(np.int32) << 8) >> 8).astype(np.float32) / 8388608.0
+        if bits == 32:
+            return np.frombuffer(data, endian + "i4").astype(np.float32) / 2147483648.0
+        if bits == 8:
+            return np.frombuffer(data, np.int8).astype(np.float32) / 128.0
+        raise ValueError(f"{path}: unsupported AIFF bit depth {bits}")
+    raise ValueError(f"{path}: unsupported AIFC compression {comp!r}")
+
+
+class AiffReader:
+    """Incremental frame reader (seek-based) — the AIFF twin of
+    `wav.WavReader`, so the streaming path accepts the reference's full
+    drop-zone surface (.wav/.aif/.aiff,
+    Source/FileListAndLogComponent.cpp:150-181).  PCM 8/16/24/32 in either
+    byte order (AIFF NONE / AIFC sowt) plus fl32/fl64."""
+
+    def __init__(self, path: str):
+        self.path = path
+        with open(path, "rb") as f:
+            comm, ssnd = _scan_aiff_header(f, path)
+        channels, frames, bits, rate, comp = comm
+        if ssnd is None:
+            raise ValueError(f"{path}: missing SSND chunk")
+        self._comp = comp
+        self._bits = bits
+        self.num_channels = channels
+        self.sample_rate = int(round(rate))
+        if comp in (b"fl32", b"FL32"):
+            sample_bytes = 4
+        elif comp in (b"fl64", b"FL64"):
+            sample_bytes = 8
+        else:
+            sample_bytes = bits // 8
+        self._bytes_per_frame = channels * sample_bytes
+        off, size = ssnd
+        self._data_off = off
+        import os
+
+        actual = max(0, os.path.getsize(path) - off)
+        self.num_frames = min(frames, min(size, actual) // self._bytes_per_frame)
+        self._f = open(path, "rb")
+
+    def close(self):
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def read(self, start_frame: int, count: int) -> np.ndarray:
+        """Planar float32 (channels, n) for frames [start, start+count)
+        clipped to the file; shorter at EOF."""
+        channels = self.num_channels
+        start_frame = max(0, start_frame)
+        count = max(0, min(count, self.num_frames - start_frame))
+        if count == 0:
+            return np.zeros((channels, 0), np.float32)
+        self._f.seek(self._data_off + start_frame * self._bytes_per_frame)
+        raw = self._f.read(count * self._bytes_per_frame)
+        x = _decode_aiff_samples(raw, channels, self._bits, self._comp,
+                                 self.path)
+        n = len(x) // channels
+        return np.ascontiguousarray(x[: n * channels].reshape(n, channels).T)
+
+
 def probe_aiff(path: str) -> AudioFileInfo:
     with open(path, "rb") as f:
-        raw = f.read(1 << 16)
-    try:
-        comm, _ = _parse(raw, path)
-    except ValueError:
-        with open(path, "rb") as f:
-            raw = f.read()
-        comm, _ = _parse(raw, path)
+        comm, _ = _scan_aiff_header(f, path)
     channels, frames, bits, rate, comp = comm
     return AudioFileInfo(
         path=path,
@@ -144,32 +261,7 @@ def read_aiff(path: str) -> tuple[np.ndarray, int]:
     if ssnd is None:
         raise ValueError(f"{path}: missing SSND chunk")
     off, size = ssnd
-    data = raw[off : off + size]
-    little = comp == b"sowt"
-    endian = "<" if little else ">"
-    if comp in (b"fl32", b"FL32"):
-        x = np.frombuffer(data, endian + "f4").astype(np.float32)
-    elif comp in (b"fl64", b"FL64"):
-        x = np.frombuffer(data, endian + "f8").astype(np.float32)
-    elif comp in (b"NONE", b"sowt"):
-        if bits == 16:
-            x = np.frombuffer(data, endian + "i2").astype(np.float32) / 32768.0
-        elif bits == 24:
-            b24 = np.frombuffer(data, np.uint8)
-            b3 = b24[: len(b24) // 3 * 3].reshape(-1, 3).astype(np.uint32)
-            if little:
-                v = b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16)
-            else:
-                v = b3[:, 2] | (b3[:, 1] << 8) | (b3[:, 0] << 16)
-            x = ((v.astype(np.int32) << 8) >> 8).astype(np.float32) / 8388608.0
-        elif bits == 32:
-            x = np.frombuffer(data, endian + "i4").astype(np.float32) / 2147483648.0
-        elif bits == 8:
-            x = np.frombuffer(data, np.int8).astype(np.float32) / 128.0
-        else:
-            raise ValueError(f"{path}: unsupported AIFF bit depth {bits}")
-    else:
-        raise ValueError(f"{path}: unsupported AIFC compression {comp!r}")
+    x = _decode_aiff_samples(raw[off : off + size], channels, bits, comp, path)
     n = len(x) // channels
     return np.ascontiguousarray(x[: n * channels].reshape(n, channels).T), int(round(rate))
 

@@ -11,7 +11,7 @@ from .aiff import probe_aiff, read_aiff
 from .wav import AudioFileInfo, probe_wav, read_wav
 
 __all__ = ["SUPPORTED_EXTENSIONS", "probe", "read_audio", "read_raw_pcm",
-           "is_supported"]
+           "is_supported", "open_reader"]
 
 SUPPORTED_EXTENSIONS = (".wav", ".aif", ".aiff")
 
@@ -36,6 +36,19 @@ def probe(path: str) -> AudioFileInfo:
 def read_audio(path: str) -> tuple[np.ndarray, int]:
     """Decode any supported file to planar float32 (channels, frames) + rate."""
     return read_wav(path) if _kind(path) == "wav" else read_aiff(path)
+
+
+def open_reader(path: str):
+    """Incremental seek-based frame reader for any supported container
+    (`wav.WavReader` / `aiff.AiffReader` — the same `read(start, count)`
+    contract), so the streaming path accepts the full drop-zone surface."""
+    if _kind(path) == "wav":
+        from .wav import WavReader
+
+        return WavReader(path)
+    from .aiff import AiffReader
+
+    return AiffReader(path)
 
 
 def read_raw_pcm(path: str):

@@ -35,7 +35,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["integrated_lufs", "k_weighting_ir", "block_loudness",
-           "true_peak_db", "loudness_range", "r128_stats"]
+           "true_peak_db", "loudness_range", "r128_stats",
+           "meter_source_streamed", "array_reader"]
 
 #: BS.1770-4 stage 1: high-shelf (+~4 dB above ~1.5 kHz), 48 kHz.
 K_STAGE1_B = (1.53512485958697, -2.69169618940638, 1.19839281085285)
@@ -227,19 +228,35 @@ def r128_stats(x: jax.Array, rate: int) -> tuple[float, float]:
             float(_lra_from_hops(hop_sq, n_valid)))
 
 
+#: above this many input frames, true-peak scanning switches to fixed-size
+#: chunks so device memory stays bounded (the whole-file form materialises
+#: the 4x-oversampled signal, ~8x the input bytes — a ten-minute stereo file
+#: under --normalize-tp could OOM the chip even though the peak is a simple
+#: reduction)
+_TP_CHUNK_THRESHOLD = 1 << 21
+
+
 def true_peak_db(x: jax.Array, rate: int, oversample: int = 4) -> jax.Array:
     """True-peak level (dBTP, BS.1770-4 Annex 2): inter-sample peaks exposed
     by 4x oversampling — here the framework's own windowed-sinc SRC *is* the
     oversampler (the standard's reference method is exactly a polyphase
-    interpolation filter)."""
+    interpolation filter).  Long signals scan in fixed overlap-save chunks
+    (same halo math as `pipeline.stream`), so device memory is bounded
+    regardless of file length; max is order-independent, so the chunked scan
+    is exact."""
     from .resample import resample_rates
 
     if x.ndim == 1:
         x = x[None]
+    T = x.shape[-1]
+    if T > _TP_CHUNK_THRESHOLD:
+        x_np = np.asarray(x)
+        pk_db = _true_peak_chunked(array_reader(x_np), x_np.shape[0], T,
+                                   int(rate), int(oversample))
+        return jnp.float32(pk_db)
     # pad to a power-of-two length bucket: one compiled oversampler per size
     # class instead of one per file length (padding zeros cannot raise the
     # peak)
-    T = x.shape[-1]
     nb = _bucket(T, lo=1 << 14)
     if nb > T:
         x = jnp.pad(x, ((0, 0), (0, nb - T)))
@@ -247,3 +264,180 @@ def true_peak_db(x: jax.Array, rate: int, oversample: int = 4) -> jax.Array:
                        quality="high")
     pk = jnp.max(jnp.abs(y))
     return 20.0 * jnp.log10(jnp.maximum(pk, 1e-30))
+
+
+# --------------------------------------------------------------------------
+# Streamed (chunk-exact) metering: the ONE measurement path used by BOTH the
+# batch scheduler and the streaming pipeline when computing normalization
+# gains, so a file processed either way receives the bit-identical gain and
+# the two paths stay byte-identical (the dither contract).  Chunks ride the
+# same overlap-save halo machinery as `pipeline.stream`.
+# --------------------------------------------------------------------------
+
+
+def array_reader(x: np.ndarray):
+    """Adapter: an in-memory (C, T) array exposed with the `WavReader.read`
+    contract (clipped at the ends, shorter at EOF)."""
+    x = np.asarray(x)
+    if x.ndim == 1:
+        x = x[None]
+
+    def read(start: int, count: int) -> np.ndarray:
+        start = max(0, start)
+        return x[:, start : start + max(0, count)]
+
+    return read
+
+
+def _read_span(read, C: int, T: int, lo: int, length: int) -> np.ndarray:
+    """(C, length) float32, zero-padded outside [0, T) — the host-side twin
+    of the sharded streaming halo read (`pipeline.stream._stream_sharded`)."""
+    out = np.zeros((C, length), np.float32)
+    a, b = max(0, lo), min(T, lo + length)
+    if b > a:
+        blk = np.asarray(read(a, b - a), np.float32)
+        out[:, a - lo : a - lo + blk.shape[1]] = blk
+    return out
+
+
+def _halos(bank) -> tuple[int, int]:
+    left = bank.pad_front
+    return left, max(0, bank.W - bank.M - left)
+
+
+@functools.partial(jax.jit, static_argnames=("cycles", "rate_in", "ctx"))
+def _meter48_step(xp: jax.Array, carry: jax.Array, *, cycles: int,
+                  rate_in: int, ctx: int):
+    """One metering chunk: SRC to 48 kHz (exact overlap-save), K-weight with
+    carried context, 100 ms hop energies.  Returns (hop_sq (C, n), carry)."""
+    from .resample import resample_presliced
+
+    if rate_in != _RATE:
+        from ..models.filters import design_cycle_bank
+
+        bank = design_cycle_bank(rate_in, _RATE, quality="high")
+        y = resample_presliced(xp, bank, cycles)
+    else:
+        y = xp
+    z = jnp.concatenate([carry, y], axis=-1)
+    kw = k_weight(z)[:, ctx:]
+    C = kw.shape[0]
+    hop_sq = jnp.sum(jnp.square(kw).reshape(C, -1, _HOP), axis=-1)
+    return hop_sq, z[:, -ctx:]
+
+
+@functools.partial(jax.jit, static_argnames=("cycles", "rate_in", "oversample"))
+def _tp_step(xp: jax.Array, *, cycles: int, rate_in: int, oversample: int):
+    from ..models.filters import design_cycle_bank
+    from .resample import resample_presliced
+
+    bank = design_cycle_bank(rate_in, rate_in * oversample, quality="high")
+    y = resample_presliced(xp, bank, cycles)
+    return jnp.max(jnp.abs(y))
+
+
+def _meter_chunk_plan(rate: int, chunk_seconds: float, ctx: int):
+    """(chunk_in_frames, cycles, bank48|None): chunk grid whose 48 kHz output
+    span is a whole number of 100 ms hops and >= the K-weight context."""
+    import math
+
+    if rate == _RATE:
+        chunk48 = max(1, int(chunk_seconds * _RATE) // _HOP) * _HOP
+        while chunk48 < ctx + _HOP:
+            chunk48 += _HOP
+        return chunk48, chunk48, None
+    from ..models.filters import design_cycle_bank
+
+    bank = design_cycle_bank(rate, _RATE, quality="high")
+    cyc_align = _HOP // math.gcd(bank.L, _HOP)   # cycles per hop boundary
+    base_in = cyc_align * bank.M
+    blocks = max(1, int(chunk_seconds * rate) // base_in)
+    while blocks * cyc_align * bank.L < ctx + _HOP:
+        blocks += 1
+    return blocks * base_in, blocks * cyc_align, bank
+
+
+def _true_peak_chunked(read, C: int, T: int, rate: int,
+                       oversample: int = 4, chunk_seconds: float = 20.0) -> float:
+    from ..models.filters import design_cycle_bank
+
+    tp_bank = design_cycle_bank(rate, rate * oversample, quality="high")
+    h_l, h_r = _halos(tp_bank)
+    chunk_in = max(1, int(chunk_seconds * rate) // tp_bank.M) * tp_bank.M
+    pk = 0.0
+    start = 0
+    while start < T:
+        xp = _read_span(read, C, T, start - h_l, h_l + chunk_in + h_r)
+        pk = max(pk, float(_tp_step(jnp.asarray(xp),
+                                    cycles=chunk_in // tp_bank.M,
+                                    rate_in=rate, oversample=oversample)))
+        start += chunk_in
+    return float(20.0 * np.log10(max(pk, 1e-30)))
+
+
+def normalization_gain_db(target_lufs: float, source_lufs: float,
+                          static_gain_db: float = 0.0,
+                          tp_ceiling_db: float | None = None,
+                          source_tp_db: float | None = None):
+    """The ONE normalization-gain rule both the batch scheduler and the
+    streaming pre-pass apply: per-file gain composing with the static
+    cfg.gain_db so the NET output hits the target, clamped at +-40 dB, then
+    reduced so (source true peak + net gain) respects the dBTP ceiling.
+    Returns ``(gain_db, note)`` — note is a human-readable clamp/cap tag."""
+    want = target_lufs - source_lufs - static_gain_db
+    gain_db = float(np.clip(want, -40.0, 40.0))
+    note = ("" if gain_db == want else
+            ", clamped at +-40 dB — target missed by "
+            f"{abs(want - gain_db):.1f} LU")
+    if tp_ceiling_db is not None and source_tp_db is not None:
+        over = source_tp_db + gain_db + static_gain_db - tp_ceiling_db
+        if over > 0:
+            gain_db -= over
+            note = f", capped at {tp_ceiling_db:+.1f} dBTP"
+    return gain_db, note
+
+
+def meter_source_streamed(read, channels: int, frames: int, rate: int,
+                          want_tp: bool = False,
+                          chunk_seconds: float = 20.0) -> dict:
+    """Integrated LUFS (and optionally true peak) of a source exposed via a
+    ``read(start, count) -> (C, n)`` function, in constant memory.
+
+    Chunk grid and device steps are fixed per (rate, chunk_seconds), so the
+    result is a pure function of the samples — the batch scheduler (with
+    `array_reader`) and the streaming pre-pass (with `WavReader.read`) get
+    bit-identical floats, which keeps normalization gains — and therefore
+    emitted bytes — identical across the two paths."""
+    ctx = int(k_weighting_ir().shape[0]) - 1
+    chunk_in, cycles, bank = _meter_chunk_plan(rate, chunk_seconds, ctx)
+    if bank is not None:
+        h_l, h_r = _halos(bank)
+        out48_total = bank.out_len(frames)
+    else:
+        h_l = h_r = 0
+        out48_total = frames
+    total_hops = out48_total // _HOP
+    hops: list[np.ndarray] = []
+    carry = jnp.zeros((channels, ctx), jnp.float32)
+    start = 0
+    got_hops = 0
+    while start < frames and got_hops < total_hops:
+        xp = _read_span(read, channels, frames, start - h_l,
+                        h_l + chunk_in + h_r)
+        hop_sq, carry = _meter48_step(jnp.asarray(xp), carry,
+                                      cycles=cycles, rate_in=rate, ctx=ctx)
+        hops.append(np.asarray(hop_sq))
+        got_hops += hop_sq.shape[1]
+        start += chunk_in
+    out = {"lufs": -200.0, "true_peak_db": None}
+    if total_hops >= _I_BLOCK_HOPS and hops:
+        hop_all = np.concatenate(hops, axis=1)[:, :total_hops]
+        nb = _bucket(total_hops)
+        hop_pad = np.zeros((channels, nb), np.float32)
+        hop_pad[:, :total_hops] = hop_all
+        out["lufs"] = float(_integrated_from_hops(jnp.asarray(hop_pad),
+                                                  total_hops))
+    if want_tp:
+        out["true_peak_db"] = _true_peak_chunked(read, channels, frames,
+                                                 rate, chunk_seconds=chunk_seconds)
+    return out

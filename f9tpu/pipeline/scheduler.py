@@ -275,31 +275,25 @@ class BatchProcessor:
                             self.throughput.add("decode", audio_s, time.time() - t0)
                             gain_db = 0.0
                             if cfg.normalize_lufs is not None and not raw_bits:
-                                from ..ops.loudness import integrated_lufs
+                                # the chunk-exact streamed meter + shared
+                                # gain rule: the SAME functions the
+                                # streaming path uses, so a file processed
+                                # either way gets the bit-identical gain
+                                # (and therefore bit-identical output bytes)
+                                from ..ops.loudness import (
+                                    array_reader, meter_source_streamed,
+                                    normalization_gain_db)
 
-                                lufs = float(integrated_lufs(data, rate))
+                                m = meter_source_streamed(
+                                    array_reader(data), data.shape[0],
+                                    data.shape[-1], rate,
+                                    want_tp=cfg.normalize_tp_db is not None)
+                                lufs = m["lufs"]
                                 if lufs > -199.0:
-                                    # compose with the static cfg.gain_db
-                                    # (both multiply in the graph): the
-                                    # NET output gain must hit the target
-                                    want = (cfg.normalize_lufs - lufs
-                                            - cfg.gain_db)
-                                    gain_db = float(np.clip(want, -40.0, 40.0))
-                                    note = ("" if gain_db == want else
-                                            ", clamped at +-40 dB — target "
-                                            "missed by "
-                                            f"{abs(want - gain_db):.1f} LU")
-                                    if cfg.normalize_tp_db is not None:
-                                        from ..ops.loudness import true_peak_db
-
-                                        tp = float(true_peak_db(data, rate))
-                                        over = (tp + gain_db + cfg.gain_db
-                                                - cfg.normalize_tp_db)
-                                        if over > 0:
-                                            gain_db -= over
-                                            note = (f", capped at "
-                                                    f"{cfg.normalize_tp_db:+.1f}"
-                                                    f" dBTP")
+                                    gain_db, note = normalization_gain_db(
+                                        cfg.normalize_lufs, lufs, cfg.gain_db,
+                                        cfg.normalize_tp_db,
+                                        m["true_peak_db"])
                                     norm_info[info.path] = {
                                         "source_lufs": round(lufs, 2),
                                         "applied_gain_db": round(gain_db, 2),

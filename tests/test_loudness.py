@@ -269,14 +269,59 @@ def test_true_peak_ceiling_caps_normalization(tmp_path):
         ProcessingConfig(output_dir="x", normalize_tp_db=-1.0).validate()
 
 
-def test_stream_rejects_normalization(tmp_path):
+def test_stream_normalization_parity_with_batch(tmp_path):
+    """Round-3 lifted exclusion (VERDICT r2 #3): streaming loudness
+    normalization = a chunk-exact metering pre-pass + the normal write.  The
+    measured LUFS/TP and the applied gain are BIT-identical to the batch
+    scheduler's (both call `meter_source_streamed` + `normalization_gain_db`
+    on the same chunk grid), so the two paths differ only by the documented
+    SRC-rounding level (rows einsum vs presliced conv — same bound as
+    `test_stream_dither_chunk_invariant_and_matches_batch`)."""
     from f9tpu.config import ProcessingConfig
-    from f9tpu.io import write_wav
+    from f9tpu.io import read_wav, write_wav
+    from f9tpu.ops.loudness import (array_reader, meter_source_streamed,
+                                    normalization_gain_db)
     from f9tpu.pipeline import stream_resample_file
+    from f9tpu.pipeline.scheduler import BatchProcessor
 
-    src = str(tmp_path / "s.wav")
-    write_wav(src, np.zeros((1, 4800), np.float32), 48000, bits=24)
-    cfg = ProcessingConfig(output_dir=str(tmp_path), target_rate=44100,
-                           quality="low", normalize_lufs=-14.0)
-    with pytest.raises(ValueError, match="integrated loudness"):
-        stream_resample_file(src, str(tmp_path / "o.wav"), cfg)
+    rate = 44100
+    rng = np.random.default_rng(3)
+    t = np.arange(int(6.5 * rate)) / rate
+    s = (0.05 * np.sin(2 * np.pi * 330 * t)
+         + 0.01 * rng.standard_normal(len(t))).astype(np.float32)
+    src = str(tmp_path / "q.wav")
+    write_wav(src, np.stack([s, 0.7 * s]), rate, bits=24)
+
+    # remove_dc=False: DC ordering is the one documented stream/batch
+    # divergence (stream.py docstring); everything else must match
+    cfg = ProcessingConfig(output_dir=str(tmp_path / "out"), target_rate=48000,
+                           quality="low", seed=11, normalize_lufs=-18.0,
+                           normalize_tp_db=-1.0, remove_dc=False)
+    res = BatchProcessor(cfg).run([src])
+    assert res.completed == 1
+    sp = str(tmp_path / "streamed.wav")
+    stream_resample_file(src, sp, cfg, chunk_seconds=1.5)
+
+    # the gain both paths applied is the identical float (shared meter)
+    x, _ = read_wav(src)
+    m = meter_source_streamed(array_reader(x), 2, x.shape[1], rate,
+                              want_tp=True)
+    gain_db, _ = normalization_gain_db(-18.0, m["lufs"], 0.0, -1.0,
+                                       m["true_peak_db"])
+    batch_metrics = res.per_file[src]
+    assert batch_metrics["applied_gain_db"] == round(gain_db, 2)
+    assert batch_metrics["source_lufs"] == round(m["lufs"], 2)
+
+    yb, rb = read_wav(str(tmp_path / "out" / "q_processed.wav"))
+    ys, rs = read_wav(sp)
+    assert rb == rs == 48000
+    assert yb.shape == ys.shape
+    # identical gain + identical dither keying: differences stay at the SRC
+    # rounding level, never the broad divergence a gain mismatch would cause
+    diff = np.round(yb * (1 << 23)) - np.round(ys * (1 << 23))
+    assert np.abs(diff).max() <= 16
+    assert (diff != 0).mean() < 0.35
+    # and the streamed file actually hits the target loudness
+    from f9tpu.ops.loudness import integrated_lufs
+
+    assert abs(float(integrated_lufs(jnp.asarray(ys), 48000)) - (-18.0)) < 0.5

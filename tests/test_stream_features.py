@@ -1,0 +1,159 @@
+"""Round-3 streaming feature parity (VERDICT r2 #3): channel routing /
+mono fan-out and AIFF input on the streaming path, each checked against the
+batch path under the dither contract (identical noise keying; differences
+bounded at SRC-rounding level)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from f9tpu.config import ProcessingConfig
+from f9tpu.io import read_wav, write_wav
+from f9tpu.io.aiff import AiffReader, read_aiff, write_aiff
+from f9tpu.pipeline import BatchProcessor, stream_resample_file
+
+
+def _code_diff(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return np.round(a * (1 << 23)) - np.round(b * (1 << 23))
+
+
+def _assert_dither_contract(a, b, max_codes=16, max_frac=0.35):
+    d = _code_diff(a, b)
+    assert np.abs(d).max() <= max_codes
+    assert (d != 0).mean() < max_frac
+
+
+class TestStreamRouting:
+    def test_routing_with_silence_matches_batch(self, tmp_path):
+        rate = 44100
+        rng = np.random.default_rng(5)
+        x = (0.3 * rng.standard_normal((4, rate + 997))).astype(np.float32)
+        src = str(tmp_path / "bus.wav")
+        write_wav(src, x, rate, bits=24)
+
+        routing = [2, -1, 0, 1]   # reorder + one silent output channel
+        cfg = ProcessingConfig(output_dir=str(tmp_path / "out"),
+                               target_rate=48000, quality="low", seed=7,
+                               remove_dc=False, channel_routing=routing)
+        assert BatchProcessor(cfg).run([src]).completed == 1
+        sp = str(tmp_path / "routed_stream.wav")
+        n = stream_resample_file(src, sp, cfg, chunk_seconds=0.3)
+
+        yb, _ = read_wav(str(tmp_path / "out" / "bus_processed.wav"))
+        ys, _ = read_wav(sp)
+        assert ys.shape[0] == 4 and yb.shape == ys.shape
+        # silent channel is digital zero on BOTH paths, even under dither
+        assert np.all(yb[1] == 0.0) and np.all(ys[1] == 0.0)
+        _assert_dither_contract(yb, ys)
+        assert n == ys.shape[1]
+
+    def test_routing_chunk_size_invariant(self, tmp_path):
+        rate = 48000
+        rng = np.random.default_rng(6)
+        x = (0.2 * rng.standard_normal((2, rate // 2 + 333))).astype(np.float32)
+        src = str(tmp_path / "st.wav")
+        write_wav(src, x, rate, bits=24)
+        cfg = ProcessingConfig(output_dir=str(tmp_path), target_rate=44100,
+                               quality="low", seed=3, remove_dc=False,
+                               channel_routing=[1, 0])
+        o1, o2 = str(tmp_path / "r1.wav"), str(tmp_path / "r2.wav")
+        stream_resample_file(src, o1, cfg, chunk_seconds=0.11)
+        stream_resample_file(src, o2, cfg, chunk_seconds=0.37)
+        y1, _ = read_wav(o1)
+        y2, _ = read_wav(o2)
+        np.testing.assert_array_equal(y1, y2)
+        # routing actually swapped the channels: compare against unrouted run
+        cfg0 = ProcessingConfig(output_dir=str(tmp_path), target_rate=44100,
+                                quality="low", seed=3, remove_dc=False)
+        o0 = str(tmp_path / "r0.wav")
+        stream_resample_file(src, o0, cfg0, chunk_seconds=0.11)
+        y0, _ = read_wav(o0)
+        # channel 0 of the routed run carries source channel 1's audio (the
+        # dither streams differ by design — they are keyed by the OUTPUT
+        # channel — so compare correlation, not bytes)
+        c = np.corrcoef(y1[0], y0[1])[0, 1]
+        assert c > 0.9999
+
+    def test_mono_fanout_matches_batch(self, tmp_path):
+        rate = 44100
+        rng = np.random.default_rng(8)
+        x = (0.25 * rng.standard_normal((1, rate + 41))).astype(np.float32)
+        src = str(tmp_path / "mono.wav")
+        write_wav(src, x, rate, bits=24)
+        cfg = ProcessingConfig(output_dir=str(tmp_path / "out"),
+                               target_rate=48000, quality="low", seed=5,
+                               remove_dc=False, output_channels=2)
+        assert BatchProcessor(cfg).run([src]).completed == 1
+        sp = str(tmp_path / "fan_stream.wav")
+        stream_resample_file(src, sp, cfg, chunk_seconds=0.3)
+        yb, _ = read_wav(str(tmp_path / "out" / "mono_processed.wav"))
+        ys, _ = read_wav(sp)
+        assert yb.shape[0] == 2 and ys.shape[0] == 2
+        _assert_dither_contract(yb, ys)
+        # the two fanned-out channels carry the same audio but INDEPENDENT
+        # dither streams (per-channel noise keying)
+        assert not np.array_equal(ys[0], ys[1])
+        _assert_dither_contract(ys[0], ys[1], max_frac=1.01, max_codes=3)
+
+
+class TestStreamAiffInput:
+    def _make_aiff(self, tmp_path, channels=2, frames=44100 + 517,
+                   rate=44100):
+        rng = np.random.default_rng(9)
+        x = (0.3 * rng.standard_normal((channels, frames))).astype(np.float32)
+        src = str(tmp_path / "in.aiff")
+        write_aiff(src, x, rate, bits=24)
+        return src, x
+
+    def test_aiff_reader_matches_whole_file_decode(self, tmp_path):
+        src, _ = self._make_aiff(tmp_path)
+        whole, rate = read_aiff(src)
+        with AiffReader(src) as r:
+            assert (r.num_channels, r.sample_rate) == (2, 44100)
+            assert r.num_frames == whole.shape[1]
+            # arbitrary windows decode identically to the whole-file reader
+            for start, count in [(0, 100), (517, 4096), (44000, 10_000),
+                                 (whole.shape[1] - 3, 50)]:
+                got = r.read(start, count)
+                want = whole[:, start : start + count]
+                np.testing.assert_array_equal(got, want)
+
+    def test_aiff_streams_and_matches_batch(self, tmp_path):
+        src, _ = self._make_aiff(tmp_path)
+        cfg = ProcessingConfig(output_dir=str(tmp_path / "out"),
+                               target_rate=48000, quality="low", seed=4,
+                               remove_dc=False)
+        assert BatchProcessor(cfg).run([src]).completed == 1
+        sp = str(tmp_path / "aiff_stream.wav")
+        n = stream_resample_file(src, sp, cfg, chunk_seconds=0.3)
+        yb, _ = read_wav(str(tmp_path / "out" / "in_processed.wav"))
+        ys, _ = read_wav(sp)
+        assert yb.shape == ys.shape and n == ys.shape[1]
+        _assert_dither_contract(yb, ys)
+
+    def test_sowt_aiff_reader(self, tmp_path):
+        # little-endian AIFC: build via the raw helper then read back
+        from f9tpu.io.aiff import _write_extended80
+        import struct
+
+        rng = np.random.default_rng(10)
+        codes = (rng.integers(-(1 << 15), 1 << 15, (2, 2048))
+                 .astype(np.int32))
+        inter = np.ascontiguousarray(codes.T).reshape(-1).astype("<i2")
+        payload = inter.tobytes()
+        comm = (struct.pack(">hIh", 2, 2048, 16)
+                + _write_extended80(44100.0) + b"sowt"
+                + struct.pack(">B", 0) + b"\x00")
+        ssnd = struct.pack(">II", 0, 0) + payload
+        body = (b"AIFC"
+                + b"COMM" + struct.pack(">I", len(comm)) + comm
+                + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd)
+        src = str(tmp_path / "sowt.aiff")
+        with open(src, "wb") as f:
+            f.write(b"FORM" + struct.pack(">I", len(body)) + body)
+        with AiffReader(src) as r:
+            x = r.read(0, 2048)
+        np.testing.assert_allclose(x * 32768.0, codes, atol=0.5)
