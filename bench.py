@@ -142,10 +142,42 @@ def main() -> None:
         return 20 * np.log10(np.sqrt((err**2).mean())
                              / np.sqrt((ref**2).mean()) + 1e-30)
 
+    def graph_case(r_in, r_out, quality):
+        # the scheduler's own dispatch for this pair/preset: rows fast path
+        # when applicable, else the flat conv graph — certifies whatever a
+        # production run would actually execute
+        from f9tpu.ops.pallas_src import rows_pre_applicable
+
+        bank_c = design_cycle_bank(r_in, r_out, quality=quality)
+        acc_cfg = ProcessingConfig(output_dir="/tmp/bench_out",
+                                   target_rate=r_out, quality=quality,
+                                   dither=False, remove_dc=False)
+        from f9tpu.pipeline.graph import process_batch
+
+        res = process_batch(
+            jax.device_put(jnp.asarray(xa_h), dev),
+            jnp.full((1,), n_acc, jnp.int32), acc_cfg, r_in,
+            jax.random.PRNGKey(1),
+            rows_layout=rows_pre_applicable(bank_c))
+        codes = np.asarray(res.codes)
+        out_frames = int(np.asarray(res.out_frames)[0])
+        codes = codes.reshape(1, codes.shape[1], -1)
+        got = codes[0, 0, :out_frames].astype(np.float64) / (1 << 23)
+        ref = resample_oracle(xa_h[0, 0], r_in, r_out, quality=quality)
+        err = got - ref[:out_frames]
+        return 20 * np.log10(np.sqrt((err**2).mean())
+                             / np.sqrt((ref**2).mean()) + 1e-30)
+
     gates = {
         "up_44k_to_48k_rows": rows_case(44100, 48000),
         "down_96k_to_44k_rows": rows_case(96000, 44100),
         "raw24_packed_44k_to_48k": raw_packed_case(44100, 48000),
+        # the JUCE-equivalent preset: "ultra" = 100 zero-crossings =
+        # WindowedSincInterpolator (BASELINE.json oracle; models/filters.py)
+        "ultra_44k_to_48k": graph_case(44100, 48000, "ultra"),
+        # a 176.4 kHz pair (the last supported rate family uncovered by the
+        # driver artifact through round 2)
+        "down_176k_to_48k": graph_case(176400, 48000, "high"),
     }
     for name, db in gates.items():
         status = "OK" if db <= -120.0 else "FAIL"
@@ -177,6 +209,48 @@ def main() -> None:
         print("VARISPEED ACCURACY GATE FAILED", file=sys.stderr)
         sys.exit(1)
 
+    # ---- end-to-end (files in -> files out) through the persistent host
+    # pipeline: decode threads -> device -> encode threads.  LINK-bound in
+    # this environment (docs/PERF.md "Headroom"): day-to-day swings of 10x
+    # are the tunnel, not the code — recorded as a tail metric, never the
+    # headline.  Skipped silently if the host pipeline import fails. ----
+    e2e_x_rt = None
+    try:
+        import shutil
+        import tempfile
+
+        from f9tpu.config import ProcessingConfig as _PC
+        from f9tpu.io import write_wav
+        from f9tpu.pipeline import BatchProcessor
+
+        d = tempfile.mkdtemp(prefix="f9bench_e2e_")
+        rng2 = np.random.default_rng(1)
+        # 20 s files land in the 1<<20 bucket — the same shape class as the
+        # headline, so the compile cache covers it (the remote compile
+        # service intermittently 500s on fresh multi-megaframe programs;
+        # CLAUDE.md "compiles can stall")
+        n_files, e2e_frames = 8, 20 * 44100          # 8 x 20 s stereo
+        paths = []
+        for i in range(n_files):
+            p = f"{d}/in_{i}.wav"
+            write_wav(p, (0.25 * rng2.standard_normal(
+                (2, e2e_frames))).astype(np.float32), 44100, bits=24)
+            paths.append(p)
+        e2e_cfg = _PC(output_dir=f"{d}/out", target_rate=48000,
+                      quality="high", seed=0)
+        BatchProcessor(e2e_cfg).run(paths)          # warm compiles + cache
+        t0 = time.time()
+        r = BatchProcessor(e2e_cfg).run(paths)
+        e2e_wall = time.time() - t0
+        e2e_x_rt = (n_files * e2e_frames / 44100) / e2e_wall
+        print(f"e2e files->files: {e2e_wall:.2f}s for "
+              f"{n_files * e2e_frames / 44100:.0f}s audio -> "
+              f"{e2e_x_rt:.0f}x RT ({r.completed} completed)",
+              file=sys.stderr)
+        shutil.rmtree(d, ignore_errors=True)
+    except Exception as err:  # e2e is informational; never fail the artifact
+        print(f"e2e bench skipped: {err}", file=sys.stderr)
+
     baseline_x_rt = 1000.0  # north-star: 1000x real time per chip
     print(json.dumps({
         "metric": "audio-minutes resampled/sec/chip (44.1->48k stereo)",
@@ -188,6 +262,7 @@ def main() -> None:
         "accuracy_gates_db": {k: round(float(v), 1) for k, v in gates.items()},
         "varispeed_x_realtime": round(vs_x_rt, 1),
         "varispeed_rms_db": round(float(vs_db), 1),
+        "e2e_x_realtime": (round(e2e_x_rt, 1) if e2e_x_rt else None),
         "device": str(dev),
     }))
 

@@ -339,6 +339,13 @@ def cmd_stream(args) -> int:
         output_format=getattr(args, "output_format", "wav"),
         keep_metadata=getattr(args, "keep_metadata", False),
         seed=None if args.seed == -1 else args.seed,
+        gain_db=getattr(args, "gain", 0.0),
+        normalize_lufs=getattr(args, "normalize_lufs", None),
+        normalize_tp_db=getattr(args, "normalize_tp_db", None),
+        channel_routing=(
+            [int(c) for c in args.routing.split(",")]
+            if getattr(args, "routing", None) else None),
+        output_channels=getattr(args, "channels", None),
     )
     last = [0]
 
@@ -401,7 +408,11 @@ def cmd_probe(args) -> int:
                     tp = float(true_peak_db(x, r))
                     loud = (f"  {lufs:.1f} LUFS, {tp:+.1f} dBTP, "
                             f"LRA {lra:.1f} LU")
-        except (ValueError, OSError, struct.error, EOFError) as e:
+        except Exception as e:
+            # broad on purpose: with --loudness the metering block can fail
+            # device-side (e.g. XlaRuntimeError on a pathological file) and
+            # the contract is 'failed files become error rows, stdout stays
+            # parseable' — one bad file must not abort the whole probe run
             if getattr(args, "json", False):
                 rows.append({"path": f, "error": str(e)})
             else:
@@ -553,6 +564,21 @@ def main(argv: list[str] | None = None) -> int:
                    help="dither seed (-1 = wall clock, non-reproducible)")
     p.add_argument("--no-dither", action="store_true")
     p.add_argument("--keep-dc", action="store_true")
+    p.add_argument("--gain", type=float, default=0.0, help="gain dB")
+    p.add_argument("--normalize-lufs", type=float, default=None,
+                   help="loudness-normalize to TARGET integrated LUFS "
+                        "(two-pass: chunk-exact metering pre-pass, then the "
+                        "normal constant-memory write; negative value needs "
+                        "the = form: --normalize-lufs=-14)")
+    p.add_argument("--normalize-tp", dest="normalize_tp_db", type=float,
+                   default=None,
+                   help="with --normalize-lufs: cap the gain so the source "
+                        "true peak stays at/below this dBTP")
+    p.add_argument("--routing", default=None,
+                   help="channel routing map, e.g. '0,1,-1,2' "
+                        "(-1 = silent output channel)")
+    p.add_argument("--channels", type=int, default=None,
+                   help="fan a mono input out to N channels")
     p.add_argument("--chunk-seconds", type=float, default=20.0)
     p.add_argument("--frames-shards", type=int, default=1,
                    help="shard each device step's frames axis over N chips "

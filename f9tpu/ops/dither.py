@@ -51,7 +51,13 @@ def tpdf_noise(seeds: jax.Array, pos: jax.Array) -> jax.Array:
     Batch and streaming paths therefore produce byte-identical files.
 
     Noise = (u1 - u2) with u1,u2 the two 16-bit halves of one hashed draw:
-    triangular PDF over (-1, 1) LSB, variance 1/6 LSB^2.
+    triangular PDF over (-1, 1) LSB, variance 1/6 LSB^2.  The halves of one
+    SplitMix32 output are only *approximately* independent; measured over
+    2^22 draws (docs/PERF.md round 3) the deviation is below the estimator's
+    own noise floor — corr(u1,u2) = 2.8e-4, variance 0.16660 vs 1/6,
+    |autocorr lag 1..4| < 8e-4, spectral ripple identical to a NumPy
+    two-independent-draw reference — so the single-draw form is kept at half
+    the RNG bandwidth.
     """
     seed_h = _splitmix32(seeds.astype(jnp.uint32))
     h = _splitmix32(pos.astype(jnp.uint32) ^ seed_h)

@@ -19,7 +19,24 @@ import os
 import threading
 import time
 
-__all__ = ["FileStatus", "JobEntry", "JobManifest"]
+__all__ = ["FileStatus", "JobEntry", "JobManifest", "file_crc32"]
+
+
+def file_crc32(path: str, chunk_bytes: int = 1 << 20) -> int:
+    """Streaming CRC-32 of a file (constant memory; reads straight from the
+    page cache right after an encode).  Fast enough to run per completion and
+    per resume-verification — the content check SURVEY section 5 asks for
+    ('per-file done/failed + output hash')."""
+    import zlib
+
+    c = 0
+    with open(path, "rb") as f:
+        while True:
+            b = f.read(chunk_bytes)
+            if not b:
+                break
+            c = zlib.crc32(b, c)
+    return c & 0xFFFFFFFF
 
 
 class FileStatus(str, enum.Enum):
@@ -36,6 +53,11 @@ class JobEntry:
     status: FileStatus = FileStatus.PENDING
     output_path: str | None = None
     output_size: int | None = None
+    output_crc32: int | None = None
+    """Content hash of the finished output: resume re-processes a
+    truncated-but-right-size or corrupted file instead of trusting it
+    (with seeded deterministic outputs, re-processing reproduces the same
+    bytes, so verification is sound)."""
     error: str | None = None
     sample_rate: int | None = None
     num_channels: int | None = None
@@ -105,6 +127,10 @@ class JobManifest:
                         and (prev.output_size is None
                              or os.path.getsize(prev.output_path) == prev.output_size)
                     )
+                    if ok and prev.output_crc32 is not None:
+                        # size matched (cheap guard) — verify content, so a
+                        # corrupted output re-processes on resume
+                        ok = file_crc32(prev.output_path) == prev.output_crc32
                     entries.append(prev if ok else JobEntry(path=p))
                 else:
                     entries.append(JobEntry(path=p))

@@ -226,174 +226,18 @@ class BatchProcessor:
                 f"Calibrated {rate_in}->{cfg.target_rate}: latency "
                 f"{cal.latency_frames} frames, noise floor {cal.noise_floor_db:.1f} dB")
 
-        # ---- pipeline stages ----
+        # ---- pipeline stages (persistent across groups and buckets: one
+        # decode pool, one collector, one encode pool for the whole run, so
+        # bucket N+1 decodes and uploads underneath bucket N's device
+        # compute — previously the stage set was torn down and rebuilt per
+        # bucket, making cross-bucket overlap structurally impossible) ----
         audio_in = audio_out = 0.0
         stop_event = threading.Event()
         errors: list[str] = []
         per_file_metrics: dict[str, dict] = {}
         norm_info: dict[str, dict] = {}
-
-        def decode_stage(infos, out_q, raw_bits=0):
-            # C++ thread-pool decode for integer-PCM WAVs (the JUCE
-            # AudioFormatManager role): file I/O + 16/24-bit conversion +
-            # deinterleave run off the GIL.  Skipped when the raw-bytes
-            # device path already avoids host decode entirely.
-            loader = None
-            if not raw_bits and cfg.native_loader:
-                from .. import native
-
-                if native.available():
-                    loader = native.AsyncLoader(n_threads=self.decode_workers)
-
-            def native_eligible(info):
-                return (loader is not None and info.container == "wav"
-                        and not info.is_float and info.bit_depth in (16, 24))
-
-            def worker(sub):
-                # the finally-sentinel is load-bearing: the main loop counts
-                # one None per worker, so early exits (abort, unexpected
-                # exception) must still deliver it or run() deadlocks
-                try:
-                    for info in sub:
-                        if stop_event.is_set():
-                            return
-                        try:
-                            t0 = time.time()
-                            if raw_bits:
-                                data, rinfo = codec.read_raw_pcm(info.path)
-                                rate = rinfo.sample_rate
-                                audio_s = rinfo.num_frames / rate
-                            elif native_eligible(info):
-                                ticket = loader.submit(
-                                    info.path, info.num_channels,
-                                    info.num_frames)
-                                data, rate = loader.wait(ticket)
-                                audio_s = data.shape[-1] / rate
-                            else:
-                                data, rate = codec.read_audio(info.path)
-                                audio_s = data.shape[-1] / rate
-                            self.throughput.add("decode", audio_s, time.time() - t0)
-                            gain_db = 0.0
-                            if cfg.normalize_lufs is not None and not raw_bits:
-                                # the chunk-exact streamed meter + shared
-                                # gain rule: the SAME functions the
-                                # streaming path uses, so a file processed
-                                # either way gets the bit-identical gain
-                                # (and therefore bit-identical output bytes)
-                                from ..ops.loudness import (
-                                    array_reader, meter_source_streamed,
-                                    normalization_gain_db)
-
-                                m = meter_source_streamed(
-                                    array_reader(data), data.shape[0],
-                                    data.shape[-1], rate,
-                                    want_tp=cfg.normalize_tp_db is not None)
-                                lufs = m["lufs"]
-                                if lufs > -199.0:
-                                    gain_db, note = normalization_gain_db(
-                                        cfg.normalize_lufs, lufs, cfg.gain_db,
-                                        cfg.normalize_tp_db,
-                                        m["true_peak_db"])
-                                    norm_info[info.path] = {
-                                        "source_lufs": round(lufs, 2),
-                                        "applied_gain_db": round(gain_db, 2),
-                                    }
-                                    self.log.append(
-                                        f"Normalize: "
-                                        f"{os.path.basename(info.path)} "
-                                        f"{lufs:.1f} LUFS -> "
-                                        f"{cfg.normalize_lufs:.1f} "
-                                        f"({gain_db:+.1f} dB{note})")
-                            # per-file progress stages (the reference's throttled
-                            # progress callbacks, AudioProcessingService.swift:209-214):
-                            # decoded 0.3 -> device done 0.7 -> encoded 1.0
-                            manifest.update(info.path, FileStatus.PROCESSING,
-                                            progress=0.3)
-                            out_q.put(_Decoded(info.path, data, rate,
-                                               gain_db=gain_db))
-                        except (ValueError, OSError, struct.error, EOFError,
-                                TimeoutError) as err:
-                            manifest.update(info.path, FileStatus.FAILED,
-                                            error=str(err))
-                            self.log.append(f"Decode failed: {info.path}: {err}")
-                finally:
-                    out_q.put(None)
-
-            threads = []
-            chunks = [infos[i :: self.decode_workers] for i in range(self.decode_workers)]
-            for sub in chunks:
-                t = threading.Thread(target=worker, args=(sub,), daemon=True)
-                t.start()
-                threads.append(t)
-            return threads, loader
-
-        def encode_stage(in_q):
-            def worker():
-                while True:
-                    item = in_q.get()
-                    if item is None:
-                        return
-                    path, codes, out_frames, rate_out, metrics = item
-                    try:
-                        t0 = time.time()
-                        out_path = out_paths[path]
-                        aiff_out = cfg.output_format == "aiff"
-                        if metrics.get("payload"):
-                            # device-packed 24-bit bytes: header + fwrite
-                            out_ch = metrics["out_channels"]
-                            writer = (aiff.write_aiff_payload if aiff_out
-                                      else wav.write_wav_payload)
-                            writer(out_path, codes[: out_frames * out_ch * 3],
-                                   out_ch, rate_out, bits=24)
-                        else:
-                            writer = (aiff.write_aiff_codes if aiff_out
-                                      else wav.write_wav_codes)
-                            writer(out_path, codes[:, :out_frames], rate_out,
-                                   bits=cfg.bits)
-                        if cfg.keep_metadata:
-                            # same-container passthrough only (chunk formats
-                            # don't translate across RIFF <-> IFF)
-                            src_wav = path.lower().endswith(".wav")
-                            r_in = metrics.get("rate_in", rate_out)
-                            try:
-                                if src_wav and cfg.output_format == "wav":
-                                    wav.append_chunks(
-                                        out_path,
-                                        wav.scale_metadata_chunks(
-                                            wav.read_extra_chunks(path),
-                                            r_in, rate_out))
-                                elif (not src_wav
-                                      and cfg.output_format == "aiff"):
-                                    aiff.append_chunks_aiff(
-                                        out_path,
-                                        aiff.scale_metadata_chunks_aiff(
-                                            aiff.read_extra_chunks_aiff(path),
-                                            r_in, rate_out))
-                            except (ValueError, OSError) as err:
-                                self.log.append(
-                                    f"Metadata passthrough skipped for "
-                                    f"{os.path.basename(path)}: {err}")
-                        self.throughput.add("encode", out_frames / rate_out, time.time() - t0)
-                        manifest.update(
-                            path, FileStatus.COMPLETED,
-                            output_path=out_path,
-                            output_size=os.path.getsize(out_path),
-                            metrics=per_file_metrics.get(path),
-                            progress=1.0)
-                        self.log.append(
-                            f"Completed: {os.path.basename(out_path)} "
-                            f"({out_frames} frames @ {rate_out} Hz, "
-                            f"peak {metrics['peak_db']:.1f} dB)")
-                    except (ValueError, OSError) as err:
-                        manifest.update(path, FileStatus.FAILED, error=str(err))
-                        self.log.append(f"Encode failed: {path}: {err}")
-                        errors.append(str(err))
-
-            threads = [threading.Thread(target=worker, daemon=True)
-                       for _ in range(self.encode_workers)]
-            for t in threads:
-                t.start()
-            return threads
+        from .manifest import file_crc32
+        from .stream import stream_resample_file, streaming_exclusions
 
         # Per-file dither seeds derive from (cfg.seed, path) so reruns are
         # byte-identical regardless of decode-thread arrival order; cfg.seed
@@ -406,9 +250,20 @@ class BatchProcessor:
 
             return _fs(base_seed, path)
 
+        # ---- plan: group -> length buckets; files beyond the largest
+        # configured bucket route to the constant-memory streaming path
+        # (an exact-fit bucket staged at batch_size width would allocate
+        # ~batch_size x file_bytes of host staging and ship multi-GB buffers
+        # to a 16 GiB chip) ----
+        max_bucket = max(cfg.bucket_frames)
+        budget_frames = cfg.batch_size * max_bucket
+        mesh_files = (self.mesh.shape.get("files", 1)
+                      if self.mesh is not None else 1)
+        stream_ok = not streaming_exclusions(cfg)
+        stream_jobs: list[tuple] = []          # (info, rate_in)
+        buckets: list[dict] = []               # per-bucket context + files
+
         for (rate_in, channels, raw_bits, raw_be), infos in groups.items():
-            if stop_event.is_set():
-                break
             infos = [i for i in infos
                      if manifest.get(i.path).status == FileStatus.PENDING]
             if not infos:
@@ -431,8 +286,9 @@ class BatchProcessor:
                         "using -80 dB fallback for tail detection")
             # bucket by padded length.  The 60 s cap is a *reverb capture*
             # bound (AudioProcessingService.swift:449-452), not a general
-            # input limit: plain resampling of longer files gets an
-            # exact-fit bucket instead of silent truncation.
+            # input limit; beyond-largest-bucket files stream instead, and
+            # only stream-ineligible configs fall back to an exact-fit
+            # bucket at reduced batch width.
             cap = int(cfg.max_tail_seconds * rate_in) if cfg.reverb_mode else None
             by_bucket: dict[int, list] = {}
             for info in infos:
@@ -442,6 +298,9 @@ class BatchProcessor:
                         f"Reverb capture cap: truncating {info.path} to "
                         f"{cfg.max_tail_seconds:.0f} s ({cap} frames)")
                     n = cap
+                if cap is None and n > max_bucket and stream_ok and lat == 0:
+                    stream_jobs.append((info, rate_in))
+                    continue
                 blen = next((b for b in sorted(cfg.bucket_frames) if n <= b), n)
                 by_bucket.setdefault(max(blen, n) if cap is None else
                                      min(max(blen, n), cap), []).append(info)
@@ -484,184 +343,441 @@ class BatchProcessor:
                 if rows_pre_applicable(bank_g):
                     rows_bank = bank_g
 
+            # output channel count after in-graph routing / mono fan-out
+            out_ch = (len(cfg.channel_routing)
+                      if cfg.channel_routing is not None
+                      else (cfg.output_channels
+                            if (cfg.output_channels and channels == 1)
+                            else channels))
             for blen, binfos in sorted(by_bucket.items()):
-                dec_q: queue.Queue = queue.Queue(maxsize=self.queue_depth)
-                enc_q: queue.Queue = queue.Queue(maxsize=self.queue_depth)
-                # device->host collector: materialising results (D2H) happens
-                # off the dispatch thread so the next batch's H2D + compute
-                # overlap the previous batch's download — the double-buffered
-                # device queue (SURVEY.md section 2.4).
-                res_q: queue.Queue = queue.Queue(maxsize=2)
-                # output channel count after in-graph routing / mono fan-out
-                out_ch = (len(cfg.channel_routing)
-                          if cfg.channel_routing is not None
-                          else (cfg.output_channels
-                                if (cfg.output_channels and channels == 1)
-                                else channels))
-                dec_threads, dec_loader = decode_stage(binfos, dec_q,
-                                                       raw_bits=raw_bits)
-                enc_threads = encode_stage(enc_q)
+                bs = cfg.batch_size
+                if blen > max_bucket:
+                    # exact-fit bucket for an oversized file that can't
+                    # stream (chain latency, reverb cap, ...): shrink the
+                    # batch so host staging stays within the normal budget
+                    bs = max(1, budget_frames // blen)
+                    bs = min(-(-bs // mesh_files) * mesh_files,
+                             cfg.batch_size)
+                    self.log.append(
+                        f"Oversized bucket {blen} frames: batch width "
+                        f"reduced to {bs} (memory budget)")
+                buckets.append(dict(
+                    rate_in=rate_in, channels=channels, raw_bits=raw_bits,
+                    raw_be=raw_be, lat=lat, group_nf=group_nf, use_cp=use_cp,
+                    rows_bank=rows_bank, out_ch=out_ch, blen=blen,
+                    infos=binfos, bs=bs))
 
-                def collector():
-                    nonlocal audio_in, audio_out
-                    while True:
-                        item = res_q.get()
-                        if item is None:
-                            return
-                        c_paths, res, c_valid, c_rate_in, t_submit = item
-                        try:
-                            codes = np.asarray(res.codes)
-                            if res.layout == "rows":
-                                # host-side flatten of the device rows tiling
-                                # (free here; ~10x the SRC cost on device).
-                                # rows results are always int32 (f, C, n, L);
-                                # the native pack24 runs at encode time
-                                codes = codes.reshape(
-                                    codes.shape[0], codes.shape[1], -1)
-                            out_frames = np.asarray(res.out_frames)
-                            pk = np.asarray(res.peak_db)
-                            rms = np.asarray(res.rms_db)
-                            nf = np.asarray(res.noise_floor_db)
-                        except Exception as err:
-                            stop_event.set()
-                            manifest.fail_remaining(f"device step failed: {err}")
-                            self.log.append(f"BATCH ABORT: device step failed: {err}")
-                            errors.append(str(err))
-                            continue
-                        self.throughput.add(
-                            "device", float(c_valid.sum()) / c_rate_in,
-                            time.time() - t_submit)
-                        for i, p in enumerate(c_paths):
-                            manifest.set_progress(p, 0.7)
-                            audio_in += c_valid[i] / c_rate_in
-                            audio_out += int(out_frames[i]) / cfg.target_rate
-                            per_file_metrics[p] = {
-                                "out_frames": int(out_frames[i]),
-                                "peak_db": round(float(pk[i]), 2),
-                                "rms_db": round(float(rms[i]), 2),
-                                "noise_floor_db": round(float(nf[i]), 2),
-                                **norm_info.get(p, {}),
-                            }
-                            enc_q.put((p, codes[i], int(out_frames[i]),
-                                       cfg.target_rate,
-                                       {"peak_db": float(pk[i]),
-                                        "rate_in": c_rate_in,
-                                        "payload": bool(raw_bits)
-                                                   and res.layout == "flat",
-                                        "out_channels": out_ch}))
+        work: list[tuple[int, object]] = [
+            (bi, info) for bi, b in enumerate(buckets) for info in b["infos"]]
 
-                collector_thread = threading.Thread(target=collector, daemon=True)
-                collector_thread.start()
+        dec_q: queue.Queue = queue.Queue(maxsize=self.queue_depth)
+        enc_q: queue.Queue = queue.Queue(maxsize=self.queue_depth)
+        # device->host collector: materialising results (D2H) happens off the
+        # dispatch thread so the next batch's H2D + compute overlap the
+        # previous batch's download — the double-buffered device queue
+        # (SURVEY.md section 2.4).
+        res_q: queue.Queue = queue.Queue(maxsize=2)
 
-                batch_x: list[_Decoded] = []
-                done_workers = 0
+        loader = None
+        if cfg.native_loader and any(not b["raw_bits"] for b in buckets):
+            # C++ thread-pool decode for integer-PCM WAVs (the JUCE
+            # AudioFormatManager role): file I/O + 16/24-bit conversion +
+            # deinterleave run off the GIL.
+            from .. import native
 
-                def flush():
-                    if not batch_x:
-                        return
-                    t0 = time.time()
-                    paths = [d.entry_path for d in batch_x]
-                    # Always submit full batch_size rows (zero-padded) so every
-                    # flush reuses the same compiled graph.
-                    bs = self.cfg.batch_size
-                    valid = np.zeros(bs, np.int32)
-                    seeds = np.zeros(bs, np.int32)
-                    gains = np.zeros(bs, np.float32)
-                    for i, d in enumerate(batch_x):
-                        seeds[i] = file_seed(d.entry_path)
-                        gains[i] = d.gain_db
-                    norm_gains = (gains if cfg.normalize_lufs is not None
-                                  else None)
-                    if raw_bits:
-                        bpf = channels * (raw_bits // 8)
-                        x = np.zeros((bs, blen * bpf), np.uint8)
-                        for i, d in enumerate(batch_x):
-                            nb = min(len(d.data), blen * bpf)
-                            x[i, :nb] = d.data[:nb]
-                            valid[i] = nb // bpf
-                    elif rows_bank is not None:
-                        # host-rows marshalling: write samples at flat offset
-                        # pad_front of the zero (n_rows, M) tiling (contiguous
-                        # memcpy); the device starts straight at the matmul
-                        from ..ops.pallas_src import rows_marshal_plan
+            if native.available():
+                loader = native.AsyncLoader(n_threads=self.decode_workers)
 
-                        n_rows, pf = rows_marshal_plan(rows_bank, blen)
-                        mm = rows_bank.M
-                        x = np.zeros((bs, channels, n_rows * mm), np.float32)
-                        for i, d in enumerate(batch_x):
-                            n = min(d.data.shape[-1], blen)
-                            x[i, :, pf : pf + n] = d.data[:, :n]
-                            valid[i] = n
-                        x = x.reshape(bs, channels, n_rows, mm)
-                    else:
-                        x = np.zeros((bs, channels, blen), np.float32)
-                        for i, d in enumerate(batch_x):
-                            n = min(d.data.shape[-1], blen)
-                            x[i, :, :n] = d.data[:, :n]
-                            valid[i] = n
-                    sub = jnp.asarray(seeds)
-                    if self.mesh is not None:
-                        from ..parallel.mesh import NamedSharding, P
+        def native_eligible(info):
+            return (loader is not None and info.container == "wav"
+                    and not info.is_float and info.bit_depth in (16, 24))
 
-                        spec = (P("files", None) if raw_bits
-                                else (P("files", "channels", None) if use_cp
-                                      else P(*(["files"] + [None] * (x.ndim - 1)))))
-                        x = jax.device_put(x, NamedSharding(self.mesh, spec))
-                    try:
-                        # dispatch only — results stay on device; the
-                        # collector thread materialises them (D2H) while the
-                        # next batch is assembled and dispatched
-                        use_rows = cfg.device_layout == "rows"
-                        if use_cp:
-                            from ..parallel import process_batch_channels_sharded
-
-                            res = process_batch_channels_sharded(
-                                x, valid, cfg, rate_in, seeds, self.mesh,
-                                latency_frames=lat, noise_floor_db=group_nf)
-                        elif raw_bits:
-                            res = process_batch_raw(
-                                x, valid, cfg, rate_in, sub,
-                                in_channels=channels, in_bits=raw_bits,
-                                in_big_endian=raw_be,
-                                latency_frames=lat, noise_floor_db=group_nf,
-                                rows_layout=use_rows)
-                        else:
-                            res = process_batch(
-                                x, valid, cfg, rate_in, sub, latency_frames=lat,
-                                noise_floor_db=group_nf, rows_layout=use_rows,
-                                per_file_gain_db=norm_gains)
-                    except Exception as err:  # compile/dispatch failure
-                        stop_event.set()
-                        manifest.fail_remaining(f"device step failed: {err}")
-                        self.log.append(f"BATCH ABORT: device step failed: {err}")
-                        errors.append(str(err))
-                        batch_x.clear()
-                        return
-                    res_q.put((paths, res, valid.copy(), rate_in, t0))
-                    batch_x.clear()
-
-                while done_workers < len(dec_threads):
-                    item = dec_q.get()
-                    if item is None:
-                        done_workers += 1
-                        continue
+        def decode_worker(sub):
+            # the finally-sentinel is load-bearing: the main loop counts one
+            # None per worker, so early exits (abort, unexpected exception)
+            # must still deliver it or run() deadlocks.  Any per-file failure
+            # — including unexpected exception types (fault containment) —
+            # marks the file FAILED and posts a failure token so the
+            # bucket's arrival count still completes.
+            try:
+                for bi, info in sub:
                     if stop_event.is_set():
-                        continue  # aborted: drain the queue, no more batches
-                    batch_x.append(item)
-                    if len(batch_x) >= cfg.batch_size:
-                        flush()
-                flush()
-                res_q.put(None)
-                collector_thread.join()
+                        return
+                    raw_bits = buckets[bi]["raw_bits"]
+                    try:
+                        t0 = time.time()
+                        if raw_bits:
+                            data, rinfo = codec.read_raw_pcm(info.path)
+                            rate = rinfo.sample_rate
+                            audio_s = rinfo.num_frames / rate
+                        elif native_eligible(info):
+                            ticket = loader.submit(
+                                info.path, info.num_channels,
+                                info.num_frames)
+                            data, rate = loader.wait(ticket)
+                            audio_s = data.shape[-1] / rate
+                        else:
+                            data, rate = codec.read_audio(info.path)
+                            audio_s = data.shape[-1] / rate
+                        self.throughput.add("decode", audio_s, time.time() - t0)
+                        gain_db = 0.0
+                        if cfg.normalize_lufs is not None and not raw_bits:
+                            # the chunk-exact streamed meter + shared gain
+                            # rule: the SAME functions the streaming path
+                            # uses, so a file processed either way gets the
+                            # bit-identical gain (and therefore
+                            # bit-identical output bytes)
+                            from ..ops.loudness import (
+                                array_reader, meter_source_streamed,
+                                normalization_gain_db)
 
-                for _ in enc_threads:
-                    enc_q.put(None)
-                for t in enc_threads:
-                    t.join()
-                for t in dec_threads:
-                    t.join()
-                if dec_loader is not None:
-                    dec_loader.close()
+                            m = meter_source_streamed(
+                                array_reader(data), data.shape[0],
+                                data.shape[-1], rate,
+                                want_tp=cfg.normalize_tp_db is not None)
+                            lufs = m["lufs"]
+                            if lufs > -199.0:
+                                gain_db, note = normalization_gain_db(
+                                    cfg.normalize_lufs, lufs, cfg.gain_db,
+                                    cfg.normalize_tp_db,
+                                    m["true_peak_db"])
+                                norm_info[info.path] = {
+                                    "source_lufs": round(lufs, 2),
+                                    "applied_gain_db": round(gain_db, 2),
+                                }
+                                self.log.append(
+                                    f"Normalize: "
+                                    f"{os.path.basename(info.path)} "
+                                    f"{lufs:.1f} LUFS -> "
+                                    f"{cfg.normalize_lufs:.1f} "
+                                    f"({gain_db:+.1f} dB{note})")
+                        # per-file progress stages (the reference's throttled
+                        # progress callbacks, AudioProcessingService.swift:209-214):
+                        # decoded 0.3 -> device done 0.7 -> encoded 1.0
+                        manifest.update(info.path, FileStatus.PROCESSING,
+                                        progress=0.3)
+                        dec_q.put((bi, _Decoded(info.path, data, rate,
+                                                gain_db=gain_db)))
+                    except Exception as err:
+                        manifest.update(info.path, FileStatus.FAILED,
+                                        error=str(err))
+                        self.log.append(f"Decode failed: {info.path}: {err}")
+                        dec_q.put((bi, None))
+            finally:
+                dec_q.put(None)
+
+        def put_enc(item) -> bool:
+            # abort-aware bounded put: if the encode pool ever died
+            # (catastrophic, beyond the broad containment below), the
+            # collector must not wedge forever on a full queue
+            while not stop_event.is_set():
+                try:
+                    enc_q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        def encode_worker():
+            while True:
+                item = enc_q.get()
+                if item is None:
+                    return
+                path, codes, out_frames, rate_out, metrics = item
+                try:
+                    t0 = time.time()
+                    out_path = out_paths[path]
+                    aiff_out = cfg.output_format == "aiff"
+                    if metrics.get("payload"):
+                        # device-packed 24-bit bytes: header + fwrite
+                        out_ch = metrics["out_channels"]
+                        writer = (aiff.write_aiff_payload if aiff_out
+                                  else wav.write_wav_payload)
+                        writer(out_path, codes[: out_frames * out_ch * 3],
+                               out_ch, rate_out, bits=24)
+                    else:
+                        writer = (aiff.write_aiff_codes if aiff_out
+                                  else wav.write_wav_codes)
+                        writer(out_path, codes[:, :out_frames], rate_out,
+                               bits=cfg.bits)
+                    if cfg.keep_metadata:
+                        # same-container passthrough only (chunk formats
+                        # don't translate across RIFF <-> IFF)
+                        src_wav = path.lower().endswith(".wav")
+                        r_in = metrics.get("rate_in", rate_out)
+                        try:
+                            if src_wav and cfg.output_format == "wav":
+                                wav.append_chunks(
+                                    out_path,
+                                    wav.scale_metadata_chunks(
+                                        wav.read_extra_chunks(path),
+                                        r_in, rate_out))
+                            elif (not src_wav
+                                  and cfg.output_format == "aiff"):
+                                aiff.append_chunks_aiff(
+                                    out_path,
+                                    aiff.scale_metadata_chunks_aiff(
+                                        aiff.read_extra_chunks_aiff(path),
+                                        r_in, rate_out))
+                        except (ValueError, OSError) as err:
+                            self.log.append(
+                                f"Metadata passthrough skipped for "
+                                f"{os.path.basename(path)}: {err}")
+                    self.throughput.add("encode", out_frames / rate_out,
+                                        time.time() - t0)
+                    manifest.update(
+                        path, FileStatus.COMPLETED,
+                        output_path=out_path,
+                        output_size=os.path.getsize(out_path),
+                        output_crc32=file_crc32(out_path),
+                        metrics=per_file_metrics.get(path),
+                        progress=1.0)
+                    self.log.append(
+                        f"Completed: {os.path.basename(out_path)} "
+                        f"({out_frames} frames @ {rate_out} Hz, "
+                        f"peak {metrics['peak_db']:.1f} dB)")
+                except Exception as err:
+                    # broad containment: ANY write-path failure — including
+                    # container-size struct errors — fails the file and
+                    # keeps the worker alive, so the bounded enc_q keeps
+                    # draining and the run exits cleanly instead of hanging
+                    manifest.update(path, FileStatus.FAILED, error=str(err))
+                    self.log.append(f"Encode failed: {path}: {err}")
+                    errors.append(str(err))
+
+        def collector():
+            nonlocal audio_in, audio_out
+            while True:
+                item = res_q.get()
+                if item is None:
+                    return
+                bi, c_paths, res, c_valid, c_rate_in, t_submit = item
+                b = buckets[bi]
+                try:
+                    codes = np.asarray(res.codes)
+                    if res.layout == "rows":
+                        # host-side flatten of the device rows tiling
+                        # (free here; ~10x the SRC cost on device).
+                        # rows results are always int32 (f, C, n, L);
+                        # the native pack24 runs at encode time
+                        codes = codes.reshape(
+                            codes.shape[0], codes.shape[1], -1)
+                    out_frames = np.asarray(res.out_frames)
+                    pk = np.asarray(res.peak_db)
+                    rms = np.asarray(res.rms_db)
+                    nf = np.asarray(res.noise_floor_db)
+                except Exception as err:
+                    stop_event.set()
+                    manifest.fail_remaining(f"device step failed: {err}")
+                    self.log.append(f"BATCH ABORT: device step failed: {err}")
+                    errors.append(str(err))
+                    continue
+                self.throughput.add(
+                    "device", float(c_valid.sum()) / c_rate_in,
+                    time.time() - t_submit)
+                for i, p in enumerate(c_paths):
+                    manifest.set_progress(p, 0.7)
+                    audio_in += c_valid[i] / c_rate_in
+                    audio_out += int(out_frames[i]) / cfg.target_rate
+                    per_file_metrics[p] = {
+                        "out_frames": int(out_frames[i]),
+                        "peak_db": round(float(pk[i]), 2),
+                        "rms_db": round(float(rms[i]), 2),
+                        "noise_floor_db": round(float(nf[i]), 2),
+                        **norm_info.get(p, {}),
+                    }
+                    delivered = put_enc(
+                        (p, codes[i], int(out_frames[i]), cfg.target_rate,
+                         {"peak_db": float(pk[i]),
+                          "rate_in": c_rate_in,
+                          "payload": bool(b["raw_bits"])
+                                     and res.layout == "flat",
+                          "out_channels": b["out_ch"]}))
+                    if not delivered:
+                        manifest.update(p, FileStatus.FAILED,
+                                        error="aborted before encode")
+
+        pending: dict[int, list] = {bi: [] for bi in range(len(buckets))}
+        total = {bi: len(b["infos"]) for bi, b in enumerate(buckets)}
+        got = {bi: 0 for bi in range(len(buckets))}
+
+        def flush(bi: int):
+            batch_x = pending[bi]
+            if not batch_x:
+                return
+            b = buckets[bi]
+            blen, channels, raw_bits = b["blen"], b["channels"], b["raw_bits"]
+            t0 = time.time()
+            paths = [d.entry_path for d in batch_x]
+            # Always submit the bucket's full batch width (zero-padded) so
+            # every flush reuses the same compiled graph.
+            bs = b["bs"]
+            valid = np.zeros(bs, np.int32)
+            seeds = np.zeros(bs, np.int32)
+            gains = np.zeros(bs, np.float32)
+            for i, d in enumerate(batch_x):
+                seeds[i] = file_seed(d.entry_path)
+                gains[i] = d.gain_db
+            norm_gains = (gains if cfg.normalize_lufs is not None
+                          else None)
+            if raw_bits:
+                bpf = channels * (raw_bits // 8)
+                x = np.zeros((bs, blen * bpf), np.uint8)
+                for i, d in enumerate(batch_x):
+                    nb = min(len(d.data), blen * bpf)
+                    x[i, :nb] = d.data[:nb]
+                    valid[i] = nb // bpf
+            elif b["rows_bank"] is not None:
+                # host-rows marshalling: write samples at flat offset
+                # pad_front of the zero (n_rows, M) tiling (contiguous
+                # memcpy); the device starts straight at the matmul
+                from ..ops.pallas_src import rows_marshal_plan
+
+                n_rows, pf = rows_marshal_plan(b["rows_bank"], blen)
+                mm = b["rows_bank"].M
+                x = np.zeros((bs, channels, n_rows * mm), np.float32)
+                for i, d in enumerate(batch_x):
+                    n = min(d.data.shape[-1], blen)
+                    x[i, :, pf : pf + n] = d.data[:, :n]
+                    valid[i] = n
+                x = x.reshape(bs, channels, n_rows, mm)
+            else:
+                x = np.zeros((bs, channels, blen), np.float32)
+                for i, d in enumerate(batch_x):
+                    n = min(d.data.shape[-1], blen)
+                    x[i, :, :n] = d.data[:, :n]
+                    valid[i] = n
+            sub = jnp.asarray(seeds)
+            if self.mesh is not None:
+                from ..parallel.mesh import NamedSharding, P
+
+                spec = (P("files", None) if raw_bits
+                        else (P("files", "channels", None) if b["use_cp"]
+                              else P(*(["files"] + [None] * (x.ndim - 1)))))
+                x = jax.device_put(x, NamedSharding(self.mesh, spec))
+            try:
+                # dispatch only — results stay on device; the collector
+                # thread materialises them (D2H) while the next batch is
+                # assembled and dispatched
+                use_rows = cfg.device_layout == "rows"
+                if b["use_cp"]:
+                    from ..parallel import process_batch_channels_sharded
+
+                    res = process_batch_channels_sharded(
+                        x, valid, cfg, b["rate_in"], seeds, self.mesh,
+                        latency_frames=b["lat"],
+                        noise_floor_db=b["group_nf"])
+                elif raw_bits:
+                    res = process_batch_raw(
+                        x, valid, cfg, b["rate_in"], sub,
+                        in_channels=channels, in_bits=raw_bits,
+                        in_big_endian=b["raw_be"],
+                        latency_frames=b["lat"],
+                        noise_floor_db=b["group_nf"],
+                        rows_layout=use_rows)
+                else:
+                    res = process_batch(
+                        x, valid, cfg, b["rate_in"], sub,
+                        latency_frames=b["lat"],
+                        noise_floor_db=b["group_nf"], rows_layout=use_rows,
+                        per_file_gain_db=norm_gains)
+            except Exception as err:  # compile/dispatch failure
+                stop_event.set()
+                manifest.fail_remaining(f"device step failed: {err}")
+                self.log.append(f"BATCH ABORT: device step failed: {err}")
+                errors.append(str(err))
+                pending[bi] = []
+                return
+            res_q.put((bi, paths, res, valid.copy(), b["rate_in"], t0))
+            pending[bi] = []
+
+        dec_threads = []
+        if work:
+            chunks = [work[i :: self.decode_workers]
+                      for i in range(self.decode_workers)]
+            for sub in chunks:
+                t = threading.Thread(target=decode_worker, args=(sub,),
+                                     daemon=True)
+                t.start()
+                dec_threads.append(t)
+        enc_threads = [threading.Thread(target=encode_worker, daemon=True)
+                       for _ in range(self.encode_workers)]
+        for t in enc_threads:
+            t.start()
+        collector_thread = threading.Thread(target=collector, daemon=True)
+        collector_thread.start()
+
+        done_workers = 0
+        while done_workers < len(dec_threads):
+            item = dec_q.get()
+            if item is None:
+                done_workers += 1
+                continue
+            bi, dec = item
+            got[bi] += 1
+            if stop_event.is_set():
+                continue  # aborted: drain the queue, no more batches
+            if dec is not None:
+                pending[bi].append(dec)
+                if len(pending[bi]) >= buckets[bi]["bs"]:
+                    flush(bi)
+            if got[bi] == total[bi]:
+                # every file of this bucket has arrived (or failed): flush
+                # the partial batch now so decoded audio never sits waiting
+                # on another bucket's progress
+                flush(bi)
+        if not stop_event.is_set():
+            for bi in range(len(buckets)):
+                flush(bi)   # safety sweep
+        res_q.put(None)
+        collector_thread.join()
+        for _ in enc_threads:
+            enc_q.put(None)
+        for t in enc_threads:
+            t.join()
+        for t in dec_threads:
+            t.join()
+        if loader is not None:
+            loader.close()
+
+        # ---- oversized files: the constant-memory streaming path, with the
+        # same manifest/status flow and sub-file progress surfaced through
+        # the manifest (the reference's per-buffer progress callbacks,
+        # AudioProcessingService.swift:209-264) ----
+        for info, s_rate_in in stream_jobs:
+            if stop_event.is_set():
+                break
+            out_path = out_paths[info.path]
+            self.log.append(
+                f"Oversized ({info.num_frames} frames > largest bucket "
+                f"{max_bucket}): streaming {os.path.basename(info.path)}")
+            manifest.update(info.path, FileStatus.PROCESSING, progress=0.0)
+            try:
+                t0 = time.time()
+                n = stream_resample_file(
+                    info.path, out_path, cfg,
+                    progress_cb=lambda p, _p=info.path:
+                        manifest.set_progress(_p, p))
+                self.throughput.add("device", info.num_frames / s_rate_in,
+                                    time.time() - t0)
+                audio_in += info.num_frames / s_rate_in
+                audio_out += n / cfg.target_rate
+                per_file_metrics[info.path] = {"out_frames": int(n),
+                                               "streamed": True}
+                manifest.update(
+                    info.path, FileStatus.COMPLETED,
+                    output_path=out_path,
+                    output_size=os.path.getsize(out_path),
+                    output_crc32=file_crc32(out_path),
+                    metrics=per_file_metrics[info.path],
+                    progress=1.0)
+                self.log.append(
+                    f"Completed (streamed): {os.path.basename(out_path)} "
+                    f"({n} frames @ {cfg.target_rate} Hz)")
+            except Exception as err:
+                manifest.update(info.path, FileStatus.FAILED, error=str(err))
+                self.log.append(f"Stream failed: {info.path}: {err}")
+                errors.append(str(err))
 
         if stop_event.is_set():
             # final sweep: a decode worker may have flipped a file to

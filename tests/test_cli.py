@@ -269,6 +269,40 @@ def test_cli_probe_json_keeps_stream_clean_on_error(tmp_path, capsys):
     assert "error" in rows[1]
 
 
+def test_cli_probe_json_survives_device_side_failure(tmp_path, capsys,
+                                                     monkeypatch):
+    """Advisor round 2: with --loudness, a device-side failure (e.g. an
+    XlaRuntimeError during metering) must become an error row for that file,
+    not abort the whole probe run."""
+    import json
+
+    import f9tpu.ops.loudness as loud
+
+    a = str(tmp_path / "a.wav")
+    b = str(tmp_path / "b.wav")
+    for p in (a, b):
+        write_wav(p, (0.1 * np.random.default_rng(0)
+                      .standard_normal((1, 48000))).astype(np.float32),
+                  48000, bits=24)
+
+    real = loud.r128_stats
+
+    def flaky(x, rate):
+        if flaky.calls == 0:
+            flaky.calls += 1
+            raise RuntimeError("XlaRuntimeError: RESOURCE_EXHAUSTED (fake)")
+        return real(x, rate)
+
+    flaky.calls = 0
+    monkeypatch.setattr(loud, "r128_stats", flaky)
+    rc = main(["probe", a, b, "--loudness", "--json"])
+    assert rc == 1
+    rows = json.loads(capsys.readouterr().out)
+    assert len(rows) == 2
+    assert "RESOURCE_EXHAUSTED" in rows[0]["error"]
+    assert rows[1]["lufs"] is not None
+
+
 def test_cli_selftest_parity(capsys):
     rc = main(["selftest", "--rate-in", "44100", "--rate", "48000",
                "--quality", "low", "--parity"])

@@ -1,0 +1,160 @@
+"""Round-3 scheduler robustness: oversized-file routing to the streaming
+path, encoder fault containment, and content-hash resume verification."""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from f9tpu.config import ProcessingConfig
+from f9tpu.io import read_wav, write_wav
+from f9tpu.pipeline import BatchProcessor, stream_resample_file
+from f9tpu.pipeline.manifest import FileStatus, JobManifest, file_crc32
+
+
+def _mk(tmp_path, name, frames, rate=44100, channels=2, seed=0, amp=0.25):
+    rng = np.random.default_rng(seed)
+    x = (amp * rng.standard_normal((channels, frames))).astype(np.float32)
+    p = str(tmp_path / name)
+    write_wav(p, x, rate, bits=24)
+    return p
+
+
+class TestOversizedRouting:
+    def test_oversized_file_streams(self, tmp_path):
+        """A file beyond the largest bucket takes the constant-memory
+        streaming path (metrics flag + byte-identical to a direct stream,
+        since both derive the dither seed from (cfg.seed, path))."""
+        rate = 44100
+        big = _mk(tmp_path, "long.wav", 90_000, rate=rate, seed=1)
+        small = _mk(tmp_path, "short.wav", 10_000, rate=rate, seed=2)
+        cfg = ProcessingConfig(output_dir=str(tmp_path / "out"),
+                               target_rate=48000, quality="low", seed=5,
+                               bucket_frames=(16_384, 32_768), batch_size=4)
+        proc = BatchProcessor(cfg)
+        res = proc.run([big, small])
+        assert res.completed == 2 and res.failed == 0
+        assert res.per_file[big].get("streamed") is True
+        assert "streamed" not in res.per_file[small]
+
+        # direct streaming run with the same cfg produces identical bytes
+        ref = str(tmp_path / "direct.wav")
+        cfg2 = ProcessingConfig(output_dir=str(tmp_path), target_rate=48000,
+                                quality="low", seed=5,
+                                bucket_frames=(16_384, 32_768), batch_size=4)
+        stream_resample_file(big, ref, cfg2)
+        a = open(str(tmp_path / "out" / "long_processed.wav"), "rb").read()
+        b = open(ref, "rb").read()
+        assert a == b
+
+    def test_oversized_ineligible_gets_reduced_batch(self, tmp_path):
+        """Stream-ineligible config (explicit latency trim) falls back to an
+        exact-fit bucket at reduced batch width, not batch_size staging."""
+        rate = 44100
+        big = _mk(tmp_path, "long2.wav", 80_000, rate=rate, seed=3)
+        from f9tpu.pipeline.logbook import StatusLog
+
+        log = StatusLog()
+        cfg = ProcessingConfig(output_dir=str(tmp_path / "out"),
+                               target_rate=48000, quality="low", seed=5,
+                               bucket_frames=(16_384,), batch_size=8,
+                               latency_frames=64)
+        res = BatchProcessor(cfg, log=log).run([big])
+        assert res.completed == 1
+        joined = "\n".join(log.lines)
+        assert "batch width reduced" in joined
+        y, r = read_wav(str(tmp_path / "out" / "long2_processed.wav"))
+        assert r == 48000
+
+    def test_multiple_buckets_one_run(self, tmp_path):
+        """Persistent-pipeline smoke: several groups/buckets complete through
+        the single shared decode/collect/encode stage set."""
+        files = [
+            _mk(tmp_path, "a.wav", 5_000, rate=44100, seed=10),
+            _mk(tmp_path, "b.wav", 30_000, rate=44100, seed=11),
+            _mk(tmp_path, "c.wav", 5_000, rate=48000, seed=12),
+            _mk(tmp_path, "d.wav", 30_000, rate=48000, channels=1, seed=13),
+        ]
+        cfg = ProcessingConfig(output_dir=str(tmp_path / "out"),
+                               target_rate=44100, quality="low", seed=1,
+                               bucket_frames=(8_192, 65_536), batch_size=2)
+        res = BatchProcessor(cfg).run(files)
+        assert res.completed == 4 and res.failed == 0
+
+
+class TestEncoderFaultContainment:
+    def test_dead_encoder_fails_files_without_hanging(self, tmp_path,
+                                                      monkeypatch):
+        """An encode-side struct.error (the round-2 >4 GiB failure class)
+        must mark files FAILED and let the run exit — not silently kill the
+        worker and wedge the collector on a full queue."""
+        files = [_mk(tmp_path, f"f{i}.wav", 4_000, seed=i) for i in range(6)]
+        from f9tpu.io import wav as wav_mod
+
+        def boom(*a, **k):
+            raise struct.error("'I' format requires 0 <= number <= 4294967295")
+
+        monkeypatch.setattr(wav_mod, "write_wav_codes", boom)
+        monkeypatch.setattr(wav_mod, "write_wav_payload", boom)
+        cfg = ProcessingConfig(output_dir=str(tmp_path / "out"),
+                               target_rate=48000, quality="low", seed=1,
+                               batch_size=2)
+        mpath = str(tmp_path / "m.json")
+        res = BatchProcessor(cfg).run(files, manifest_path=mpath)
+        assert res.completed == 0
+        assert res.failed == 6
+        saved = json.load(open(mpath))
+        for row in saved["files"]:
+            assert row["status"] == "failed"
+            assert "4294967295" in row["error"]
+
+
+class TestContentHashResume:
+    def test_corrupted_output_reprocesses_on_resume(self, tmp_path):
+        src = _mk(tmp_path, "r.wav", 9_000, seed=7)
+        cfg = ProcessingConfig(output_dir=str(tmp_path / "out"),
+                               target_rate=48000, quality="low", seed=9)
+        mpath = str(tmp_path / "manifest.json")
+        res = BatchProcessor(cfg).run([src], manifest_path=mpath)
+        assert res.completed == 1
+        out = str(tmp_path / "out" / "r_processed.wav")
+        good = open(out, "rb").read()
+        good_crc = file_crc32(out)
+        saved = json.load(open(mpath))
+        assert saved["files"][0]["output_crc32"] == good_crc
+
+        # corrupt one payload byte WITHOUT changing the size: the round-2
+        # size-only check would trust this file
+        bad = bytearray(good)
+        bad[len(bad) // 2] ^= 0xFF
+        open(out, "wb").write(bytes(bad))
+        m = JobManifest.load_or_create([src], mpath)
+        assert m.get(src).status == FileStatus.PENDING  # hash mismatch
+
+        res2 = BatchProcessor(cfg).run([src], manifest_path=mpath)
+        assert res2.completed == 1
+        assert open(out, "rb").read() == good  # seeded rerun reproduces bytes
+
+    def test_intact_output_skips_on_resume(self, tmp_path):
+        src = _mk(tmp_path, "s.wav", 9_000, seed=8)
+        cfg = ProcessingConfig(output_dir=str(tmp_path / "out"),
+                               target_rate=48000, quality="low", seed=9)
+        mpath = str(tmp_path / "manifest.json")
+        assert BatchProcessor(cfg).run([src], manifest_path=mpath).completed == 1
+        m = JobManifest.load_or_create([src], mpath)
+        assert m.get(src).status == FileStatus.COMPLETED
+
+    def test_old_manifest_without_hash_still_loads(self, tmp_path):
+        src = _mk(tmp_path, "t.wav", 4_000, seed=9)
+        out = _mk(tmp_path, "t_old_out.wav", 4_000, seed=9)
+        rows = {"files": [{"path": src, "status": "completed",
+                           "output_path": out,
+                           "output_size": os.path.getsize(out)}]}
+        mpath = str(tmp_path / "old.json")
+        json.dump(rows, open(mpath, "w"))
+        m = JobManifest.load_or_create([src], mpath)
+        assert m.get(src).status == FileStatus.COMPLETED  # tolerant loader
