@@ -363,7 +363,8 @@ def cmd_stream(args) -> int:
                          num_frames_shards=args.frames_shards)
     n = stream_resample_file(args.input, args.out, cfg,
                              chunk_seconds=args.chunk_seconds,
-                             progress_cb=progress, mesh=mesh)
+                             progress_cb=progress, mesh=mesh,
+                             latency_frames=getattr(args, "latency", None))
     print(f"wrote {n} frames @ {args.rate} Hz -> {args.out}")
     return 0
 
@@ -579,6 +580,9 @@ def main(argv: list[str] | None = None) -> int:
                         "(-1 = silent output channel)")
     p.add_argument("--channels", type=int, default=None,
                    help="fan a mono input out to N channels")
+    p.add_argument("--latency", type=int, default=None,
+                   help="trim this many output frames of known chain/system "
+                        "delay from the head (single-chip)")
     p.add_argument("--chunk-seconds", type=float, default=20.0)
     p.add_argument("--frames-shards", type=int, default=1,
                    help="shard each device step's frames axis over N chips "

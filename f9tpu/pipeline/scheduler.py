@@ -298,8 +298,8 @@ class BatchProcessor:
                         f"Reverb capture cap: truncating {info.path} to "
                         f"{cfg.max_tail_seconds:.0f} s ({cap} frames)")
                     n = cap
-                if cap is None and n > max_bucket and stream_ok and lat == 0:
-                    stream_jobs.append((info, rate_in))
+                if cap is None and n > max_bucket and stream_ok:
+                    stream_jobs.append((info, rate_in, lat))
                     continue
                 blen = next((b for b in sorted(cfg.bucket_frames) if n <= b), n)
                 by_bucket.setdefault(max(blen, n) if cap is None else
@@ -744,7 +744,7 @@ class BatchProcessor:
         # same manifest/status flow and sub-file progress surfaced through
         # the manifest (the reference's per-buffer progress callbacks,
         # AudioProcessingService.swift:209-264) ----
-        for info, s_rate_in in stream_jobs:
+        for info, s_rate_in, s_lat in stream_jobs:
             if stop_event.is_set():
                 break
             out_path = out_paths[info.path]
@@ -757,7 +757,8 @@ class BatchProcessor:
                 n = stream_resample_file(
                     info.path, out_path, cfg,
                     progress_cb=lambda p, _p=info.path:
-                        manifest.set_progress(_p, p))
+                        manifest.set_progress(_p, p),
+                    latency_frames=s_lat)
                 self.throughput.add("device", info.num_frames / s_rate_in,
                                     time.time() - t0)
                 audio_in += info.num_frames / s_rate_in

@@ -47,9 +47,8 @@ def streaming_exclusions(cfg: ProcessingConfig, in_path: str | None = None,
     if cfg.reverb_mode:
         out.append("reverb-mode tail handling is a batch-path feature; "
                    "captures are bounded at 60 s there (use process)")
-    if cfg.latency_frames:
-        out.append("external chain latency is not supported on the "
-                   "streaming path (the SRC chain is delay-free)")
+    if cfg.latency_frames and sharded:
+        out.append("latency trim is single-chip streaming only")
     if cfg.chain is not None and sharded:
         out.append("insert chains are single-chip streaming only "
                    "(chain state does not shard over the frames axis)")
@@ -112,6 +111,7 @@ def stream_resample_file(
     chunk_seconds: float = 20.0,
     progress_cb=None,
     mesh=None,
+    latency_frames: int | None = None,
 ) -> int:
     """Resample ``in_path`` -> ``out_path`` at ``cfg.target_rate`` in constant
     memory.  Returns output frames written.  Output length is exactly
@@ -128,9 +128,14 @@ def stream_resample_file(
     ``cfg.chain`` (single-chip only): FIR-type insert chains (EQ, FIR,
     reverb IRs, delays) stream exactly — the chain's whole state for a causal
     FIR stack is its last ``tail_frames`` of SRC output, carried across
-    chunks (overlap-save at the output rate).  The chain's group delay is NOT
-    trimmed on this path (an EQ's delay is sub-ms; for delay-heavy chains use
-    ``process``, which measures and trims).
+    chunks (overlap-save at the output rate).  The chain's group delay IS
+    trimmed when a latency is supplied (``latency_frames`` argument, e.g.
+    the scheduler's calibrated value, or ``cfg.latency_frames``; honoured
+    under ``cfg.trim_enabled``): the first ``lat`` emitted frames are
+    dropped and chunks keep flowing past the input EOF so the chain's
+    ring-out fills the full output length — the streaming form of the batch
+    path's ``trim_latency`` shift, with dither keyed by the post-trim
+    position so both paths stay on the contract.
 
     Round 3 lifted three exclusions (VERDICT round 2 #3): any supported
     container streams in (AIFF via `io.aiff.AiffReader`), channel routing /
@@ -155,6 +160,12 @@ def stream_resample_file(
     excl = streaming_exclusions(cfg, in_path, sharded=mesh is not None)
     if excl:
         raise ValueError(excl[0])
+    lat = 0
+    if cfg.trim_enabled:
+        lat = int(latency_frames if latency_frames is not None
+                  else (cfg.latency_frames or 0))
+    if lat and mesh is not None:
+        raise ValueError("latency trim is single-chip streaming only")
     from ..io import codec
 
     with codec.open_reader(in_path) as reader:
@@ -273,9 +284,16 @@ def stream_resample_file(
         writer_cls = AiffWriter if cfg.output_format == "aiff" else WavWriter
         with writer_cls(out_path, out_ch, cfg.target_rate,
                         bits=cfg.bits) as writer:
+            # Latency trim (chain group delay): drop the first `lat` emitted
+            # frames and keep consuming chunks past the input EOF (zero
+            # input; the chain's ring-out comes from the carried SRC-output
+            # context) until the full out_total is written — the streaming
+            # form of the batch path's trim_latency shift.  Dither noise is
+            # keyed by the POST-trim output position (pos0 = g0 - lat),
+            # matching the batch path's post-trim indexing bit-for-bit.
             start = 0
-            ci = 0
-            while start < T:
+            g0 = 0          # pre-trim output frame index of this chunk
+            while written < out_total:
                 # chunk input span incl. halos, zero-padded at the ends
                 lo = start - halo_left
                 hi = start + chunk_in + halo_right
@@ -290,7 +308,8 @@ def stream_resample_file(
                 pad_r = (hi - lo) - pad_l - span.shape[1]
                 xp = np.pad(span, ((0, 0), (pad_l, max(0, pad_r))))
                 codes, carry = _stream_step(
-                    jnp.asarray(xp), carry, seeds_c, jnp.int32(written), gain,
+                    jnp.asarray(xp), carry, seeds_c, jnp.int32(g0 - lat),
+                    gain,
                     cycles=cycles, rate_in=rate_in, rate_out=cfg.target_rate,
                     quality=cfg.quality, kind=cfg.kind, bits=cfg.bits,
                     do_dither=cfg.dither,
@@ -298,15 +317,15 @@ def stream_resample_file(
                     silent=silent,
                 )
                 codes = np.asarray(codes)
-                take = min(codes.shape[1], out_total - written)
-                writer.append_codes(codes[:, :take])
+                drop = min(max(0, lat - g0), codes.shape[1])
+                usable = codes[:, drop:]
+                take = min(usable.shape[1], out_total - written)
+                writer.append_codes(usable[:, :take])
                 written += take
+                g0 += codes.shape[1]
                 start += chunk_in
-                ci += 1
                 if progress_cb:
-                    progress_cb(min(1.0, start / max(T, 1)))
-                if written >= out_total:
-                    break
+                    progress_cb(min(1.0, written / max(out_total, 1)))
         _carry_metadata(in_path, out_path, cfg, rate_in)
         return written
 

@@ -52,8 +52,9 @@ class TestOversizedRouting:
         assert a == b
 
     def test_oversized_ineligible_gets_reduced_batch(self, tmp_path):
-        """Stream-ineligible config (explicit latency trim) falls back to an
-        exact-fit bucket at reduced batch width, not batch_size staging."""
+        """Stream-ineligible config (reverb mode — tail handling is a
+        batch-path feature) falls back to an exact-fit bucket at reduced
+        batch width, not batch_size staging."""
         rate = 44100
         big = _mk(tmp_path, "long2.wav", 80_000, rate=rate, seed=3)
         from f9tpu.pipeline.logbook import StatusLog
@@ -62,13 +63,27 @@ class TestOversizedRouting:
         cfg = ProcessingConfig(output_dir=str(tmp_path / "out"),
                                target_rate=48000, quality="low", seed=5,
                                bucket_frames=(16_384,), batch_size=8,
-                               latency_frames=64)
+                               reverb_mode=True, noise_floor_db=-90.0)
         res = BatchProcessor(cfg, log=log).run([big])
         assert res.completed == 1
         joined = "\n".join(log.lines)
         assert "batch width reduced" in joined
         y, r = read_wav(str(tmp_path / "out" / "long2_processed.wav"))
         assert r == 48000
+
+    def test_oversized_with_latency_still_streams(self, tmp_path):
+        """Round 3: the latency-trim exclusion is lifted — an oversized file
+        with an explicit chain latency streams (with the trim applied)
+        instead of falling back to the exact-fit bucket."""
+        rate = 44100
+        big = _mk(tmp_path, "long3.wav", 80_000, rate=rate, seed=4)
+        cfg = ProcessingConfig(output_dir=str(tmp_path / "out"),
+                               target_rate=48000, quality="low", seed=5,
+                               bucket_frames=(16_384,), batch_size=4,
+                               latency_frames=64)
+        res = BatchProcessor(cfg).run([big])
+        assert res.completed == 1
+        assert res.per_file[big].get("streamed") is True
 
     def test_multiple_buckets_one_run(self, tmp_path):
         """Persistent-pipeline smoke: several groups/buckets complete through

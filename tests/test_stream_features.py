@@ -157,3 +157,61 @@ class TestStreamAiffInput:
         with AiffReader(src) as r:
             x = r.read(0, 2048)
         np.testing.assert_allclose(x * 32768.0, codes, atol=0.5)
+
+
+class TestStreamLatencyTrim:
+    def test_chain_delay_trim_matches_batch(self, tmp_path):
+        """Round-3 lifted exclusion: streaming honors latency trim — drop
+        the measured delay's frames from the front, keep consuming the
+        chain ring past EOF until the full output length is written.  With
+        the same explicit latency, batch and stream agree at the dither
+        contract level (noise keyed by POST-trim position on both paths)."""
+        from f9tpu.ops.chain import Chain, Delay
+
+        rate = 48000
+        rng = np.random.default_rng(12)
+        x = (0.3 * rng.standard_normal((2, rate + 123))).astype(np.float32)
+        src = str(tmp_path / "dly.wav")
+        write_wav(src, x, rate, bits=24)
+
+        delay_s = 0.01                      # 441 output frames at 44.1k
+        lat = int(round(delay_s * 44100))
+        cfg = ProcessingConfig(output_dir=str(tmp_path / "out"),
+                               target_rate=44100, quality="low", seed=6,
+                               remove_dc=False,
+                               chain=Chain(Delay(delay_s)),
+                               latency_frames=lat)
+        assert BatchProcessor(cfg).run([src]).completed == 1
+        sp = str(tmp_path / "dly_stream.wav")
+        n = stream_resample_file(src, sp, cfg, chunk_seconds=0.3)
+
+        yb, _ = read_wav(str(tmp_path / "out" / "dly_processed.wav"))
+        ys, _ = read_wav(sp)
+        assert yb.shape == ys.shape and n == ys.shape[1]
+        _assert_dither_contract(yb, ys)
+        # the trim genuinely removed the delay: output correlates with the
+        # plain (no-chain, no-trim) stream at lag 0
+        cfg0 = ProcessingConfig(output_dir=str(tmp_path), target_rate=44100,
+                                quality="low", seed=6, remove_dc=False)
+        o0 = str(tmp_path / "plain.wav")
+        stream_resample_file(src, o0, cfg0, chunk_seconds=0.3)
+        y0, _ = read_wav(o0)
+        m = min(y0.shape[1], ys.shape[1]) - lat
+        c = np.corrcoef(ys[0, :m], y0[0, :m])[0, 1]
+        assert c > 0.999, c
+
+    def test_latency_trim_chunk_size_invariant(self, tmp_path):
+        rate = 44100
+        rng = np.random.default_rng(13)
+        x = (0.2 * rng.standard_normal((1, rate // 2))).astype(np.float32)
+        src = str(tmp_path / "l.wav")
+        write_wav(src, x, rate, bits=24)
+        cfg = ProcessingConfig(output_dir=str(tmp_path), target_rate=48000,
+                               quality="low", seed=2, remove_dc=False,
+                               latency_frames=100)
+        o1, o2 = str(tmp_path / "l1.wav"), str(tmp_path / "l2.wav")
+        stream_resample_file(src, o1, cfg, chunk_seconds=0.07)
+        stream_resample_file(src, o2, cfg, chunk_seconds=0.29)
+        a = open(o1, "rb").read()
+        b = open(o2, "rb").read()
+        assert a == b
