@@ -132,6 +132,23 @@ def run(workdir: str) -> None:
         lufs = float(integrated_lufs(jnp.asarray(y9.astype(np.float32)), r9))
         assert lufs < -14.0            # at target or ceiling-limited below it
     print("[9] loudness-normalized to -16 LUFS / -1 dBTP ceiling")
+
+    # --- config 10 (round 3): the full streaming feature set in one pass —
+    # AIFF in, routing with a silent bus, loudness-normalized, constant
+    # memory ---
+    from f9tpu.io.aiff import write_aiff
+
+    quad = (0.15 * rng.standard_normal((4, 44100 * 2))).astype(np.float32)
+    write_aiff(f"{lib}/quad.aiff", quad, 44100, bits=24)
+    assert main(["stream", f"{lib}/quad.aiff", "--out",
+                 f"{workdir}/c10/quad48.wav", "--rate", "48000",
+                 "--quality", "high", "--routing", "3,0,-1,1",
+                 "--normalize-lufs=-18", "--seed", "1",
+                 "--chunk-seconds", "0.5"]) == 0
+    y10, r10 = read_wav(f"{workdir}/c10/quad48.wav")
+    assert r10 == 48000 and y10.shape[0] == 4 and np.all(y10[2] == 0)
+    print("[10] streamed AIFF -> routed 4-bus, normalized WAV "
+          "(constant memory)")
     print("demo complete:", workdir)
 
 

@@ -8,6 +8,7 @@ Subcommands mirror the app's user actions:
   measure   latency calibration       (measureLatency)
   selftest  hardware loop test        (startHardwareTest)
   probe     file metadata / validation (AudioFile metadata load)
+  verify    audit a manifest's outputs by size + CRC-32
   devices   compute device enumeration (refreshDevices)
 
 ``--config FILE`` loads defaults from JSON and ``--save-config FILE`` writes
@@ -355,6 +356,7 @@ def cmd_stream(args) -> int:
             last[0] = pct
             print(f"  {pct}%", flush=True)
 
+    os.makedirs(cfg.output_dir, exist_ok=True)
     mesh = None
     if args.frames_shards > 1:
         from .parallel import make_mesh
@@ -367,6 +369,57 @@ def cmd_stream(args) -> int:
                              latency_frames=getattr(args, "latency", None))
     print(f"wrote {n} frames @ {args.rate} Hz -> {args.out}")
     return 0
+
+
+def cmd_verify(args) -> int:
+    """Audit a job manifest's completed outputs against their recorded size
+    and CRC-32 — the standalone form of the resume-time content check
+    (deliverable integrity for archives/transfers)."""
+    from .pipeline.manifest import FileStatus, JobManifest, file_crc32
+
+    m = JobManifest.load(args.manifest)
+    rows = []
+    counts = {"ok": 0, "corrupt": 0, "missing": 0, "unverified": 0,
+              "not_completed": 0}
+    for e in m.entries():
+        if e.status != FileStatus.COMPLETED:
+            counts["not_completed"] += 1
+            continue
+        if not e.output_path or not os.path.exists(e.output_path):
+            counts["missing"] += 1
+            rows.append({"output": e.output_path, "source": e.path,
+                         "status": "missing"})
+            continue
+        size_ok = (e.output_size is None
+                   or os.path.getsize(e.output_path) == e.output_size)
+        if not size_ok:
+            counts["corrupt"] += 1
+            rows.append({"output": e.output_path, "source": e.path,
+                         "status": "size_mismatch"})
+            continue
+        if e.output_crc32 is None:
+            counts["unverified"] += 1
+            rows.append({"output": e.output_path, "source": e.path,
+                         "status": "no_hash"})
+            continue
+        if file_crc32(e.output_path) == e.output_crc32:
+            counts["ok"] += 1
+            rows.append({"output": e.output_path, "source": e.path,
+                         "status": "ok"})
+        else:
+            counts["corrupt"] += 1
+            rows.append({"output": e.output_path, "source": e.path,
+                         "status": "crc_mismatch"})
+    if getattr(args, "json", False):
+        print(json.dumps({"counts": counts, "files": rows}, indent=1))
+    else:
+        for r in rows:
+            if r["status"] != "ok" or args.verbose:
+                print(f"{r['status'].upper():14s} {r['output']}")
+        print(f"verified: {counts['ok']} ok, {counts['corrupt']} corrupt, "
+              f"{counts['missing']} missing, {counts['unverified']} "
+              f"without hash, {counts['not_completed']} not completed")
+    return 1 if (counts["corrupt"] or counts["missing"]) else 0
 
 
 def cmd_devices(args) -> int:
@@ -588,6 +641,14 @@ def main(argv: list[str] | None = None) -> int:
                    help="shard each device step's frames axis over N chips "
                         "(one huge file across the mesh)")
     p.set_defaults(fn=cmd_stream)
+
+    p = sub.add_parser("verify",
+                       help="audit a manifest's outputs (size + CRC-32)")
+    p.add_argument("manifest", help="job manifest JSON (process --resume)")
+    p.add_argument("--json", action="store_true")
+    p.add_argument("--verbose", action="store_true",
+                   help="also list files that verified ok")
+    p.set_defaults(fn=cmd_verify)
 
     p = sub.add_parser("devices", help="list compute devices")
     p.set_defaults(fn=cmd_devices)

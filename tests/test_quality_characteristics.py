@@ -1,0 +1,110 @@
+"""Design-characteristic regressions: pin the measured converter numbers
+that docs/QUALITY.md publishes (tools/gen_quality.py) so a filter-design or
+kernel change that degrades them fails CI, independent of oracle parity.
+
+Kept to two pairs x two presets for runtime; the full matrix lives in
+docs/QUALITY.md.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from f9tpu.ops.resample import resample_rates
+
+
+def _tone(freq, rate, n=1 << 15, amp=0.5):
+    t = np.arange(n) / rate
+    return (amp * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+
+
+def _mid(y):
+    return y[len(y) // 4 : -len(y) // 4].astype(np.float64)
+
+
+def _rms(x):
+    return float(np.sqrt((np.asarray(x, np.float64) ** 2).mean()) + 1e-300)
+
+
+def _gain_db(f, rate_in, rate_out, quality):
+    y = np.asarray(resample_rates(_tone(f, rate_in), rate_in, rate_out,
+                                  quality=quality))
+    return 20 * np.log10(_rms(_mid(y)) / (0.5 / np.sqrt(2)))
+
+
+@pytest.mark.parametrize("rate_in,rate_out", [(44100, 48000), (96000, 44100)])
+def test_passband_ripple_high(rate_in, rate_out):
+    """quality=high: gain error < 0.05 dB for tones up to 0.8x shared Nyq
+    (QUALITY.md measures 0.01-0.02 dB)."""
+    ny = 0.5 * min(rate_in, rate_out)
+    for frac in (0.25, 0.5, 0.8):
+        g = _gain_db(frac * ny, rate_in, rate_out, "high")
+        assert abs(g) < 0.05, (frac, g)
+
+
+def test_minus1db_edge_ordering():
+    """The crossing count buys transition width: the -1 dB edge must march
+    toward Nyquist with the preset (low < high measured 0.76 vs 0.90)."""
+    ny = 0.5 * 44100
+
+    def edge(quality):
+        lo, hi = 0.5, 1.0
+        for _ in range(8):
+            mid = 0.5 * (lo + hi)
+            if _gain_db(mid * ny, 48000, 44100, quality) > -1.0:
+                lo = mid
+            else:
+                hi = mid
+        return lo
+
+    e_low, e_high = edge("low"), edge("high")
+    assert e_high > e_low + 0.05, (e_low, e_high)
+    assert e_high > 0.88, e_high
+
+
+def test_alias_rejection_high():
+    """A tone above the output Nyquist must be rejected > 120 dB at
+    quality=high (QUALITY.md measures ~137-155 dB)."""
+    rate_in, rate_out = 96000, 44100
+    f = 0.5 * rate_out + 0.35 * (0.5 * rate_in - 0.5 * rate_out)
+    y = np.asarray(resample_rates(_tone(f, rate_in), rate_in, rate_out,
+                                  quality="high"))
+    rej = -20 * np.log10(_rms(_mid(y)) / (0.5 / np.sqrt(2)))
+    assert rej > 120.0, rej
+
+
+def test_image_suppression_high():
+    """Upsampling: spectral images above the input Nyquist suppressed
+    > 130 dB at quality=high (QUALITY.md measures ~147-153 dB)."""
+    rate_in, rate_out = 44100, 96000
+    f = 0.45 * rate_in
+    y = _mid(np.asarray(resample_rates(_tone(f, rate_in), rate_in, rate_out,
+                                       quality="high")))
+    w = np.hanning(len(y))
+    spec = np.abs(np.fft.rfft(y * w))
+    freqs = np.fft.rfftfreq(len(y), 1.0 / rate_out)
+    fund = spec[(freqs > f * 0.98) & (freqs < f * 1.02)].max()
+    imgs = spec[freqs > 0.5 * rate_in * 1.02].max()
+    assert 20 * np.log10(fund / (imgs + 1e-300)) > 130.0
+
+
+def test_thdn_coherent_high():
+    """Coherent (bin-aligned, rectangular-window) THD+N of a ~1 kHz tone:
+    below -125 dB — the fp32 floor, far under 24-bit delivery requirements
+    (QUALITY.md measures ~-138 to -141 dB)."""
+    rate_in, rate_out = 44100, 48000
+    n2 = 1 << 14
+    m = round(997.0 * n2 / rate_out)
+    f = m * rate_out / n2
+    n_in = int(2.2 * n2 * rate_in / rate_out)
+    t = np.arange(n_in) / rate_in
+    x = (0.5 * np.sin(2 * np.pi * f * t)).astype(np.float32)
+    y = np.asarray(resample_rates(x, rate_in, rate_out, quality="high"))
+    off = (len(y) - n2) // 2
+    y = y[off : off + n2].astype(np.float64)
+    spec = np.abs(np.fft.rfft(y)) ** 2
+    fund = spec[m - 2 : m + 3].sum()
+    resid = spec.sum() - fund - spec[:2].sum()
+    thdn = 10 * np.log10(max(resid, 1e-300) / fund)
+    assert thdn < -125.0, thdn

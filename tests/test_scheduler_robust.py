@@ -173,3 +173,37 @@ class TestContentHashResume:
         json.dump(rows, open(mpath, "w"))
         m = JobManifest.load_or_create([src], mpath)
         assert m.get(src).status == FileStatus.COMPLETED  # tolerant loader
+
+
+class TestVerifyCommand:
+    def test_cli_verify_audits_outputs(self, tmp_path, capsys):
+        from f9tpu.cli import main
+
+        src = _mk(tmp_path, "v.wav", 8_000, seed=20)
+        out_dir = str(tmp_path / "out")
+        rc = main(["process", src, "--out", out_dir, "--rate", "48000",
+                   "--quality", "low", "--seed", "3", "--resume"])
+        assert rc == 0
+        mpath = os.path.join(out_dir, ".manifest.json")
+        capsys.readouterr()
+
+        rc = main(["verify", mpath])
+        assert rc == 0
+        assert "1 ok, 0 corrupt" in capsys.readouterr().out
+
+        # corrupt a payload byte, size unchanged -> crc_mismatch, exit 1
+        out = os.path.join(out_dir, "v_processed.wav")
+        raw = bytearray(open(out, "rb").read())
+        raw[len(raw) // 2] ^= 0x55
+        open(out, "wb").write(bytes(raw))
+        rc = main(["verify", mpath, "--json"])
+        assert rc == 1
+        got = json.loads(capsys.readouterr().out)
+        assert got["counts"]["corrupt"] == 1
+        assert got["files"][0]["status"] == "crc_mismatch"
+
+        # delete it -> missing
+        os.unlink(out)
+        rc = main(["verify", mpath])
+        assert rc == 1
+        assert "1 missing" in capsys.readouterr().out
