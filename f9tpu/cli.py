@@ -347,6 +347,10 @@ def cmd_stream(args) -> int:
             [int(c) for c in args.routing.split(",")]
             if getattr(args, "routing", None) else None),
         output_channels=getattr(args, "channels", None),
+        reverb_mode=getattr(args, "reverb", False),
+        noise_floor_db=getattr(args, "noise_floor", None),
+        noise_floor_margin_pct=getattr(args, "margin", 10.0),
+        chain=_build_chain(args),
     )
     last = [0]
 
@@ -636,6 +640,28 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--latency", type=int, default=None,
                    help="trim this many output frames of known chain/system "
                         "delay from the head (single-chip)")
+    p.add_argument("--reverb", action="store_true",
+                   help="keep the (chain) tail past the source until it "
+                        "falls below the noise floor — unlike the batch "
+                        "path, the INPUT length is unbounded here; only the "
+                        "tail is capped (single-chip)")
+    p.add_argument("--chain-ir", default=None,
+                   help="insert chain: convolution reverb impulse-response "
+                        "WAV (FIR-type chains stream exactly)")
+    p.add_argument("--chain-wet", type=float, default=1.0)
+    p.add_argument("--chain-dry", type=float, default=0.0)
+    p.add_argument("--chain-fir", default=None,
+                   help="insert chain: FIR taps WAV (first channel)")
+    p.add_argument("--chain-delay-ms", type=float, default=0.0,
+                   help="insert chain: pure delay in ms (pair with "
+                        "--latency to trim it)")
+    p.add_argument("--chain-eq", action="append", default=None,
+                   metavar="KIND:FREQ[:Q[:GAIN_DB]]",
+                   help="insert chain: biquad EQ section; repeatable")
+    p.add_argument("--noise-floor", type=float, default=None,
+                   help="tail threshold base in dB (default -80 fallback)")
+    p.add_argument("--margin", type=float, default=10.0,
+                   help="noise-floor margin percent for the tail threshold")
     p.add_argument("--chunk-seconds", type=float, default=20.0)
     p.add_argument("--frames-shards", type=int, default=1,
                    help="shard each device step's frames axis over N chips "

@@ -44,9 +44,9 @@ def streaming_exclusions(cfg: ProcessingConfig, in_path: str | None = None,
     reason.  Lifting an exclusion (round 3: routing, AIFF input, loudness
     normalization) automatically widens the scheduler's routing."""
     out = []
-    if cfg.reverb_mode:
-        out.append("reverb-mode tail handling is a batch-path feature; "
-                   "captures are bounded at 60 s there (use process)")
+    if cfg.reverb_mode and sharded:
+        out.append("reverb-mode tail detection is single-chip streaming "
+                   "only (the detector state is sequential)")
     if cfg.latency_frames and sharded:
         out.append("latency trim is single-chip streaming only")
     if cfg.chain is not None and sharded:
@@ -59,6 +59,71 @@ def stream_chunk_plan(bank, chunk_seconds: float, rate_in: int) -> int:
     """Chunk length in input frames: whole cycles, ~chunk_seconds long."""
     cycles = max(1, int(chunk_seconds * rate_in) // bank.M)
     return cycles * bank.M
+
+
+class _TailDetector:
+    """Host-side incremental mirror of `ops.trim.detect_tail_end`: the same
+    hop-aligned windows (window w = hop-chunks w..w+factor-1), the same
+    threshold rule (nf + nf*margin%, -80 dB fallback), the same
+    N-consecutive-quiet-windows termination — evaluated as the emitted
+    stream flows past, so reverb-mode tails stream in constant memory
+    without the batch path's bounded capture.  A window's verdict is known
+    exactly when its last frame has been fed, so detection never lags the
+    write position (no write-behind buffering needed).
+
+    The detector sees the POST-gain emitted signal (the batch graph detects
+    pre-gain), so the threshold is shifted by the applied gain to keep the
+    decision identical."""
+
+    def __init__(self, rate_out: int, min_frames: int, cfg,
+                 gain_db_total: float, noise_floor_db: float | None):
+        import collections
+
+        win = max(1, rate_out * cfg.tail_window_ms // 1000)
+        self.hop = max(1, rate_out * cfg.tail_hop_ms // 1000)
+        self.factor = -(-win // self.hop)
+        self.consecutive = int(cfg.tail_consecutive)
+        nf = noise_floor_db
+        thr = (nf + nf * float(cfg.noise_floor_margin_pct) / 100.0
+               if (nf is not None and nf < 0) else -80.0)
+        self.threshold_db = thr + gain_db_total
+        self.mode = cfg.tail_mode
+        self.min_frames = int(min_frames)
+        self._stats = collections.deque(maxlen=self.factor)
+        self._n_chunks = 0
+        self._run = 0
+        self._rem = np.zeros(0, np.float32)
+
+    def feed(self, mono_abs: np.ndarray) -> int | None:
+        """Feed the next |signal| frames (loudest-channel envelope); returns
+        the absolute end frame the moment termination is confirmed."""
+        buf = (np.concatenate([self._rem, mono_abs])
+               if self._rem.size else np.asarray(mono_abs))
+        n_complete = len(buf) // self.hop
+        for k in range(n_complete):
+            seg = buf[k * self.hop : (k + 1) * self.hop]
+            self._stats.append(float(seg.max()) if self.mode == "peak"
+                               else float(np.square(seg, dtype=np.float64)
+                                          .sum()))
+            self._n_chunks += 1
+            if len(self._stats) < self.factor:
+                continue
+            w = self._n_chunks - self.factor        # window index
+            if self.mode == "peak":
+                level = max(self._stats)
+                level_db = (20.0 * np.log10(max(level, 1e-30))
+                            if level > 0 else -200.0)
+            else:
+                e = sum(self._stats) / (self.factor * self.hop)
+                level_db = (10.0 * np.log10(max(e, 1e-30))
+                            if e > 0 else -200.0)
+            end_w = (w + self.factor) * self.hop
+            quiet = level_db < self.threshold_db and end_w >= self.min_frames
+            self._run = self._run + 1 if quiet else 0
+            if self._run >= self.consecutive:
+                return end_w
+        self._rem = buf[n_complete * self.hop :]
+        return None
 
 
 @functools.partial(jax.jit, static_argnames=("cycles", "rate_in", "rate_out",
@@ -112,6 +177,7 @@ def stream_resample_file(
     progress_cb=None,
     mesh=None,
     latency_frames: int | None = None,
+    noise_floor_db: float | None = None,
 ) -> int:
     """Resample ``in_path`` -> ``out_path`` at ``cfg.target_rate`` in constant
     memory.  Returns output frames written.  Output length is exactly
@@ -137,14 +203,19 @@ def stream_resample_file(
     path's ``trim_latency`` shift, with dither keyed by the post-trim
     position so both paths stay on the contract.
 
-    Round 3 lifted three exclusions (VERDICT round 2 #3): any supported
-    container streams in (AIFF via `io.aiff.AiffReader`), channel routing /
-    mono fan-out apply per chunk (a host-side gather before the SRC — exact,
-    so bytes match the batch graph's on-device routing), and loudness
-    normalization runs as a two-pass stream: a chunk-exact host metering
-    pre-pass (`ops.loudness.meter_source_streamed` — the same function the
-    batch scheduler uses, so the gain is the identical float) followed by the
-    normal single-pass write.  Remaining exclusions: `streaming_exclusions`.
+    Round 3 lifted the single-chip exclusions (VERDICT round 2 #3): any
+    supported container streams in (AIFF via `io.aiff.AiffReader`), channel
+    routing / mono fan-out apply per chunk (a host-side gather before the
+    SRC — exact, so bytes match the batch graph's on-device routing),
+    loudness normalization runs as a two-pass stream (chunk-exact metering
+    pre-pass shared with the batch scheduler, so gains are bit-identical),
+    latency trim drops the measured delay and consumes the chain ring past
+    EOF, and reverb-mode tail detection runs as a host-side incremental
+    mirror of the batch detector (`_TailDetector`) — which means, unlike the
+    batch path, the INPUT length is unbounded: an hour-long stem streams
+    with its tail detected at the end (only the tail itself is capped at
+    ``max_tail_seconds``).  Remaining exclusions are all sharded-only:
+    `streaming_exclusions`.
 
     DC-removal ordering: streaming subtracts the SOURCE's whole-file mean
     before SRC+chain (a cheap host pre-pass — the output mean cannot be known
@@ -207,13 +278,23 @@ def stream_resample_file(
         silent = (tuple(i for i, r in enumerate(routing) if r < 0)
                   if routing is not None else ())
 
+        # reverb mode: output may extend past the source span by up to the
+        # tail cap (the reference's 60 s reverb capture bound,
+        # AudioProcessingService.swift:449-452) — but unlike the batch path
+        # there is NO input-length cap: an hour-long stem streams through
+        # with its tail detected at the end
+        reverb = bool(cfg.reverb_mode)
+        cap_extra = (int(cfg.max_tail_seconds * cfg.target_rate)
+                     if reverb else 0)
+        out_limit = out_total + cap_extra
+
         if cfg.output_format == "aiff":
             # pre-flight: AIFF has no 64-bit container; a >4 GiB projected
             # output must fail NOW, not after hours of writing (WAV output
             # auto-upgrades to RF64 and needs no guard)
             from ..io.aiff import check_aiff_capacity
 
-            check_aiff_capacity(out_total, out_ch, cfg.bits)
+            check_aiff_capacity(out_limit, out_ch, cfg.bits)
 
         # ---- loudness-normalization pre-pass: the SOURCE (pre-routing, as
         # the batch scheduler meters the decoded input) through the shared
@@ -281,6 +362,13 @@ def stream_resample_file(
                     f"chain ring-out ({carry_frames} frames) exceeds one "
                     f"streaming chunk ({cycles * bank.L}); raise chunk_seconds")
         carry = jnp.zeros((out_ch, carry_frames), jnp.float32)
+        detector = None
+        if reverb and T > 0:
+            gain_total_db = 20.0 * float(np.log10(max(float(gain), 1e-30)))
+            nf = (noise_floor_db if noise_floor_db is not None
+                  else cfg.noise_floor_db)
+            detector = _TailDetector(cfg.target_rate, out_total, cfg,
+                                     gain_total_db, nf)
         writer_cls = AiffWriter if cfg.output_format == "aiff" else WavWriter
         with writer_cls(out_path, out_ch, cfg.target_rate,
                         bits=cfg.bits) as writer:
@@ -293,7 +381,7 @@ def stream_resample_file(
             # matching the batch path's post-trim indexing bit-for-bit.
             start = 0
             g0 = 0          # pre-trim output frame index of this chunk
-            while written < out_total:
+            while written < out_limit:
                 # chunk input span incl. halos, zero-padded at the ends
                 lo = start - halo_left
                 hi = start + chunk_in + halo_right
@@ -319,8 +407,22 @@ def stream_resample_file(
                 codes = np.asarray(codes)
                 drop = min(max(0, lat - g0), codes.shape[1])
                 usable = codes[:, drop:]
-                take = min(usable.shape[1], out_total - written)
-                writer.append_codes(usable[:, :take])
+                take = min(usable.shape[1], out_limit - written)
+                block = usable[:, :take]
+                if detector is not None and take > 0:
+                    # loudest-channel envelope of the emitted block (the
+                    # dequantized codes; the TPDF floor at -138 dBFS is far
+                    # below any usable tail threshold)
+                    mono = (np.max(np.abs(block), axis=0)
+                            .astype(np.float32) / float(1 << (cfg.bits - 1)))
+                    fire = detector.feed(mono)
+                    if fire is not None:
+                        writer.append_codes(block[:, : max(0, fire - written)])
+                        written = max(written, fire)
+                        if progress_cb:
+                            progress_cb(1.0)
+                        break
+                writer.append_codes(block)
                 written += take
                 g0 += codes.shape[1]
                 start += chunk_in

@@ -732,12 +732,16 @@ def test_stream_applies_gain(tmp_path):
     assert abs(float(np.median(y)) - 0.1 * 10 ** (6.0 / 20.0)) < 1e-3
 
 
-def test_stream_rejects_reverb_mode(tmp_path):
+def test_stream_rejects_reverb_mode_sharded(tmp_path):
+    """Round 3 lifted single-chip reverb streaming; the SHARDED form stays
+    excluded (sequential detector state)."""
+    from f9tpu.parallel import make_mesh
     from f9tpu.pipeline import stream_resample_file
 
     cfg = ProcessingConfig(output_dir=str(tmp_path), reverb_mode=True)
+    mesh = make_mesh(num_files_shards=1, num_frames_shards=8)
     with pytest.raises(ValueError, match="reverb"):
-        stream_resample_file("x.wav", "y.wav", cfg)
+        stream_resample_file("x.wav", "y.wav", cfg, mesh=mesh)
 
 
 def test_rms_db_normalized_by_valid_length(tmp_path):
