@@ -655,7 +655,7 @@ class BatchProcessor:
                         else (P("files", "channels", None) if b["use_cp"]
                               else P(*(["files"] + [None] * (x.ndim - 1)))))
                 x = jax.device_put(x, NamedSharding(self.mesh, spec))
-            try:
+            def dispatch():
                 # dispatch only — results stay on device; the collector
                 # thread materialises them (D2H) while the next batch is
                 # assembled and dispatched
@@ -663,31 +663,44 @@ class BatchProcessor:
                 if b["use_cp"]:
                     from ..parallel import process_batch_channels_sharded
 
-                    res = process_batch_channels_sharded(
+                    return process_batch_channels_sharded(
                         x, valid, cfg, b["rate_in"], seeds, self.mesh,
                         latency_frames=b["lat"],
                         noise_floor_db=b["group_nf"])
-                elif raw_bits:
-                    res = process_batch_raw(
+                if raw_bits:
+                    return process_batch_raw(
                         x, valid, cfg, b["rate_in"], sub,
                         in_channels=channels, in_bits=raw_bits,
                         in_big_endian=b["raw_be"],
                         latency_frames=b["lat"],
                         noise_floor_db=b["group_nf"],
                         rows_layout=use_rows)
-                else:
-                    res = process_batch(
-                        x, valid, cfg, b["rate_in"], sub,
-                        latency_frames=b["lat"],
-                        noise_floor_db=b["group_nf"], rows_layout=use_rows,
-                        per_file_gain_db=norm_gains)
-            except Exception as err:  # compile/dispatch failure
-                stop_event.set()
-                manifest.fail_remaining(f"device step failed: {err}")
-                self.log.append(f"BATCH ABORT: device step failed: {err}")
-                errors.append(str(err))
-                pending[bi] = []
-                return
+                return process_batch(
+                    x, valid, cfg, b["rate_in"], sub,
+                    latency_frames=b["lat"],
+                    noise_floor_db=b["group_nf"], rows_layout=use_rows,
+                    per_file_gain_db=norm_gains)
+
+            try:
+                res = dispatch()
+            except Exception as err:
+                # one retry before aborting: remote compile services fail
+                # TRANSIENTLY (observed live: HTTP 500 "tpu_compile_helper
+                # subprocess exit code 1" on an otherwise-valid graph); a
+                # deterministic error fails identically and still aborts
+                self.log.append(
+                    f"device step failed ({err}); retrying once")
+                time.sleep(2.0)
+                try:
+                    res = dispatch()
+                except Exception as err2:  # compile/dispatch failure
+                    stop_event.set()
+                    manifest.fail_remaining(f"device step failed: {err2}")
+                    self.log.append(
+                        f"BATCH ABORT: device step failed: {err2}")
+                    errors.append(str(err2))
+                    pending[bi] = []
+                    return
             res_q.put((bi, paths, res, valid.copy(), b["rate_in"], t0))
             pending[bi] = []
 

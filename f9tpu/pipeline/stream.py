@@ -285,7 +285,8 @@ def stream_resample_file(
         # with its tail detected at the end
         reverb = bool(cfg.reverb_mode)
         cap_extra = (int(cfg.max_tail_seconds * cfg.target_rate)
-                     if reverb else 0)
+                     if reverb and T > 0 else 0)   # empty input: no tail —
+        # without the T guard an empty file would emit cap_extra of silence
         out_limit = out_total + cap_extra
 
         if cfg.output_format == "aiff":

@@ -207,3 +207,99 @@ class TestVerifyCommand:
         rc = main(["verify", mpath])
         assert rc == 1
         assert "1 missing" in capsys.readouterr().out
+
+
+class TestChaosSoak:
+    def test_mixed_buckets_with_random_decode_failures(self, tmp_path,
+                                                       monkeypatch):
+        """Chaos soak for the persistent pipeline: many files across several
+        groups/buckets with randomly-injected decode failures — counts must
+        reconcile exactly (every file terminal), no hang, partial batches
+        flushed per bucket."""
+        import f9tpu.io.codec as codec_mod
+
+        rng = np.random.default_rng(42)
+        files = []
+        for i in range(40):
+            rate = [44100, 48000][i % 2]
+            frames = int(rng.integers(1_000, 20_000))
+            ch = [1, 2][(i // 2) % 2]
+            files.append(_mk(tmp_path, f"c{i}.wav", frames, rate=rate,
+                             channels=ch, seed=i))
+
+        real_read = codec_mod.read_audio
+        real_raw = codec_mod.read_raw_pcm
+        fail_set = {f for i, f in enumerate(files) if i % 7 == 3}
+
+        def flaky(path):
+            if path in fail_set:
+                raise RuntimeError(f"injected decode failure: {path}")
+            return real_read(path)
+
+        def flaky_raw(path):
+            if path in fail_set:
+                raise RuntimeError(f"injected decode failure: {path}")
+            return real_raw(path)
+
+        monkeypatch.setattr(codec_mod, "read_audio", flaky)
+        monkeypatch.setattr(codec_mod, "read_raw_pcm", flaky_raw)
+        cfg = ProcessingConfig(output_dir=str(tmp_path / "out"),
+                               target_rate=48000, quality="low", seed=5,
+                               bucket_frames=(4_096, 16_384, 32_768),
+                               batch_size=4)
+        mpath = str(tmp_path / "m.json")
+        res = BatchProcessor(cfg, decode_workers=3,
+                             encode_workers=3).run(files, manifest_path=mpath)
+        assert res.completed == len(files) - len(fail_set)
+        assert res.failed == len(fail_set)
+        saved = json.load(open(mpath))
+        statuses = {row["path"]: row["status"] for row in saved["files"]}
+        for f in files:
+            assert statuses[f] == ("failed" if f in fail_set else "completed")
+        # every completed output exists and passes its own content hash
+        for row in saved["files"]:
+            if row["status"] == "completed":
+                assert os.path.getsize(row["output_path"]) == row["output_size"]
+                assert file_crc32(row["output_path"]) == row["output_crc32"]
+
+
+class TestDispatchRetry:
+    def test_transient_device_failure_retries_once(self, tmp_path,
+                                                   monkeypatch):
+        """A transient compile/dispatch failure (the remote compile service
+        500s intermittently) retries once and the batch completes; only a
+        persistent failure aborts."""
+        import f9tpu.pipeline.scheduler as sched
+
+        src = _mk(tmp_path, "t.wav", 4_000, seed=1)
+        real = sched.process_batch_raw   # 24-bit PCM WAV takes the raw path
+        calls = {"n": 0}
+
+        def flaky(*a, **k):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("INTERNAL: http 500 remote_compile (fake)")
+            return real(*a, **k)
+
+        monkeypatch.setattr(sched, "process_batch_raw", flaky)
+        monkeypatch.setattr(sched.time, "sleep", lambda s: None)
+        cfg = ProcessingConfig(output_dir=str(tmp_path / "out"),
+                               target_rate=48000, quality="low", seed=1)
+        res = BatchProcessor(cfg).run([src])
+        assert res.completed == 1 and calls["n"] == 2
+
+    def test_persistent_device_failure_aborts(self, tmp_path, monkeypatch):
+        import f9tpu.pipeline.scheduler as sched
+
+        src = _mk(tmp_path, "t2.wav", 4_000, seed=2)
+
+        def dead(*a, **k):
+            raise RuntimeError("INTERNAL: deterministic compile error")
+
+        monkeypatch.setattr(sched, "process_batch", dead)
+        monkeypatch.setattr(sched, "process_batch_raw", dead)
+        monkeypatch.setattr(sched.time, "sleep", lambda s: None)
+        cfg = ProcessingConfig(output_dir=str(tmp_path / "out"),
+                               target_rate=48000, quality="low", seed=1)
+        res = BatchProcessor(cfg).run([src])
+        assert res.completed == 0 and res.failed == 1

@@ -315,3 +315,15 @@ class TestStreamReverbTail:
         sp = str(tmp_path / "cap_stream.wav")
         n = stream_resample_file(src, sp, cfg, chunk_seconds=0.2)
         assert n == rate + int(0.5 * 8000)   # src span + tail cap
+
+    def test_empty_input_reverb_writes_nothing(self, tmp_path):
+        src = str(tmp_path / "empty.wav")
+        write_wav(src, np.zeros((2, 0), np.float32), 44100, bits=24)
+        cfg = ProcessingConfig(output_dir=str(tmp_path), target_rate=48000,
+                               quality="low", seed=1, reverb_mode=True,
+                               noise_floor_db=-85.0)
+        sp = str(tmp_path / "empty_out.wav")
+        n = stream_resample_file(src, sp, cfg, chunk_seconds=0.2)
+        assert n == 0
+        y, _ = read_wav(sp)
+        assert y.shape[1] == 0

@@ -51,13 +51,13 @@ def _tone(freq: float, rate: int, n: int = N, amp: float = 0.5) -> np.ndarray:
     return (amp * np.sin(2 * np.pi * freq * t)).astype(np.float32)
 
 
-def _tone_gain_db(f, rate_in, rate_out, quality) -> float:
+def _tone_gain_db(f, rate_in, rate_out, quality, kind="sinc") -> float:
     y = np.asarray(resample_rates(_tone(f, rate_in), rate_in, rate_out,
-                                  quality=quality))
+                                  quality=quality, kind=kind))
     return 20 * np.log10(_rms(_mid(y)) / (0.5 / np.sqrt(2)))
 
 
-def passband_ripple_db(rate_in, rate_out, quality) -> float:
+def passband_ripple_db(rate_in, rate_out, quality, kind="sinc") -> float:
     """Max |gain deviation| (dB) over tones up to 0.8x the shared Nyquist.
 
     The presets share a fixed (deep) stopband; the zero-crossing count buys
@@ -65,25 +65,25 @@ def passband_ripple_db(rate_in, rate_out, quality) -> float:
     (`edge_frac`) rather than folded into 'ripple'."""
     ny = 0.5 * min(rate_in, rate_out)
     freqs = [100.0, 997.0] + [f * ny for f in (0.25, 0.5, 0.65, 0.8)]
-    return max(abs(_tone_gain_db(f, rate_in, rate_out, quality))
+    return max(abs(_tone_gain_db(f, rate_in, rate_out, quality, kind))
                for f in freqs)
 
 
-def edge_frac(rate_in, rate_out, quality) -> float:
+def edge_frac(rate_in, rate_out, quality, kind="sinc") -> float:
     """-1 dB bandwidth edge as a fraction of the shared Nyquist (bisection;
     each probe reuses the same compiled tone graph)."""
     ny = 0.5 * min(rate_in, rate_out)
     lo, hi = 0.5, 1.0
     for _ in range(10):
         mid = 0.5 * (lo + hi)
-        if _tone_gain_db(mid * ny, rate_in, rate_out, quality) > -1.0:
+        if _tone_gain_db(mid * ny, rate_in, rate_out, quality, kind) > -1.0:
             lo = mid
         else:
             hi = mid
     return lo
 
 
-def alias_rejection_db(rate_in, rate_out, quality) -> float | None:
+def alias_rejection_db(rate_in, rate_out, quality, kind="sinc") -> float | None:
     """Downsampling only: residual level of a tone above the output Nyquist
     (it must be rejected by the anti-alias filter, else it aliases in-band)."""
     if rate_out >= rate_in:
@@ -91,18 +91,18 @@ def alias_rejection_db(rate_in, rate_out, quality) -> float | None:
     ny_out, ny_in = 0.5 * rate_out, 0.5 * rate_in
     f = ny_out + 0.35 * (ny_in - ny_out)
     y = np.asarray(resample_rates(_tone(f, rate_in), rate_in, rate_out,
-                                  quality=quality))
+                                  quality=quality, kind=kind))
     return -20 * np.log10(_rms(_mid(y)) / (0.5 / np.sqrt(2)))
 
 
-def image_suppression_db(rate_in, rate_out, quality) -> float | None:
+def image_suppression_db(rate_in, rate_out, quality, kind="sinc") -> float | None:
     """Upsampling only: energy of spectral images above the input Nyquist
     relative to the fundamental (the interpolation filter must remove them)."""
     if rate_out <= rate_in:
         return None
     f = 0.45 * rate_in
     y = _mid(np.asarray(resample_rates(_tone(f, rate_in), rate_in, rate_out,
-                                       quality=quality)))
+                                       quality=quality, kind=kind)))
     w = np.hanning(len(y))
     spec = np.abs(np.fft.rfft(y * w))
     freqs = np.fft.rfftfreq(len(y), 1.0 / rate_out)
@@ -111,7 +111,7 @@ def image_suppression_db(rate_in, rate_out, quality) -> float | None:
     return float(20 * np.log10(fund / (imgs.max() + 1e-300)))
 
 
-def thdn_db(rate_in, rate_out, quality) -> float:
+def thdn_db(rate_in, rate_out, quality, kind="sinc") -> float:
     """THD+N of a -6 dBFS ~1 kHz tone through the converter.
 
     Coherent measurement: the analysis section is a power-of-two length and
@@ -126,7 +126,7 @@ def thdn_db(rate_in, rate_out, quality) -> float:
     # clear of both edge transients
     n_in = int(2.2 * n2 * rate_in / rate_out)
     y = np.asarray(resample_rates(_tone(f, rate_in, n=n_in), rate_in,
-                                  rate_out, quality=quality))
+                                  rate_out, quality=quality, kind=kind))
     off = (len(y) - n2) // 2
     y = y[off : off + n2].astype(np.float64)
     spec = np.abs(np.fft.rfft(y)) ** 2
@@ -136,11 +136,12 @@ def thdn_db(rate_in, rate_out, quality) -> float:
     return float(10 * np.log10(max(resid, 1e-300) / fund))
 
 
-def oracle_db(rate_in, rate_out, quality) -> float:
+def oracle_db(rate_in, rate_out, quality, kind="sinc") -> float:
     rng = np.random.default_rng(0)
     x = (0.3 * rng.standard_normal(N)).astype(np.float32)
-    y = np.asarray(resample_rates(x, rate_in, rate_out, quality=quality))
-    ref = resample_oracle(x, rate_in, rate_out, quality=quality)
+    y = np.asarray(resample_rates(x, rate_in, rate_out, quality=quality,
+                                  kind=kind))
+    ref = resample_oracle(x, rate_in, rate_out, quality=quality, kind=kind)
     return float(20 * np.log10(_rms(y.astype(np.float64) - ref) / _rms(ref)))
 
 
@@ -207,6 +208,30 @@ def main() -> None:
                 f"{thd:.1f} dB | {orc:.1f} dB |")
             print(lines[-1], file=sys.stderr)
         lines.append("")
+    lines += ["## Kind `lagrange` (order-4 = JUCE LagrangeInterpolator's "
+              "5-point form)", "",
+              "No anti-alias bank — polynomial interpolation only, for the "
+              "varispeed/preview",
+              "role the JUCE interpolator serves.  Expect shallow rejection "
+              "by design:", "",
+              "| pair | passband ripple (≤0.8 Nyq) | -1 dB edge | "
+              "alias rejection | image suppression | THD+N | vs oracle |",
+              "|---|---|---|---|---|---|---|"]
+    for rate_in, rate_out in PAIRS:
+        rip = passband_ripple_db(rate_in, rate_out, "high", "lagrange")
+        edge = edge_frac(rate_in, rate_out, "high", "lagrange")
+        ali = alias_rejection_db(rate_in, rate_out, "high", "lagrange")
+        img = image_suppression_db(rate_in, rate_out, "high", "lagrange")
+        thd = thdn_db(rate_in, rate_out, "high", "lagrange")
+        orc = oracle_db(rate_in, rate_out, "high", "lagrange")
+        pair = f"{rate_in / 1000:g}k→{rate_out / 1000:g}k"
+        lines.append(
+            f"| {pair} | {rip:.4f} dB | {edge:.3f}·Nyq | "
+            f"{'—' if ali is None else f'{ali:.1f} dB'} | "
+            f"{'—' if img is None else f'{img:.1f} dB'} | "
+            f"{thd:.1f} dB | {orc:.1f} dB |")
+        print(lines[-1], file=sys.stderr)
+    lines.append("")
     lines += [
         "## Reading the table",
         "",
