@@ -60,6 +60,13 @@ def test_random_config_end_to_end(tmp_path, trial):
         paths.append(p)
 
     cfg = _random_cfg(rng, str(tmp_path / "out"))
+    if rng.integers(3) == 0 and not cfg.reverb_mode:
+        # an oversized file exercises the scheduler's streaming routing
+        x = (0.2 * rng.standard_normal((2, 12_000))).astype(np.float32)
+        p = str(tmp_path / "in" / "big.wav")
+        write_wav(p, x, 44100, bits=24)
+        paths.append(p)
+        n_files += 1
     # mono fan-out requires consistent channel handling with routing etc.
     res = BatchProcessor(cfg).run(paths)
     assert res.failed == 0 and res.completed == n_files, (
@@ -74,3 +81,64 @@ def test_random_config_end_to_end(tmp_path, trial):
         assert r == cfg.target_rate
         assert np.isfinite(y).all()
         assert y.shape[1] > 0
+
+
+@pytest.mark.parametrize("trial", range(6))
+def test_random_streaming_config_end_to_end(tmp_path, trial):
+    """Round-3 streaming feature-interaction fuzz: random combos of
+    container x routing/fan-out x normalization x latency trim x reverb
+    through `stream_resample_file`, asserting exact lengths, finite decode,
+    and chunk-size-invariant output length."""
+    from f9tpu.io.aiff import write_aiff
+    from f9tpu.models.filters import design_cycle_bank
+    from f9tpu.pipeline import stream_resample_file
+
+    rng = np.random.default_rng(7000 + trial)
+    ch = int(rng.choice([1, 2, 4]))
+    frames = int(rng.integers(3000, 30_000))
+    x = (0.3 * rng.standard_normal((ch, frames))).astype(np.float32)
+    container = str(rng.choice(["wav", "aiff"]))
+    src = str(tmp_path / f"s.{container}")
+    (write_wav if container == "wav" else write_aiff)(src, x, 44100, bits=24)
+
+    kw = dict(output_dir=str(tmp_path), quality="low",
+              target_rate=int(rng.choice([48000, 32000])),
+              bits=int(rng.choice([16, 24])),
+              dither=bool(rng.integers(2)),
+              remove_dc=bool(rng.integers(2)),
+              seed=int(rng.integers(100)),
+              gain_db=float(rng.choice([0.0, -3.0])))
+    lat = 0
+    if rng.integers(2):
+        lat = int(rng.integers(1, 300))
+    if ch == 1 and rng.integers(2):
+        kw["output_channels"] = 2
+    elif ch == 4 and rng.integers(2):
+        kw["channel_routing"] = [3, 0, -1, 1]
+    if rng.integers(3) == 0:
+        kw["normalize_lufs"] = -18.0
+    reverb = bool(rng.integers(3) == 0)
+    if reverb:
+        kw["reverb_mode"] = True
+        kw["noise_floor_db"] = -85.0
+        kw["max_tail_seconds"] = 0.3
+    cfg = ProcessingConfig(**kw)
+
+    o1 = str(tmp_path / "o1.wav")
+    o2 = str(tmp_path / "o2.wav")
+    n1 = stream_resample_file(src, o1, cfg, chunk_seconds=0.11,
+                              latency_frames=lat)
+    n2 = stream_resample_file(src, o2, cfg, chunk_seconds=0.34,
+                              latency_frames=lat)
+    assert n1 == n2, (trial, kw, lat)
+    bank = design_cycle_bank(44100, cfg.target_rate, quality="low")
+    expect = bank.out_len(frames)
+    if reverb:
+        assert expect <= n1 <= expect + int(0.3 * cfg.target_rate)
+    else:
+        assert n1 == expect
+    y, r = read_wav(o1)
+    assert r == cfg.target_rate and np.isfinite(y).all()
+    assert y.shape[1] == n1
+    if "channel_routing" in kw:
+        assert np.all(y[2] == 0.0)
