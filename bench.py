@@ -229,15 +229,18 @@ def main() -> None:
         # headline, so the compile cache covers it (the remote compile
         # service intermittently 500s on fresh multi-megaframe programs;
         # CLAUDE.md "compiles can stall")
-        n_files, e2e_frames = 8, 20 * 44100          # 8 x 20 s stereo
+        n_files, e2e_frames = 12, 20 * 44100         # 12 x 20 s stereo
         paths = []
         for i in range(n_files):
             p = f"{d}/in_{i}.wav"
             write_wav(p, (0.25 * rng2.standard_normal(
                 (2, e2e_frames))).astype(np.float32), 44100, bits=24)
             paths.append(p)
+        # batch_size 4 -> three flushes: decode/H2D of flush N+1 and D2H/
+        # encode of flush N-1 overlap flush N's compute (the persistent
+        # pipeline); a single full-library batch would serialise the link
         e2e_cfg = _PC(output_dir=f"{d}/out", target_rate=48000,
-                      quality="high", seed=0)
+                      quality="high", seed=0, batch_size=4)
         BatchProcessor(e2e_cfg).run(paths)          # warm compiles + cache
         t0 = time.time()
         r = BatchProcessor(e2e_cfg).run(paths)

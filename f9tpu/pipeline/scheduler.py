@@ -260,7 +260,7 @@ class BatchProcessor:
         mesh_files = (self.mesh.shape.get("files", 1)
                       if self.mesh is not None else 1)
         stream_ok = not streaming_exclusions(cfg)
-        stream_jobs: list[tuple] = []          # (info, rate_in)
+        stream_jobs: list[tuple] = []          # (info, rate_in, latency)
         buckets: list[dict] = []               # per-bucket context + files
 
         for (rate_in, channels, raw_bits, raw_be), infos in groups.items():
@@ -353,8 +353,9 @@ class BatchProcessor:
                 bs = cfg.batch_size
                 if blen > max_bucket:
                     # exact-fit bucket for an oversized file that can't
-                    # stream (chain latency, reverb cap, ...): shrink the
-                    # batch so host staging stays within the normal budget
+                    # stream (sharded-only configs; reverb inputs are capped
+                    # upstream): shrink the batch so host staging stays
+                    # within the normal budget
                     bs = max(1, budget_frames // blen)
                     bs = min(-(-bs // mesh_files) * mesh_files,
                              cfg.batch_size)
