@@ -371,7 +371,14 @@ def cmd_stream(args) -> int:
                              chunk_seconds=args.chunk_seconds,
                              progress_cb=progress, mesh=mesh,
                              latency_frames=getattr(args, "latency", None))
-    print(f"wrote {n} frames @ {args.rate} Hz -> {args.out}")
+    if getattr(args, "json", False):
+        print(json.dumps({"input": args.input, "output": args.out,
+                          "out_frames": n, "rate": args.rate,
+                          "seconds": round(n / args.rate, 3),
+                          "bits": cfg.bits,
+                          "format": cfg.output_format}))
+    else:
+        print(f"wrote {n} frames @ {args.rate} Hz -> {args.out}")
     return 0
 
 
@@ -666,6 +673,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--frames-shards", type=int, default=1,
                    help="shard each device step's frames axis over N chips "
                         "(one huge file across the mesh)")
+    p.add_argument("--json", action="store_true",
+                   help="machine-readable result on stdout")
     p.set_defaults(fn=cmd_stream)
 
     p = sub.add_parser("verify",
