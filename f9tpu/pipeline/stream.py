@@ -509,7 +509,8 @@ def _stream_sharded(reader, routed_read, out_ch, silent, out_path, cfg, bank,
                 y, seeds_c, jnp.int32(written), gain, bits=cfg.bits,
                 do_dither=cfg.dither))
             if silent:
-                codes[list(silent), :] = 0
+                codes = codes.copy()       # np.asarray of a jax buffer is
+                codes[list(silent), :] = 0  # a read-only view
             take = min(codes.shape[1], out_total - written)
             writer.append_codes(codes[:, :take])
             written += take

@@ -507,3 +507,36 @@ def test_files_sharded_dither_bytes_match_unsharded(tmp_path):
         a = open(build_output_path(p, c1.output_dir, c1.postfix), "rb").read()
         b = open(build_output_path(p, c2.output_dir, c2.postfix), "rb").read()
         assert a == b, p
+
+
+def test_stream_sharded_with_routing_and_normalization(tmp_path):
+    """Round-3 features on the SHARDED streaming path: channel routing with
+    a silent bus + two-pass loudness normalization, frames axis over the
+    mesh — must match the single-chip stream byte-for-byte (host-side
+    routing gather is exact; the meter runs on the host either way)."""
+    from f9tpu.io import wav
+    from f9tpu.parallel import make_mesh
+    from f9tpu.pipeline.stream import stream_resample_file
+
+    rate_in, rate_out = 44100, 48000
+    rng = np.random.default_rng(17)
+    T = int(2.2 * rate_in)
+    x = (0.15 * rng.standard_normal((4, T))).astype(np.float32)
+    src = str(tmp_path / "bus_long.wav")
+    wav.write_wav(src, x, rate_in, bits=24)
+
+    cfg = ProcessingConfig(output_dir=str(tmp_path), target_rate=rate_out,
+                           quality="low", seed=3, remove_dc=False,
+                           channel_routing=[3, -1, 0, 1],
+                           normalize_lufs=-20.0)
+    o1 = str(tmp_path / "single.wav")
+    n1 = stream_resample_file(src, o1, cfg, chunk_seconds=0.4)
+
+    mesh = make_mesh(num_files_shards=2, num_frames_shards=4)
+    o2 = str(tmp_path / "sharded.wav")
+    n2 = stream_resample_file(src, o2, cfg, chunk_seconds=0.4, mesh=mesh)
+    assert n1 == n2
+    y1, _ = wav.read_wav(o1)
+    y2, _ = wav.read_wav(o2)
+    assert np.all(y1[1] == 0.0) and np.all(y2[1] == 0.0)  # silent bus
+    np.testing.assert_array_equal(y1, y2)
