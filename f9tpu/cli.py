@@ -8,6 +8,7 @@ Subcommands mirror the app's user actions:
   measure   latency calibration       (measureLatency)
   selftest  hardware loop test        (startHardwareTest)
   probe     file metadata / validation (AudioFile metadata load)
+  watch     folder watcher: the drop-zone workflow, headless
   verify    audit a manifest's outputs by size + CRC-32
   devices   compute device enumeration (refreshDevices)
 
@@ -382,6 +383,82 @@ def cmd_stream(args) -> int:
     return 0
 
 
+def cmd_watch(args) -> int:
+    """Watch a folder and process files as they land — the production
+    (serving) form of the reference's interactive drop-zone workflow
+    (FileDropView/FileListAndLogComponent): drop files in, they come out
+    resampled.  Polling, dependency-free: a file is picked up once its size
+    is stable across two consecutive sweeps (a copy in progress keeps
+    growing); the persistent manifest dedupes across sweeps and restarts,
+    and the calibration cache is shared so the chain is measured once."""
+    cfg = ProcessingConfig(
+        target_rate=args.rate,
+        quality=args.quality,
+        kind=args.kind,
+        bits=args.bits,
+        dither=not args.no_dither,
+        remove_dc=not args.keep_dc,
+        output_dir=args.out,
+        postfix=args.postfix,
+        output_format=args.output_format,
+        normalize_lufs=args.normalize_lufs,
+        normalize_tp_db=args.normalize_tp_db,
+        gain_db=args.gain,
+        channel_routing=(
+            [int(c) for c in args.routing.split(",")] if args.routing else None),
+        output_channels=args.channels,
+        seed=None if args.seed == -1 else args.seed,
+    )
+    os.makedirs(args.out, exist_ok=True)
+    log = StatusLog(sink=lambda line: print(line, flush=True))
+    cal = CalibrationCache(os.path.join(args.out, ".calibration.json"))
+    manifest_path = os.path.join(args.out, ".manifest.json")
+    seen_sizes: dict[str, int] = {}
+    done: set[str] = set()
+    sweeps = 0
+    idle = 0.0
+    import time as _time
+
+    log.append(f"watch: {args.dir} -> {args.out} (interval {args.interval}s)")
+    while True:
+        sweeps += 1
+        try:
+            names = sorted(os.listdir(args.dir))
+        except OSError as err:
+            print(f"watch: cannot list {args.dir}: {err}", file=sys.stderr)
+            return 2
+        ready = []
+        for name in names:
+            path = os.path.join(args.dir, name)
+            if path in done or not codec.is_supported(name) \
+                    or not os.path.isfile(path):
+                continue
+            try:
+                size = os.path.getsize(path)
+            except OSError:
+                continue
+            if seen_sizes.get(path) == size:
+                ready.append(path)       # stable across two sweeps
+            seen_sizes[path] = size
+        if ready:
+            idle = 0.0
+            bp = BatchProcessor(cfg, log=log, calibration=cal)
+            res = bp.run(ready, manifest_path=manifest_path)
+            done.update(ready)           # terminal either way; FAILED files
+            # are recorded in the manifest and not retried automatically
+            log.append(f"watch sweep {sweeps}: {res.completed} completed, "
+                       f"{res.failed} failed")
+        else:
+            idle += args.interval
+        if args.sweeps and sweeps >= args.sweeps:
+            break
+        if args.exit_after_idle and idle >= args.exit_after_idle:
+            log.append(f"watch: idle {idle:.0f}s, exiting")
+            break
+        _time.sleep(args.interval)
+    return 0
+
+
 def cmd_verify(args) -> int:
     """Audit a job manifest's completed outputs against their recorded size
     and CRC-32 — the standalone form of the resume-time content check
@@ -676,6 +753,33 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--json", action="store_true",
                    help="machine-readable result on stdout")
     p.set_defaults(fn=cmd_stream)
+
+    p = sub.add_parser("watch",
+                       help="watch a folder, process files as they land "
+                            "(the drop-zone workflow, headless)")
+    p.add_argument("dir", help="input folder to watch")
+    p.add_argument("--out", required=True, help="output directory (mandatory)")
+    _add_common_src_args(p)
+    p.add_argument("--bits", type=int, default=24, choices=[16, 24, 32])
+    p.add_argument("--postfix", default="_processed")
+    p.add_argument("--format", dest="output_format", default="wav",
+                   choices=["wav", "aiff"])
+    p.add_argument("--no-dither", action="store_true")
+    p.add_argument("--keep-dc", action="store_true")
+    p.add_argument("--gain", type=float, default=0.0)
+    p.add_argument("--normalize-lufs", type=float, default=None)
+    p.add_argument("--normalize-tp", dest="normalize_tp_db", type=float,
+                   default=None)
+    p.add_argument("--routing", default=None)
+    p.add_argument("--channels", type=int, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--interval", type=float, default=2.0,
+                   help="sweep interval seconds")
+    p.add_argument("--sweeps", type=int, default=0,
+                   help="stop after N sweeps (0 = run until killed)")
+    p.add_argument("--exit-after-idle", type=float, default=0.0,
+                   help="stop after this many idle seconds (0 = never)")
+    p.set_defaults(fn=cmd_watch)
 
     p = sub.add_parser("verify",
                        help="audit a manifest's outputs (size + CRC-32)")

@@ -540,3 +540,33 @@ def test_stream_sharded_with_routing_and_normalization(tmp_path):
     y2, _ = wav.read_wav(o2)
     assert np.all(y1[1] == 0.0) and np.all(y2[1] == 0.0)  # silent bus
     np.testing.assert_array_equal(y1, y2)
+
+
+def test_scheduler_mesh_with_oversized_file_streams_single_chip(tmp_path):
+    """A files-sharded batch run whose library contains a beyond-largest-
+    bucket file: the oversized file streams (single-chip — its dispatch is
+    sequential) while the rest ride the sharded batch graph."""
+    from f9tpu.io import wav
+    from f9tpu.parallel import make_mesh
+    from f9tpu.pipeline import BatchProcessor
+
+    rng = np.random.default_rng(23)
+    rate = 44100
+    paths = []
+    for i in range(4):
+        p = str(tmp_path / f"n{i}.wav")
+        wav.write_wav(p, (0.2 * rng.standard_normal((2, 6_000))
+                          ).astype(np.float32), rate, bits=24)
+        paths.append(p)
+    big = str(tmp_path / "big.wav")
+    wav.write_wav(big, (0.2 * rng.standard_normal((2, 90_000))
+                        ).astype(np.float32), rate, bits=24)
+    paths.append(big)
+
+    mesh = make_mesh(num_files_shards=8)
+    cfg = ProcessingConfig(output_dir=str(tmp_path / "out"),
+                           target_rate=48000, quality="low", seed=4,
+                           bucket_frames=(8_192, 16_384), batch_size=8)
+    res = BatchProcessor(cfg, mesh=mesh).run(paths)
+    assert res.completed == 5 and res.failed == 0
+    assert res.per_file[big].get("streamed") is True
