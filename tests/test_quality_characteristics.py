@@ -108,3 +108,38 @@ def test_thdn_coherent_high():
     resid = spec.sum() - fund - spec[:2].sum()
     thdn = 10 * np.log10(max(resid, 1e-300) / fund)
     assert thdn < -125.0, thdn
+
+
+def test_rows_graph_hbm_traffic_budget():
+    """Deterministic perf tripwire (CLAUDE.md: use cost_analysis when the
+    chip is noisy): the rows fused graph's total bytes-accessed must stay
+    within budget for a fixed shape.  Reintroducing a device-side flat
+    reshape, a duplicated SRC conv (lost optimization_barrier), or an
+    explicit z materialisation (docs/PERF.md round 2b) shows up here as a
+    2x+ jump, with zero timing noise.  Measured baseline on this shape:
+    ~96 MB (CPU backend cost model); budget 130 MB."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from f9tpu.config import ProcessingConfig
+    from f9tpu.models.filters import design_cycle_bank
+    from f9tpu.ops.pallas_src import rows_marshal_plan
+    from f9tpu.pipeline.graph import _cfg_key, _process_impl_rows
+
+    cfg = ProcessingConfig(output_dir="/tmp/x", target_rate=48000,
+                           quality="low")
+    bank = design_cycle_bank(44100, 48000, quality="low")
+    files, ch, frames = 4, 2, 1 << 17
+    n_rows, _pf = rows_marshal_plan(bank, frames)
+    x = jnp.zeros((files, ch, n_rows, bank.M), jnp.float32)
+    valid = jnp.full((files,), frames, jnp.int32)
+    f = functools.partial(_process_impl_rows, rate_in=44100, rate_out=48000,
+                          cfg_key=_cfg_key(cfg, 0))
+    ca = jax.jit(f).lower(x, valid, jax.random.PRNGKey(0)).compile() \
+        .cost_analysis()
+    ca = ca[0] if isinstance(ca, list) else ca
+    bytes_accessed = ca.get("bytes accessed")
+    assert bytes_accessed is not None
+    assert bytes_accessed < 130e6, f"{bytes_accessed / 1e6:.1f} MB"
