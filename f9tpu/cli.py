@@ -413,8 +413,8 @@ def cmd_watch(args) -> int:
     log = StatusLog(sink=lambda line: print(line, flush=True))
     cal = CalibrationCache(os.path.join(args.out, ".calibration.json"))
     manifest_path = os.path.join(args.out, ".manifest.json")
-    seen_sizes: dict[str, int] = {}
-    done: set[str] = set()
+    seen_sig: dict[str, tuple] = {}      # path -> (size, mtime) last sweep
+    done_sig: dict[str, tuple] = {}      # path -> signature when processed
     sweeps = 0
     idle = 0.0
     import time as _time
@@ -427,28 +427,41 @@ def cmd_watch(args) -> int:
         except OSError as err:
             print(f"watch: cannot list {args.dir}: {err}", file=sys.stderr)
             return 2
-        ready = []
+        ready, replaced = [], []
         for name in names:
             path = os.path.join(args.dir, name)
-            if path in done or not codec.is_supported(name) \
-                    or not os.path.isfile(path):
+            if not codec.is_supported(name) or not os.path.isfile(path):
                 continue
             try:
-                size = os.path.getsize(path)
+                st = os.stat(path)
+                sig = (st.st_size, st.st_mtime_ns)
             except OSError:
                 continue
-            if seen_sizes.get(path) == size:
-                ready.append(path)       # stable across two sweeps
-            seen_sizes[path] = size
+            if done_sig.get(path) == sig:
+                continue                 # already processed this content
+            if seen_sig.get(path) == sig:        # stable across two sweeps
+                (replaced if path in done_sig else ready).append(path)
+            seen_sig[path] = sig
         if ready:
             idle = 0.0
             bp = BatchProcessor(cfg, log=log, calibration=cal)
             res = bp.run(ready, manifest_path=manifest_path)
-            done.update(ready)           # terminal either way; FAILED files
-            # are recorded in the manifest and not retried automatically
+            for p in ready:              # terminal either way; FAILED files
+                done_sig[p] = seen_sig[p]  # are in the manifest, not retried
             log.append(f"watch sweep {sweeps}: {res.completed} completed, "
                        f"{res.failed} failed")
-        else:
+        if replaced:
+            # a file was RE-dropped with new content: the resume manifest
+            # would skip it (its old output verifies), so run it through a
+            # fresh manifest and overwrite the deliverable
+            idle = 0.0
+            bp = BatchProcessor(cfg, log=log, calibration=cal)
+            res = bp.run(replaced)
+            for p in replaced:
+                done_sig[p] = seen_sig[p]
+            log.append(f"watch sweep {sweeps}: reprocessed "
+                       f"{res.completed} replaced file(s)")
+        if not ready and not replaced:
             idle += args.interval
         if args.sweeps and sweeps >= args.sweeps:
             break

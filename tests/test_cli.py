@@ -355,3 +355,31 @@ def test_cli_watch_exits_after_idle(tmp_path):
                str(tmp_path / "out"), "--rate", "48000", "--quality", "low",
                "--interval", "0.05", "--exit-after-idle", "0.15"])
     assert rc == 0
+
+
+def test_cli_watch_reprocesses_replaced_file(tmp_path):
+    """A file re-dropped with NEW content (same name) must reprocess and
+    overwrite the deliverable — the resume manifest alone would skip it."""
+    import threading
+    import time as _t
+
+    indir = tmp_path / "drop"
+    indir.mkdir()
+    rng = np.random.default_rng(1)
+    p = str(indir / "take.wav")
+    write_wav(p, (0.2 * rng.standard_normal((1, 3000))).astype(np.float32),
+              44100, bits=24)
+
+    def replace_later():
+        _t.sleep(0.4)
+        write_wav(p, np.zeros((1, 3000), np.float32), 44100, bits=24)
+
+    t = threading.Thread(target=replace_later, daemon=True)
+    t.start()
+    rc = main(["watch", str(indir), "--out", str(tmp_path / "out"),
+               "--rate", "48000", "--quality", "low", "--seed", "1",
+               "--no-dither", "--interval", "0.1", "--sweeps", "40"])
+    t.join()
+    assert rc == 0
+    y, _ = read_wav(str(tmp_path / "out" / "take_processed.wav"))
+    assert np.all(y == 0.0)       # the REPLACED (silent) content won
