@@ -33,6 +33,7 @@ PAIRS = [
     (44100, 96000), (96000, 44100),
     (44100, 192000), (192000, 44100),
     (176400, 48000), (48000, 176400),
+    (88200, 96000), (96000, 88200),
 ]
 PRESETS = ["low", "medium", "high", "ultra"]
 N = 1 << 15
