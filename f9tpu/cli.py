@@ -65,7 +65,9 @@ def _add_common_src_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--rate", type=int, default=48000, help="target sample rate")
     p.add_argument("--quality", default="high",
                    choices=["low", "medium", "high", "ultra"])
-    p.add_argument("--kind", default="sinc", choices=["sinc", "lagrange"])
+    p.add_argument("--kind", default="sinc",
+                   choices=["sinc", "minphase", "lagrange"],
+                   help="filter family: linear-phase sinc (default), minimum-phase sinc (no pre-ringing), or Lagrange polynomial")
 
 
 #: process-command options persisted by --save-config / applied by --config.

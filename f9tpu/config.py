@@ -33,7 +33,7 @@ class ProcessingConfig:
     # --- core SRC (replaces the analog loop) ---
     target_rate: int = 48000            # output ("session") rate
     quality: str = "high"               # QUALITY_PRESETS key
-    kind: str = "sinc"                  # "sinc" | "lagrange"
+    kind: str = "sinc"                  # "sinc" | "minphase" | "lagrange"
     bits: int = 24
     """Output PCM depth: 16/24 (reference writes 24,
     Source/MainComponent.cpp:784-801) or 32 (int32 container; the device
@@ -140,9 +140,11 @@ class ProcessingConfig:
     def validate(self) -> None:
         from .models.filters import QUALITY_PRESETS
 
-        if self.kind not in ("sinc", "lagrange"):
-            raise ValueError(f"kind must be sinc|lagrange, got {self.kind!r}")
-        if self.kind == "sinc" and self.quality not in QUALITY_PRESETS:
+        if self.kind not in ("sinc", "minphase", "lagrange"):
+            raise ValueError(
+                f"kind must be sinc|minphase|lagrange, got {self.kind!r}")
+        if self.kind in ("sinc", "minphase") \
+                and self.quality not in QUALITY_PRESETS:
             raise ValueError(f"unknown quality {self.quality!r}")
         if self.bits not in (16, 24, 32):
             raise ValueError(f"bits must be 16/24/32, got {self.bits}")

@@ -37,6 +37,8 @@ __all__ = [
     "kaiser_beta",
     "kaiser_window",
     "lagrange_phase_bank",
+    "minimum_phase",
+    "minphase_phase_bank",
     "resolve_ratio",
     "sinc_phase_bank",
 ]
@@ -161,6 +163,52 @@ def sinc_phase_bank(
     return h.reshape(K, L).T.copy()  # (L, K): H[p, j] = h[j*L + p]
 
 
+def minimum_phase(h: np.ndarray, nfft_factor: int = 8) -> np.ndarray:
+    """Real-cepstrum (homomorphic) minimum-phase transform of an FIR,
+    preserving the magnitude response in float64.
+
+    Classic recipe: fold the real cepstrum of log|H| onto the causal side
+    and re-exponentiate.  Accuracy is set by the FFT zero-padding and the
+    log floor: with 8x padding and a -200 dB floor the reconstructed
+    magnitude tracks the original to below the -140 dB design stopband.
+    """
+    n = int(h.shape[0])
+    nfft = 1 << (int(np.ceil(np.log2(max(n, 2)))) + int(nfft_factor).bit_length())
+    mag = np.abs(np.fft.fft(h, nfft))
+    mag = np.maximum(mag, mag.max() * 1e-10)   # -200 dB log floor
+    cep = np.fft.ifft(np.log(mag)).real
+    fold = np.zeros(nfft)
+    fold[0] = cep[0]
+    fold[1 : nfft // 2] = 2.0 * cep[1 : nfft // 2]
+    fold[nfft // 2] = cep[nfft // 2]
+    h_min = np.fft.ifft(np.exp(np.fft.fft(fold))).real[:n]
+    return h_min
+
+
+def minphase_phase_bank(
+    L: int,
+    M: int,
+    taps_per_phase: int,
+    atten_db: float = 140.0,
+) -> np.ndarray:
+    """Minimum-phase variant of :func:`sinc_phase_bank` — same Kaiser
+    magnitude design, energy packed at the FRONT of the impulse response.
+
+    No pre-ringing before transients (the linear-phase sinc rings
+    symmetrically ahead of every edge), at the cost of frequency-dependent
+    group delay near the band edge — the classic mastering-SRC filter
+    choice.  The phase split/index math is identical; the bank runs through
+    every execution path unchanged with ``delay_upsamples = 0`` (output
+    aligns to the causal onset instead of a bulk linear delay)."""
+    K = int(taps_per_phase)
+    lin = sinc_phase_bank(L, M, K, atten_db=atten_db)
+    # reassemble the upsampled-domain prototype, transform, re-split
+    h = lin.T.reshape(K * L)        # inverse of the (L, K) phase split
+    h_min = minimum_phase(h)
+    h_min /= np.sum(h_min) / L      # restore exact unity DC per phase-average
+    return h_min.reshape(K, L).T.copy()
+
+
 def lagrange_phase_bank(L: int, order: int = 4) -> np.ndarray:
     """Lagrange interpolation bank ``H`` of shape ``(L, order+1)``.
 
@@ -222,7 +270,7 @@ class CycleBank:
     W_width: int           # dense width W = max cycle offset + K
     pad_front: int         # zeros to prepend to the input
     delay_upsamples: int   # prototype group delay in L-upsampled units
-    kind: str              # "sinc" | "lagrange"
+    kind: str              # "sinc" | "minphase" | "lagrange"
 
     @property
     def W(self) -> int:
@@ -311,15 +359,21 @@ def design_cycle_bank(
         G, pad_front, W = _bank_to_cycle_matrix(H, 1, 1, 0)
         return CycleBank(L=1, M=1, taps_per_phase=1, G=G, H=H, W_width=W,
                          pad_front=pad_front, delay_upsamples=0, kind=kind)
-    if kind == "sinc":
+    if kind in ("sinc", "minphase"):
         if quality not in QUALITY_PRESETS:
             raise ValueError(f"unknown quality {quality!r}; choose from {sorted(QUALITY_PRESETS)}")
         Z = QUALITY_PRESETS[quality]
         K = max(4, int(math.ceil(2.0 * Z * max(L, M) / L)))
         # Keep K even so the group delay (K*L-1)/2 splits cleanly.
         K += K % 2
-        H = sinc_phase_bank(L, M, K, atten_db=atten_db)
-        delay_upsamples = (K * L) // 2
+        if kind == "minphase":
+            # same Kaiser magnitude, causal energy packing: no pre-ringing
+            # (the mastering-SRC filter choice JUCE doesn't offer)
+            H = minphase_phase_bank(L, M, K, atten_db=atten_db)
+            delay_upsamples = 0
+        else:
+            H = sinc_phase_bank(L, M, K, atten_db=atten_db)
+            delay_upsamples = (K * L) // 2
     elif kind == "lagrange":
         K = lagrange_order + 1
         H = lagrange_phase_bank(L, order=lagrange_order)

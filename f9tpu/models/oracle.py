@@ -16,6 +16,7 @@ import numpy as np
 from .filters import (
     QUALITY_PRESETS,
     lagrange_phase_bank,
+    minphase_phase_bank,
     resolve_ratio,
     sinc_phase_bank,
 )
@@ -29,12 +30,16 @@ def _design(rate_in: int, rate_out: int, quality: str, kind: str, lagrange_order
     L, M = resolve_ratio(rate_in, rate_out)
     if L == 1 and M == 1:
         return L, M, 1, np.ones((1, 1), dtype=np.float64), 0
-    if kind == "sinc":
+    if kind in ("sinc", "minphase"):
         Z = QUALITY_PRESETS[quality]
         K = max(4, int(math.ceil(2.0 * Z * max(L, M) / L)))
         K += K % 2
-        H = sinc_phase_bank(L, M, K)
-        delay = (K * L) // 2
+        if kind == "minphase":
+            H = minphase_phase_bank(L, M, K)
+            delay = 0
+        else:
+            H = sinc_phase_bank(L, M, K)
+            delay = (K * L) // 2
     elif kind == "lagrange":
         K = lagrange_order + 1
         H = lagrange_phase_bank(L, order=lagrange_order)

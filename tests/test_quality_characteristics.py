@@ -143,3 +143,71 @@ def test_rows_graph_hbm_traffic_budget():
     bytes_accessed = ca.get("bytes accessed")
     assert bytes_accessed is not None
     assert bytes_accessed < 130e6, f"{bytes_accessed / 1e6:.1f} MB"
+
+
+class TestMinimumPhase:
+    """kind="minphase": the mastering-SRC filter choice (no pre-ringing)
+    beyond JUCE's two interpolators — same Kaiser magnitude design, energy
+    packed causally via the real-cepstrum transform (models/filters.py)."""
+
+    def test_device_vs_oracle_parity(self):
+        rng = np.random.default_rng(0)
+        x = (0.3 * rng.standard_normal(16384)).astype(np.float32)
+        from f9tpu.models.oracle import resample_oracle
+
+        for r_in, r_out in [(44100, 48000), (96000, 44100)]:
+            y = np.asarray(resample_rates(x, r_in, r_out, quality="high",
+                                          kind="minphase")).astype(np.float64)
+            ref = resample_oracle(x, r_in, r_out, quality="high",
+                                  kind="minphase")
+            err = y - ref
+            db = 20 * np.log10(_rms(err) / _rms(ref))
+            assert db <= -120, (r_in, r_out, db)
+
+    def test_magnitude_matches_linear_phase_design(self):
+        def gain(f, kind):
+            y = np.asarray(resample_rates(_tone(f, 44100), 44100, 48000,
+                                          quality="high", kind=kind))
+            return 20 * np.log10(_rms(_mid(y)) / (0.5 / np.sqrt(2)))
+
+        for f in (997.0, 10_000.0, 18_000.0):
+            assert abs(gain(f, "sinc") - gain(f, "minphase")) < 0.02, f
+
+    def test_prering_suppressed_vs_linear_phase(self):
+        imp = np.zeros(4096, np.float32)
+        imp[2048] = 1.0
+
+        def prering(kind):
+            y = np.asarray(resample_rates(imp, 44100, 48000, quality="high",
+                                          kind=kind)).astype(np.float64)
+            pk = int(np.argmax(np.abs(y)))
+            return float((y[: max(0, pk - 2)] ** 2).sum() / (y**2).sum())
+
+        r_lin, r_min = prering("sinc"), prering("minphase")
+        # linear phase rings symmetrically AHEAD of the transient; the
+        # minimum-phase version keeps a causal ramp only — two-plus orders
+        # of magnitude less pre-transient energy (measured ~660x)
+        assert r_lin > 1e-3
+        assert r_min < 1e-4 and r_min < r_lin / 100.0, (r_lin, r_min)
+
+    def test_alias_rejection_preserved(self):
+        y = np.asarray(resample_rates(_tone(30_000.0, 96000), 96000, 44100,
+                                      quality="high", kind="minphase"))
+        rej = -20 * np.log10(_rms(_mid(y)) / (0.5 / np.sqrt(2)))
+        assert rej > 110.0, rej
+
+    def test_pipeline_end_to_end(self, tmp_path):
+        from f9tpu.config import ProcessingConfig
+        from f9tpu.io import read_wav, write_wav
+        from f9tpu.pipeline import BatchProcessor
+
+        rng = np.random.default_rng(4)
+        src = str(tmp_path / "m.wav")
+        write_wav(src, (0.3 * rng.standard_normal((2, 9000))
+                        ).astype(np.float32), 44100, bits=24)
+        cfg = ProcessingConfig(output_dir=str(tmp_path / "out"),
+                               target_rate=48000, quality="low",
+                               kind="minphase", seed=2)
+        assert BatchProcessor(cfg).run([src]).completed == 1
+        y, r = read_wav(str(tmp_path / "out" / "m_processed.wav"))
+        assert r == 48000 and np.isfinite(y).all()

@@ -209,6 +209,33 @@ def main() -> None:
                 f"{thd:.1f} dB | {orc:.1f} dB |")
             print(lines[-1], file=sys.stderr)
         lines.append("")
+    lines += ["## Kind `minphase` (minimum-phase sinc, quality=high)", "",
+              "Same Kaiser magnitude as the linear-phase presets, energy "
+              "packed causally",
+              "(real-cepstrum transform): no pre-ringing ahead of "
+              "transients — the",
+              "mastering-SRC filter choice JUCE does not offer.  Measured "
+              "pre-transient",
+              "impulse energy: ~660x below the linear-phase design "
+              "(tests/test_quality_characteristics.py).", "",
+              "| pair | passband ripple (≤0.8 Nyq) | -1 dB edge | "
+              "alias rejection | image suppression | THD+N | vs oracle |",
+              "|---|---|---|---|---|---|---|"]
+    for rate_in, rate_out in PAIRS:
+        rip = passband_ripple_db(rate_in, rate_out, "high", "minphase")
+        edge = edge_frac(rate_in, rate_out, "high", "minphase")
+        ali = alias_rejection_db(rate_in, rate_out, "high", "minphase")
+        img = image_suppression_db(rate_in, rate_out, "high", "minphase")
+        thd = thdn_db(rate_in, rate_out, "high", "minphase")
+        orc = oracle_db(rate_in, rate_out, "high", "minphase")
+        pair = f"{rate_in / 1000:g}k→{rate_out / 1000:g}k"
+        lines.append(
+            f"| {pair} | {rip:.4f} dB | {edge:.3f}·Nyq | "
+            f"{'—' if ali is None else f'{ali:.1f} dB'} | "
+            f"{'—' if img is None else f'{img:.1f} dB'} | "
+            f"{thd:.1f} dB | {orc:.1f} dB |")
+        print(lines[-1], file=sys.stderr)
+    lines.append("")
     lines += ["## Kind `lagrange` (order-4 = JUCE LagrangeInterpolator's "
               "5-point form)", "",
               "No anti-alias bank — polynomial interpolation only, for the "
