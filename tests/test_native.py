@@ -142,3 +142,21 @@ def test_async_loader_bwf_metadata(tmp_path):
         data, rate = loader.wait(loader.submit(p, 1, 1000))
         assert rate == 48000 and data.shape == (1, 500)
         assert np.abs(data - x).max() <= 2.0 ** -23
+
+
+@needs_native
+def test_native_oracle_minphase_cross_validation():
+    """The C++ double oracle is bank-generic: the minimum-phase bank runs
+    through it and matches the NumPy float64 oracle to 1e-12 — independent
+    native cross-validation of the new kind."""
+    from f9tpu.models.oracle import _design
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(1 << 14)
+    L, M, K, H, delay = _design(44100, 48000, "low", "minphase", 4)
+    assert delay == 0
+    out_len = -(-len(x) * L // M)
+    y_cpp = native.resample_oracle_native(x, H, L, M, delay, out_len)
+    y_np = resample_oracle(x, 44100, 48000, quality="low", kind="minphase")
+    assert y_cpp.shape == y_np.shape
+    assert np.abs(y_cpp - y_np).max() < 1e-12
