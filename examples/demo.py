@@ -149,6 +149,15 @@ def run(workdir: str) -> None:
     assert r10 == 48000 and y10.shape[0] == 4 and np.all(y10[2] == 0)
     print("[10] streamed AIFF -> routed 4-bus, normalized WAV "
           "(constant memory)")
+
+    # --- config 11 (round 3): minimum-phase SRC — no pre-ringing ahead of
+    # transients (the mastering filter choice JUCE doesn't offer) ---
+    assert main(["process", f"{lib}/hit.wav", "--out", f"{workdir}/c11",
+                 "--rate", "48000", "--quality", "high",
+                 "--kind", "minphase", "--seed", "1"]) == 0
+    y11, r11 = read_wav(f"{workdir}/c11/hit_processed.wav")
+    assert r11 == 48000 and np.isfinite(y11).all()
+    print("[11] minimum-phase resample (no pre-ringing)")
     print("demo complete:", workdir)
 
 
