@@ -58,6 +58,12 @@ class JobEntry:
     truncated-but-right-size or corrupted file instead of trusting it
     (with seeded deterministic outputs, re-processing reproduces the same
     bytes, so verification is sound)."""
+    output_mtime_ns: int | None = None
+    """Output mtime at completion: resume skips the CRC re-read when both
+    size and mtime are unchanged (a `watch` loop resumes every sweep —
+    re-hashing every deliverable each time would be O(library) I/O).  Any
+    rewrite bumps mtime and re-triggers the content check; `f9tpu verify`
+    remains the unconditional audit."""
     error: str | None = None
     sample_rate: int | None = None
     num_channels: int | None = None
@@ -121,15 +127,22 @@ class JobManifest:
             for p in files:
                 prev = old._entries.get(p)
                 if prev is not None and prev.status == FileStatus.COMPLETED:
-                    ok = (
-                        prev.output_path
-                        and os.path.exists(prev.output_path)
-                        and (prev.output_size is None
-                             or os.path.getsize(prev.output_path) == prev.output_size)
-                    )
-                    if ok and prev.output_crc32 is not None:
-                        # size matched (cheap guard) — verify content, so a
-                        # corrupted output re-processes on resume
+                    try:
+                        st = os.stat(prev.output_path) if prev.output_path \
+                            else None
+                    except OSError:
+                        st = None
+                    ok = (st is not None
+                          and (prev.output_size is None
+                               or st.st_size == prev.output_size))
+                    if ok and prev.output_crc32 is not None and (
+                            prev.output_mtime_ns is None
+                            or st.st_mtime_ns != prev.output_mtime_ns):
+                        # size matched (cheap guard) but the file has been
+                        # touched since completion (or no mtime was
+                        # recorded) — verify content so a corrupted output
+                        # re-processes on resume; untouched files skip the
+                        # re-read entirely
                         ok = file_crc32(prev.output_path) == prev.output_crc32
                     entries.append(prev if ok else JobEntry(path=p))
                 else:

@@ -526,11 +526,13 @@ class BatchProcessor:
                                 f"{os.path.basename(path)}: {err}")
                     self.throughput.add("encode", out_frames / rate_out,
                                         time.time() - t0)
+                    out_st = os.stat(out_path)
                     manifest.update(
                         path, FileStatus.COMPLETED,
                         output_path=out_path,
-                        output_size=os.path.getsize(out_path),
+                        output_size=out_st.st_size,
                         output_crc32=file_crc32(out_path),
+                        output_mtime_ns=out_st.st_mtime_ns,
                         metrics=per_file_metrics.get(path),
                         progress=1.0)
                     self.log.append(
@@ -779,11 +781,13 @@ class BatchProcessor:
                 audio_out += n / cfg.target_rate
                 per_file_metrics[info.path] = {"out_frames": int(n),
                                                "streamed": True}
+                out_st = os.stat(out_path)
                 manifest.update(
                     info.path, FileStatus.COMPLETED,
                     output_path=out_path,
-                    output_size=os.path.getsize(out_path),
+                    output_size=out_st.st_size,
                     output_crc32=file_crc32(out_path),
+                    output_mtime_ns=out_st.st_mtime_ns,
                     metrics=per_file_metrics[info.path],
                     progress=1.0)
                 self.log.append(

@@ -303,3 +303,36 @@ class TestDispatchRetry:
                                target_rate=48000, quality="low", seed=1)
         res = BatchProcessor(cfg).run([src])
         assert res.completed == 0 and res.failed == 1
+
+
+class TestResumeMtimeFastPath:
+    def test_untouched_output_skips_crc_read(self, tmp_path, monkeypatch):
+        """Resume must NOT re-hash untouched outputs (a `watch` loop resumes
+        every sweep; O(library) re-reads per sweep would not scale) — the
+        CRC read happens only when size+mtime changed."""
+        import f9tpu.pipeline.manifest as man
+
+        src = _mk(tmp_path, "w.wav", 5_000, seed=30)
+        cfg = ProcessingConfig(output_dir=str(tmp_path / "out"),
+                               target_rate=48000, quality="low", seed=9)
+        mpath = str(tmp_path / "m.json")
+        assert BatchProcessor(cfg).run([src], manifest_path=mpath).completed == 1
+
+        calls = {"n": 0}
+        real = man.file_crc32
+
+        def counting(path, *a, **k):
+            calls["n"] += 1
+            return real(path, *a, **k)
+
+        monkeypatch.setattr(man, "file_crc32", counting)
+        m = JobManifest.load_or_create([src], mpath)
+        assert m.get(src).status == FileStatus.COMPLETED
+        assert calls["n"] == 0          # untouched: no re-read
+
+        # touch the output (content unchanged): mtime differs -> CRC runs
+        out = str(tmp_path / "out" / "w_processed.wav")
+        os.utime(out, ns=(1, 1))
+        m2 = JobManifest.load_or_create([src], mpath)
+        assert calls["n"] == 1
+        assert m2.get(src).status == FileStatus.COMPLETED  # content intact
