@@ -383,3 +383,20 @@ def test_cli_watch_reprocesses_replaced_file(tmp_path):
     assert rc == 0
     y, _ = read_wav(str(tmp_path / "out" / "take_processed.wav"))
     assert np.all(y == 0.0)       # the REPLACED (silent) content won
+
+
+def test_cli_watch_picks_up_aiff(tmp_path):
+    from f9tpu.io.aiff import write_aiff
+
+    indir = tmp_path / "drop"
+    indir.mkdir()
+    rng = np.random.default_rng(2)
+    write_aiff(str(indir / "take.aiff"),
+               (0.2 * rng.standard_normal((2, 3000))).astype(np.float32),
+               44100, bits=24)
+    rc = main(["watch", str(indir), "--out", str(tmp_path / "out"),
+               "--rate", "48000", "--quality", "low", "--seed", "1",
+               "--interval", "0.05", "--sweeps", "20"])
+    assert rc == 0
+    y, r = read_wav(str(tmp_path / "out" / "take_processed.wav"))
+    assert r == 48000 and y.shape[0] == 2

@@ -103,6 +103,7 @@ def test_random_streaming_config_end_to_end(tmp_path, trial):
 
     kw = dict(output_dir=str(tmp_path), quality="low",
               target_rate=int(rng.choice([48000, 32000])),
+              kind=str(rng.choice(["sinc", "minphase"])),
               bits=int(rng.choice([16, 24])),
               dither=bool(rng.integers(2)),
               remove_dc=bool(rng.integers(2)),
@@ -131,7 +132,8 @@ def test_random_streaming_config_end_to_end(tmp_path, trial):
     n2 = stream_resample_file(src, o2, cfg, chunk_seconds=0.34,
                               latency_frames=lat)
     assert n1 == n2, (trial, kw, lat)
-    bank = design_cycle_bank(44100, cfg.target_rate, quality="low")
+    bank = design_cycle_bank(44100, cfg.target_rate, quality="low",
+                             kind=cfg.kind)
     expect = bank.out_len(frames)
     if reverb:
         assert expect <= n1 <= expect + int(0.3 * cfg.target_rate)
