@@ -199,3 +199,47 @@ class TestAdtlRescale:
         bad = b"adtl" + b"ltxt" + struct.pack("<I", 4096) + b"xx"
         out = scale_metadata_chunks([(b"LIST", bad)], 44100, 48000)
         assert out[0][1] == bad
+
+
+class TestRF64Fuzz:
+    def test_fuzzed_rf64_headers_never_crash(self, tmp_path):
+        """Random corruption of a valid RF64 header region: readers either
+        succeed or raise clean errors — never hang, loop, or throw
+        unexpected types (the ds64-sentinel walk must stay bounded)."""
+        import numpy as np
+
+        from f9tpu.io.wav import WavReader, probe_wav, read_extra_chunks
+
+        rng = np.random.default_rng(99)
+        base = str(tmp_path / "base.wav")
+        # small genuine RF64 via the writer internals (sentinel fields live)
+        w = __import__("f9tpu.io.wav", fromlist=["WavWriter"]).WavWriter(
+            base, 2, 48000, bits=24)
+        w.append_codes((np.arange(24, dtype=np.int32).reshape(2, 12)))
+        # force the RF64 header form regardless of actual size
+        from f9tpu.io.wav import _wav_header
+
+        w._f.seek(0)
+        w._f.write(_wav_header(1 << 31, 2, 48000, 24, is_float=False,
+                               reserve_upgrade=True))
+        w._f.close()
+        raw = bytearray(open(base, "rb").read())
+        for trial in range(200):
+            buf = bytearray(raw)
+            for _ in range(int(rng.integers(1, 8))):
+                pos = int(rng.integers(0, min(len(buf), 128)))
+                buf[pos] = int(rng.integers(0, 256))
+            p = str(tmp_path / "fz.wav")
+            open(p, "wb").write(bytes(buf))
+            for fn in (probe_wav, read_extra_chunks):
+                try:
+                    fn(p)
+                except (ValueError, ZeroDivisionError, OverflowError,
+                        MemoryError, OSError, EOFError):
+                    pass
+            try:
+                with WavReader(p) as r:
+                    r.read(0, 16)
+            except (ValueError, ZeroDivisionError, OverflowError,
+                    MemoryError, OSError, EOFError):
+                pass
