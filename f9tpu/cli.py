@@ -282,6 +282,8 @@ def cmd_preview(args) -> int:
         target_channels=([int(c) for c in args.target_channels.split(",")]
                          if args.target_channels else None),
         monitor_channels=mon_ch,
+        quality=getattr(args, "quality", "high"),
+        kind=getattr(args, "kind", "sinc"),
     )
     wav.write_wav(args.out, main_mix, args.rate, bits=24)
     print(f"rendered {len(items)} item(s), {main_mix.shape[-1]} frames -> {args.out}")
@@ -811,6 +813,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("inputs", nargs="+")
     p.add_argument("--out", required=True, help="output WAV path")
     p.add_argument("--rate", type=int, default=48000)
+    p.add_argument("--quality", default="high",
+                   choices=["low", "medium", "high", "ultra"],
+                   help="SRC preset for mixed-rate items")
+    p.add_argument("--kind", default="sinc",
+                   choices=["sinc", "minphase", "lagrange"])
     p.add_argument("--silence-ms", type=int, default=150)
     p.add_argument("--channels", type=int, default=2)
     p.add_argument("--monitor", action="store_true")

@@ -57,6 +57,8 @@ def render_playlist(
     loops: int = 1,
     target_channels: list[int] | None = None,
     monitor_channels: tuple[int, int] = (0, 1),
+    quality: str = "high",
+    kind: str = "sinc",
 ) -> tuple[np.ndarray, np.ndarray | None, list[PlaylistItem]]:
     """Render ``files`` into one gapless (channels, frames) array.
 
@@ -123,7 +125,9 @@ def render_playlist(
         if path not in decoded:
             x, r = codec.read_audio(path)
             if r != rate:
-                x = np.asarray(resample_rates(x, r, rate))
+                x = np.asarray(resample_rates(x, r, rate,
+                                              quality=quality,
+                                              kind=kind))
             decoded[path] = _expand_channels(x, content_ch)
         x = decoded[path]
         items.append(PlaylistItem(path=path, start_frame=cursor, num_frames=x.shape[1]))
