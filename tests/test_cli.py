@@ -400,3 +400,24 @@ def test_cli_watch_picks_up_aiff(tmp_path):
     assert rc == 0
     y, r = read_wav(str(tmp_path / "out" / "take_processed.wav"))
     assert r == 48000 and y.shape[0] == 2
+
+
+def test_cli_preview_quality_kind_plumbed(tmp_path):
+    """preview --quality/--kind reach the mixed-rate resampler (a 96k item
+    in a 44.1k playlist renders through the selected preset)."""
+    from f9tpu.io import wav
+
+    rng = np.random.default_rng(3)
+    x = (0.3 * rng.standard_normal((1, 9600))).astype(np.float32)
+    src = str(tmp_path / "hi.wav")
+    wav.write_wav(src, x, 96000, bits=24)
+    o1 = str(tmp_path / "p_high.wav")
+    o2 = str(tmp_path / "p_lag.wav")
+    assert main(["preview", src, "--out", o1, "--rate", "44100"]) == 0
+    assert main(["preview", src, "--out", o2, "--rate", "44100",
+                 "--quality", "low", "--kind", "lagrange"]) == 0
+    y1, _ = read_wav(o1)
+    y2, _ = read_wav(o2)
+    assert y1.shape == y2.shape
+    # different filter families genuinely produce different renders
+    assert not np.array_equal(y1, y2)
