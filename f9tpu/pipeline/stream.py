@@ -42,17 +42,18 @@ def streaming_exclusions(cfg: ProcessingConfig, in_path: str | None = None,
     scheduler consults it to decide whether an oversized file can be routed
     here (VERDICT round 2 #2), and `stream_resample_file` raises the first
     reason.  Lifting an exclusion (round 3: routing, AIFF input, loudness
-    normalization) automatically widens the scheduler's routing."""
-    out = []
-    if cfg.reverb_mode and sharded:
-        out.append("reverb-mode tail detection is single-chip streaming "
-                   "only (the detector state is sequential)")
-    if cfg.latency_frames and sharded:
-        out.append("latency trim is single-chip streaming only")
-    if cfg.chain is not None and sharded:
-        out.append("insert chains are single-chip streaming only "
-                   "(chain state does not shard over the frames axis)")
-    return out
+    normalization, then latency trim / reverb tails / insert chains on the
+    SHARDED path too) automatically widens the scheduler's routing.
+
+    As of round 3's final state the list is empty for every config: the
+    sharded stream gathers each super-chunk's SRC output in file order, so
+    the sequential stages (chain continuation, latency trim, the incremental
+    tail detector) run exactly as they do single-chip — the chain stage on
+    one device (its state is sequential over frames; the frames-sharded part
+    is the SRC, where the FLOPs are), trim and detection on the host stream.
+    The signature is kept so future stages have a place to gate."""
+    del cfg, in_path, sharded
+    return []
 
 
 def stream_chunk_plan(bank, chunk_seconds: float, rate_in: int) -> int:
@@ -126,19 +127,13 @@ class _TailDetector:
         return None
 
 
-@functools.partial(jax.jit, static_argnames=("cycles", "rate_in", "rate_out",
-                                             "quality", "kind", "bits",
-                                             "do_dither", "chain",
-                                             "carry_frames", "silent"))
-def _stream_step(xp, carry, seeds_c, pos0, gain, *, cycles, rate_in, rate_out,
-                 quality, kind, bits, do_dither, chain=None,
-                 carry_frames=0, silent=None):
-    """``gain`` is a TRACED float32 scalar (static gain x per-file
-    normalization gain as one linear factor): per-file gains never recompile.
-    ``silent``: static tuple of routed-silent output channel indices — their
-    codes stay digital zero even under dither, matching the batch graph."""
-    bank = design_cycle_bank(rate_in, rate_out, quality=quality, kind=kind)
-    y = resample_presliced(xp, bank, cycles)
+def _finish_chunk(y, carry, seeds_c, pos0, gain, *, rate_out, bits,
+                  do_dither, chain=None, carry_frames=0, silent=None):
+    """Everything downstream of the SRC for one streamed chunk: chain
+    continuation, gain, position-keyed dither/quantize, silent-channel
+    zeroing.  Shared (traced inline) by the single-chip `_stream_step` and
+    the sharded `_chain_finish_step`, so both topologies run the SAME ops
+    and stay byte-identical."""
     if chain is not None and carry_frames > 0:
         # exact chunk-boundary continuation for FIR-type chains: prepend the
         # previous chunk's last tail_frames of SRC output (the chain's whole
@@ -169,6 +164,38 @@ def _stream_step(xp, carry, seeds_c, pos0, gain, *, cycles, rate_in, rate_out,
     return codes, new_carry
 
 
+@functools.partial(jax.jit, static_argnames=("cycles", "rate_in", "rate_out",
+                                             "quality", "kind", "bits",
+                                             "do_dither", "chain",
+                                             "carry_frames", "silent"))
+def _stream_step(xp, carry, seeds_c, pos0, gain, *, cycles, rate_in, rate_out,
+                 quality, kind, bits, do_dither, chain=None,
+                 carry_frames=0, silent=None):
+    """``gain`` is a TRACED float32 scalar (static gain x per-file
+    normalization gain as one linear factor): per-file gains never recompile.
+    ``silent``: static tuple of routed-silent output channel indices — their
+    codes stay digital zero even under dither, matching the batch graph."""
+    bank = design_cycle_bank(rate_in, rate_out, quality=quality, kind=kind)
+    y = resample_presliced(xp, bank, cycles)
+    return _finish_chunk(y, carry, seeds_c, pos0, gain, rate_out=rate_out,
+                         bits=bits, do_dither=do_dither, chain=chain,
+                         carry_frames=carry_frames, silent=silent)
+
+
+@functools.partial(jax.jit, static_argnames=("rate_out", "bits", "do_dither",
+                                             "chain", "carry_frames",
+                                             "silent"))
+def _chain_finish_step(y, carry, seeds_c, pos0, gain, *, rate_out, bits,
+                       do_dither, chain, carry_frames, silent):
+    """Sharded-stream tail when a chain is configured: the super-chunk's SRC
+    output (gathered — chain state is sequential over frames, so this stage
+    runs on one device while the SRC itself stays frames-sharded) through
+    the SAME `_finish_chunk` the single-chip path traces."""
+    return _finish_chunk(y, carry, seeds_c, pos0, gain, rate_out=rate_out,
+                         bits=bits, do_dither=do_dither, chain=chain,
+                         carry_frames=carry_frames, silent=silent)
+
+
 def stream_resample_file(
     in_path: str,
     out_path: str,
@@ -191,7 +218,7 @@ def stream_resample_file(
     halo exchange).  Encode stays incremental, so host memory is one
     super-chunk regardless of file length (SURVEY.md section 7 step 6).
 
-    ``cfg.chain`` (single-chip only): FIR-type insert chains (EQ, FIR,
+    ``cfg.chain``: FIR-type insert chains (EQ, FIR,
     reverb IRs, delays) stream exactly — the chain's whole state for a causal
     FIR stack is its last ``tail_frames`` of SRC output, carried across
     chunks (overlap-save at the output rate).  The chain's group delay IS
@@ -214,8 +241,10 @@ def stream_resample_file(
     mirror of the batch detector (`_TailDetector`) — which means, unlike the
     batch path, the INPUT length is unbounded: an hour-long stem streams
     with its tail detected at the end (only the tail itself is capped at
-    ``max_tail_seconds``).  Remaining exclusions are all sharded-only:
-    `streaming_exclusions`.
+    ``max_tail_seconds``).  The sharded path carries the full feature set
+    too (chains / trim / tails run on the sequentially-gathered super-chunk
+    stream — `_stream_sharded`), so `streaming_exclusions` is empty for
+    every config.
 
     DC-removal ordering: streaming subtracts the SOURCE's whole-file mean
     before SRC+chain (a cheap host pre-pass — the output mean cannot be known
@@ -235,8 +264,6 @@ def stream_resample_file(
     if cfg.trim_enabled:
         lat = int(latency_frames if latency_frames is not None
                   else (cfg.latency_frames or 0))
-    if lat and mesh is not None:
-        raise ValueError("latency trim is single-chip streaming only")
     from ..io import codec
 
     with codec.open_reader(in_path) as reader:
@@ -352,7 +379,8 @@ def stream_resample_file(
         if mesh is not None:
             n = _stream_sharded(reader, routed_read, out_ch, silent, out_path,
                                 cfg, bank, chunk_in, mesh, mean, seeds_c,
-                                gain, progress_cb)
+                                gain, progress_cb, lat=lat,
+                                noise_floor_db=noise_floor_db)
             _carry_metadata(in_path, out_path, cfg, rate_in)
             return n
         carry_frames = 0
@@ -462,9 +490,18 @@ def _finish_step(y, seeds_c, pos0, gain, *, bits, do_dither):
 
 
 def _stream_sharded(reader, routed_read, out_ch, silent, out_path, cfg, bank,
-                    chunk_in, mesh, mean, seeds_c, gain, progress_cb) -> int:
+                    chunk_in, mesh, mean, seeds_c, gain, progress_cb,
+                    lat=0, noise_floor_db=None) -> int:
     """Multi-chip streaming body: super-chunks of n_shards*chunk_in frames,
-    frames axis sharded over the mesh, file-context outer halos."""
+    frames axis sharded over the mesh, file-context outer halos.
+
+    Feature-complete with the single-chip stream: the host consumes the
+    emitted super-chunks in file order, so the sequential stages run exactly
+    as they do single-chip — insert chains via `_chain_finish_step` (the
+    gathered super-chunk is just a bigger streaming chunk; chain output is
+    chunk-size invariant, so bytes match), latency trim by dropping the
+    first ``lat`` emitted frames while chunks keep flowing past the input
+    EOF, and reverb-mode tails via the same incremental `_TailDetector`."""
     from ..parallel.sharding import resample_frames_sharded, shard_halos
 
     n = mesh.shape["frames"]
@@ -477,9 +514,30 @@ def _stream_sharded(reader, routed_read, out_ch, silent, out_path, cfg, bank,
             f"chunk of {chunk_in} frames is smaller than the filter halo "
             f"({max(halo_left, halo_right)}); raise chunk_seconds")
     super_in = n * chunk_in
+    super_out = (super_in // bank.M) * bank.L
     T = reader.num_frames
     out_total = bank.out_len(T)
     C = out_ch
+
+    reverb = bool(cfg.reverb_mode)
+    cap_extra = (int(cfg.max_tail_seconds * cfg.target_rate)
+                 if reverb and T > 0 else 0)
+    out_limit = out_total + cap_extra
+    detector = None
+    if reverb and T > 0:
+        gain_total_db = 20.0 * float(np.log10(max(float(gain), 1e-30)))
+        nf = (noise_floor_db if noise_floor_db is not None
+              else cfg.noise_floor_db)
+        detector = _TailDetector(cfg.target_rate, out_total, cfg,
+                                 gain_total_db, nf)
+    carry_frames = 0
+    if cfg.chain is not None:
+        carry_frames = int(cfg.chain.tail_frames(cfg.target_rate))
+        if carry_frames >= super_out:
+            raise ValueError(
+                f"chain ring-out ({carry_frames} frames) exceeds one "
+                f"sharded super-chunk ({super_out}); raise chunk_seconds")
+    carry = jnp.zeros((C, carry_frames), jnp.float32)
 
     def read_span(lo: int, length: int) -> np.ndarray:
         """(C, length) float32, zero-padded outside [0, T), DC-corrected."""
@@ -497,7 +555,8 @@ def _stream_sharded(reader, routed_read, out_ch, silent, out_path, cfg, bank,
     writer_cls = AiffWriter if cfg.output_format == "aiff" else WavWriter
     with writer_cls(out_path, C, cfg.target_rate, bits=cfg.bits) as writer:
         start = 0
-        while start < T:
+        g0 = 0          # pre-trim output frame index of this super-chunk
+        while written < out_limit:
             x = read_span(start, super_in)
             left = read_span(start - halo_left, halo_left)
             right = read_span(start + super_in, halo_right)
@@ -505,18 +564,38 @@ def _stream_sharded(reader, routed_read, out_ch, silent, out_path, cfg, bank,
                 jnp.asarray(x), rate_in, cfg.target_rate, mesh,
                 quality=cfg.quality, kind=cfg.kind,
                 left_halo=jnp.asarray(left), right_halo=jnp.asarray(right))
-            codes = np.asarray(_finish_step(
-                y, seeds_c, jnp.int32(written), gain, bits=cfg.bits,
-                do_dither=cfg.dither))
+            if cfg.chain is not None:
+                codes, carry = _chain_finish_step(
+                    jnp.asarray(np.asarray(y)), carry, seeds_c,
+                    jnp.int32(g0 - lat), gain, rate_out=cfg.target_rate,
+                    bits=cfg.bits, do_dither=cfg.dither, chain=cfg.chain,
+                    carry_frames=carry_frames, silent=None)
+                codes = np.asarray(codes)
+            else:
+                codes = np.asarray(_finish_step(
+                    y, seeds_c, jnp.int32(g0 - lat), gain, bits=cfg.bits,
+                    do_dither=cfg.dither))
             if silent:
                 codes = codes.copy()       # np.asarray of a jax buffer is
                 codes[list(silent), :] = 0  # a read-only view
-            take = min(codes.shape[1], out_total - written)
-            writer.append_codes(codes[:, :take])
+            drop = min(max(0, lat - g0), codes.shape[1])
+            usable = codes[:, drop:]
+            take = min(usable.shape[1], out_limit - written)
+            block = usable[:, :take]
+            if detector is not None and take > 0:
+                mono = (np.max(np.abs(block), axis=0)
+                        .astype(np.float32) / float(1 << (cfg.bits - 1)))
+                fire = detector.feed(mono)
+                if fire is not None:
+                    writer.append_codes(block[:, : max(0, fire - written)])
+                    written = max(written, fire)
+                    if progress_cb:
+                        progress_cb(1.0)
+                    break
+            writer.append_codes(block)
             written += take
+            g0 += codes.shape[1]
             start += super_in
             if progress_cb:
-                progress_cb(min(1.0, start / max(T, 1)))
-            if written >= out_total:
-                break
+                progress_cb(min(1.0, written / max(out_total, 1)))
     return written

@@ -732,16 +732,19 @@ def test_stream_applies_gain(tmp_path):
     assert abs(float(np.median(y)) - 0.1 * 10 ** (6.0 / 20.0)) < 1e-3
 
 
-def test_stream_rejects_reverb_mode_sharded(tmp_path):
-    """Round 3 lifted single-chip reverb streaming; the SHARDED form stays
-    excluded (sequential detector state)."""
-    from f9tpu.parallel import make_mesh
-    from f9tpu.pipeline import stream_resample_file
+def test_streaming_exclusions_empty_for_all_configs(tmp_path):
+    """Round 3's final state: the streaming path (single-chip AND sharded)
+    carries the full feature set, so `streaming_exclusions` — the one source
+    of truth the scheduler routes by — is empty even for a fully-loaded
+    config (chain + reverb tails + trim + routing + normalization)."""
+    from f9tpu.ops.chain import Chain, Delay
+    from f9tpu.pipeline.stream import streaming_exclusions
 
-    cfg = ProcessingConfig(output_dir=str(tmp_path), reverb_mode=True)
-    mesh = make_mesh(num_files_shards=1, num_frames_shards=8)
-    with pytest.raises(ValueError, match="reverb"):
-        stream_resample_file("x.wav", "y.wav", cfg, mesh=mesh)
+    cfg = ProcessingConfig(output_dir=str(tmp_path), reverb_mode=True,
+                           chain=Chain(Delay(0.01)), latency_frames=441,
+                           channel_routing=[1, 0], normalize_lufs=-16.0)
+    assert streaming_exclusions(cfg, sharded=False) == []
+    assert streaming_exclusions(cfg, sharded=True) == []
 
 
 def test_rms_db_normalized_by_valid_length(tmp_path):

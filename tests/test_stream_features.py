@@ -327,3 +327,63 @@ class TestStreamReverbTail:
         assert n == 0
         y, _ = read_wav(sp)
         assert y.shape[1] == 0
+
+
+class TestShardedStreamFeatures:
+    """Round 3's last lifted exclusions: insert chains, latency trim, and
+    reverb-mode tails on the SHARDED streaming path.  The sharded stream
+    emits super-chunks in file order, so the sequential stages (chain
+    continuation / trim / tail detection) run exactly as single-chip —
+    when the single-chip chunk is sized to equal the sharded super-chunk,
+    the two paths execute the identical op sequence and bytes match."""
+
+    def test_chain_and_trim_bytes_match_single_chip(self, tmp_path):
+        from f9tpu.parallel import make_mesh
+        from f9tpu.ops.chain import Chain, Delay
+
+        rate_in, rate_out = 44100, 48000
+        rng = np.random.default_rng(21)
+        x = (0.3 * rng.standard_normal((2, int(1.3 * rate_in)))
+             ).astype(np.float32)
+        src = str(tmp_path / "ch.wav")
+        write_wav(src, x, rate_in, bits=24)
+
+        lat = int(round(0.01 * rate_out))
+        cfg = ProcessingConfig(output_dir=str(tmp_path), target_rate=rate_out,
+                               quality="low", seed=11, remove_dc=False,
+                               chain=Chain(Delay(0.01)), latency_frames=lat)
+        # single-chip chunk (0.4 s) == 4-shard super-chunk of 0.1 s chunks
+        # (44100*0.1 // 147 = 30 cycles -> x4 = the 0.4 s plan's 120), so
+        # the chain sees identical buffer lengths and bytes must MATCH
+        o1 = str(tmp_path / "single.wav")
+        n1 = stream_resample_file(src, o1, cfg, chunk_seconds=0.4)
+        mesh = make_mesh(num_files_shards=2, num_frames_shards=4)
+        o2 = str(tmp_path / "sharded.wav")
+        n2 = stream_resample_file(src, o2, cfg, chunk_seconds=0.1, mesh=mesh)
+        assert n1 == n2
+        assert open(o1, "rb").read() == open(o2, "rb").read()
+
+    def test_reverb_tail_sharded_matches_single_chip(self, tmp_path):
+        from f9tpu.parallel import make_mesh
+        from f9tpu.ops.chain import Chain, ConvolutionReverb
+
+        src, ir = TestStreamReverbTail._hit_with_reverb(
+            TestStreamReverbTail(), tmp_path)
+        cfg = ProcessingConfig(output_dir=str(tmp_path), target_rate=48000,
+                               quality="low", seed=9, remove_dc=False,
+                               reverb_mode=True, noise_floor_db=-85.0,
+                               chain=Chain(ConvolutionReverb(ir, wet=0.6,
+                                                             dry=0.4)))
+        o1 = str(tmp_path / "single.wav")
+        n1 = stream_resample_file(src, o1, cfg, chunk_seconds=0.25)
+        mesh = make_mesh(num_files_shards=2, num_frames_shards=4)
+        o2 = str(tmp_path / "sharded.wav")
+        n2 = stream_resample_file(src, o2, cfg, chunk_seconds=0.25, mesh=mesh)
+        # the tail extends past the source span and both paths terminate on
+        # the same hop grid (chunk alignment shifts rounding at the
+        # threshold by at most one hop)
+        hop = 48000 * cfg.tail_hop_ms // 1000
+        assert n1 > 48000 and n2 > 48000
+        assert abs(n1 - n2) <= hop, (n1, n2)
+        y2, _ = read_wav(o2)
+        assert 20 * np.log10(np.abs(y2[:, -hop:]).max() + 1e-30) < -85.0
