@@ -144,3 +144,77 @@ def test_random_streaming_config_end_to_end(tmp_path, trial):
     assert y.shape[1] == n1
     if "channel_routing" in kw:
         assert np.all(y[2] == 0.0)
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_random_sharded_streaming_matches_single_chip(tmp_path, trial):
+    """Sharded-streaming fuzz across the full feature set (round 3's last
+    lifted exclusions): random container x routing x normalization x chain x
+    trim x reverb combos over a 4-way frames mesh.  Lengths must match
+    exactly (reverb ends may differ by one hop-grid quantum of threshold
+    rounding).  Samples must agree to ULP-level rounding: the per-device
+    conv shapes differ here (0.4 s single-chip chunk vs 0.1 s shards), and
+    XLA's reduction tiling is shape-dependent, so float32 SRC outputs can
+    differ by a few ULP — measured <= 3 codes at 24 bits (~ -113 dBFS).
+    Byte-identity IS guaranteed (and tested in test_parallel /
+    test_stream_features) when the per-shard conv shapes match the
+    single-chip chunk shape; this fuzz intentionally mismatches them to
+    certify the rounding-level bound instead."""
+    from f9tpu.io.aiff import write_aiff
+    from f9tpu.parallel import make_mesh
+    from f9tpu.pipeline import stream_resample_file
+
+    rng = np.random.default_rng(9000 + trial)
+    ch = int(rng.choice([1, 2, 4]))
+    frames = int(rng.integers(20_000, 50_000))
+    x = (0.3 * rng.standard_normal((ch, frames))).astype(np.float32)
+    container = str(rng.choice(["wav", "aiff"]))
+    src = str(tmp_path / f"s.{container}")
+    (write_wav if container == "wav" else write_aiff)(src, x, 44100, bits=24)
+
+    kw = dict(output_dir=str(tmp_path), quality="low",
+              target_rate=int(rng.choice([48000, 32000])),
+              bits=int(rng.choice([16, 24])),
+              dither=bool(rng.integers(2)),
+              remove_dc=bool(rng.integers(2)),
+              seed=int(rng.integers(100)),
+              gain_db=float(rng.choice([0.0, -3.0])))
+    lat = int(rng.integers(1, 300)) if rng.integers(2) else 0
+    if ch == 1 and rng.integers(2):
+        kw["output_channels"] = 2
+    elif ch == 4 and rng.integers(2):
+        kw["channel_routing"] = [3, 0, -1, 1]
+    if rng.integers(3) == 0:
+        kw["normalize_lufs"] = -18.0
+    if rng.integers(2):
+        from f9tpu.ops.chain import Chain, Delay, Gain
+
+        kw["chain"] = Chain(Gain(-1.5), Delay(0.002))
+    reverb = bool(rng.integers(3) == 0)
+    if reverb:
+        kw["reverb_mode"] = True
+        kw["noise_floor_db"] = -85.0
+        kw["max_tail_seconds"] = 0.3
+    cfg = ProcessingConfig(**kw)
+
+    o1 = str(tmp_path / "single.wav")
+    o2 = str(tmp_path / "sharded.wav")
+    n1 = stream_resample_file(src, o1, cfg, chunk_seconds=0.4,
+                              latency_frames=lat)
+    mesh = make_mesh(num_files_shards=2, num_frames_shards=4)
+    n2 = stream_resample_file(src, o2, cfg, chunk_seconds=0.1, mesh=mesh,
+                              latency_frames=lat)
+    if reverb:
+        hop = cfg.target_rate * cfg.tail_hop_ms // 1000
+        assert abs(n1 - n2) <= hop, (trial, kw, n1, n2)
+    else:
+        assert n1 == n2, (trial, kw, lat)
+    y1, _ = read_wav(o1)
+    y2, _ = read_wav(o2)
+    m = min(n1, n2)
+    # <= 4 output codes of disagreement (ULP-level float32 divergence from
+    # the mismatched conv shapes, then independent rounding)
+    atol = 4.5 / (1 << (cfg.bits - 1))
+    np.testing.assert_allclose(y1[:, :m], y2[:, :m], rtol=0, atol=atol)
+    if "channel_routing" in kw:
+        assert np.all(y2[2, :m] == 0.0)
