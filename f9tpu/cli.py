@@ -357,6 +357,11 @@ def cmd_stream(args) -> int:
         noise_floor_margin_pct=getattr(args, "margin", 10.0),
         chain=_build_chain(args),
     )
+    # the batch path validates inside BatchProcessor; the streaming path has
+    # no processor object, so validate here — otherwise CLI-exposed fields
+    # (margin range, normalize_lufs sign, --normalize-tp without
+    # --normalize-lufs, ...) would silently bypass the checks
+    cfg.validate()
     last = [0]
 
     def progress(p):

@@ -179,6 +179,33 @@ class ProcessingConfig:
             # the reference UI bounds the margin at 0-50 %
             # (Source/SettingsComponent: slider 0-50 step 5)
             raise ValueError("noise_floor_margin_pct out of range (0-50)")
+        if self.channel_routing is not None:
+            for r in self.channel_routing:
+                if int(r) != r or r < -1:
+                    raise ValueError(
+                        f"channel_routing entries must be integer source "
+                        f"channel indices or -1 (silence), got {r!r}")
+            # upper bound depends on each file's channel count and is
+            # checked per file (routing_channel_bound_error)
+
+    def routing_channel_bound_error(self, in_channels: int) -> str | None:
+        """Per-file upper-bound check for ``channel_routing``: entries index
+        the channels AFTER the mono fan-out (both execution paths fan out
+        before routing), so the bound is the file's post-fan-out channel
+        count.  Returns an error message (for a clean per-file failure
+        BEFORE any output is written — the device gather would silently
+        clamp, the host gather would IndexError mid-stream) or None."""
+        if self.channel_routing is None:
+            return None
+        c_eff = (self.output_channels
+                 if (in_channels == 1 and self.output_channels)
+                 else in_channels)
+        bad = sorted({int(r) for r in self.channel_routing if r >= c_eff})
+        if bad:
+            return (f"channel_routing references source channel(s) {bad} "
+                    f"but the input has only {c_eff} channel(s)"
+                    + (" after mono fan-out" if in_channels == 1 else ""))
+        return None
 
     @property
     def noise_floor_threshold_db(self) -> float:

@@ -71,15 +71,6 @@ class AudioFileInfo:
         return abs(self.sample_rate - session_rate) <= tolerance
 
 
-def _iter_chunks(buf: memoryview, start: int, end: int):
-    pos = start
-    while pos + 8 <= end:
-        cid = bytes(buf[pos : pos + 4])
-        (size,) = struct.unpack_from("<I", buf, pos + 4)
-        yield cid, pos + 8, size
-        pos += 8 + size + (size & 1)
-
-
 def _parse_wav(buf: memoryview, path: str):
     if bytes(buf[0:4]) not in _RIFF_MAGICS or bytes(buf[8:12]) != _WAVE:
         raise ValueError(f"{path}: not a RIFF/WAVE file")

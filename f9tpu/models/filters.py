@@ -163,17 +163,20 @@ def sinc_phase_bank(
     return h.reshape(K, L).T.copy()  # (L, K): H[p, j] = h[j*L + p]
 
 
-def minimum_phase(h: np.ndarray, nfft_factor: int = 8) -> np.ndarray:
+def minimum_phase(h: np.ndarray, nfft_factor: int = 16) -> np.ndarray:
     """Real-cepstrum (homomorphic) minimum-phase transform of an FIR,
     preserving the magnitude response in float64.
 
     Classic recipe: fold the real cepstrum of log|H| onto the causal side
     and re-exponentiate.  Accuracy is set by the FFT zero-padding and the
-    log floor: with 8x padding and a -200 dB floor the reconstructed
-    magnitude tracks the original to below the -140 dB design stopband.
+    log floor: with the default 16x padding and a -200 dB floor the
+    reconstructed magnitude tracks the original to below the -140 dB
+    design stopband.  ``nfft_factor`` is the zero-padding multiple,
+    rounded down to a power of two.
     """
     n = int(h.shape[0])
-    nfft = 1 << (int(np.ceil(np.log2(max(n, 2)))) + int(nfft_factor).bit_length())
+    pad_pow = max(1, int(nfft_factor)).bit_length() - 1   # floor(log2)
+    nfft = 1 << (int(np.ceil(np.log2(max(n, 2)))) + pad_pow)
     mag = np.abs(np.fft.fft(h, nfft))
     mag = np.maximum(mag, mag.max() * 1e-10)   # -200 dB log floor
     cep = np.fft.ifft(np.log(mag)).real

@@ -137,6 +137,11 @@ class BatchProcessor:
                 manifest.update(e.path, FileStatus.FAILED, error=str(err))
                 self.log.append(f"Probe failed: {e.path}: {err}")
                 continue
+            bound_err = cfg.routing_channel_bound_error(info.num_channels)
+            if bound_err:
+                manifest.update(e.path, FileStatus.FAILED, error=bound_err)
+                self.log.append(f"Routing invalid: {e.path}: {bound_err}")
+                continue
             if (cfg.require_input_rate is not None
                     and not info.is_valid_for_rate(cfg.require_input_rate)):
                 manifest.update(e.path, FileStatus.INVALID_SAMPLE_RATE,

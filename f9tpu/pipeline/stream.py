@@ -128,12 +128,21 @@ class _TailDetector:
 
 
 def _finish_chunk(y, carry, seeds_c, pos0, gain, *, rate_out, bits,
-                  do_dither, chain=None, carry_frames=0, silent=None):
+                  do_dither, chain=None, carry_frames=0, silent=None,
+                  want_env=False):
     """Everything downstream of the SRC for one streamed chunk: chain
     continuation, gain, position-keyed dither/quantize, silent-channel
     zeroing.  Shared (traced inline) by the single-chip `_stream_step` and
     the sharded `_chain_finish_step`, so both topologies run the SAME ops
-    and stay byte-identical."""
+    and stay byte-identical.
+
+    ``want_env`` (reverb mode): additionally return the loudest-channel
+    |envelope| of the post-gain, PRE-dither float signal for the tail
+    detector.  Detecting on the float signal (as the batch path's
+    `detect_tail_end` does) rather than the dequantized codes matters at
+    16 bits: the TPDF dither floor's 100 ms window peak sits near
+    -90 dBFS — ABOVE usable tail thresholds — so a codes-based detector
+    could never fire there."""
     if chain is not None and carry_frames > 0:
         # exact chunk-boundary continuation for FIR-type chains: prepend the
         # previous chunk's last tail_frames of SRC output (the chain's whole
@@ -150,6 +159,7 @@ def _finish_chunk(y, carry, seeds_c, pos0, gain, *, rate_out, bits,
     else:
         y_out, new_carry = y, carry
     y_out = y_out * gain
+    env = jnp.max(jnp.abs(y_out), axis=0) if want_env else None
     if do_dither:
         # noise keyed by (seed, channel, ABSOLUTE output frame pos0+j):
         # bytes are chunk-size invariant and identical to the batch path's
@@ -161,16 +171,19 @@ def _finish_chunk(y, carry, seeds_c, pos0, gain, *, rate_out, bits,
         mask = np.zeros((codes.shape[0], 1), bool)
         mask[list(silent)] = True
         codes = jnp.where(jnp.asarray(mask), 0, codes)
+    if want_env:
+        return codes, env, new_carry
     return codes, new_carry
 
 
 @functools.partial(jax.jit, static_argnames=("cycles", "rate_in", "rate_out",
                                              "quality", "kind", "bits",
                                              "do_dither", "chain",
-                                             "carry_frames", "silent"))
+                                             "carry_frames", "silent",
+                                             "want_env"))
 def _stream_step(xp, carry, seeds_c, pos0, gain, *, cycles, rate_in, rate_out,
                  quality, kind, bits, do_dither, chain=None,
-                 carry_frames=0, silent=None):
+                 carry_frames=0, silent=None, want_env=False):
     """``gain`` is a TRACED float32 scalar (static gain x per-file
     normalization gain as one linear factor): per-file gains never recompile.
     ``silent``: static tuple of routed-silent output channel indices — their
@@ -179,21 +192,68 @@ def _stream_step(xp, carry, seeds_c, pos0, gain, *, cycles, rate_in, rate_out,
     y = resample_presliced(xp, bank, cycles)
     return _finish_chunk(y, carry, seeds_c, pos0, gain, rate_out=rate_out,
                          bits=bits, do_dither=do_dither, chain=chain,
-                         carry_frames=carry_frames, silent=silent)
+                         carry_frames=carry_frames, silent=silent,
+                         want_env=want_env)
 
 
 @functools.partial(jax.jit, static_argnames=("rate_out", "bits", "do_dither",
                                              "chain", "carry_frames",
-                                             "silent"))
+                                             "silent", "want_env"))
 def _chain_finish_step(y, carry, seeds_c, pos0, gain, *, rate_out, bits,
-                       do_dither, chain, carry_frames, silent):
+                       do_dither, chain, carry_frames, silent,
+                       want_env=False):
     """Sharded-stream tail when a chain is configured: the super-chunk's SRC
     output (gathered — chain state is sequential over frames, so this stage
     runs on one device while the SRC itself stays frames-sharded) through
     the SAME `_finish_chunk` the single-chip path traces."""
     return _finish_chunk(y, carry, seeds_c, pos0, gain, rate_out=rate_out,
                          bits=bits, do_dither=do_dither, chain=chain,
-                         carry_frames=carry_frames, silent=silent)
+                         carry_frames=carry_frames, silent=silent,
+                         want_env=want_env)
+
+
+class _Emitter:
+    """The shared tail of both streaming loops (single-chip and sharded):
+    latency-drop accounting, out-limit clamp, reverb-tail detector feed with
+    mid-block truncation on fire, incremental write, progress.  One copy so
+    the two topologies cannot drift (their byte-parity is a tested
+    contract)."""
+
+    def __init__(self, writer, detector, *, lat, out_limit, out_total,
+                 progress_cb=None):
+        self.writer = writer
+        self.detector = detector
+        self.lat = int(lat)
+        self.out_limit = int(out_limit)
+        self.out_total = int(out_total)
+        self.progress_cb = progress_cb
+        self.written = 0
+        self.g0 = 0          # pre-trim output frame index of the next chunk
+
+    def emit(self, codes: np.ndarray, env) -> bool:
+        """Consume one emitted chunk (``codes`` int, ``env`` the post-gain
+        float envelope when a detector is active).  Returns True when the
+        stream is finished (tail detected or out_limit reached)."""
+        drop = min(max(0, self.lat - self.g0), codes.shape[1])
+        usable = codes[:, drop:]
+        take = min(usable.shape[1], self.out_limit - self.written)
+        block = usable[:, :take]
+        if self.detector is not None and take > 0:
+            fire = self.detector.feed(
+                np.asarray(env)[drop : drop + take].astype(np.float32))
+            if fire is not None:
+                self.writer.append_codes(
+                    block[:, : max(0, fire - self.written)])
+                self.written = max(self.written, fire)
+                if self.progress_cb:
+                    self.progress_cb(1.0)
+                return True
+        self.writer.append_codes(block)
+        self.written += take
+        self.g0 += codes.shape[1]
+        if self.progress_cb:
+            self.progress_cb(min(1.0, self.written / max(self.out_total, 1)))
+        return self.written >= self.out_limit
 
 
 def stream_resample_file(
@@ -283,6 +343,9 @@ def stream_resample_file(
         # ---- channel routing / mono fan-out (host-side gather at read
         # time: a gather is exact, so values are bit-identical to the batch
         # graph's on-device routing, which also runs BEFORE the SRC) ----
+        bound_err = cfg.routing_channel_bound_error(C_in)
+        if bound_err:
+            raise ValueError(bound_err)   # before any output is written
         routing = (tuple(cfg.channel_routing)
                    if cfg.channel_routing is not None else None)
 
@@ -375,7 +438,6 @@ def stream_resample_file(
                      else int(time.time()) & 0x7FFFFFFF)
         seed32 = file_seed(base_seed, in_path)
         seeds_c = dither.channel_seeds(jnp.uint32(seed32), out_ch)
-        written = 0
         if mesh is not None:
             n = _stream_sharded(reader, routed_read, out_ch, silent, out_path,
                                 cfg, bank, chunk_in, mesh, mean, seeds_c,
@@ -408,9 +470,11 @@ def stream_resample_file(
             # form of the batch path's trim_latency shift.  Dither noise is
             # keyed by the POST-trim output position (pos0 = g0 - lat),
             # matching the batch path's post-trim indexing bit-for-bit.
+            em = _Emitter(writer, detector, lat=lat, out_limit=out_limit,
+                          out_total=out_total, progress_cb=progress_cb)
             start = 0
-            g0 = 0          # pre-trim output frame index of this chunk
-            while written < out_limit:
+            done = out_limit == 0
+            while not done:
                 # chunk input span incl. halos, zero-padded at the ends
                 lo = start - halo_left
                 hi = start + chunk_in + halo_right
@@ -424,41 +488,23 @@ def stream_resample_file(
                 pad_l = max(0, -lo)
                 pad_r = (hi - lo) - pad_l - span.shape[1]
                 xp = np.pad(span, ((0, 0), (pad_l, max(0, pad_r))))
-                codes, carry = _stream_step(
-                    jnp.asarray(xp), carry, seeds_c, jnp.int32(g0 - lat),
+                step = _stream_step(
+                    jnp.asarray(xp), carry, seeds_c, jnp.int32(em.g0 - lat),
                     gain,
                     cycles=cycles, rate_in=rate_in, rate_out=cfg.target_rate,
                     quality=cfg.quality, kind=cfg.kind, bits=cfg.bits,
                     do_dither=cfg.dither,
                     chain=cfg.chain, carry_frames=carry_frames,
-                    silent=silent,
+                    silent=silent, want_env=detector is not None,
                 )
-                codes = np.asarray(codes)
-                drop = min(max(0, lat - g0), codes.shape[1])
-                usable = codes[:, drop:]
-                take = min(usable.shape[1], out_limit - written)
-                block = usable[:, :take]
-                if detector is not None and take > 0:
-                    # loudest-channel envelope of the emitted block (the
-                    # dequantized codes; the TPDF floor at -138 dBFS is far
-                    # below any usable tail threshold)
-                    mono = (np.max(np.abs(block), axis=0)
-                            .astype(np.float32) / float(1 << (cfg.bits - 1)))
-                    fire = detector.feed(mono)
-                    if fire is not None:
-                        writer.append_codes(block[:, : max(0, fire - written)])
-                        written = max(written, fire)
-                        if progress_cb:
-                            progress_cb(1.0)
-                        break
-                writer.append_codes(block)
-                written += take
-                g0 += codes.shape[1]
+                if detector is not None:
+                    codes, env, carry = step
+                else:
+                    (codes, carry), env = step, None
+                done = em.emit(np.asarray(codes), env)
                 start += chunk_in
-                if progress_cb:
-                    progress_cb(min(1.0, written / max(out_total, 1)))
         _carry_metadata(in_path, out_path, cfg, rate_in)
-        return written
+        return em.written
 
 
 def _carry_metadata(in_path: str, out_path: str, cfg, rate_in: int) -> None:
@@ -476,17 +522,26 @@ def _carry_metadata(in_path: str, out_path: str, cfg, rate_in: int) -> None:
         pass      # metadata is best-effort; the audio is complete
 
 
-@functools.partial(jax.jit, static_argnames=("bits", "do_dither"))
-def _finish_step(y, seeds_c, pos0, gain, *, bits, do_dither):
+@functools.partial(jax.jit, static_argnames=("bits", "do_dither",
+                                             "want_env"))
+def _finish_step(y, seeds_c, pos0, gain, *, bits, do_dither,
+                 want_env=False):
     """Gain + dither/quantize on the (sharded) resampled super-chunk; XLA
     partitions these elementwise ops (and the position iota) along the
     existing frames sharding, so each shard hashes its own positions.
-    ``gain`` is a traced f32 scalar (static x normalization gain)."""
+    ``gain`` is a traced f32 scalar (static x normalization gain).
+    ``want_env``: also return the pre-dither loudest-channel envelope for
+    the reverb-tail detector (see `_finish_chunk`)."""
     y = y * gain
-    if not do_dither:
-        return dither.quantize_noise(y, bits)
-    pos = pos0 + jnp.arange(y.shape[-1], dtype=jnp.int32)[None, :]
-    return dither.quantize_noise(y, bits, seeds_c[:, None], pos)
+    env = jnp.max(jnp.abs(y), axis=0) if want_env else None
+    if do_dither:
+        pos = pos0 + jnp.arange(y.shape[-1], dtype=jnp.int32)[None, :]
+        codes = dither.quantize_noise(y, bits, seeds_c[:, None], pos)
+    else:
+        codes = dither.quantize_noise(y, bits)
+    if want_env:
+        return codes, env
+    return codes
 
 
 def _stream_sharded(reader, routed_read, out_ch, silent, out_path, cfg, bank,
@@ -551,12 +606,13 @@ def _stream_sharded(reader, routed_read, out_ch, silent, out_path, cfg, bank,
             out[:, a - lo : a - lo + blk.shape[1]] = blk
         return out
 
-    written = 0
     writer_cls = AiffWriter if cfg.output_format == "aiff" else WavWriter
     with writer_cls(out_path, C, cfg.target_rate, bits=cfg.bits) as writer:
+        em = _Emitter(writer, detector, lat=lat, out_limit=out_limit,
+                      out_total=out_total, progress_cb=progress_cb)
         start = 0
-        g0 = 0          # pre-trim output frame index of this super-chunk
-        while written < out_limit:
+        done = out_limit == 0
+        while not done:
             x = read_span(start, super_in)
             left = read_span(start - halo_left, halo_left)
             right = read_span(start + super_in, halo_right)
@@ -564,38 +620,31 @@ def _stream_sharded(reader, routed_read, out_ch, silent, out_path, cfg, bank,
                 jnp.asarray(x), rate_in, cfg.target_rate, mesh,
                 quality=cfg.quality, kind=cfg.kind,
                 left_halo=jnp.asarray(left), right_halo=jnp.asarray(right))
+            want_env = detector is not None
+            env = None
             if cfg.chain is not None:
-                codes, carry = _chain_finish_step(
+                step = _chain_finish_step(
                     jnp.asarray(np.asarray(y)), carry, seeds_c,
-                    jnp.int32(g0 - lat), gain, rate_out=cfg.target_rate,
+                    jnp.int32(em.g0 - lat), gain, rate_out=cfg.target_rate,
                     bits=cfg.bits, do_dither=cfg.dither, chain=cfg.chain,
-                    carry_frames=carry_frames, silent=None)
-                codes = np.asarray(codes)
+                    carry_frames=carry_frames, silent=None,
+                    want_env=want_env)
+                if want_env:
+                    codes, env, carry = step
+                else:
+                    codes, carry = step
             else:
-                codes = np.asarray(_finish_step(
-                    y, seeds_c, jnp.int32(g0 - lat), gain, bits=cfg.bits,
-                    do_dither=cfg.dither))
+                step = _finish_step(
+                    y, seeds_c, jnp.int32(em.g0 - lat), gain, bits=cfg.bits,
+                    do_dither=cfg.dither, want_env=want_env)
+                if want_env:
+                    codes, env = step
+                else:
+                    codes = step
+            codes = np.asarray(codes)
             if silent:
                 codes = codes.copy()       # np.asarray of a jax buffer is
                 codes[list(silent), :] = 0  # a read-only view
-            drop = min(max(0, lat - g0), codes.shape[1])
-            usable = codes[:, drop:]
-            take = min(usable.shape[1], out_limit - written)
-            block = usable[:, :take]
-            if detector is not None and take > 0:
-                mono = (np.max(np.abs(block), axis=0)
-                        .astype(np.float32) / float(1 << (cfg.bits - 1)))
-                fire = detector.feed(mono)
-                if fire is not None:
-                    writer.append_codes(block[:, : max(0, fire - written)])
-                    written = max(written, fire)
-                    if progress_cb:
-                        progress_cb(1.0)
-                    break
-            writer.append_codes(block)
-            written += take
-            g0 += codes.shape[1]
+            done = em.emit(codes, env)
             start += super_in
-            if progress_cb:
-                progress_cb(min(1.0, written / max(out_total, 1)))
-    return written
+    return em.written

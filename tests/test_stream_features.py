@@ -278,6 +278,28 @@ class TestStreamReverbTail:
         hop = 48000 * cfg.tail_hop_ms // 1000
         assert abs(n - batch_frames) <= hop, (n, batch_frames)
 
+    def test_reverb_tail_detects_at_16_bit_dithered(self, tmp_path):
+        """Regression: the stream detector must measure the PRE-dither float
+        envelope (as the batch detect_tail_end does).  At 16 bits the TPDF
+        dither floor's 100 ms window peak (~ -90 dBFS) sits ABOVE an
+        -85 dB-derived threshold (-93.5 dB at 10% margin); a detector fed
+        the dequantized codes could never see a quiet window and the stream
+        would emit the full max_tail_seconds cap of dither noise."""
+        src, _ = self._hit_with_reverb(tmp_path)
+        cfg = ProcessingConfig(output_dir=str(tmp_path / "out"),
+                               target_rate=48000, quality="low", seed=9,
+                               remove_dc=False, reverb_mode=True, bits=16,
+                               dither=True, noise_floor_db=-85.0,
+                               max_tail_seconds=2.0)
+        res = BatchProcessor(cfg).run([src])
+        assert res.completed == 1
+        batch_frames = res.per_file[src]["out_frames"]
+        sp = str(tmp_path / "s16.wav")
+        n = stream_resample_file(src, sp, cfg, chunk_seconds=0.3)
+        hop = 48000 * cfg.tail_hop_ms // 1000
+        assert abs(n - batch_frames) <= hop, (n, batch_frames)
+        assert n < 48000 + 48000, "must terminate well before the tail cap"
+
     def test_reverb_stream_chunk_size_invariant(self, tmp_path):
         from f9tpu.ops.chain import Chain, ConvolutionReverb
 
