@@ -436,7 +436,7 @@ def cmd_watch(args) -> int:
         except OSError as err:
             print(f"watch: cannot list {args.dir}: {err}", file=sys.stderr)
             return 2
-        ready, replaced = [], []
+        ready = []
         for name in names:
             path = os.path.join(args.dir, name)
             if not codec.is_supported(name) or not os.path.isfile(path):
@@ -449,9 +449,13 @@ def cmd_watch(args) -> int:
             if done_sig.get(path) == sig:
                 continue                 # already processed this content
             if seen_sig.get(path) == sig:        # stable across two sweeps
-                (replaced if path in done_sig else ready).append(path)
+                ready.append(path)
             seen_sig[path] = sig
         if ready:
+            # the cumulative manifest handles every case: new files process,
+            # completed-and-unchanged files skip (size+mtime, then CRC),
+            # RE-dropped files with new content reprocess (the manifest
+            # stores the INPUT signature too) and overwrite the deliverable
             idle = 0.0
             bp = BatchProcessor(cfg, log=log, calibration=cal)
             res = bp.run(ready, manifest_path=manifest_path)
@@ -459,18 +463,7 @@ def cmd_watch(args) -> int:
                 done_sig[p] = seen_sig[p]  # are in the manifest, not retried
             log.append(f"watch sweep {sweeps}: {res.completed} completed, "
                        f"{res.failed} failed")
-        if replaced:
-            # a file was RE-dropped with new content: the resume manifest
-            # would skip it (its old output verifies), so run it through a
-            # fresh manifest and overwrite the deliverable
-            idle = 0.0
-            bp = BatchProcessor(cfg, log=log, calibration=cal)
-            res = bp.run(replaced)
-            for p in replaced:
-                done_sig[p] = seen_sig[p]
-            log.append(f"watch sweep {sweeps}: reprocessed "
-                       f"{res.completed} replaced file(s)")
-        if not ready and not replaced:
+        else:
             idle += args.interval
         if args.sweeps and sweeps >= args.sweeps:
             break

@@ -64,6 +64,11 @@ class JobEntry:
     re-hashing every deliverable each time would be O(library) I/O).  Any
     rewrite bumps mtime and re-triggers the content check; `f9tpu verify`
     remains the unconditional audit."""
+    input_size: int | None = None
+    input_mtime_ns: int | None = None
+    """Input signature recorded at probe time: resume re-processes a file
+    whose CONTENT changed since completion (same path, new size/mtime —
+    the `watch` re-drop case), instead of trusting the old deliverable."""
     error: str | None = None
     sample_rate: int | None = None
     num_channels: int | None = None
@@ -119,31 +124,49 @@ class JobManifest:
 
     @classmethod
     def load_or_create(cls, files: list[str], manifest_path: str) -> "JobManifest":
-        """Resume semantics: reuse stored statuses for paths still in the file
-        list; verify completed outputs still exist; everything else pending."""
+        """Resume semantics: reuse stored statuses for paths in the file list;
+        verify completed outputs still exist (and their inputs unchanged);
+        everything else pending.  Entries NOT in ``files`` are kept verbatim:
+        the manifest is cumulative, so a `watch` sweep that passes only the
+        newly-landed files does not discard earlier sweeps' history (a
+        restart would otherwise reprocess the whole library).  The scheduler
+        restricts its own iteration/counts to the requested files."""
         if os.path.exists(manifest_path):
             old = cls.load(manifest_path)
-            entries = []
+            listed = set(files)
+            entries = [e for e in old._entries.values() if e.path not in listed]
             for p in files:
                 prev = old._entries.get(p)
                 if prev is not None and prev.status == FileStatus.COMPLETED:
-                    try:
-                        st = os.stat(prev.output_path) if prev.output_path \
-                            else None
-                    except OSError:
-                        st = None
-                    ok = (st is not None
-                          and (prev.output_size is None
-                               or st.st_size == prev.output_size))
-                    if ok and prev.output_crc32 is not None and (
-                            prev.output_mtime_ns is None
-                            or st.st_mtime_ns != prev.output_mtime_ns):
-                        # size matched (cheap guard) but the file has been
-                        # touched since completion (or no mtime was
-                        # recorded) — verify content so a corrupted output
-                        # re-processes on resume; untouched files skip the
-                        # re-read entirely
-                        ok = file_crc32(prev.output_path) == prev.output_crc32
+                    ok = True
+                    if prev.input_size is not None:
+                        # input signature changed (re-dropped file with new
+                        # content) -> reprocess regardless of output state
+                        try:
+                            ist = os.stat(p)
+                            ok = (ist.st_size == prev.input_size
+                                  and (prev.input_mtime_ns is None
+                                       or ist.st_mtime_ns == prev.input_mtime_ns))
+                        except OSError:
+                            ok = False
+                    if ok:
+                        try:
+                            st = os.stat(prev.output_path) if prev.output_path \
+                                else None
+                        except OSError:
+                            st = None
+                        ok = (st is not None
+                              and (prev.output_size is None
+                                   or st.st_size == prev.output_size))
+                        if ok and prev.output_crc32 is not None and (
+                                prev.output_mtime_ns is None
+                                or st.st_mtime_ns != prev.output_mtime_ns):
+                            # size matched (cheap guard) but the file has been
+                            # touched since completion (or no mtime was
+                            # recorded) — verify content so a corrupted output
+                            # re-processes on resume; untouched files skip the
+                            # re-read entirely
+                            ok = file_crc32(prev.output_path) == prev.output_crc32
                     entries.append(prev if ok else JobEntry(path=p))
                 else:
                     entries.append(JobEntry(path=p))
@@ -165,11 +188,15 @@ class JobManifest:
         with self._lock:
             self._entries[path].progress = progress
 
-    def fail_remaining(self, error: str) -> None:
+    def fail_remaining(self, error: str, paths=None) -> None:
         """Batch-failure semantics: mark every non-terminal file failed and
-        abort (MainViewModel.swift:233-250)."""
+        abort (MainViewModel.swift:233-250).  ``paths`` restricts the sweep
+        to the current run's files — entries carried over from earlier runs
+        (cumulative manifests) are not this batch's to fail."""
         with self._lock:
             for e in self._entries.values():
+                if paths is not None and e.path not in paths:
+                    continue
                 if e.status in (FileStatus.PENDING, FileStatus.PROCESSING):
                     e.status = FileStatus.FAILED
                     e.error = error
@@ -189,10 +216,14 @@ class JobManifest:
         with self._lock:
             return [e for e in self._entries.values() if e.status == FileStatus.PENDING]
 
-    def counts(self) -> dict[str, int]:
+    def counts(self, paths=None) -> dict[str, int]:
+        """Status histogram; ``paths`` restricts it to the current run's
+        files so cumulative manifests don't inflate a sweep's totals."""
         with self._lock:
             out: dict[str, int] = {}
             for e in self._entries.values():
+                if paths is not None and e.path not in paths:
+                    continue
                 out[e.status.value] = out.get(e.status.value, 0) + 1
             return out
 

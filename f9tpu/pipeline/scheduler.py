@@ -121,10 +121,16 @@ class BatchProcessor:
             if manifest_path else JobManifest.from_files(files)
         )
         self.log.append(f"Batch start: {len(files)} file(s) -> {cfg.output_dir}")
+        # this run operates strictly on the requested files: a cumulative
+        # manifest (watch mode) may carry entries from earlier sweeps, which
+        # are not this batch's to probe, rename, fail, or count
+        run_files = list(dict.fromkeys(files))
+        listed = set(run_files)
 
         # ---- probe + validate (drop-zone filter + rate validation) ----
         groups: dict[tuple[int, int], list] = {}
-        for e in manifest.entries():
+        for path in run_files:
+            e = manifest.get(path)
             if e.status == FileStatus.COMPLETED:
                 self.log.append(f"Skip (already completed): {e.path}")
                 continue
@@ -133,6 +139,7 @@ class BatchProcessor:
                 continue
             try:
                 info = codec.probe(e.path)
+                in_st = os.stat(e.path)
             except (ValueError, OSError, struct.error, EOFError) as err:
                 manifest.update(e.path, FileStatus.FAILED, error=str(err))
                 self.log.append(f"Probe failed: {e.path}: {err}")
@@ -153,7 +160,11 @@ class BatchProcessor:
             manifest.update(e.path, FileStatus.PENDING,
                             sample_rate=info.sample_rate,
                             num_channels=info.num_channels,
-                            num_frames=info.num_frames)
+                            num_frames=info.num_frames,
+                            # input signature: resume reprocesses this path
+                            # if the source content changes (watch re-drop)
+                            input_size=in_st.st_size,
+                            input_mtime_ns=in_st.st_mtime_ns)
             # raw fast-path signature: integer-PCM WAV/AIFF can be uploaded
             # as container bytes and decoded on device (f9tpu.ops.devcodec,
             # either byte order); everything else decodes on the host.
@@ -173,6 +184,12 @@ class BatchProcessor:
         out_paths: dict[str, str] = {}
         taken: dict[str, int] = {}
         for e in manifest.entries():
+            # deliverables recorded by earlier runs (cumulative manifest)
+            # are reserved so a new same-stem input can't overwrite them
+            if e.path not in listed and e.output_path:
+                taken.setdefault(e.output_path, 1)
+        for path in run_files:
+            e = manifest.get(path)
             base = build_output_path(e.path, cfg.output_dir, cfg.postfix,
                                      fmt=cfg.output_format)
             if base in taken:
@@ -576,7 +593,7 @@ class BatchProcessor:
                     nf = np.asarray(res.noise_floor_db)
                 except Exception as err:
                     stop_event.set()
-                    manifest.fail_remaining(f"device step failed: {err}")
+                    manifest.fail_remaining(f"device step failed: {err}", paths=listed)
                     self.log.append(f"BATCH ABORT: device step failed: {err}")
                     errors.append(str(err))
                     continue
@@ -703,7 +720,7 @@ class BatchProcessor:
                     res = dispatch()
                 except Exception as err2:  # compile/dispatch failure
                     stop_event.set()
-                    manifest.fail_remaining(f"device step failed: {err2}")
+                    manifest.fail_remaining(f"device step failed: {err2}", paths=listed)
                     self.log.append(
                         f"BATCH ABORT: device step failed: {err2}")
                     errors.append(str(err2))
@@ -806,9 +823,9 @@ class BatchProcessor:
         if stop_event.is_set():
             # final sweep: a decode worker may have flipped a file to
             # PROCESSING after the abort's fail_remaining ran
-            manifest.fail_remaining("batch aborted")
+            manifest.fail_remaining("batch aborted", paths=listed)
         manifest.save()  # flush throttled status writes
-        counts = manifest.counts()
+        counts = manifest.counts(listed)
         wall = time.time() - t_start
         result = BatchResult(
             completed=counts.get("completed", 0),

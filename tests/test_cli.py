@@ -385,6 +385,37 @@ def test_cli_watch_reprocesses_replaced_file(tmp_path):
     assert np.all(y == 0.0)       # the REPLACED (silent) content won
 
 
+def test_cli_watch_restart_reprocesses_replaced_and_skips_unchanged(tmp_path):
+    """Across a watch RESTART (in-memory done_sig lost): unchanged files must
+    skip via the manifest (no rework), while a file replaced with new content
+    while watch was down must reprocess — the manifest's stored input
+    signature is what distinguishes them."""
+    indir = tmp_path / "drop"
+    indir.mkdir()
+    rng = np.random.default_rng(3)
+    keep = str(indir / "keep.wav")
+    swap = str(indir / "swap.wav")
+    write_wav(keep, (0.2 * rng.standard_normal((1, 3000))).astype(np.float32),
+              44100, bits=24)
+    write_wav(swap, (0.2 * rng.standard_normal((1, 3000))).astype(np.float32),
+              44100, bits=24)
+    argv = ["watch", str(indir), "--out", str(tmp_path / "out"),
+            "--rate", "48000", "--quality", "low", "--seed", "1",
+            "--no-dither", "--interval", "0.05", "--sweeps", "4"]
+    assert main(argv) == 0
+    out_keep = str(tmp_path / "out" / "keep_processed.wav")
+    out_swap = str(tmp_path / "out" / "swap_processed.wav")
+    keep_mtime = os.stat(out_keep).st_mtime_ns
+    y, _ = read_wav(out_swap)
+    assert not np.all(y == 0.0)
+    # watch goes down; swap.wav is replaced with silent content
+    write_wav(swap, np.zeros((1, 3000), np.float32), 44100, bits=24)
+    assert main(argv) == 0               # restart: fresh done_sig
+    y2, _ = read_wav(out_swap)
+    assert np.all(y2 == 0.0)             # replaced content won
+    assert os.stat(out_keep).st_mtime_ns == keep_mtime  # no rework
+
+
 def test_cli_watch_picks_up_aiff(tmp_path):
     from f9tpu.io.aiff import write_aiff
 

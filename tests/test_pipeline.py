@@ -95,6 +95,60 @@ def test_manifest_fail_remaining(tmp_path):
     assert m.get("a").status == FileStatus.COMPLETED
 
 
+def test_manifest_fail_remaining_restricted_to_run(tmp_path):
+    """With a cumulative manifest, an abort fails only the CURRENT run's
+    files — entries carried from earlier sweeps are not this batch's."""
+    m = JobManifest.from_files(["old", "cur"])
+    m.fail_remaining("abort", paths={"cur"})
+    assert m.get("cur").status == FileStatus.FAILED
+    assert m.get("old").status == FileStatus.PENDING
+    assert m.counts({"cur"}) == {"failed": 1}
+
+
+def test_manifest_is_cumulative_across_sweeps(tmp_path):
+    """watch passes only each sweep's new files; load_or_create must keep
+    the unlisted history so a restart doesn't reprocess the library."""
+    mpath = str(tmp_path / "m.json")
+    out_a = str(tmp_path / "a_done.wav")
+    write_wav(out_a, np.zeros((1, 10), np.float32), 44100)
+    m = JobManifest.load_or_create(["a.wav"], mpath)
+    m.update("a.wav", FileStatus.COMPLETED, output_path=out_a,
+             output_size=os.path.getsize(out_a))
+    m.save()
+    # next sweep lists only the new file; a.wav's entry must survive
+    m2 = JobManifest.load_or_create(["b.wav"], mpath)
+    m2.update("b.wav", FileStatus.COMPLETED)
+    m2.save()
+    paths = {e.path for e in JobManifest.load(mpath).entries()}
+    assert paths == {"a.wav", "b.wav"}
+    # restart-style sweep listing both: a.wav resumes COMPLETED
+    m3 = JobManifest.load_or_create(["a.wav", "b.wav"], mpath)
+    assert m3.get("a.wav").status == FileStatus.COMPLETED
+
+
+def test_manifest_input_signature_triggers_reprocess(tmp_path):
+    """A completed file whose INPUT content changed (re-drop with same name)
+    must come back PENDING even though its old output still verifies."""
+    mpath = str(tmp_path / "m.json")
+    src = str(tmp_path / "in.wav")
+    write_wav(src, np.zeros((1, 64), np.float32), 44100)
+    out = str(tmp_path / "out.wav")
+    write_wav(out, np.zeros((1, 70), np.float32), 48000)
+    st = os.stat(src)
+    m = JobManifest.load_or_create([src], mpath)
+    m.update(src, FileStatus.COMPLETED, output_path=out,
+             output_size=os.path.getsize(out),
+             input_size=st.st_size, input_mtime_ns=st.st_mtime_ns)
+    m.save()
+    # unchanged input -> resumed
+    assert JobManifest.load_or_create([src], mpath).get(src).status \
+        == FileStatus.COMPLETED
+    # rewrite the input with different content (size changes)
+    write_wav(src, np.zeros((1, 128), np.float32), 44100)
+    assert JobManifest.load_or_create([src], mpath).get(src).status \
+        == FileStatus.PENDING
+
+
 # ---------- calibration ----------
 
 def test_measured_latency_is_zero():
@@ -201,6 +255,41 @@ def test_batch_processor_end_to_end(tmp_path):
     # re-run resumes: everything skipped
     res2 = bp.run(src_files, manifest_path=str(tmp_path / "manifest.json"))
     assert res2.completed == 3 and res2.audio_seconds_in == 0.0
+
+
+def test_scheduler_sweep_counts_and_collision_reservation(tmp_path):
+    """Cumulative-manifest semantics at the scheduler level: a sweep that
+    lists only new files (watch style) reports only ITS files in
+    BatchResult, and a new same-stem input cannot overwrite an earlier
+    sweep's recorded deliverable (collision suffix instead)."""
+    rng = np.random.default_rng(0)
+    d1, d2 = tmp_path / "d1", tmp_path / "d2"
+    d1.mkdir(); d2.mkdir()
+    a = str(d1 / "take.wav")
+    b = str(d2 / "take.wav")          # same stem, different content/dir
+    write_wav(a, (0.2 * rng.standard_normal((1, 4000))).astype(np.float32),
+              44100, bits=24)
+    write_wav(b, (0.2 * rng.standard_normal((1, 5000))).astype(np.float32),
+              44100, bits=24)
+    out_dir = str(tmp_path / "out")
+    mpath = str(tmp_path / "m.json")
+    cfg = ProcessingConfig(output_dir=out_dir, target_rate=48000,
+                           quality="low", seed=1, remove_dc=False)
+    res1 = BatchProcessor(cfg).run([a], manifest_path=mpath)
+    assert res1.completed == 1
+    first = open(os.path.join(out_dir, "take_processed.wav"), "rb").read()
+    # sweep 2 lists only b: counts cover b alone, a's entry survives, and
+    # a's deliverable is reserved -> b writes take_processed_2.wav
+    res2 = BatchProcessor(cfg).run([b], manifest_path=mpath)
+    assert res2.completed == 1 and res2.failed == 0
+    assert open(os.path.join(out_dir, "take_processed.wav"), "rb").read() \
+        == first
+    assert os.path.exists(os.path.join(out_dir, "take_processed_2.wav"))
+    paths = {e.path for e in JobManifest.load(mpath).entries()}
+    assert paths == {a, b}
+    # restart-style run listing both: everything resumes, nothing recomputed
+    res3 = BatchProcessor(cfg).run([a, b], manifest_path=mpath)
+    assert res3.completed == 2 and res3.audio_seconds_in == 0.0
 
 
 def test_batch_processor_invalid_rate(tmp_path):
