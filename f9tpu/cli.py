@@ -410,13 +410,21 @@ def cmd_watch(args) -> int:
         output_dir=args.out,
         postfix=args.postfix,
         output_format=args.output_format,
+        keep_metadata=args.keep_metadata,
         normalize_lufs=args.normalize_lufs,
         normalize_tp_db=args.normalize_tp_db,
         gain_db=args.gain,
+        reverb_mode=args.reverb,
+        noise_floor_db=args.noise_floor,
+        noise_floor_margin_pct=args.margin,
+        require_input_rate=args.require_rate,
+        batch_size=args.batch_size,
+        device_layout=args.device_layout,
         channel_routing=(
             [int(c) for c in args.routing.split(",")] if args.routing else None),
         output_channels=args.channels,
         seed=None if args.seed == -1 else args.seed,
+        chain=_build_chain(args),
     )
     os.makedirs(args.out, exist_ok=True)
     log = StatusLog(sink=lambda line: print(line, flush=True))
@@ -621,84 +629,99 @@ def main(argv: list[str] | None = None) -> int:
                     version=f"f9tpu {__version__}")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
+    def _add_batch_args(p) -> None:
+        """Options shared verbatim by `process` and `watch` (the watch loop
+        is the serving form of a batch run and takes the full surface)."""
+        p.add_argument("--out", required=True,
+                       help="output directory (mandatory)")
+        _add_common_src_args(p)
+        p.add_argument("--bits", type=int, default=24, choices=[16, 24, 32])
+        p.add_argument("--postfix", default="_processed")
+        p.add_argument("--keep-metadata", action="store_true",
+                       help="carry metadata chunks into same-container "
+                            "outputs (WAV bext/LIST/cue/smpl/iXML; AIFF "
+                            "NAME/MARK/INST), sample positions rescaled to "
+                            "the output rate")
+        p.add_argument("--format", dest="output_format", default="wav",
+                       choices=["wav", "aiff"],
+                       help="output container (wav = reference behaviour)")
+        p.add_argument("--no-dither", action="store_true")
+        p.add_argument("--keep-dc", action="store_true",
+                       help="skip DC offset removal")
+        p.add_argument("--gain", type=float, default=0.0, help="gain dB")
+        p.add_argument("--normalize-lufs", type=float, default=None,
+                       metavar="TARGET",
+                       help="loudness-normalize each file to TARGET "
+                            "integrated LUFS (BS.1770-4, measured on the "
+                            "source; negative value needs the = form: "
+                            "--normalize-lufs=-14)")
+        p.add_argument("--normalize-tp", dest="normalize_tp_db", type=float,
+                       default=None, metavar="CEILING",
+                       help="with --normalize-lufs: cap gains so the true "
+                            "peak stays <= CEILING dBTP (= form for "
+                            "negatives)")
+        p.add_argument("--reverb", action="store_true",
+                       help="reverb mode: keep tails until below noise floor")
+        p.add_argument("--noise-floor", type=float, default=None,
+                       help="measured noise floor dB (default: -80 fallback)")
+        p.add_argument("--margin", type=float, default=10.0,
+                       help="noise floor margin %% (0-50)")
+        p.add_argument("--require-rate", type=int, default=None,
+                       help="strict mode: reject inputs not at this rate")
+        p.add_argument("--batch-size", type=int, default=8)
+        p.add_argument("--device-layout", default="packed",
+                       choices=["packed", "rows"],
+                       help="packed: fewest link bytes (remote TPU); rows: "
+                            "least device time (local TPU)")
+        p.add_argument("--routing", default=None,
+                       help="MCFX channel routing map, e.g. '0,1,-1,2' "
+                            "(out[i] <- in[map[i]], -1 = silence)")
+        p.add_argument("--channels", type=int, default=None,
+                       help="fan mono inputs out to N channels")
+        p.add_argument("--seed", type=int, default=0,
+                       help="dither seed (per-file keys derive from "
+                            "seed+path; same seed = byte-identical reruns; "
+                            "-1 = wall clock)")
+        p.add_argument("--chain-ir", default=None,
+                       help="insert chain: convolution reverb "
+                            "impulse-response WAV (mono or matching channel "
+                            "count)")
+        p.add_argument("--chain-wet", type=float, default=1.0,
+                       help="reverb wet level (with --chain-ir)")
+        p.add_argument("--chain-dry", type=float, default=0.0,
+                       help="reverb dry level (with --chain-ir)")
+        p.add_argument("--chain-fir", default=None,
+                       help="insert chain: FIR taps WAV (first channel)")
+        p.add_argument("--chain-delay-ms", type=float, default=0.0,
+                       help="insert chain: pure delay in ms (calibration "
+                            "measures and trims it)")
+        p.add_argument("--chain-comp", default=None,
+                       metavar="THRESH:RATIO[:ATTACK_MS[:RELEASE_DBS"
+                               "[:MAKEUP]]]",
+                       help="insert chain: bus compressor (instant attack, "
+                            "linear-dB release; channel-linked). Negative "
+                            "threshold needs the = form: --chain-comp=-18:4")
+        p.add_argument("--chain-sat", default=None,
+                       metavar="KIND:DRIVE_DB[:MIX]",
+                       help="insert chain: saturator (tanh/soft/hard "
+                            "waveshaper)")
+        p.add_argument("--chain-width", type=float, default=None,
+                       help="insert chain: stereo M/S width (0=mono, "
+                            "1=as-is, 2=wide)")
+        p.add_argument("--chain-eq", action="append", default=None,
+                       metavar="KIND:FREQ[:Q[:GAIN_DB]]",
+                       help="insert chain: biquad EQ section (lowpass/"
+                            "highpass/peaking/lowshelf/highshelf); "
+                            "repeatable, applied in order")
+
     p = sub.add_parser("process", help="batch resample files")
     process_parser = p
     p.add_argument("inputs", nargs="+", help="files, globs or directories")
-    p.add_argument("--out", required=True, help="output directory (mandatory)")
-    _add_common_src_args(p)
-    p.add_argument("--bits", type=int, default=24, choices=[16, 24, 32])
-    p.add_argument("--postfix", default="_processed")
-    p.add_argument("--keep-metadata", action="store_true",
-                   help="carry metadata chunks into same-container outputs "
-                        "(WAV bext/LIST/cue/smpl/iXML; AIFF NAME/MARK/INST), "
-                        "sample positions rescaled to the output rate")
-    p.add_argument("--format", dest="output_format", default="wav",
-                   choices=["wav", "aiff"],
-                   help="output container (wav = reference behaviour)")
-    p.add_argument("--no-dither", action="store_true")
-    p.add_argument("--keep-dc", action="store_true", help="skip DC offset removal")
-    p.add_argument("--gain", type=float, default=0.0, help="gain dB")
-    p.add_argument("--normalize-lufs", type=float, default=None,
-                   metavar="TARGET",
-                   help="loudness-normalize each file to TARGET integrated "
-                        "LUFS (BS.1770-4, measured on the source; negative "
-                        "value needs the = form: --normalize-lufs=-14)")
-    p.add_argument("--normalize-tp", dest="normalize_tp_db", type=float,
-                   default=None, metavar="CEILING",
-                   help="with --normalize-lufs: cap gains so the true peak "
-                        "stays <= CEILING dBTP (= form for negatives)")
-    p.add_argument("--reverb", action="store_true",
-                   help="reverb mode: keep tails until below noise floor")
-    p.add_argument("--noise-floor", type=float, default=None,
-                   help="measured noise floor dB (default: -80 fallback)")
-    p.add_argument("--margin", type=float, default=10.0,
-                   help="noise floor margin %% (0-50)")
-    p.add_argument("--require-rate", type=int, default=None,
-                   help="strict mode: reject inputs not at this rate")
-    p.add_argument("--batch-size", type=int, default=8)
-    p.add_argument("--device-layout", default="packed",
-                   choices=["packed", "rows"],
-                   help="packed: fewest link bytes (remote TPU); rows: least "
-                        "device time (local TPU)")
+    _add_batch_args(p)
     p.add_argument("--files-shards", type=int, default=1,
                    help="shard batches over N chips on the files axis (DP)")
     p.add_argument("--channel-shards", type=int, default=1,
                    help="shard MCFX buses over N chips on the channels axis")
-    p.add_argument("--routing", default=None,
-                   help="MCFX channel routing map, e.g. '0,1,-1,2' "
-                        "(out[i] <- in[map[i]], -1 = silence)")
-    p.add_argument("--channels", type=int, default=None,
-                   help="fan mono inputs out to N channels")
-    p.add_argument("--seed", type=int, default=0,
-                   help="dither seed (per-file keys derive from seed+path; "
-                        "same seed = byte-identical reruns; -1 = wall clock)")
-    p.add_argument("--chain-ir", default=None,
-                   help="insert chain: convolution reverb impulse-response "
-                        "WAV (mono or matching channel count)")
-    p.add_argument("--chain-wet", type=float, default=1.0,
-                   help="reverb wet level (with --chain-ir)")
-    p.add_argument("--chain-dry", type=float, default=0.0,
-                   help="reverb dry level (with --chain-ir)")
-    p.add_argument("--chain-fir", default=None,
-                   help="insert chain: FIR taps WAV (first channel)")
-    p.add_argument("--chain-delay-ms", type=float, default=0.0,
-                   help="insert chain: pure delay in ms (calibration measures "
-                        "and trims it)")
-    p.add_argument("--chain-comp", default=None,
-                   metavar="THRESH:RATIO[:ATTACK_MS[:RELEASE_DBS[:MAKEUP]]]",
-                   help="insert chain: bus compressor (instant attack, "
-                        "linear-dB release; channel-linked). Negative "
-                        "threshold needs the = form: --chain-comp=-18:4")
-    p.add_argument("--chain-sat", default=None,
-                   metavar="KIND:DRIVE_DB[:MIX]",
-                   help="insert chain: saturator (tanh/soft/hard waveshaper)")
-    p.add_argument("--chain-width", type=float, default=None,
-                   help="insert chain: stereo M/S width (0=mono, 1=as-is, 2=wide)")
-    p.add_argument("--chain-eq", action="append", default=None,
-                   metavar="KIND:FREQ[:Q[:GAIN_DB]]",
-                   help="insert chain: biquad EQ section (lowpass/highpass/"
-                        "peaking/lowshelf/highshelf); repeatable, applied in "
-                        "order")
     p.add_argument("--resume", action="store_true",
                    help="persist a manifest and skip already-completed files")
     p.add_argument("--json", action="store_true", help="print summary JSON")
@@ -773,21 +796,7 @@ def main(argv: list[str] | None = None) -> int:
                        help="watch a folder, process files as they land "
                             "(the drop-zone workflow, headless)")
     p.add_argument("dir", help="input folder to watch")
-    p.add_argument("--out", required=True, help="output directory (mandatory)")
-    _add_common_src_args(p)
-    p.add_argument("--bits", type=int, default=24, choices=[16, 24, 32])
-    p.add_argument("--postfix", default="_processed")
-    p.add_argument("--format", dest="output_format", default="wav",
-                   choices=["wav", "aiff"])
-    p.add_argument("--no-dither", action="store_true")
-    p.add_argument("--keep-dc", action="store_true")
-    p.add_argument("--gain", type=float, default=0.0)
-    p.add_argument("--normalize-lufs", type=float, default=None)
-    p.add_argument("--normalize-tp", dest="normalize_tp_db", type=float,
-                   default=None)
-    p.add_argument("--routing", default=None)
-    p.add_argument("--channels", type=int, default=None)
-    p.add_argument("--seed", type=int, default=0)
+    _add_batch_args(p)
     p.add_argument("--interval", type=float, default=2.0,
                    help="sweep interval seconds")
     p.add_argument("--sweeps", type=int, default=0,

@@ -433,6 +433,43 @@ def test_cli_watch_picks_up_aiff(tmp_path):
     assert r == 48000 and y.shape[0] == 2
 
 
+def test_cli_watch_full_batch_surface(tmp_path):
+    """watch takes the full process option surface: an insert chain
+    (--chain-eq), strict --require-rate, and --keep-metadata all reach the
+    pipeline — the serving mode is not a feature-poor subset."""
+    indir = tmp_path / "drop"
+    indir.mkdir()
+    rng = np.random.default_rng(4)
+    good = str(indir / "good.wav")
+    bad = str(indir / "bad.wav")
+    write_wav(good, (0.2 * rng.standard_normal((1, 4000))).astype(np.float32),
+              44100, bits=24)
+    write_wav(bad, (0.2 * rng.standard_normal((1, 4000))).astype(np.float32),
+              48000, bits=24)
+    rc = main(["watch", str(indir), "--out", str(tmp_path / "out"),
+               "--rate", "48000", "--quality", "low", "--seed", "1",
+               "--require-rate", "44100", "--chain-eq", "lowpass:4000",
+               "--interval", "0.05", "--sweeps", "4"])
+    assert rc == 0
+    outs = sorted(os.listdir(tmp_path / "out"))
+    assert "good_processed.wav" in outs
+    assert "bad_processed.wav" not in outs      # strict rate rejected it
+    import json as _json
+
+    saved = _json.load(open(tmp_path / "out" / ".manifest.json"))
+    by_path = {row["path"]: row for row in saved["files"]}
+    assert by_path[bad]["status"] == "invalid_sample_rate"
+    assert by_path[good]["status"] == "completed"
+    # the chain genuinely ran: compare against a chainless render
+    rc = main(["process", good, "--out", str(tmp_path / "plain"),
+               "--rate", "48000", "--quality", "low", "--seed", "1"])
+    assert rc == 0
+    y_chain, _ = read_wav(str(tmp_path / "out" / "good_processed.wav"))
+    y_plain, _ = read_wav(str(tmp_path / "plain" / "good_processed.wav"))
+    assert y_chain.shape == y_plain.shape
+    assert not np.array_equal(y_chain, y_plain)
+
+
 def test_cli_preview_quality_kind_plumbed(tmp_path):
     """preview --quality/--kind reach the mixed-rate resampler (a 96k item
     in a 44.1k playlist renders through the selected preset)."""
