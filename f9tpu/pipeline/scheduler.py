@@ -359,10 +359,16 @@ class BatchProcessor:
                     and lat == 0):
                 from ..models.filters import design_cycle_bank
                 from ..ops.pallas_src import rows_pre_applicable
+                from ..ops.resample import banded_rows_applicable
 
                 bank_g = design_cycle_bank(rate_in, cfg.target_rate,
                                            quality=cfg.quality, kind=cfg.kind)
-                if rows_pre_applicable(bank_g):
+                # dense banks marshal (n_rows, M) tiles (resample_rows_pre);
+                # varispeed banks marshal overlapping cycle rows for the
+                # banded MXU path (resample_banded_rows_pre) — both skip the
+                # device-side retiling tax (docs/PERF.md rounds 2-3)
+                if (rows_pre_applicable(bank_g)
+                        or banded_rows_applicable(bank_g)):
                     rows_bank = bank_g
 
             # output channel count after in-graph routing / mono fan-out
@@ -652,6 +658,25 @@ class BatchProcessor:
                     nb = min(len(d.data), blen * bpf)
                     x[i, :nb] = d.data[:nb]
                     valid[i] = nb // bpf
+            elif b["rows_bank"] is not None and b["rows_bank"].G is None:
+                # varispeed bank: marshal OVERLAPPING cycle rows for the
+                # banded MXU path — a strided window view over flat staging
+                # (rows overlap by row_width - M, ~1% extra bytes); the
+                # device skips its misaligned cycle retiling (15 -> 3.2 ms
+                # at bench scale, docs/PERF.md round 3)
+                from ..ops.resample import banded_rows_plan
+
+                bank_v = b["rows_bank"]
+                n_rows, w_row, pf = banded_rows_plan(bank_v, blen)
+                total = (n_rows - 1) * bank_v.M + w_row
+                flat = np.zeros((bs, channels, total), np.float32)
+                for i, d in enumerate(batch_x):
+                    n = min(d.data.shape[-1], blen)
+                    flat[i, :, pf : pf + n] = d.data[:, :n]
+                    valid[i] = n
+                x = np.ascontiguousarray(
+                    np.lib.stride_tricks.sliding_window_view(
+                        flat, w_row, axis=-1)[..., :: bank_v.M, :])
             elif b["rows_bank"] is not None:
                 # host-rows marshalling: write samples at flat offset
                 # pad_front of the zero (n_rows, M) tiling (contiguous

@@ -102,6 +102,103 @@ def test_varispeed_batch_pipeline(tmp_path):
     assert y.shape[1] == -(-T * 11014 // 11025)
 
 
+def _marshal_banded_rows(x: np.ndarray, bank, T: int) -> np.ndarray:
+    """Host marshal of `banded_rows_plan`: overlapping cycle rows via a
+    strided window view of flat zero-padded staging (what the scheduler's
+    flush does for varispeed rows buckets)."""
+    from f9tpu.ops.resample import banded_rows_plan
+
+    n_rows, w_row, pf = banded_rows_plan(bank, T)
+    total = (n_rows - 1) * bank.M + w_row
+    flat = np.zeros((*x.shape[:-1], total), np.float32)
+    flat[..., pf: pf + T] = x[..., :T]
+    return np.ascontiguousarray(
+        np.lib.stride_tricks.sliding_window_view(
+            flat, w_row, axis=-1)[..., :: bank.M, :])
+
+
+def test_banded_rows_pre_bitwise_matches_flat():
+    """The host-marshalled banded rows form must be BITWISE identical to
+    `resample_banded` (they trace the same `_banded_eval_rows`: identical
+    windows x identical matrices in identical order — the property that
+    lets the scheduler's rows layout and the streaming/flat paths coexist
+    without byte drift)."""
+    from f9tpu.ops.resample import (banded_rows_applicable,
+                                    resample_banded,
+                                    resample_banded_rows_pre)
+
+    rng = np.random.default_rng(11)
+    for rate_out in (44056, 44100 * 1001 // 1000):
+        bank = design_cycle_bank(44100, rate_out, quality="medium")
+        assert bank.G is None and banded_rows_applicable(bank)
+        T = 30011
+        x = (0.3 * rng.standard_normal((2, T))).astype(np.float32)
+        flat = np.asarray(resample_banded(jnp.asarray(x), bank))
+        xr = _marshal_banded_rows(x, bank, T)
+        rows = np.asarray(resample_banded_rows_pre(jnp.asarray(xr), bank))
+        n_out = bank.out_len(T)
+        assert np.array_equal(rows.reshape(2, -1)[:, :n_out], flat)
+
+
+def test_varispeed_rows_device_layout_byte_parity(tmp_path):
+    """Scheduler with device_layout='rows' on a varispeed rate: the output
+    files must be byte-identical to the default 'packed' layout run (same
+    seed; no DC removal so the shared banded evaluation makes the signal
+    path bitwise equal, and dither is position-keyed)."""
+    from f9tpu.io import write_wav
+    from f9tpu.pipeline import build_output_path
+
+    (tmp_path / "in").mkdir()
+    rng = np.random.default_rng(12)
+    T = 22050
+    x = (0.3 * rng.standard_normal((2, T))).astype(np.float32)
+    src = str(tmp_path / "in" / "pull.wav")
+    write_wav(src, x, 44100, bits=24)
+    outs = {}
+    for layout in ("packed", "rows"):
+        out_dir = str(tmp_path / f"out_{layout}")
+        cfg = ProcessingConfig(output_dir=out_dir, target_rate=44056,
+                               quality="low", seed=3, remove_dc=False,
+                               device_layout=layout)
+        res = BatchProcessor(cfg).run([src])
+        assert res.completed == 1 and res.failed == 0
+        with open(build_output_path(src, out_dir, cfg.postfix), "rb") as f:
+            outs[layout] = f.read()
+    assert outs["rows"] == outs["packed"]
+
+
+def test_varispeed_rows_layout_with_dc_and_oracle(tmp_path):
+    """Varispeed rows layout with the default DC removal: oracle parity
+    (the mean's reduction order may differ from the flat graph by ULPs,
+    so this gate is numerical, not byte)."""
+    from f9tpu.io import read_wav, write_wav
+    from f9tpu.pipeline import build_output_path
+
+    (tmp_path / "in").mkdir()
+    rng = np.random.default_rng(13)
+    T = 22050
+    # headroom matters: white noise resampled overshoots its sample peaks
+    # (Gibbs) and the 24-bit quantizer clips at full scale (bench.py)
+    x = (0.1 * rng.standard_normal((1, T))).astype(np.float32)
+    src = str(tmp_path / "in" / "vs.wav")
+    write_wav(src, x, 44100, bits=24)
+    cfg = ProcessingConfig(output_dir=str(tmp_path / "out"), target_rate=44056,
+                           quality="medium", seed=1, dither=False,
+                           device_layout="rows")
+    res = BatchProcessor(cfg).run([src])
+    assert res.completed == 1
+    y, r = read_wav(build_output_path(src, cfg.output_dir, cfg.postfix))
+    assert r == 44056
+    src_x, _ = read_wav(src)
+    ref = resample_oracle(src_x[0].astype(np.float64), 44100, 44056,
+                          quality="medium")[: y.shape[1]]
+    ref = ref - ref.mean()     # the graph removes the OUTPUT's mean
+    err = y[0].astype(np.float64) - ref
+    db = 20 * np.log10(np.sqrt((err**2).mean())
+                       / np.sqrt((ref**2).mean()) + 1e-30)
+    assert db < -95, db
+
+
 def test_varispeed_streaming_matches_whole_file(tmp_path):
     from f9tpu.io import read_wav, write_wav
     from f9tpu.ops import quantize
