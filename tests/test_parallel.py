@@ -58,7 +58,11 @@ def test_files_dp_matches_single_device():
                           np.asarray(res_sharded.out_frames))
 
 
-@pytest.mark.parametrize("rate_in,rate_out", [(44100, 48000), (96000, 44100)])
+@pytest.mark.parametrize("rate_in,rate_out",
+                         [(44100, 48000), (96000, 44100),
+                          # varispeed bank (no dense matrix): the sharded
+                          # path must route through the banded core too
+                          (44100, 44056)])
 def test_frames_sp_matches_unsharded(rate_in, rate_out):
     """Overlap-save frames sharding with ppermute halos == unsharded resample."""
     n_frames_shards = 4
