@@ -102,7 +102,7 @@ def test_random_streaming_config_end_to_end(tmp_path, trial):
     (write_wav if container == "wav" else write_aiff)(src, x, 44100, bits=24)
 
     kw = dict(output_dir=str(tmp_path), quality="low",
-              target_rate=int(rng.choice([48000, 32000])),
+              target_rate=int(rng.choice([48000, 32000, 44056])),
               kind=str(rng.choice(["sinc", "minphase"])),
               bits=int(rng.choice([16, 24])),
               dither=bool(rng.integers(2)),
@@ -173,7 +173,7 @@ def test_random_sharded_streaming_matches_single_chip(tmp_path, trial):
     (write_wav if container == "wav" else write_aiff)(src, x, 44100, bits=24)
 
     kw = dict(output_dir=str(tmp_path), quality="low",
-              target_rate=int(rng.choice([48000, 32000])),
+              target_rate=int(rng.choice([48000, 32000, 44056])),
               bits=int(rng.choice([16, 24])),
               dither=bool(rng.integers(2)),
               remove_dc=bool(rng.integers(2)),
