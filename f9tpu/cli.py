@@ -296,9 +296,33 @@ def cmd_preview(args) -> int:
 
 
 def cmd_measure(args) -> int:
-    res = measure_latency(args.rate_in, args.rate, quality=args.quality, kind=args.kind)
+    from .pipeline.calibration import CAPTURE_FRAMES
+
+    chain = _build_chain(args)
+    chain_fn, capture, ringout = None, CAPTURE_FRAMES, 0
+    if chain is not None:
+        # measure the WHOLE loop — SRC + the user's insert chain — exactly
+        # as the scheduler's auto-calibration does (the reference measures
+        # the full hardware round trip, LatencyMeasurementService.swift:57)
+        ringout = int(chain.tail_frames(args.rate))
+        capture = max(CAPTURE_FRAMES,
+                      -(-(3 * ringout + (1 << 15)) * args.rate_in
+                        // args.rate))
+
+        def chain_fn(x):
+            from .ops.resample import resample_rates
+
+            y = resample_rates(x, args.rate_in, args.rate,
+                               quality=args.quality, kind=args.kind)
+            return chain.apply(y, args.rate)
+
+    res = measure_latency(args.rate_in, args.rate, quality=args.quality,
+                          kind=args.kind, chain_fn=chain_fn,
+                          capture_frames=capture, ringout_frames=ringout)
     status = "detected" if res.detected else "NOT DETECTED"
-    print(f"impulse {status}: latency {res.latency_frames} frames @ {args.rate} Hz, "
+    what = f"SRC+chain({chain!r})" if chain is not None else "SRC"
+    print(f"impulse {status} through {what}: latency {res.latency_frames} "
+          f"frames @ {args.rate} Hz, "
           f"noise floor {res.noise_floor_db:.1f} dB, peak {res.peak_amplitude:.3f}")
     return 0 if res.detected else 1
 
@@ -682,6 +706,9 @@ def main(argv: list[str] | None = None) -> int:
                        help="dither seed (per-file keys derive from "
                             "seed+path; same seed = byte-identical reruns; "
                             "-1 = wall clock)")
+        _add_chain_args(p)
+
+    def _add_chain_args(p) -> None:
         p.add_argument("--chain-ir", default=None,
                        help="insert chain: convolution reverb "
                             "impulse-response WAV (mono or matching channel "
@@ -841,6 +868,7 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("measure", help="measure chain latency (impulse test)")
     p.add_argument("--rate-in", type=int, default=44100)
     _add_common_src_args(p)
+    _add_chain_args(p)   # measure the WHOLE loop: SRC + the user's chain
     p.set_defaults(fn=cmd_measure)
 
     p = sub.add_parser("selftest", help="device loop test (1 kHz tone)")

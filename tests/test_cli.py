@@ -303,6 +303,17 @@ def test_cli_probe_json_survives_device_side_failure(tmp_path, capsys,
     assert rows[1]["lufs"] is not None
 
 
+def test_cli_measure_with_chain(capsys):
+    """measure takes the chain flags and reports the WHOLE loop's delay —
+    a 10 ms pure delay at 48 kHz must measure as 480 frames (the reference
+    measures the full hardware round trip, not just the transport)."""
+    rc = main(["measure", "--rate-in", "44100", "--rate", "48000",
+               "--quality", "low", "--chain-delay-ms", "10"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "latency 480 frames" in out and "SRC+chain" in out
+
+
 def test_cli_selftest_parity(capsys):
     rc = main(["selftest", "--rate-in", "44100", "--rate", "48000",
                "--quality", "low", "--parity"])
