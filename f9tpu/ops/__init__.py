@@ -1,4 +1,11 @@
-from .resample import resample, resample_banded, resample_gather, resample_rates  # noqa: F401
+from .resample import (  # noqa: F401
+    banded_rows_plan,
+    resample,
+    resample_banded,
+    resample_banded_rows_pre,
+    resample_gather,
+    resample_rates,
+)
 from .pallas_src import (  # noqa: F401
     resample_auto,
     resample_pallas,

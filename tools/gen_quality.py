@@ -34,6 +34,9 @@ PAIRS = [
     (44100, 192000), (192000, 44100),
     (176400, 48000), (48000, 176400),
     (88200, 96000), (96000, 88200),
+    # varispeed / NTSC pull-down: exercises the banded MXU path (no dense
+    # cycle matrix; ops/resample.py _banded_eval_rows)
+    (44100, 44056), (44056, 44100),
 ]
 PRESETS = ["low", "medium", "high", "ultra"]
 N = 1 << 15
@@ -100,6 +103,10 @@ def image_suppression_db(rate_in, rate_out, quality, kind="sinc") -> float | Non
     """Upsampling only: energy of spectral images above the input Nyquist
     relative to the fundamental (the interpolation filter must remove them)."""
     if rate_out <= rate_in:
+        return None
+    if 0.5 * rate_out <= 0.5 * rate_in * 1.02:
+        # near-unity upsampling (varispeed): no representable image band
+        # above the input Nyquist fits below the output Nyquist
         return None
     f = 0.45 * rate_in
     y = _mid(np.asarray(resample_rates(_tone(f, rate_in), rate_in, rate_out,
@@ -278,6 +285,13 @@ def main() -> None:
         "  not the filter design; 24-bit output quantization adds its own "
         "-146 dBFS",
         "  TPDF dither floor downstream (`ops/dither.py`).",
+        "- The varispeed pairs (44.1k↔44.056k) run the banded MXU path (no "
+        "dense cycle",
+        "  matrix); their rows certify that path against the same metrics.  "
+        "Image",
+        "  suppression is '—' for near-unity upsampling: no representable "
+        "image band",
+        "  above the input Nyquist fits below the output Nyquist.",
         "",
     ]
     with open("docs/QUALITY.md", "w") as f:
