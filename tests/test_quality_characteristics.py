@@ -211,3 +211,27 @@ class TestMinimumPhase:
         assert BatchProcessor(cfg).run([src]).completed == 1
         y, r = read_wav(str(tmp_path / "out" / "m_processed.wav"))
         assert r == 48000 and np.isfinite(y).all()
+
+
+def test_varispeed_banded_characteristics():
+    """Varispeed (NTSC 44.1k->44.056k, L/M = 11014/11025) has no dense cycle
+    matrix — it runs the banded MXU path.  Pin its design characteristics
+    independently of oracle parity (QUALITY.md measures 0.005 dB ripple and
+    136.6 dB alias rejection at quality=high)."""
+    from f9tpu.models.filters import design_cycle_bank
+
+    rate_in, rate_out = 44100, 44056
+    bank = design_cycle_bank(rate_in, rate_out, quality="high")
+    assert bank.G is None  # certifying the banded path, not the dense one
+
+    ny = 0.5 * rate_out
+    for frac in (0.25, 0.8):
+        g = _gain_db(frac * ny, rate_in, rate_out, "high")
+        assert abs(g) < 0.05, (frac, g)
+
+    # a tone between the output and input Nyquists must not survive
+    f = ny + 0.35 * (0.5 * rate_in - ny)
+    y = np.asarray(resample_rates(_tone(f, rate_in), rate_in, rate_out,
+                                  quality="high"))
+    rej = -20 * np.log10(_rms(_mid(y)) / (0.5 / np.sqrt(2)))
+    assert rej > 120.0, rej
