@@ -202,16 +202,20 @@ def _banded_eval_rows(rows: jax.Array, bank: CycleBank) -> jax.Array:
     S = len(in0)
     if rows.shape[-1] != w_rows:
         raise ValueError(f"cycle-row width {rows.shape[-1]} != plan {w_rows}")
-    lead = rows.shape[:-2]
-    Q = rows.shape[-2]
-    xseg = jnp.stack([rows[..., a: a + w] for a in in0], axis=-2)
-    y = jnp.einsum("...qsw,swl->...qsl", xseg, jnp.asarray(G),
-                   precision=jax.lax.Precision.HIGHEST)
+    # One dot PER SEGMENT, each consuming a lane-aligned slice of ``rows``
+    # directly: stacking the windows into a (Q, S, w) tensor first (the
+    # round-3 form) materialises ~3x the band bytes and costs a write+read
+    # HBM pass — measured 2253 -> 893 MB bytes-accessed and 3.0 -> 1.85 ms
+    # on the NTSC bench shape (docs/PERF.md round 3c).  Slices fuse into the
+    # dots; the only materialised intermediates are the outputs themselves.
+    gs = jnp.asarray(G)                                      # (S, w, seg)
+    ys = [jnp.einsum("...qw,wl->...ql", rows[..., a: a + w], gs[s],
+                     precision=jax.lax.Precision.HIGHEST)
+          for s, a in enumerate(in0)]
     if S == 1:
-        return y[..., 0, (seg - L):]
-    head = y[..., : S - 1, :].reshape(*lead, Q, (S - 1) * seg)
-    tail = y[..., S - 1, (S * seg - L):]
-    return jnp.concatenate([head, tail], axis=-1)           # (..., Q, L)
+        return ys[0][..., (seg - L):]
+    tail = ys[-1][..., (S * seg - L):]
+    return jnp.concatenate(ys[:-1] + [tail], axis=-1)        # (..., Q, L)
 
 
 def _banded_core(xp: jax.Array, bank: CycleBank, n_out: int) -> jax.Array:

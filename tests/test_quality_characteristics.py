@@ -145,6 +145,32 @@ def test_rows_graph_hbm_traffic_budget():
     assert bytes_accessed < 130e6, f"{bytes_accessed / 1e6:.1f} MB"
 
 
+def test_banded_rows_hbm_traffic_budget():
+    """Banded (varispeed) twin of the rows tripwire: ``_banded_eval_rows``
+    must keep consuming lane-aligned slices of the marshalled rows directly
+    (one dot per segment, docs/PERF.md round 3c).  Reintroducing the
+    stacked (Q, S, w) segment-window tensor costs a full extra HBM
+    write+read pass — measured 103 MB on this shape vs 53 MB for the
+    per-segment form (CPU cost model; 2253 vs 893 MB on the TPU bench
+    shape).  Budget 70 MB sits between the two."""
+    import jax
+    import jax.numpy as jnp
+
+    from f9tpu.models.filters import design_cycle_bank
+    from f9tpu.ops.resample import banded_rows_plan, resample_banded_rows_pre
+
+    bank = design_cycle_bank(44100, 44056, quality="high")
+    frames = 1 << 17
+    n_rows, w_row, _pf = banded_rows_plan(bank, frames)
+    x = jnp.zeros((4, 2, n_rows, w_row), jnp.float32)
+    ca = jax.jit(lambda r: resample_banded_rows_pre(r, bank)) \
+        .lower(x).compile().cost_analysis()
+    ca = ca[0] if isinstance(ca, list) else ca
+    bytes_accessed = ca.get("bytes accessed")
+    assert bytes_accessed is not None
+    assert bytes_accessed < 70e6, f"{bytes_accessed / 1e6:.1f} MB"
+
+
 class TestMinimumPhase:
     """kind="minphase": the mastering-SRC filter choice (no pre-ringing)
     beyond JUCE's two interpolators — same Kaiser magnitude design, energy
