@@ -233,6 +233,7 @@ def main() -> None:
     # are the tunnel, not the code — recorded as a tail metric, never the
     # headline.  Skipped silently if the host pipeline import fails. ----
     e2e_x_rt = None
+    e2e_stages = {}
     try:
         import shutil
         import tempfile
@@ -261,13 +262,20 @@ def main() -> None:
                       quality="high", seed=0, batch_size=4)
         BatchProcessor(e2e_cfg).run(paths)          # warm compiles + cache
         t0 = time.time()
-        r = BatchProcessor(e2e_cfg).run(paths)
+        bp = BatchProcessor(e2e_cfg)
+        r = bp.run(paths)
         e2e_wall = time.time() - t0
         e2e_x_rt = (n_files * e2e_frames / 44100) / e2e_wall
         print(f"e2e files->files: {e2e_wall:.2f}s for "
               f"{n_files * e2e_frames / 44100:.0f}s audio -> "
               f"{e2e_x_rt:.0f}x RT ({r.completed} completed)",
               file=sys.stderr)
+        # per-stage x-realtime so the artifact shows WHERE the wall went:
+        # on this environment the host<->device link swings 10x day to day
+        # (docs/PERF.md "Headroom") — the device stage is the meaningful one
+        e2e_stages = {k: round(v["x_realtime"], 1)
+                      for k, v in bp.throughput.summary().items()}
+        print(f"e2e per-stage x-realtime: {e2e_stages}", file=sys.stderr)
         shutil.rmtree(d, ignore_errors=True)
     except Exception as err:  # e2e is informational; never fail the artifact
         print(f"e2e bench skipped: {err}", file=sys.stderr)
@@ -285,6 +293,7 @@ def main() -> None:
         "varispeed_flat_x_realtime": round(vs_flat_x_rt, 1),
         "varispeed_rms_db": round(float(vs_db), 1),
         "e2e_x_realtime": (round(e2e_x_rt, 1) if e2e_x_rt else None),
+        "e2e_stage_x_realtime": e2e_stages or None,
         "device": str(dev),
     }))
 

@@ -205,7 +205,7 @@ def _banded_eval_rows(rows: jax.Array, bank: CycleBank) -> jax.Array:
     # One dot PER SEGMENT, each consuming a lane-aligned slice of ``rows``
     # directly: stacking the windows into a (Q, S, w) tensor first (the
     # round-3 form) materialises ~3x the band bytes and costs a write+read
-    # HBM pass — measured 2253 -> 893 MB bytes-accessed and 3.0 -> 1.85 ms
+    # HBM pass — measured 2253 -> 893 MB bytes-accessed and 3.5 -> 2.1 ms
     # on the NTSC bench shape (docs/PERF.md round 3c).  Slices fuse into the
     # dots; the only materialised intermediates are the outputs themselves.
     gs = jnp.asarray(G)                                      # (S, w, seg)

@@ -180,16 +180,30 @@ def _finish_chunk(y, carry, seeds_c, pos0, gain, *, rate_out, bits,
                                              "quality", "kind", "bits",
                                              "do_dither", "chain",
                                              "carry_frames", "silent",
-                                             "want_env"))
+                                             "want_env", "rows_form"))
 def _stream_step(xp, carry, seeds_c, pos0, gain, *, cycles, rate_in, rate_out,
                  quality, kind, bits, do_dither, chain=None,
-                 carry_frames=0, silent=None, want_env=False):
+                 carry_frames=0, silent=None, want_env=False,
+                 rows_form=False):
     """``gain`` is a TRACED float32 scalar (static gain x per-file
     normalization gain as one linear factor): per-file gains never recompile.
     ``silent``: static tuple of routed-silent output channel indices — their
-    codes stay digital zero even under dither, matching the batch graph."""
+    codes stay digital zero even under dither, matching the batch graph.
+
+    ``rows_form`` (varispeed banks): ``xp`` arrives HOST-MARSHALLED as
+    overlapping cycle rows ``(C, cycles, w_rows)`` instead of the flat padded
+    chunk, skipping the device-side cycle retiling that costs ~4x the banded
+    resampler itself (docs/PERF.md round 3b) — the streaming twin of the
+    batch scheduler's ``device_layout="rows"`` dispatch.  Bitwise-identical
+    to the flat form: both trace the one ``_banded_eval_rows``."""
     bank = design_cycle_bank(rate_in, rate_out, quality=quality, kind=kind)
-    y = resample_presliced(xp, bank, cycles)
+    if rows_form:
+        from ..ops.resample import resample_banded_rows_pre
+
+        y = resample_banded_rows_pre(xp, bank)          # (C, cycles, L)
+        y = y.reshape(*y.shape[:-2], cycles * bank.L)
+    else:
+        y = resample_presliced(xp, bank, cycles)
     return _finish_chunk(y, carry, seeds_c, pos0, gain, rate_out=rate_out,
                          bits=bits, do_dither=do_dither, chain=chain,
                          carry_frames=carry_frames, silent=silent,
@@ -472,6 +486,28 @@ def stream_resample_file(
             # matching the batch path's post-trim indexing bit-for-bit.
             em = _Emitter(writer, detector, lat=lat, out_limit=out_limit,
                           out_total=out_total, progress_cb=progress_cb)
+            # Varispeed banks: marshal each chunk into overlapping cycle rows
+            # on the host (strided window view, ~2% duplicate bytes at NTSC
+            # ratios) so the device starts at the segment windows — the
+            # streaming twin of the batch scheduler's rows dispatch
+            # (docs/PERF.md round 3b: the flat form's device-side retiling
+            # costs ~4x the banded resampler itself).  Bitwise-identical
+            # output: `_banded_core` builds the exact same rows on device.
+            from ..ops.resample import _banded_plan, banded_rows_applicable
+
+            rows_form = banded_rows_applicable(bank)
+            if rows_form:
+                w_rows = _banded_plan(bank)[3]
+                need = (cycles + -(-w_rows // M) - 1) * M
+
+                def marshal_rows(flat: np.ndarray) -> np.ndarray:
+                    if flat.shape[1] < need:
+                        flat = np.pad(flat,
+                                      ((0, 0), (0, need - flat.shape[1])))
+                    v = np.lib.stride_tricks.sliding_window_view(
+                        flat, w_rows, axis=-1)[:, ::M, :][:, :cycles]
+                    return np.ascontiguousarray(v)
+
             start = 0
             done = out_limit == 0
             while not done:
@@ -488,6 +524,8 @@ def stream_resample_file(
                 pad_l = max(0, -lo)
                 pad_r = (hi - lo) - pad_l - span.shape[1]
                 xp = np.pad(span, ((0, 0), (pad_l, max(0, pad_r))))
+                if rows_form:
+                    xp = marshal_rows(xp)
                 step = _stream_step(
                     jnp.asarray(xp), carry, seeds_c, jnp.int32(em.g0 - lat),
                     gain,
@@ -496,6 +534,7 @@ def stream_resample_file(
                     do_dither=cfg.dither,
                     chain=cfg.chain, carry_frames=carry_frames,
                     silent=silent, want_env=detector is not None,
+                    rows_form=rows_form,
                 )
                 if detector is not None:
                     codes, env, carry = step

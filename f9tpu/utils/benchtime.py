@@ -15,6 +15,21 @@ The perturbation multiply and the full-output probe reduction run inside the
 timed loop, so measurements conservatively OVERSTATE the op's own time by one
 input pass + one output pass per iteration — negligible for the compute-heavy
 graphs this measures, and errs in the honest direction for throughput claims.
+
+The probe is NONLINEAR (sum of squares), and the input perturbation feeds the
+running probe accumulator back in.  Both are load-bearing for LINEAR ops —
+i.e. most of this framework:
+
+- a linear probe invites XLA's algebraic simplifier to factor the reduction
+  through the op: ``sum(A @ B) == rowsum(A) @ colsum(B)`` collapses a matmul
+  to two cheap reductions *within one iteration* (observed live: the banded
+  varispeed einsum "measured" 0.04 ms — 625 TFLOP/s implied — the moment its
+  output became a plain dot the rewrite could see; docs/PERF.md round 3c).
+  ``sum((A @ B)**2)`` has no such factorisation.
+- the accumulator feedback (``acc * 1e-38`` folded into the perturbation)
+  makes iteration i's input data-depend on iteration i-1's output, so no
+  loop-invariant-code-motion or distributivity rewrite can hoist the op out
+  of the loop even in principle (scalar multiplies DO commute through dots).
 """
 
 from __future__ import annotations
@@ -33,12 +48,18 @@ def _runner(op: Callable):
     def run(x, seed, n):
         def body(i, carry):
             acc, s = carry
-            # iteration-dependent input: defeats loop-invariant hoisting
-            y = op(x * (1.0 + (s + i).astype(jnp.float32) * 1e-12))
+            # iteration-dependent input WITH probe feedback: the op cannot be
+            # hoisted (input depends on last iteration's output) and scalar
+            # factoring through linear ops buys the simplifier nothing
+            eps = (s + i).astype(jnp.float32) * 1e-12 + acc * 1e-38
+            y = op(x * (1.0 + eps))
             leaves = jax.tree_util.tree_leaves(y)
-            # consume EVERY output element: a partial probe (e.g. one lane)
-            # lets XLA dead-code-eliminate elementwise tails of the op
-            probe = sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
+            # consume EVERY output element NONLINEARLY: a partial probe lets
+            # XLA dead-code-eliminate elementwise tails, and a LINEAR probe
+            # lets it factor the reduction through a matmul
+            # (sum(A@B) == rowsum(A) @ colsum(B)) — sum of squares survives
+            probe = sum(jnp.sum(jnp.square(l.astype(jnp.float32)))
+                        for l in leaves)
             return acc + probe, s
         # traced trip count: ONE compiled program serves both the n=1 and
         # n=N runs (compiles are minutes over the remote tunnel)

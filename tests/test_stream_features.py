@@ -409,3 +409,75 @@ class TestShardedStreamFeatures:
         assert abs(n1 - n2) <= hop, (n1, n2)
         y2, _ = read_wav(o2)
         assert 20 * np.log10(np.abs(y2[:, -hop:]).max() + 1e-30) < -85.0
+
+
+class TestStreamVarispeedRows:
+    """Varispeed streams ride the host-marshalled cycle-rows form
+    (docs/PERF.md round 3b/3c) — the streaming twin of the batch
+    scheduler's rows dispatch.  The rows and flat forms share
+    `_banded_eval_rows`, so these are BYTE-identity contracts."""
+
+    def test_stream_step_rows_form_bitwise_equals_flat(self):
+        import jax.numpy as jnp
+
+        from f9tpu.models.filters import design_cycle_bank
+        from f9tpu.ops.resample import _banded_plan
+        from f9tpu.pipeline.stream import _stream_step
+
+        rate_in, rate_out = 44100, 44056
+        bank = design_cycle_bank(rate_in, rate_out, quality="low")
+        M = bank.M
+        cycles = 3
+        chunk_in = cycles * M
+        w_rows = _banded_plan(bank)[3]
+        need = (cycles + -(-w_rows // M) - 1) * M
+        rng = np.random.default_rng(3)
+        span = (0.4 * rng.standard_normal((2, need))).astype(np.float32)
+        rows = np.ascontiguousarray(
+            np.lib.stride_tricks.sliding_window_view(span, w_rows, axis=-1)
+            [:, ::M, :][:, :cycles])
+        seeds = jnp.zeros((2,), jnp.uint32)
+        kw = dict(cycles=cycles, rate_in=rate_in, rate_out=rate_out,
+                  quality="low", kind="sinc", bits=24, do_dither=True)
+        a, _ = _stream_step(jnp.asarray(span), jnp.zeros((2, 0)), seeds,
+                            jnp.int32(0), jnp.float32(1.0), **kw)
+        b, _ = _stream_step(jnp.asarray(rows), jnp.zeros((2, 0)), seeds,
+                            jnp.int32(0), jnp.float32(1.0), rows_form=True,
+                            **kw)
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+        del chunk_in
+
+    def test_varispeed_stream_chunk_size_invariant(self, tmp_path):
+        rate = 44100
+        rng = np.random.default_rng(12)
+        x = (0.4 * rng.standard_normal((2, 3 * rate + 1231))).astype(
+            np.float32)
+        src = str(tmp_path / "ntsc.wav")
+        write_wav(src, x, rate, bits=24)
+        cfg = ProcessingConfig(output_dir=str(tmp_path), target_rate=44056,
+                               quality="low", seed=4, remove_dc=False)
+        o1 = str(tmp_path / "s1.wav")
+        o2 = str(tmp_path / "s2.wav")
+        # NTSC bank: M=11025 input frames per cycle, so chunk plans of 1-3
+        # cycles exercise marshalling across different chunk boundaries
+        stream_resample_file(src, o1, cfg, chunk_seconds=0.3)
+        stream_resample_file(src, o2, cfg, chunk_seconds=0.8)
+        assert open(o1, "rb").read() == open(o2, "rb").read()
+
+    def test_varispeed_stream_matches_batch(self, tmp_path):
+        rate = 44100
+        rng = np.random.default_rng(13)
+        x = (0.4 * rng.standard_normal((2, 2 * rate + 997))).astype(
+            np.float32)
+        src = str(tmp_path / "pullup.wav")
+        write_wav(src, x, rate, bits=24)
+        cfg = ProcessingConfig(output_dir=str(tmp_path / "out"),
+                               target_rate=44056, quality="low", seed=4,
+                               remove_dc=False)
+        assert BatchProcessor(cfg).run([src]).completed == 1
+        sp = str(tmp_path / "streamed.wav")
+        n = stream_resample_file(src, sp, cfg, chunk_seconds=0.5)
+        yb, _ = read_wav(str(tmp_path / "out" / "pullup_processed.wav"))
+        ys, _ = read_wav(sp)
+        assert yb.shape == ys.shape and n == ys.shape[1]
+        _assert_dither_contract(yb, ys)
