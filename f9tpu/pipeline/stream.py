@@ -561,6 +561,24 @@ def _carry_metadata(in_path: str, out_path: str, cfg, rate_in: int) -> None:
         pass      # metadata is best-effort; the audio is complete
 
 
+@functools.partial(jax.jit, static_argnames=("rate_in", "rate_out",
+                                             "quality", "kind"))
+def _banded_rows_sharded_step(rows, *, rate_in, rate_out, quality, kind):
+    """Varispeed SRC on a rows-marshalled super-chunk ``(C, Q, w_rows)``
+    sharded over the cycle axis.  Cycle rows carry their own overlap, so —
+    unlike the flat overlap-save path — there is NO halo exchange at all:
+    every shard's dots are self-contained and XLA partitions the einsums as
+    a plain batch dimension (zero collectives).  Output ``(C, Q*L)`` stays
+    sharded over the merged frames axis for the downstream elementwise
+    stages.  Bitwise-identical to the single-chip rows form (the marshalled
+    windows and matrices are the same arrays through `_banded_eval_rows`)."""
+    from ..ops.resample import resample_banded_rows_pre
+
+    bank = design_cycle_bank(rate_in, rate_out, quality=quality, kind=kind)
+    y = resample_banded_rows_pre(rows, bank)            # (C, Q, L)
+    return y.reshape(*y.shape[:-2], y.shape[-2] * y.shape[-1])
+
+
 @functools.partial(jax.jit, static_argnames=("bits", "do_dither",
                                              "want_env"))
 def _finish_step(y, seeds_c, pos0, gain, *, bits, do_dither,
@@ -645,6 +663,22 @@ def _stream_sharded(reader, routed_read, out_ch, silent, out_path, cfg, bank,
             out[:, a - lo : a - lo + blk.shape[1]] = blk
         return out
 
+    # Varispeed banks: marshal the super-chunk into cycle rows on the host
+    # and shard the CYCLE axis — rows carry their own overlap, so the
+    # banded einsums partition with ZERO collectives (no ppermute halos),
+    # and the output is bitwise-identical to the single-chip rows form.
+    from ..ops.resample import _banded_plan, banded_rows_applicable
+
+    rows_form = banded_rows_applicable(bank)
+    if rows_form:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        w_rows = _banded_plan(bank)[3]
+        Qc = super_in // bank.M                 # n * cycles: shards evenly
+        rows_need = (Qc + -(-w_rows // bank.M) - 1) * bank.M
+        rows_sharding = NamedSharding(
+            mesh, PartitionSpec(None, "frames", None))
+
     writer_cls = AiffWriter if cfg.output_format == "aiff" else WavWriter
     with writer_cls(out_path, C, cfg.target_rate, bits=cfg.bits) as writer:
         em = _Emitter(writer, detector, lat=lat, out_limit=out_limit,
@@ -652,13 +686,23 @@ def _stream_sharded(reader, routed_read, out_ch, silent, out_path, cfg, bank,
         start = 0
         done = out_limit == 0
         while not done:
-            x = read_span(start, super_in)
-            left = read_span(start - halo_left, halo_left)
-            right = read_span(start + super_in, halo_right)
-            y = resample_frames_sharded(
-                jnp.asarray(x), rate_in, cfg.target_rate, mesh,
-                quality=cfg.quality, kind=cfg.kind,
-                left_halo=jnp.asarray(left), right_halo=jnp.asarray(right))
+            if rows_form:
+                flatbuf = read_span(start - bank.pad_front, rows_need)
+                rows = np.ascontiguousarray(
+                    np.lib.stride_tricks.sliding_window_view(
+                        flatbuf, w_rows, axis=-1)[:, ::bank.M, :][:, :Qc])
+                y = _banded_rows_sharded_step(
+                    jax.device_put(rows, rows_sharding),
+                    rate_in=rate_in, rate_out=cfg.target_rate,
+                    quality=cfg.quality, kind=cfg.kind)
+            else:
+                x = read_span(start, super_in)
+                left = read_span(start - halo_left, halo_left)
+                right = read_span(start + super_in, halo_right)
+                y = resample_frames_sharded(
+                    jnp.asarray(x), rate_in, cfg.target_rate, mesh,
+                    quality=cfg.quality, kind=cfg.kind,
+                    left_halo=jnp.asarray(left), right_halo=jnp.asarray(right))
             want_env = detector is not None
             env = None
             if cfg.chain is not None:

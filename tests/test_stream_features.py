@@ -481,3 +481,27 @@ class TestStreamVarispeedRows:
         ys, _ = read_wav(sp)
         assert yb.shape == ys.shape and n == ys.shape[1]
         _assert_dither_contract(yb, ys)
+
+    def test_varispeed_sharded_stream_bitwise_matches_single_chip(
+            self, tmp_path):
+        from f9tpu.parallel import make_mesh
+
+        rate = 44100
+        rng = np.random.default_rng(14)
+        # 4 frames-shards x 0.3 s chunks -> super-chunks of 1 cycle each at
+        # NTSC M=11025; several super-chunks cover the file
+        x = (0.4 * rng.standard_normal((2, 3 * rate + 421))).astype(
+            np.float32)
+        src = str(tmp_path / "ntsc_big.wav")
+        write_wav(src, x, rate, bits=24)
+        cfg = ProcessingConfig(output_dir=str(tmp_path), target_rate=44056,
+                               quality="low", seed=6, remove_dc=True)
+        o1 = str(tmp_path / "single.wav")
+        n1 = stream_resample_file(src, o1, cfg, chunk_seconds=0.3)
+        mesh = make_mesh(num_files_shards=2, num_frames_shards=4)
+        o2 = str(tmp_path / "sharded.wav")
+        n2 = stream_resample_file(src, o2, cfg, chunk_seconds=0.3, mesh=mesh)
+        assert n1 == n2
+        # rows marshalling is shared, so the sharded banded path is BITWISE
+        # the single-chip stream (no conv-shape caveat like the dense path)
+        assert open(o1, "rb").read() == open(o2, "rb").read()
