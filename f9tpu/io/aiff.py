@@ -297,16 +297,34 @@ def check_aiff_capacity(frames: int, channels: int, bits: int) -> None:
             f"(auto-upgrades to RF64)")
 
 
-def _write_aiff_bytes(path: str, payload: bytes, channels: int, frames: int,
-                      rate: int, bits: int) -> None:
+def _write_aiff_stream(path: str, chunks, payload_len: int, channels: int,
+                       frames: int, rate: int, bits: int) -> None:
+    """Write an AIFF whose SSND data arrives as an iterable of byte chunks
+    totalling ``payload_len`` (sizes are known up front, so chunked writes
+    are byte-identical to the one-shot form)."""
     check_aiff_capacity(frames, channels, bits)
     comm = struct.pack(">hIh", channels, frames, bits) + _write_extended80(float(rate))
-    ssnd = struct.pack(">II", 0, 0) + payload
-    body = b"AIFF"
-    body += b"COMM" + struct.pack(">I", len(comm)) + comm
-    body += b"SSND" + struct.pack(">I", len(ssnd)) + ssnd + (b"\x00" if len(ssnd) & 1 else b"")
+    ssnd_len = 8 + payload_len
+    body_len = (4 + 8 + len(comm) + 8 + ssnd_len + (ssnd_len & 1))
     with open(path, "wb") as f:
-        f.write(b"FORM" + struct.pack(">I", len(body)) + body)
+        f.write(b"FORM" + struct.pack(">I", body_len) + b"AIFF")
+        f.write(b"COMM" + struct.pack(">I", len(comm)) + comm)
+        f.write(b"SSND" + struct.pack(">I", ssnd_len) + struct.pack(">II", 0, 0))
+        written = 0
+        for c in chunks:
+            f.write(c)
+            written += len(c)
+        if written != payload_len:
+            raise ValueError(f"AIFF payload length mismatch: wrote {written},"
+                             f" declared {payload_len}")
+        if ssnd_len & 1:
+            f.write(b"\x00")
+
+
+def _write_aiff_bytes(path: str, payload: bytes, channels: int, frames: int,
+                      rate: int, bits: int) -> None:
+    _write_aiff_stream(path, (payload,), len(payload), channels, frames,
+                       rate, bits)
 
 
 def write_aiff(path: str, x: np.ndarray, rate: int, bits: int = 24) -> None:
@@ -323,17 +341,34 @@ def write_aiff(path: str, x: np.ndarray, rate: int, bits: int = 24) -> None:
 
 
 def write_aiff_codes(path: str, codes: np.ndarray, rate: int,
-                     bits: int = 24) -> None:
+                     bits: int = 24, progress_cb=None,
+                     chunk_frames: int = 1 << 20) -> None:
     """Write pre-quantized signed PCM codes ``(channels, frames)`` int32 as
     AIFF — the batch pipeline's AIFF twin of `wav.write_wav_codes` (the
-    device already dithered+quantized; the host only packs big-endian)."""
+    device already dithered+quantized; the host only packs big-endian).
+
+    ``progress_cb(done_fraction)``: chunked interleave/pack/write with a
+    callback per slice (sub-file encode progress; packing is frame-local so
+    bytes are identical to the one-shot form)."""
     codes = np.asarray(codes)
     if codes.ndim == 1:
         codes = codes[None, :]
     channels, frames = codes.shape
-    inter = np.ascontiguousarray(codes.T).reshape(-1)
-    _write_aiff_bytes(path, _aiff_payload_from_codes(inter, bits),
-                      channels, frames, rate, bits)
+    if not (progress_cb and frames):
+        inter = np.ascontiguousarray(codes.T).reshape(-1)
+        _write_aiff_bytes(path, _aiff_payload_from_codes(inter, bits),
+                          channels, frames, rate, bits)
+        return
+
+    def chunks():
+        for s in range(0, frames, chunk_frames):
+            e = min(frames, s + chunk_frames)
+            inter = np.ascontiguousarray(codes[:, s:e].T).reshape(-1)
+            yield _aiff_payload_from_codes(inter, bits)
+            progress_cb(e / frames)
+
+    _write_aiff_stream(path, chunks(), frames * channels * (bits // 8),
+                       channels, frames, rate, bits)
 
 
 def read_extra_chunks_aiff(path: str, max_bytes: int = 1 << 24) -> list:
@@ -447,14 +482,30 @@ class AiffWriter:
 
 
 def write_aiff_payload(path: str, payload: np.ndarray, channels: int,
-                       rate: int, bits: int = 24) -> None:
+                       rate: int, bits: int = 24, progress_cb=None,
+                       chunk_frames: int = 1 << 20) -> None:
     """Write a device-packed little-endian 24-bit payload as AIFF: the host
-    byte-swaps each 3-byte sample to big-endian (one vectorised pass)."""
+    byte-swaps each 3-byte sample to big-endian (one vectorised pass, or
+    chunked with per-slice ``progress_cb(done_fraction)`` callbacks)."""
     if bits != 24:
         raise ValueError("packed payloads are 24-bit")
     payload = np.asarray(payload, np.uint8)
     if payload.size % (3 * channels):
         raise ValueError("payload length is not a whole number of frames")
-    be = np.ascontiguousarray(payload.reshape(-1, 3)[:, ::-1]).reshape(-1)
     frames = payload.size // (3 * channels)
-    _write_aiff_bytes(path, be.tobytes(), channels, frames, rate, bits)
+    if not (progress_cb and frames):
+        be = np.ascontiguousarray(payload.reshape(-1, 3)[:, ::-1]).reshape(-1)
+        _write_aiff_bytes(path, be.tobytes(), channels, frames, rate, bits)
+        return
+    bpf = 3 * channels
+
+    def chunks():
+        for s in range(0, frames, chunk_frames):
+            e = min(frames, s + chunk_frames)
+            sl = payload[s * bpf: e * bpf]
+            yield np.ascontiguousarray(
+                sl.reshape(-1, 3)[:, ::-1]).reshape(-1).tobytes()
+            progress_cb(e / frames)
+
+    _write_aiff_stream(path, chunks(), frames * bpf, channels, frames,
+                       rate, bits)

@@ -10,8 +10,9 @@ import numpy as np
 from .aiff import probe_aiff, read_aiff
 from .wav import AudioFileInfo, probe_wav, read_wav
 
-__all__ = ["SUPPORTED_EXTENSIONS", "probe", "read_audio", "read_raw_pcm",
-           "is_supported", "open_reader"]
+__all__ = ["SUPPORTED_EXTENSIONS", "probe", "read_audio",
+           "read_audio_progress", "read_raw_pcm", "is_supported",
+           "open_reader"]
 
 SUPPORTED_EXTENSIONS = (".wav", ".aif", ".aiff")
 
@@ -36,6 +37,29 @@ def probe(path: str) -> AudioFileInfo:
 def read_audio(path: str) -> tuple[np.ndarray, int]:
     """Decode any supported file to planar float32 (channels, frames) + rate."""
     return read_wav(path) if _kind(path) == "wav" else read_aiff(path)
+
+
+def read_audio_progress(path: str, progress_cb,
+                        chunk_frames: int = 1 << 20) -> tuple[np.ndarray, int]:
+    """`read_audio`, but decoded in seek-based chunks with
+    ``progress_cb(done_fraction)`` per chunk — the batch scheduler's
+    sub-file decode progress (the reference's throttled per-buffer
+    callbacks, AudioProcessingService.swift:209-264).  Returns the same
+    planar float32 array as `read_audio` (readers share the one decode
+    path per container)."""
+    with open_reader(path) as r:
+        n, ch = r.num_frames, r.num_channels
+        out = np.empty((ch, n), np.float32)
+        done = 0
+        while done < n:
+            c = r.read(done, min(chunk_frames, n - done))
+            got = c.shape[1]
+            if got == 0:
+                break            # truncated mid-frame: clip like read_audio
+            out[:, done:done + got] = c
+            done += got
+            progress_cb(done / n)
+        return np.ascontiguousarray(out[:, :done]), r.sample_rate
 
 
 def open_reader(path: str):

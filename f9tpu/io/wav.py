@@ -435,29 +435,51 @@ def _wav_header(num_frames: int, channels: int, rate: int, bits: int,
             + fmt_chunk + _DATA + struct.pack("<I", data_size))
 
 
-def write_wav_codes(path: str, codes: np.ndarray, rate: int, bits: int = 24) -> None:
+def _codes_payload(inter: np.ndarray, bits: int) -> bytes:
+    """Interleaved int32 codes -> little-endian PCM bytes (frame-local, so
+    chunked conversion is byte-identical to one-shot)."""
+    if bits == 24:
+        return _pack24_dispatch(inter).tobytes()
+    if bits == 16:
+        return inter.astype("<i2").tobytes()
+    if bits == 32:
+        return inter.astype("<i4").tobytes()
+    raise ValueError(f"unsupported bit depth {bits}")
+
+
+def write_wav_codes(path: str, codes: np.ndarray, rate: int, bits: int = 24,
+                    progress_cb=None, chunk_frames: int = 1 << 20) -> None:
     """Write pre-quantized signed PCM codes ``(channels, frames)`` int32.
 
     This is the fast path fed by the on-device TPDF dither + quantize
     (`f9tpu.ops.dither`): the host only interleaves and packs bytes.
+
+    ``progress_cb(done_fraction)``: when given, interleave/pack/write run in
+    ``chunk_frames`` slices with a callback per slice — the batch scheduler's
+    sub-file encode progress (the reference's throttled per-buffer progress,
+    AudioProcessingService.swift:209-264).  Output bytes are identical to
+    the one-shot form (packing is frame-local; the header knows ``frames``
+    up front).
     """
+    if bits not in (16, 24, 32):
+        raise ValueError(f"unsupported bit depth {bits}")
     codes = np.asarray(codes)
     if codes.ndim == 1:
         codes = codes[None, :]
     channels, frames = codes.shape
-    inter = np.ascontiguousarray(codes.T).reshape(-1)  # interleave
-    if bits == 24:
-        payload = _pack24_dispatch(inter).tobytes()
-    elif bits == 16:
-        payload = inter.astype("<i2").tobytes()
-    elif bits == 32:
-        payload = inter.astype("<i4").tobytes()
-    else:
-        raise ValueError(f"unsupported bit depth {bits}")
     with open(path, "wb") as f:
         f.write(_wav_header(frames, channels, rate, bits, is_float=False))
-        f.write(payload)
-        if len(payload) & 1:
+        odd = False
+        for s in range(0, max(frames, 1), chunk_frames if progress_cb else
+                       max(frames, 1)):
+            e = min(frames, s + chunk_frames) if progress_cb else frames
+            inter = np.ascontiguousarray(codes[:, s:e].T).reshape(-1)
+            payload = _codes_payload(inter, bits)
+            f.write(payload)
+            odd ^= bool(len(payload) & 1)
+            if progress_cb and frames:
+                progress_cb(e / frames)
+        if odd:
             f.write(b"\x00")  # RIFF chunks are word-aligned
 
 
@@ -607,12 +629,26 @@ def read_raw_pcm(path: str) -> tuple[np.ndarray, AudioFileInfo]:
 
 
 def write_wav_payload(path: str, payload: np.ndarray, channels: int, rate: int,
-                      bits: int = 24) -> None:
+                      bits: int = 24, progress_cb=None,
+                      chunk_frames: int = 1 << 20) -> None:
     """Write a pre-packed interleaved PCM payload (uint8, the download format
-    of `f9tpu.ops.devcodec.pack24_interleaved`) after a WAV header."""
-    frames = len(payload) // (channels * (bits // 8))
+    of `f9tpu.ops.devcodec.pack24_interleaved`) after a WAV header.
+
+    ``progress_cb(done_fraction)``: chunked fwrite with per-slice callbacks
+    (sub-file encode progress; bytes identical to the one-shot form)."""
+    bpf = channels * (bits // 8)
+    frames = len(payload) // bpf
+    data = np.ascontiguousarray(payload)
     with open(path, "wb") as f:
         f.write(_wav_header(frames, channels, rate, bits, is_float=False))
-        f.write(np.ascontiguousarray(payload).tobytes())
-        if (frames * channels * (bits // 8)) & 1:
+        if progress_cb and frames:
+            for s in range(0, frames, chunk_frames):
+                e = min(frames, s + chunk_frames)
+                f.write(data[s * bpf: e * bpf].tobytes())
+                progress_cb(e / frames)
+            if len(data) > frames * bpf:   # trailing partial-frame bytes
+                f.write(data[frames * bpf:].tobytes())
+        else:
+            f.write(data.tobytes())
+        if (frames * bpf) & 1:
             f.write(b"\x00")

@@ -37,6 +37,15 @@ from .manifest import FileStatus, JobManifest
 
 __all__ = ["BatchResult", "BatchProcessor", "build_output_path"]
 
+#: files at/above this many source frames get sub-file decode/encode
+#: progress (chunked host stages reporting fractional manifest progress —
+#: the reference's 10-50 ms per-buffer callbacks,
+#: AudioProcessingService.swift:209-264); shorter files keep the cheap
+#: 0.3/0.4/0.7/1.0 stage ticks
+SUBFILE_PROGRESS_FRAMES = 1 << 21
+#: host-stage chunk size (frames) for the sub-file progress paths
+SUBFILE_PROGRESS_CHUNK = 1 << 20
+
 
 def build_output_path(src_path: str, output_dir: str, postfix: str,
                       fmt: str = "wav") -> str:
@@ -445,6 +454,19 @@ class BatchProcessor:
                                 info.num_frames)
                             data, rate = loader.wait(ticket)
                             audio_s = data.shape[-1] / rate
+                        elif info.num_frames >= SUBFILE_PROGRESS_FRAMES:
+                            # sub-file decode progress for long files: the
+                            # reference's throttled per-buffer callbacks
+                            # (AudioProcessingService.swift:209-264) mapped
+                            # onto the decode stage's 0 -> 0.3 span
+                            manifest.update(info.path, FileStatus.PROCESSING,
+                                            progress=0.0)
+                            data, rate = codec.read_audio_progress(
+                                info.path,
+                                lambda fr, _p=info.path:
+                                    manifest.set_progress(_p, 0.3 * fr),
+                                chunk_frames=SUBFILE_PROGRESS_CHUNK)
+                            audio_s = data.shape[-1] / rate
                         else:
                             data, rate = codec.read_audio(info.path)
                             audio_s = data.shape[-1] / rate
@@ -517,18 +539,26 @@ class BatchProcessor:
                     t0 = time.time()
                     out_path = out_paths[path]
                     aiff_out = cfg.output_format == "aiff"
+                    prog = None
+                    if out_frames >= SUBFILE_PROGRESS_FRAMES:
+                        # sub-file encode progress (0.7 -> 1.0 span); the
+                        # COMPLETED update below pins exactly 1.0
+                        prog = (lambda fr, _p=path:
+                                manifest.set_progress(_p, 0.7 + 0.3 * fr))
                     if metrics.get("payload"):
                         # device-packed 24-bit bytes: header + fwrite
                         out_ch = metrics["out_channels"]
                         writer = (aiff.write_aiff_payload if aiff_out
                                   else wav.write_wav_payload)
                         writer(out_path, codes[: out_frames * out_ch * 3],
-                               out_ch, rate_out, bits=24)
+                               out_ch, rate_out, bits=24, progress_cb=prog,
+                               chunk_frames=SUBFILE_PROGRESS_CHUNK)
                     else:
                         writer = (aiff.write_aiff_codes if aiff_out
                                   else wav.write_wav_codes)
                         writer(out_path, codes[:, :out_frames], rate_out,
-                               bits=cfg.bits)
+                               bits=cfg.bits, progress_cb=prog,
+                               chunk_frames=SUBFILE_PROGRESS_CHUNK)
                     if cfg.keep_metadata:
                         # same-container passthrough only (chunk formats
                         # don't translate across RIFF <-> IFF)
@@ -697,6 +727,10 @@ class BatchProcessor:
                     n = min(d.data.shape[-1], blen)
                     x[i, :, :n] = d.data[:, :n]
                     valid[i] = n
+            for d in batch_x:
+                # staged-for-device tick between decoded (0.3) and device
+                # done (0.7) so long device waits aren't a progress silence
+                manifest.set_progress(d.entry_path, 0.4)
             sub = jnp.asarray(seeds)
             if self.mesh is not None:
                 from ..parallel.mesh import NamedSharding, P
