@@ -350,6 +350,10 @@ def write_aiff_codes(path: str, codes: np.ndarray, rate: int,
     ``progress_cb(done_fraction)``: chunked interleave/pack/write with a
     callback per slice (sub-file encode progress; packing is frame-local so
     bytes are identical to the one-shot form)."""
+    if bits not in (16, 24, 32):
+        # validate BEFORE opening: the chunked path must not leave a
+        # header-only corpse when the first payload chunk would raise
+        raise ValueError(f"unsupported AIFF bit depth {bits}")
     codes = np.asarray(codes)
     if codes.ndim == 1:
         codes = codes[None, :]

@@ -469,17 +469,16 @@ def write_wav_codes(path: str, codes: np.ndarray, rate: int, bits: int = 24,
     channels, frames = codes.shape
     with open(path, "wb") as f:
         f.write(_wav_header(frames, channels, rate, bits, is_float=False))
-        odd = False
-        for s in range(0, max(frames, 1), chunk_frames if progress_cb else
-                       max(frames, 1)):
-            e = min(frames, s + chunk_frames) if progress_cb else frames
-            inter = np.ascontiguousarray(codes[:, s:e].T).reshape(-1)
-            payload = _codes_payload(inter, bits)
-            f.write(payload)
-            odd ^= bool(len(payload) & 1)
-            if progress_cb and frames:
+        if progress_cb and frames:
+            for s in range(0, frames, chunk_frames):
+                e = min(frames, s + chunk_frames)
+                inter = np.ascontiguousarray(codes[:, s:e].T).reshape(-1)
+                f.write(_codes_payload(inter, bits))
                 progress_cb(e / frames)
-        if odd:
+        else:
+            inter = np.ascontiguousarray(codes.T).reshape(-1)
+            f.write(_codes_payload(inter, bits))
+        if (frames * channels * (bits // 8)) & 1:
             f.write(b"\x00")  # RIFF chunks are word-aligned
 
 
@@ -553,6 +552,8 @@ class WavReader:
             x = _unpack24_dispatch(np.frombuffer(raw, np.uint8))
         elif bits == 32:
             x = np.frombuffer(raw, "<i4").astype(np.float32) / 2147483648.0
+        elif bits == 8:   # unsigned, offset-128 (same branch as read_wav)
+            x = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
         else:
             raise ValueError(f"unsupported bit depth {bits}")
         n = len(x) // channels

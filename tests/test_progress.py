@@ -63,11 +63,24 @@ def test_payload_writers_chunked_byte_identical(tmp_path):
         assert seen == sorted(seen) and seen[-1] == 1.0 and len(seen) > 3
 
 
-@pytest.mark.parametrize("mk", ["wav16", "wav24", "wav_f32", "aiff24"])
+@pytest.mark.parametrize("mk", ["wav8", "wav16", "wav24", "wav_f32",
+                                "aiff24"])
 def test_read_audio_progress_matches_read_audio(tmp_path, mk):
     rng = np.random.default_rng(11)
     x = (0.4 * rng.standard_normal((2, 6007))).astype(np.float32)
-    if mk == "wav16":
+    if mk == "wav8":
+        # hand-built unsigned 8-bit PCM (no writer emits it; readers must
+        # still decode it identically whichever path the scheduler takes)
+        import struct
+        p = str(tmp_path / "a.wav")
+        u8 = np.clip(np.round(x * 128.0) + 128.0, 0, 255).astype(np.uint8)
+        payload = np.ascontiguousarray(u8.T).reshape(-1).tobytes()
+        hdr = (b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+               + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 32000,
+                                       32000 * 2, 2, 8)
+               + b"data" + struct.pack("<I", len(payload)))
+        open(p, "wb").write(hdr + payload)
+    elif mk == "wav16":
         p = str(tmp_path / "a.wav"); write_wav(p, x, 32000, bits=16)
     elif mk == "wav24":
         p = str(tmp_path / "a.wav"); write_wav(p, x, 32000, bits=24)
@@ -94,6 +107,18 @@ def test_read_audio_progress_truncated_file(tmp_path):
     ref, _ = codec.read_audio(p)
     got, _ = codec.read_audio_progress(p, lambda fr: None, chunk_frames=999)
     np.testing.assert_array_equal(got, ref)
+
+
+def test_aiff_bad_bits_raises_before_writing(tmp_path):
+    """The chunked AIFF writer must validate bit depth BEFORE opening the
+    file — a lazy in-generator raise would leave a header-only corpse and
+    destroy any pre-existing deliverable at that path."""
+    p = str(tmp_path / "keep.aiff")
+    open(p, "wb").write(b"PRECIOUS")
+    with pytest.raises(ValueError, match="bit depth"):
+        aiff.write_aiff_codes(p, _codes(1, 100), 44100, bits=8,
+                              progress_cb=lambda fr: None, chunk_frames=10)
+    assert open(p, "rb").read() == b"PRECIOUS"
 
 
 def test_scheduler_subfile_progress(tmp_path, monkeypatch):
