@@ -142,16 +142,16 @@ def main() -> None:
         return 20 * np.log10(np.sqrt((err**2).mean())
                              / np.sqrt((ref**2).mean()) + 1e-30)
 
-    def graph_case(r_in, r_out, quality):
+    def graph_case(r_in, r_out, quality, kind="sinc"):
         # the scheduler's own dispatch for this pair/preset: rows fast path
         # when applicable, else the flat conv graph — certifies whatever a
         # production run would actually execute
         from f9tpu.ops.pallas_src import rows_pre_applicable
 
-        bank_c = design_cycle_bank(r_in, r_out, quality=quality)
+        bank_c = design_cycle_bank(r_in, r_out, quality=quality, kind=kind)
         acc_cfg = ProcessingConfig(output_dir="/tmp/bench_out",
                                    target_rate=r_out, quality=quality,
-                                   dither=False, remove_dc=False)
+                                   kind=kind, dither=False, remove_dc=False)
         from f9tpu.pipeline.graph import process_batch
 
         res = process_batch(
@@ -163,7 +163,8 @@ def main() -> None:
         out_frames = int(np.asarray(res.out_frames)[0])
         codes = codes.reshape(1, codes.shape[1], -1)
         got = codes[0, 0, :out_frames].astype(np.float64) / (1 << 23)
-        ref = resample_oracle(xa_h[0, 0], r_in, r_out, quality=quality)
+        ref = resample_oracle(xa_h[0, 0], r_in, r_out, quality=quality,
+                              kind=kind)
         err = got - ref[:out_frames]
         return 20 * np.log10(np.sqrt((err**2).mean())
                              / np.sqrt((ref**2).mean()) + 1e-30)
@@ -178,6 +179,10 @@ def main() -> None:
         # a 176.4 kHz pair (the last supported rate family uncovered by the
         # driver artifact through round 2)
         "down_176k_to_48k": graph_case(176400, 48000, "high"),
+        # round 3's minimum-phase kind (real-cepstrum causal bank, no
+        # pre-ringing): certify it in the surviving artifact too
+        "minphase_44k_to_48k": graph_case(44100, 48000, "high",
+                                          kind="minphase"),
     }
     for name, db in gates.items():
         status = "OK" if db <= -120.0 else "FAIL"
