@@ -201,7 +201,8 @@ def main() -> None:
     # (the streaming path's shape) is reported alongside; both trace the
     # same `_banded_eval_rows`, so their floats are bitwise identical and
     # ONE oracle gate certifies both. ----
-    from f9tpu.ops.resample import (banded_rows_plan, resample_banded,
+    from f9tpu.ops.resample import (banded_rows_plan, marshal_banded_rows,
+                                    resample_banded,
                                     resample_banded_rows_pre)
 
     vs_bank = design_cycle_bank(44100, 44056, quality="high")
@@ -209,9 +210,7 @@ def main() -> None:
     total_v = (n_rows_v - 1) * vs_bank.M + w_row_v
     flat_v = np.zeros((files, channels, total_v), np.float32)
     flat_v[:, :, pf_v: pf_v + frames] = xf
-    xv_rows = jnp.asarray(np.ascontiguousarray(
-        np.lib.stride_tricks.sliding_window_view(
-            flat_v, w_row_v, axis=-1)[..., :: vs_bank.M, :]))
+    xv_rows = jnp.asarray(marshal_banded_rows(flat_v, vs_bank))
     wv = measure_op(lambda xx: resample_banded_rows_pre(xx, vs_bank),
                     xv_rows, n=8, repeats=3)
     vs_x_rt = (files * frames / 44100) / wv

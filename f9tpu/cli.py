@@ -450,8 +450,23 @@ def cmd_watch(args) -> int:
         seed=None if args.seed == -1 else args.seed,
         chain=_build_chain(args),
     )
+    if os.path.realpath(args.out) == os.path.realpath(args.dir):
+        # outputs landing in the watched folder would be picked up and
+        # reprocessed forever (x -> x_processed -> x_processed_processed...)
+        print("watch: --out must differ from the watched folder",
+              file=sys.stderr)
+        return 2
+    try:
+        # fail at startup, not on the first drop hours later
+        cfg.validate()
+    except ValueError as err:
+        print(f"watch: invalid config: {err}", file=sys.stderr)
+        return 2
     os.makedirs(args.out, exist_ok=True)
-    log = StatusLog(sink=lambda line: print(line, flush=True))
+    # the sink prints every line; cap in-memory retention so a weeks-long
+    # serving daemon doesn't grow without bound
+    log = StatusLog(sink=lambda line: print(line, flush=True),
+                    max_lines=1000)
     cal = CalibrationCache(os.path.join(args.out, ".calibration.json"))
     manifest_path = os.path.join(args.out, ".manifest.json")
     seen_sig: dict[str, tuple] = {}      # path -> (size, mtime) last sweep
@@ -469,6 +484,7 @@ def cmd_watch(args) -> int:
             print(f"watch: cannot list {args.dir}: {err}", file=sys.stderr)
             return 2
         ready = []
+        changing = False          # some candidate is still being copied in
         for name in names:
             path = os.path.join(args.dir, name)
             if not codec.is_supported(name) or not os.path.isfile(path):
@@ -482,6 +498,8 @@ def cmd_watch(args) -> int:
                 continue                 # already processed this content
             if seen_sig.get(path) == sig:        # stable across two sweeps
                 ready.append(path)
+            else:
+                changing = True
             seen_sig[path] = sig
         if ready:
             # the cumulative manifest handles every case: new files process,
@@ -489,12 +507,21 @@ def cmd_watch(args) -> int:
             # RE-dropped files with new content reprocess (the manifest
             # stores the INPUT signature too) and overwrite the deliverable
             idle = 0.0
-            bp = BatchProcessor(cfg, log=log, calibration=cal)
-            res = bp.run(ready, manifest_path=manifest_path)
-            for p in ready:              # terminal either way; FAILED files
-                done_sig[p] = seen_sig[p]  # are in the manifest, not retried
-            log.append(f"watch sweep {sweeps}: {res.completed} completed, "
-                       f"{res.failed} failed")
+            try:
+                bp = BatchProcessor(cfg, log=log, calibration=cal)
+                res = bp.run(ready, manifest_path=manifest_path)
+            except Exception as err:
+                # keep serving: a transient device/compile failure recovers
+                # on a later sweep (the files stay unmarked and retry); a
+                # deterministic one shows up as a repeated, visible error
+                log.append(f"watch sweep {sweeps} FAILED: {err}")
+            else:
+                for p in ready:          # terminal either way; FAILED files
+                    done_sig[p] = seen_sig[p]  # are in the manifest, not retried
+                log.append(f"watch sweep {sweeps}: {res.completed} completed, "
+                           f"{res.failed} failed")
+        elif changing:
+            idle = 0.0                   # a copy in progress is not idleness
         else:
             idle += args.interval
         if args.sweeps and sweeps >= args.sweeps:

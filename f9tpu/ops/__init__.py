@@ -1,5 +1,6 @@
 from .resample import (  # noqa: F401
     banded_rows_plan,
+    marshal_banded_rows,
     resample,
     resample_banded,
     resample_banded_rows_pre,

@@ -259,6 +259,23 @@ def banded_rows_plan(bank: CycleBank, frames: int) -> tuple[int, int, int]:
     return -(-n_out // bank.L), w_rows, bank.pad_front
 
 
+def marshal_banded_rows(flat: np.ndarray, bank: CycleBank,
+                        n_rows: int | None = None) -> np.ndarray:
+    """Overlapping cycle rows from zero-padded flat staging ``(..., total)``:
+    one strided window view + one contiguous copy — the host side of
+    `resample_banded_rows_pre` (rows overlap by ``row_width - M``, ~1%
+    duplicate bytes).  ``flat`` must already hold the signal at offset
+    ``pad_front`` (see `banded_rows_plan`); ``n_rows`` caps the row count
+    when the staging carries extra tail room.  The one shared marshal for
+    the batch scheduler, both streaming loops, and the bench."""
+    w_rows = _banded_plan(bank)[3]
+    v = np.lib.stride_tricks.sliding_window_view(
+        flat, w_rows, axis=-1)[..., ::bank.M, :]
+    if n_rows is not None:
+        v = v[..., :n_rows, :]
+    return np.ascontiguousarray(v)
+
+
 def resample_banded_rows_pre(xrows: jax.Array, bank: CycleBank) -> jax.Array:
     """Banded SRC on already rows-marshalled input: ``(..., Q, row_width)``
     -> ``(..., Q, L)`` cycle rows (logical output sample ``t`` lives at

@@ -22,17 +22,25 @@ __all__ = ["StatusLog", "Throughput"]
 class StatusLog:
     """Thread-safe append-only log with ISO8601 timestamps."""
 
-    def __init__(self, sink: Callable[[str], None] | None = None, jsonl_path: str | None = None):
+    def __init__(self, sink: Callable[[str], None] | None = None,
+                 jsonl_path: str | None = None,
+                 max_lines: int | None = None):
+        """``max_lines``: in-memory retention cap (oldest lines dropped) for
+        long-running daemons (watch mode) where the sink/JSONL already
+        persists every line; None keeps everything (batch runs)."""
         self._lines: list[str] = []
         self._lock = threading.Lock()
         self._sink = sink
         self._jsonl_path = jsonl_path
+        self._max_lines = max_lines
 
     def append(self, message: str, **fields) -> str:
         ts = datetime.datetime.now().isoformat(timespec="seconds")
         line = f"[{ts}] {message}"
         with self._lock:
             self._lines.append(line)
+            if self._max_lines and len(self._lines) > self._max_lines:
+                del self._lines[: len(self._lines) - self._max_lines]
             if self._jsonl_path:
                 with open(self._jsonl_path, "a") as f:
                     f.write(json.dumps({"ts": ts, "msg": message, **fields}) + "\n")

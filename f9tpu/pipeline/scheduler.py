@@ -192,19 +192,35 @@ class BatchProcessor:
         # interleave into one corrupt WAV) ----
         out_paths: dict[str, str] = {}
         taken: dict[str, int] = {}
+        will_process = {p for p in run_files
+                        if manifest.get(p).status == FileStatus.PENDING}
         for e in manifest.entries():
-            # deliverables recorded by earlier runs (cumulative manifest)
-            # are reserved so a new same-stem input can't overwrite them
-            if e.path not in listed and e.output_path:
+            # deliverables recorded by files NOT being (re)processed this
+            # run — earlier runs' entries (cumulative manifest) and this
+            # run's already-completed files — are reserved so a new
+            # same-stem input can't overwrite them.  A file being
+            # reprocessed (content re-drop) keeps its own name free.
+            if e.path not in will_process and e.output_path:
                 taken.setdefault(e.output_path, 1)
         for path in run_files:
+            if path not in will_process:
+                continue
             e = manifest.get(path)
             base = build_output_path(e.path, cfg.output_dir, cfg.postfix,
                                      fmt=cfg.output_format)
             if base in taken:
-                taken[base] += 1
                 stem, ext = os.path.splitext(base)
-                out = f"{stem}_{taken[base]}{ext}"
+                n = taken[base]
+                while True:
+                    # the suffixed candidate must itself dodge every
+                    # reserved name (an earlier run's f_2.wav would
+                    # otherwise be silently overwritten)
+                    n += 1
+                    out = f"{stem}_{n}{ext}"
+                    if out not in taken:
+                        break
+                taken[base] = n
+                taken[out] = 1
                 self.log.append(
                     f"Output name collision: {os.path.basename(e.path)} -> "
                     f"{os.path.basename(out)}")
@@ -694,19 +710,17 @@ class BatchProcessor:
                 # (rows overlap by row_width - M, ~1% extra bytes); the
                 # device skips its misaligned cycle retiling (15 -> 3.2 ms
                 # at bench scale, docs/PERF.md round 3)
-                from ..ops.resample import banded_rows_plan
+                from ..ops.resample import banded_rows_plan, marshal_banded_rows
 
                 bank_v = b["rows_bank"]
                 n_rows, w_row, pf = banded_rows_plan(bank_v, blen)
-                total = (n_rows - 1) * bank_v.M + w_row
-                flat = np.zeros((bs, channels, total), np.float32)
+                total_len = (n_rows - 1) * bank_v.M + w_row
+                flat = np.zeros((bs, channels, total_len), np.float32)
                 for i, d in enumerate(batch_x):
                     n = min(d.data.shape[-1], blen)
                     flat[i, :, pf : pf + n] = d.data[:, :n]
                     valid[i] = n
-                x = np.ascontiguousarray(
-                    np.lib.stride_tricks.sliding_window_view(
-                        flat, w_row, axis=-1)[..., :: bank_v.M, :])
+                x = marshal_banded_rows(flat, bank_v)
             elif b["rows_bank"] is not None:
                 # host-rows marshalling: write samples at flat offset
                 # pad_front of the zero (n_rows, M) tiling (contiguous

@@ -493,7 +493,8 @@ def stream_resample_file(
             # (docs/PERF.md round 3b: the flat form's device-side retiling
             # costs ~4x the banded resampler itself).  Bitwise-identical
             # output: `_banded_core` builds the exact same rows on device.
-            from ..ops.resample import _banded_plan, banded_rows_applicable
+            from ..ops.resample import (_banded_plan, banded_rows_applicable,
+                                        marshal_banded_rows)
 
             rows_form = banded_rows_applicable(bank)
             if rows_form:
@@ -504,9 +505,7 @@ def stream_resample_file(
                     if flat.shape[1] < need:
                         flat = np.pad(flat,
                                       ((0, 0), (0, need - flat.shape[1])))
-                    v = np.lib.stride_tricks.sliding_window_view(
-                        flat, w_rows, axis=-1)[:, ::M, :][:, :cycles]
-                    return np.ascontiguousarray(v)
+                    return marshal_banded_rows(flat, bank, n_rows=cycles)
 
             start = 0
             done = out_limit == 0
@@ -667,7 +666,8 @@ def _stream_sharded(reader, routed_read, out_ch, silent, out_path, cfg, bank,
     # and shard the CYCLE axis — rows carry their own overlap, so the
     # banded einsums partition with ZERO collectives (no ppermute halos),
     # and the output is bitwise-identical to the single-chip rows form.
-    from ..ops.resample import _banded_plan, banded_rows_applicable
+    from ..ops.resample import (_banded_plan, banded_rows_applicable,
+                                marshal_banded_rows)
 
     rows_form = banded_rows_applicable(bank)
     if rows_form:
@@ -688,9 +688,7 @@ def _stream_sharded(reader, routed_read, out_ch, silent, out_path, cfg, bank,
         while not done:
             if rows_form:
                 flatbuf = read_span(start - bank.pad_front, rows_need)
-                rows = np.ascontiguousarray(
-                    np.lib.stride_tricks.sliding_window_view(
-                        flatbuf, w_rows, axis=-1)[:, ::bank.M, :][:, :Qc])
+                rows = marshal_banded_rows(flatbuf, bank, n_rows=Qc)
                 y = _banded_rows_sharded_step(
                     jax.device_put(rows, rows_sharding),
                     rate_in=rate_in, rate_out=cfg.target_rate,

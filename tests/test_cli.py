@@ -500,3 +500,93 @@ def test_cli_preview_quality_kind_plumbed(tmp_path):
     assert y1.shape == y2.shape
     # different filter families genuinely produce different renders
     assert not np.array_equal(y1, y2)
+
+
+def test_cli_watch_rejects_out_equals_dir(tmp_path, capsys):
+    """--out == watched folder would self-feed (outputs picked up and
+    reprocessed forever); refused at startup."""
+    d = tmp_path / "drop"
+    d.mkdir()
+    rc = main(["watch", str(d), "--out", str(d), "--rate", "48000",
+               "--quality", "low", "--interval", "0.05", "--sweeps", "1"])
+    assert rc == 2
+    assert "must differ" in capsys.readouterr().err
+
+
+def test_cli_watch_rejects_invalid_config_at_startup(tmp_path, capsys):
+    """Config errors fail at startup, not on the first drop hours later."""
+    d = tmp_path / "drop"
+    d.mkdir()
+    rc = main(["watch", str(d), "--out", str(tmp_path / "out"), "--rate",
+               "48000", "--quality", "low", "--normalize-tp", "-1",
+               "--interval", "0.05", "--sweeps", "1"])
+    assert rc == 2
+    assert "invalid config" in capsys.readouterr().err
+
+
+def test_cli_watch_survives_run_exception(tmp_path, monkeypatch, capsys):
+    """A run-level failure (transient device/compile error) must not kill
+    the serving daemon; the sweep logs FAILED and the loop continues."""
+    import f9tpu.cli as cli_mod
+
+    d = tmp_path / "drop"
+    d.mkdir()
+    write_wav(str(d / "x.wav"),
+              (0.1 * np.random.default_rng(0).standard_normal((1, 3000))
+               ).astype(np.float32), 44100, bits=24)
+
+    class Boom:
+        def __init__(self, *a, **k):
+            pass
+
+        def run(self, *a, **k):
+            raise RuntimeError("calibration impulse not detected")
+
+    monkeypatch.setattr(cli_mod, "BatchProcessor", Boom)
+    rc = main(["watch", str(d), "--out", str(tmp_path / "out"), "--rate",
+               "48000", "--quality", "low", "--interval", "0.05",
+               "--sweeps", "4"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "FAILED: calibration impulse not detected" in out
+    # the loop kept sweeping after the failure (retry, not crash)
+    assert out.count("FAILED") >= 2
+
+
+def test_cli_watch_growing_file_is_not_idle(tmp_path, capsys):
+    """A file still being copied in must reset the idle clock (old behavior
+    exited mid-copy and dropped the file), and once it stabilizes it is
+    processed; idle exit happens only after real quiet."""
+    import time as _time
+
+    d = tmp_path / "drop"
+    d.mkdir()
+    p = str(d / "grow.wav")
+    rng = np.random.default_rng(1)
+    x = (0.1 * rng.standard_normal((1, 3000))).astype(np.float32)
+
+    calls = {"n": 0}
+    real_sleep = _time.sleep
+
+    def mutating_sleep(s):
+        calls["n"] += 1
+        if calls["n"] <= 4:
+            # keep the file growing for the first sweeps (copy in progress)
+            write_wav(p, x[:, : 1000 + 400 * calls["n"]], 44100, bits=24)
+        real_sleep(min(s, 0.01))
+
+    write_wav(p, x[:, :1000], 44100, bits=24)
+    orig = _time.sleep
+    _time.sleep = mutating_sleep
+    try:
+        rc = main(["watch", str(d), "--out", str(tmp_path / "out"), "--rate",
+                   "48000", "--quality", "low", "--seed", "1", "--interval",
+                   "0.2", "--exit-after-idle", "0.5", "--sweeps", "40"])
+    finally:
+        _time.sleep = orig
+    assert rc == 0
+    out = capsys.readouterr().out
+    # the growing phase spans >= 4 intervals = 0.8s > exit-after-idle 0.5s:
+    # an idle-exit before processing would leave no deliverable
+    assert "grow_processed.wav" in "".join(os.listdir(tmp_path / "out"))
+    assert "1 completed" in out

@@ -42,3 +42,18 @@ def test_throughput_summary():
     assert s["decode"]["audio_seconds"] == 20.0
     assert abs(s["decode"]["x_realtime"] - 5.0) < 1e-9
     assert s["device"]["x_realtime"] > 1000
+
+
+def test_status_log_max_lines_cap():
+    """Serving mode (watch) caps in-memory retention; the sink still sees
+    every line."""
+    from f9tpu.pipeline.logbook import StatusLog
+
+    sunk = []
+    log = StatusLog(sink=sunk.append, max_lines=10)
+    for i in range(25):
+        log.append(f"line {i}")
+    assert len(sunk) == 25
+    kept = log.lines
+    assert len(kept) == 10
+    assert kept[-1].endswith("line 24") and kept[0].endswith("line 15")

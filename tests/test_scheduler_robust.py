@@ -336,3 +336,45 @@ class TestResumeMtimeFastPath:
         m2 = JobManifest.load_or_create([src], mpath)
         assert calls["n"] == 1
         assert m2.get(src).status == FileStatus.COMPLETED  # content intact
+
+
+class TestCrossRunNaming:
+    def test_suffixed_names_respect_earlier_reservations(self, tmp_path):
+        """Three same-stem inputs over three runs sharing a cumulative
+        manifest: each must get a distinct deliverable, and a later run's
+        generated suffix must never overwrite an earlier run's recorded
+        one (the f_processed_2.wav hole)."""
+        outs = str(tmp_path / "out")
+        mpath = str(tmp_path / "m.json")
+        cfg = ProcessingConfig(output_dir=outs, target_rate=48000,
+                               quality="low", seed=3)
+        paths = []
+        for i in range(3):
+            d = tmp_path / f"in{i}"
+            d.mkdir()
+            paths.append(_mk(d, "f.wav", 3000 + 100 * i, seed=40 + i))
+        for p in paths:
+            assert BatchProcessor(cfg).run(
+                [p], manifest_path=mpath).completed == 1
+        names = sorted(o for o in os.listdir(outs) if o.endswith(".wav"))
+        assert names == ["f_processed.wav", "f_processed_2.wav",
+                         "f_processed_3.wav"], names
+        # each deliverable decodes to a distinct length (nothing overwritten)
+        lens = {read_wav(os.path.join(outs, n))[0].shape[-1] for n in names}
+        assert len(lens) == 3
+
+    def test_reprocessed_file_keeps_its_name(self, tmp_path):
+        """A re-dropped (changed content) file must overwrite its OWN
+        deliverable, not shift to a suffixed name."""
+        outs = str(tmp_path / "out")
+        mpath = str(tmp_path / "m.json")
+        cfg = ProcessingConfig(output_dir=outs, target_rate=48000,
+                               quality="low", seed=4)
+        p = _mk(tmp_path, "g.wav", 3000, seed=50)
+        assert BatchProcessor(cfg).run([p], manifest_path=mpath).completed == 1
+        _mk(tmp_path, "g.wav", 4000, seed=51)          # replaced content
+        assert BatchProcessor(cfg).run([p], manifest_path=mpath).completed == 1
+        names = sorted(o for o in os.listdir(outs) if o.endswith(".wav"))
+        assert names == ["g_processed.wav"], names
+        y, _ = read_wav(os.path.join(outs, names[0]))
+        assert y.shape[-1] == round(4000 * 48000 / 44100)
