@@ -206,7 +206,9 @@ def _append_chunks_generic(path: str, chunks: list, big_endian: bool) -> None:
             else:
                 f.seek(4)
                 f.write(struct.pack(fmt, total - 8))
-        except OSError:
+        except (OSError, struct.error):
+            # struct.error: the patched container size no longer fits 32
+            # bits (non-RF64 file near 4 GiB) — restore, same as an IO fault
             f.truncate(end0)     # restore a valid file (metadata dropped)
             raise
 

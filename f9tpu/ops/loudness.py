@@ -393,7 +393,8 @@ def normalization_gain_db(target_lufs: float, source_lufs: float,
         over = source_tp_db + gain_db + static_gain_db - tp_ceiling_db
         if over > 0:
             gain_db -= over
-            note = f", capped at {tp_ceiling_db:+.1f} dBTP"
+            # append: a clamp note must survive when the cap also engages
+            note += f", capped at {tp_ceiling_db:+.1f} dBTP"
     return gain_db, note
 
 

@@ -870,7 +870,9 @@ class BatchProcessor:
                     progress_cb=lambda p, _p=info.path:
                         manifest.set_progress(_p, p),
                     latency_frames=s_lat)
-                self.throughput.add("device", info.num_frames / s_rate_in,
+                # a whole-stream wall (decode+link+encode) must not pollute
+                # the device-resident stage counters PERF.md compares
+                self.throughput.add("stream", info.num_frames / s_rate_in,
                                     time.time() - t0)
                 audio_in += info.num_frames / s_rate_in
                 audio_out += n / cfg.target_rate

@@ -463,9 +463,13 @@ def stream_resample_file(
         if cfg.chain is not None:
             carry_frames = int(cfg.chain.tail_frames(cfg.target_rate))
             if carry_frames >= cycles * bank.L:
-                raise ValueError(
-                    f"chain ring-out ({carry_frames} frames) exceeds one "
-                    f"streaming chunk ({cycles * bank.L}); raise chunk_seconds")
+                # the chain ring must fit one chunk — GROW the chunk instead
+                # of failing (output is chunk-size invariant to the usual
+                # cross-conv-shape contract, tested), so the scheduler can
+                # route any oversized chain config here: memory becomes
+                # O(ring-out), which is the floor for streaming this chain
+                cycles = carry_frames // bank.L + 1
+                chunk_in = cycles * bank.M
         carry = jnp.zeros((out_ch, carry_frames), jnp.float32)
         detector = None
         if reverb and T > 0:
@@ -546,16 +550,26 @@ def stream_resample_file(
 
 
 def _carry_metadata(in_path: str, out_path: str, cfg, rate_in: int) -> None:
-    """Best-effort --keep-metadata for the streaming path (WAV->WAV; the
-    reader walk is seek-based, so inputs bigger than RAM stay safe)."""
-    if not (cfg.keep_metadata and cfg.output_format == "wav"):
+    """Best-effort --keep-metadata for the streaming path.  Same-container
+    passthrough only (chunk formats don't translate across RIFF <-> IFF),
+    exactly the batch encode worker's rule; both reader walks are
+    seek-based, so inputs bigger than RAM stay safe."""
+    if not cfg.keep_metadata:
         return
-    from ..io.wav import (append_chunks, read_extra_chunks,
-                          scale_metadata_chunks)
-
+    src_wav = in_path.lower().endswith(".wav")
     try:
-        append_chunks(out_path, scale_metadata_chunks(
-            read_extra_chunks(in_path), rate_in, cfg.target_rate))
+        if src_wav and cfg.output_format == "wav":
+            from ..io.wav import (append_chunks, read_extra_chunks,
+                                  scale_metadata_chunks)
+
+            append_chunks(out_path, scale_metadata_chunks(
+                read_extra_chunks(in_path), rate_in, cfg.target_rate))
+        elif not src_wav and cfg.output_format == "aiff":
+            from ..io.aiff import (append_chunks_aiff, read_extra_chunks_aiff,
+                                   scale_metadata_chunks_aiff)
+
+            append_chunks_aiff(out_path, scale_metadata_chunks_aiff(
+                read_extra_chunks_aiff(in_path), rate_in, cfg.target_rate))
     except (ValueError, OSError, MemoryError):
         pass      # metadata is best-effort; the audio is complete
 

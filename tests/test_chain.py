@@ -439,19 +439,30 @@ def test_stream_with_chain_matches_whole_file(tmp_path):
                                atol=6.0 / (1 << 23))
 
 
-def test_stream_chain_ringout_must_fit_chunk(tmp_path):
+def test_stream_chain_ringout_grows_chunk(tmp_path):
+    """A ring-out bigger than the requested chunk no longer raises: the
+    chunk grows to hold the chain state (the scheduler routes oversized
+    chain configs here, so a hard failure would regress them)."""
     from f9tpu.io import wav
     from f9tpu.pipeline.stream import stream_resample_file
 
     x = np.zeros((1, 44100), np.float32)
+    x[0, 1000] = 0.5
     src = str(tmp_path / "z.wav")
     wav.write_wav(src, x, 44100, bits=24)
     ir = np.ones(48000, np.float32)          # 1 s ring-out > 0.2 s chunk
     cfg = ProcessingConfig(output_dir=str(tmp_path), target_rate=48000,
-                           quality="low", chain=Chain(ConvolutionReverb(ir)))
-    with pytest.raises(ValueError, match="chunk_seconds"):
-        stream_resample_file(src, str(tmp_path / "o.wav"), cfg,
-                             chunk_seconds=0.2)
+                           quality="low", seed=2,
+                           chain=Chain(ConvolutionReverb(ir)))
+    o1 = str(tmp_path / "small.wav")
+    n1 = stream_resample_file(src, o1, cfg, chunk_seconds=0.2)
+    o2 = str(tmp_path / "big.wav")
+    n2 = stream_resample_file(src, o2, cfg, chunk_seconds=2.0)
+    assert n1 == n2 == 48000
+    y1, _ = wav.read_wav(o1)
+    y2, _ = wav.read_wav(o2)
+    diff = np.round(y1 * (1 << 23)) - np.round(y2 * (1 << 23))
+    assert np.abs(diff).max() <= 16          # cross-conv-shape contract
 
 
 # ------------------------------------------------------------------- dynamics

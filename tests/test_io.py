@@ -598,3 +598,54 @@ def test_stream_metadata_passthrough(tmp_path):
     n = stream_resample_file(src, out, cfg, chunk_seconds=0.3)
     assert n == 48000
     assert (b"bext", bext) in read_extra_chunks(out)
+
+
+def test_stream_aiff_metadata_passthrough(tmp_path):
+    """aiff -> aiff on the STREAMING path with --keep-metadata: same-container
+    passthrough (the batch worker's rule) — NAME carried, MARK rescaled.
+    Round-3 review finding: metadata survival must not depend on file length."""
+    import struct as _st
+
+    from f9tpu.config import ProcessingConfig
+    from f9tpu.io.aiff import (append_chunks_aiff, read_aiff,
+                               read_extra_chunks_aiff, write_aiff)
+    from f9tpu.pipeline import stream_resample_file
+
+    x = (0.2 * np.random.default_rng(3).standard_normal((2, 44100))
+         ).astype(np.float32)
+    src = str(tmp_path / "sm.aiff")
+    write_aiff(src, x, 44100, bits=24)
+    name = b"Streamed take"
+    mark = _st.pack(">H", 1) + _st.pack(">HI", 1, 44100) + b"\x03hit"
+    append_chunks_aiff(src, [(b"NAME", name), (b"MARK", mark)])
+
+    cfg = ProcessingConfig(output_dir=str(tmp_path), target_rate=48000,
+                           quality="low", seed=1, keep_metadata=True,
+                           output_format="aiff")
+    out = str(tmp_path / "sm48.aiff")
+    n = stream_resample_file(src, out, cfg, chunk_seconds=0.3)
+    assert n == 48000
+    carried = dict(read_extra_chunks_aiff(out))
+    assert carried[b"NAME"] == name
+    assert _st.unpack_from(">I", carried[b"MARK"], 4)[0] == 48000
+    y, r = read_aiff(out)                      # audio intact after append
+    assert r == 48000 and y.shape[1] == 48000
+
+
+def test_append_chunks_size_overflow_restores_file(tmp_path):
+    """Appending metadata to a non-RF64 WAV whose patched container size no
+    longer fits 32 bits must truncate back to the original valid file (the
+    struct.error path the OSError-only except used to leak)."""
+    import struct as _st
+
+    from f9tpu.io.wav import append_chunks
+
+    p = str(tmp_path / "huge.wav")
+    with open(p, "wb") as f:
+        f.write(b"RIFF" + _st.pack("<I", 0xFFFFFFF0 - 8) + b"WAVE")
+        f.truncate(0xFFFFFFF0)                 # sparse: no real disk use
+    with pytest.raises(_st.error):
+        append_chunks(p, [(b"bext", b"x" * 600)])
+    assert os.path.getsize(p) == 0xFFFFFFF0    # appended bytes removed
+    with open(p, "rb") as f:                   # header untouched
+        assert f.read(8) == b"RIFF" + _st.pack("<I", 0xFFFFFFF0 - 8)

@@ -325,3 +325,14 @@ def test_stream_normalization_parity_with_batch(tmp_path):
     from f9tpu.ops.loudness import integrated_lufs
 
     assert abs(float(integrated_lufs(jnp.asarray(ys), 48000)) - (-18.0)) < 0.5
+
+
+def test_normalization_note_keeps_clamp_when_capped():
+    """When both the +-40 dB clamp and the dBTP ceiling engage, the note
+    must report BOTH (the cap used to overwrite the clamp diagnostic)."""
+    from f9tpu.ops.loudness import normalization_gain_db
+
+    # want = -10 - (-60) = 50 -> clamped to +40; then TP cap pulls it down
+    gain_db, note = normalization_gain_db(-10.0, -60.0, 0.0, -1.0, -20.0)
+    assert "clamped" in note and "capped" in note
+    assert gain_db == pytest.approx(40.0 - ((-20.0 + 40.0) - (-1.0)))

@@ -378,3 +378,22 @@ class TestCrossRunNaming:
         assert names == ["g_processed.wav"], names
         y, _ = read_wav(os.path.join(outs, names[0]))
         assert y.shape[-1] == round(4000 * 48000 / 44100)
+
+
+class TestOversizedChainRouting:
+    def test_oversized_long_ring_chain_streams(self, tmp_path):
+        """A chain whose ring-out exceeds the default streaming chunk used
+        to hard-fail oversized files (stream_resample_file raised): the
+        chunk now grows to fit the ring, so the file still streams."""
+        from f9tpu.ops.chain import Chain, Delay
+
+        big = _mk(tmp_path, "ring.wav", 80_000, rate=44100, seed=6)
+        cfg = ProcessingConfig(output_dir=str(tmp_path / "out"),
+                               target_rate=48000, quality="low", seed=5,
+                               bucket_frames=(16_384,), batch_size=4,
+                               chain=Chain(Delay(21.0)), latency_frames=0)
+        res = BatchProcessor(cfg).run([big])
+        assert res.completed == 1 and res.failed == 0
+        assert res.per_file[big].get("streamed") is True
+        # streamed wall is booked to its own stage, not the device counters
+        assert "stream" in res.throughput

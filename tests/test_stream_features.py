@@ -505,3 +505,32 @@ class TestStreamVarispeedRows:
         # rows marshalling is shared, so the sharded banded path is BITWISE
         # the single-chip stream (no conv-shape caveat like the dense path)
         assert open(o1, "rb").read() == open(o2, "rb").read()
+
+
+class TestChainRingAutoGrow:
+    def test_chain_ring_exceeding_chunk_autogrows(self, tmp_path):
+        """A chain whose ring-out exceeds one streaming chunk must GROW the
+        chunk (output is chunk-size invariant) instead of raising — the
+        scheduler routes any oversized chain config to this path, so a
+        hard failure here would regress files round 2 processed fine."""
+        from f9tpu.ops.chain import Chain, Delay
+
+        rate = 44100
+        rng = np.random.default_rng(21)
+        x = (0.3 * rng.standard_normal((2, rate))).astype(np.float32)
+        src = str(tmp_path / "ring.wav")
+        write_wav(src, x, rate, bits=24)
+        # 0.35 s delay ring (16800 out frames) >> one 0.1 s chunk (~4800)
+        cfg = ProcessingConfig(output_dir=str(tmp_path), target_rate=48000,
+                               quality="low", seed=3,
+                               chain=Chain(Delay(0.35)), latency_frames=0)
+        small = str(tmp_path / "small_chunk.wav")
+        n1 = stream_resample_file(src, small, cfg, chunk_seconds=0.1)
+        big = str(tmp_path / "big_chunk.wav")
+        n2 = stream_resample_file(src, big, cfg, chunk_seconds=1.0)
+        assert n1 == n2 == 48000
+        # chain conv shapes differ with chunk size, so parity is the repo's
+        # cross-shape contract (a few 24-bit codes), not byte identity
+        ys, _ = read_wav(small)
+        yb, _ = read_wav(big)
+        _assert_dither_contract(ys, yb)
