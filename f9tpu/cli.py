@@ -242,6 +242,8 @@ def cmd_process(args) -> int:
     if args.json:
         print(json.dumps({
             "completed": res.completed,
+            "skipped": res.skipped,
+            "aborted": res.aborted,
             "failed": res.failed,
             "invalid_sample_rate": res.invalid,
             "audio_seconds_out": res.audio_seconds_out,
@@ -480,8 +482,21 @@ def cmd_watch(args) -> int:
         try:
             names = sorted(os.listdir(args.dir))
         except OSError as err:
-            print(f"watch: cannot list {args.dir}: {err}", file=sys.stderr)
-            return 2
+            if sweeps == 1:
+                # a bad dir at startup is a config error: fail fast
+                print(f"watch: cannot list {args.dir}: {err}", file=sys.stderr)
+                return 2
+            # mid-life listing blip (network mount, transient EMFILE): keep
+            # serving, same containment as a processing failure
+            log.append(f"watch sweep {sweeps}: cannot list {args.dir}: {err}")
+            _time.sleep(args.interval)
+            continue
+        # prune tracking for files removed from the folder (drop-zone
+        # hygiene): a weeks-long daemon must not grow per-path state forever
+        current = {os.path.join(args.dir, n) for n in names}
+        for d in (seen_sig, done_sig):
+            for stale in [p for p in d if p not in current]:
+                del d[stale]
         ready = []
         changing = False          # some candidate is still being copied in
         for name in names:
@@ -515,10 +530,26 @@ def cmd_watch(args) -> int:
                 # deterministic one shows up as a repeated, visible error
                 log.append(f"watch sweep {sweeps} FAILED: {err}")
             else:
-                for p in ready:          # terminal either way; FAILED files
-                    done_sig[p] = seen_sig[p]  # are in the manifest, not retried
-                log.append(f"watch sweep {sweeps}: {res.completed} completed, "
-                           f"{res.failed} failed")
+                if res.aborted:
+                    # device dispatch failed mid-run (compile service outage):
+                    # only verified completions are done; everything else
+                    # stays unmarked and retries on a later sweep — without
+                    # this, files dropped during an outage would be failed
+                    # once and never retried for the daemon's lifetime
+                    for p in ready:
+                        if p in res.per_file:
+                            done_sig[p] = seen_sig[p]
+                    log.append(f"watch sweep {sweeps}: ABORTED "
+                               f"({res.completed} completed, unprocessed "
+                               f"files will retry)")
+                else:
+                    for p in ready:      # terminal either way; FAILED files
+                        done_sig[p] = seen_sig[p]  # are per-file errors,
+                        # deterministic — not retried
+                    log.append(
+                        f"watch sweep {sweeps}: {res.completed} completed"
+                        + (f" ({res.skipped} resumed)" if res.skipped else "")
+                        + f", {res.failed} failed")
         elif changing:
             idle = 0.0                   # a copy in progress is not idleness
         else:

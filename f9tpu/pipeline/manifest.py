@@ -132,7 +132,17 @@ class JobManifest:
         restart would otherwise reprocess the whole library).  The scheduler
         restricts its own iteration/counts to the requested files."""
         if os.path.exists(manifest_path):
-            old = cls.load(manifest_path)
+            try:
+                old = cls.load(manifest_path)
+            except (json.JSONDecodeError, KeyError, ValueError, OSError):
+                # corrupt / truncated / foreign manifest: losing resume
+                # history beats wedging a watch daemon in a fail-every-sweep
+                # loop; keep the bad file for forensics
+                try:
+                    os.replace(manifest_path, manifest_path + ".corrupt")
+                except OSError:
+                    pass
+                return cls.from_files(files, manifest_path)
             listed = set(files)
             entries = [e for e in old._entries.values() if e.path not in listed]
             for p in files:
@@ -148,7 +158,11 @@ class JobManifest:
                                   and (prev.input_mtime_ns is None
                                        or ist.st_mtime_ns == prev.input_mtime_ns))
                         except OSError:
-                            ok = False
+                            # input gone: nothing to reprocess from — keep
+                            # the COMPLETED record if the output still
+                            # verifies below (flipping it to pending would
+                            # only fail the probe and destroy a valid record)
+                            pass
                     if ok:
                         try:
                             st = os.stat(prev.output_path) if prev.output_path \
@@ -248,14 +262,30 @@ class JobManifest:
             return
         now = time.monotonic()
         if not force and now - self._last_save < self._save_interval:
-            self._dirty = True
+            if not self._dirty:
+                # schedule a deferred flush so throttled updates in the last
+                # interval survive even when the caller exits via an
+                # exception path that skips the batch-end save()
+                self._dirty = True
+                t = threading.Timer(self._save_interval, self._deferred_save)
+                t.daemon = True
+                t.start()
             return
         tmp = self._path + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"files": [e.to_json() for e in self._entries.values()]}, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())   # rename-before-data on a crash would
+            # leave a truncated manifest after the "atomic" replace
         os.replace(tmp, self._path)
         self._last_save = now
         self._dirty = False
+
+    def _deferred_save(self) -> None:
+        try:
+            self.save()
+        except OSError:
+            pass    # out dir vanished under the timer (shutdown/cleanup)
 
     def save(self) -> None:
         """Force a flush to disk (batch end / abort)."""

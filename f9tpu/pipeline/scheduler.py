@@ -69,6 +69,13 @@ class BatchResult:
     """Per-file device metrics keyed by input path: out_frames, peak_db,
     rms_db, noise_floor_db (the file-list readouts of the reference, as
     machine-readable data)."""
+    skipped: int = 0
+    """How many of `completed` were resume skips (already COMPLETED in the
+    manifest, output verified) rather than work done this run."""
+    aborted: bool = False
+    """True when the batch aborted mid-run (device dispatch failure after
+    retry): remaining files were failed with 'batch aborted' and a caller
+    that retries (watch mode) should re-offer them."""
 
     @property
     def x_realtime(self) -> float:
@@ -138,10 +145,12 @@ class BatchProcessor:
 
         # ---- probe + validate (drop-zone filter + rate validation) ----
         groups: dict[tuple[int, int], list] = {}
+        skipped = 0
         for path in run_files:
             e = manifest.get(path)
             if e.status == FileStatus.COMPLETED:
                 self.log.append(f"Skip (already completed): {e.path}")
+                skipped += 1
                 continue
             if not codec.is_supported(e.path):
                 manifest.update(e.path, FileStatus.FAILED, error="unsupported file type")
@@ -551,9 +560,16 @@ class BatchProcessor:
                 if item is None:
                     return
                 path, codes, out_frames, rate_out, metrics = item
+                part = None
                 try:
                     t0 = time.time()
                     out_path = out_paths[path]
+                    # atomic publish: encode to a .part file and os.replace
+                    # at completion — the out dir is the drop-zone's public
+                    # interface, and a consumer polling it must never see a
+                    # half-written deliverable (nor a crash leave one at the
+                    # final name)
+                    part = out_path + ".part"
                     aiff_out = cfg.output_format == "aiff"
                     prog = None
                     if out_frames >= SUBFILE_PROGRESS_FRAMES:
@@ -566,13 +582,13 @@ class BatchProcessor:
                         out_ch = metrics["out_channels"]
                         writer = (aiff.write_aiff_payload if aiff_out
                                   else wav.write_wav_payload)
-                        writer(out_path, codes[: out_frames * out_ch * 3],
+                        writer(part, codes[: out_frames * out_ch * 3],
                                out_ch, rate_out, bits=24, progress_cb=prog,
                                chunk_frames=SUBFILE_PROGRESS_CHUNK)
                     else:
                         writer = (aiff.write_aiff_codes if aiff_out
                                   else wav.write_wav_codes)
-                        writer(out_path, codes[:, :out_frames], rate_out,
+                        writer(part, codes[:, :out_frames], rate_out,
                                bits=cfg.bits, progress_cb=prog,
                                chunk_frames=SUBFILE_PROGRESS_CHUNK)
                     if cfg.keep_metadata:
@@ -583,14 +599,14 @@ class BatchProcessor:
                         try:
                             if src_wav and cfg.output_format == "wav":
                                 wav.append_chunks(
-                                    out_path,
+                                    part,
                                     wav.scale_metadata_chunks(
                                         wav.read_extra_chunks(path),
                                         r_in, rate_out))
                             elif (not src_wav
                                   and cfg.output_format == "aiff"):
                                 aiff.append_chunks_aiff(
-                                    out_path,
+                                    part,
                                     aiff.scale_metadata_chunks_aiff(
                                         aiff.read_extra_chunks_aiff(path),
                                         r_in, rate_out))
@@ -598,6 +614,7 @@ class BatchProcessor:
                             self.log.append(
                                 f"Metadata passthrough skipped for "
                                 f"{os.path.basename(path)}: {err}")
+                    os.replace(part, out_path)
                     self.throughput.add("encode", out_frames / rate_out,
                                         time.time() - t0)
                     out_st = os.stat(out_path)
@@ -621,6 +638,11 @@ class BatchProcessor:
                     manifest.update(path, FileStatus.FAILED, error=str(err))
                     self.log.append(f"Encode failed: {path}: {err}")
                     errors.append(str(err))
+                    if part is not None:
+                        try:
+                            os.unlink(part)
+                        except OSError:
+                            pass
 
         def collector():
             nonlocal audio_in, audio_out
@@ -894,6 +916,10 @@ class BatchProcessor:
                 manifest.update(info.path, FileStatus.FAILED, error=str(err))
                 self.log.append(f"Stream failed: {info.path}: {err}")
                 errors.append(str(err))
+                try:
+                    os.unlink(out_path + ".part")  # abandoned atomic publish
+                except OSError:
+                    pass
 
         if stop_event.is_set():
             # final sweep: a decode worker may have flipped a file to
@@ -911,6 +937,8 @@ class BatchProcessor:
             wall_seconds=wall,
             throughput=self.throughput.summary(),
             per_file=per_file_metrics,
+            skipped=skipped,
+            aborted=stop_event.is_set(),
         )
         self.log.append(
             f"Batch done in {wall:.2f}s: {result.completed} completed, "

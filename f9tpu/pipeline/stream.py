@@ -17,6 +17,7 @@ Source/MainComponent.cpp:884-902), so it runs as a cheap host pre-pass.
 from __future__ import annotations
 
 import functools
+import os
 import time
 
 import jax
@@ -452,12 +453,17 @@ def stream_resample_file(
                      else int(time.time()) & 0x7FFFFFFF)
         seed32 = file_seed(base_seed, in_path)
         seeds_c = dither.channel_seeds(jnp.uint32(seed32), out_ch)
+        # atomic publish: stream into a .part file and os.replace at the end
+        # — an incremental writer would otherwise expose a half-written (and,
+        # on crash, permanently corrupt) deliverable at the final name
+        part = out_path + ".part"
         if mesh is not None:
-            n = _stream_sharded(reader, routed_read, out_ch, silent, out_path,
+            n = _stream_sharded(reader, routed_read, out_ch, silent, part,
                                 cfg, bank, chunk_in, mesh, mean, seeds_c,
                                 gain, progress_cb, lat=lat,
                                 noise_floor_db=noise_floor_db)
-            _carry_metadata(in_path, out_path, cfg, rate_in)
+            _carry_metadata(in_path, part, cfg, rate_in)
+            os.replace(part, out_path)
             return n
         carry_frames = 0
         if cfg.chain is not None:
@@ -479,7 +485,7 @@ def stream_resample_file(
             detector = _TailDetector(cfg.target_rate, out_total, cfg,
                                      gain_total_db, nf)
         writer_cls = AiffWriter if cfg.output_format == "aiff" else WavWriter
-        with writer_cls(out_path, out_ch, cfg.target_rate,
+        with writer_cls(part, out_ch, cfg.target_rate,
                         bits=cfg.bits) as writer:
             # Latency trim (chain group delay): drop the first `lat` emitted
             # frames and keep consuming chunks past the input EOF (zero
@@ -545,7 +551,8 @@ def stream_resample_file(
                     (codes, carry), env = step, None
                 done = em.emit(np.asarray(codes), env)
                 start += chunk_in
-        _carry_metadata(in_path, out_path, cfg, rate_in)
+        _carry_metadata(in_path, part, cfg, rate_in)
+        os.replace(part, out_path)
         return em.written
 
 

@@ -590,3 +590,46 @@ def test_cli_watch_growing_file_is_not_idle(tmp_path, capsys):
     # an idle-exit before processing would leave no deliverable
     assert "grow_processed.wav" in "".join(os.listdir(tmp_path / "out"))
     assert "1 completed" in out
+
+
+def test_cli_watch_aborted_sweep_retries_files(tmp_path, monkeypatch, capsys):
+    """A device-dispatch abort (compile service outage) marks files FAILED
+    inside the run, but the watch loop must NOT remember them as done:
+    the next sweep retries and completes them once the device recovers."""
+    import f9tpu.pipeline.scheduler as sched
+
+    d = tmp_path / "drop"
+    d.mkdir()
+    write_wav(str(d / "x.wav"),
+              (0.1 * np.random.default_rng(0).standard_normal((2, 4000))
+               ).astype(np.float32), 44100, bits=24)
+
+    real_raw = sched.process_batch_raw
+    real = sched.process_batch
+    calls = {"n": 0}
+
+    def flaky_raw(*a, **k):
+        calls["n"] += 1
+        if calls["n"] <= 2:     # first flush + its one retry -> abort
+            raise RuntimeError("INTERNAL: http 500 remote_compile (outage)")
+        return real_raw(*a, **k)
+
+    def flaky(*a, **k):
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            raise RuntimeError("INTERNAL: http 500 remote_compile (outage)")
+        return real(*a, **k)
+
+    monkeypatch.setattr(sched, "process_batch_raw", flaky_raw)
+    monkeypatch.setattr(sched, "process_batch", flaky)
+    monkeypatch.setattr(sched.time, "sleep", lambda s: None)
+    rc = main(["watch", str(d), "--out", str(tmp_path / "out"), "--rate",
+               "48000", "--quality", "low", "--seed", "1",
+               "--interval", "0.05", "--sweeps", "8"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "ABORTED" in out                       # outage sweep surfaced
+    # the retry sweep completed the file after the device recovered
+    assert os.path.exists(tmp_path / "out" / "x_processed.wav")
+    y, r = read_wav(str(tmp_path / "out" / "x_processed.wav"))
+    assert r == 48000 and y.shape[1] > 0

@@ -397,3 +397,99 @@ class TestOversizedChainRouting:
         assert res.per_file[big].get("streamed") is True
         # streamed wall is booked to its own stage, not the device counters
         assert "stream" in res.throughput
+
+
+class TestAtomicPublish:
+    def test_encode_failure_leaves_no_partial_file(self, tmp_path,
+                                                   monkeypatch):
+        """Deliverables are encoded to a .part file and renamed at
+        completion: a writer that dies mid-file must leave NEITHER a
+        half-written deliverable at the final name NOR .part litter."""
+        from f9tpu.io import wav as wav_mod
+
+        src = _mk(tmp_path, "p.wav", 4_000, seed=1)
+
+        def half_then_boom(path, *a, **k):
+            with open(path, "wb") as f:
+                f.write(b"RIFF\x00\x00\x00\x00WAVEjunk")
+            raise struct.error("mid-write failure")
+
+        monkeypatch.setattr(wav_mod, "write_wav_codes", half_then_boom)
+        monkeypatch.setattr(wav_mod, "write_wav_payload", half_then_boom)
+        out = tmp_path / "out"
+        cfg = ProcessingConfig(output_dir=str(out), target_rate=48000,
+                               quality="low", seed=1)
+        res = BatchProcessor(cfg).run([src])
+        assert res.failed == 1
+        leftovers = [n for n in os.listdir(out) if not n.startswith(".")]
+        assert leftovers == [], leftovers   # no corrupt final, no .part
+
+    def test_stream_success_leaves_no_part(self, tmp_path):
+        src = _mk(tmp_path, "s.wav", 20_000, seed=2)
+        cfg = ProcessingConfig(output_dir=str(tmp_path), target_rate=48000,
+                               quality="low", seed=2)
+        out = str(tmp_path / "s48.wav")
+        n = stream_resample_file(src, out, cfg, chunk_seconds=0.2)
+        assert n > 0 and os.path.exists(out)
+        assert not os.path.exists(out + ".part")
+
+
+class TestManifestDurability:
+    def test_corrupt_manifest_recovers(self, tmp_path):
+        """A truncated/garbage manifest (crash mid-save, foreign version)
+        must fall back to a fresh one — losing history beats wedging the
+        watch daemon in a fail-every-sweep loop."""
+        src = _mk(tmp_path, "c.wav", 4_000, seed=3)
+        mpath = str(tmp_path / "m.json")
+        open(mpath, "w").write('{"files": [{"status": "not-a-')
+        m = JobManifest.load_or_create([src], mpath)
+        assert m.get(src).status == FileStatus.PENDING
+        assert os.path.exists(mpath + ".corrupt")   # kept for forensics
+        cfg = ProcessingConfig(output_dir=str(tmp_path / "out"),
+                               target_rate=48000, quality="low", seed=3)
+        assert BatchProcessor(cfg).run([src],
+                                       manifest_path=mpath).completed == 1
+
+    def test_missing_input_keeps_completed_record(self, tmp_path):
+        """An input deleted after a successful run must NOT flip its
+        verified COMPLETED record back to pending (the rerun would only
+        fail the probe and destroy a valid record for an intact output)."""
+        src = _mk(tmp_path, "d.wav", 4_000, seed=4)
+        cfg = ProcessingConfig(output_dir=str(tmp_path / "out"),
+                               target_rate=48000, quality="low", seed=4)
+        mpath = str(tmp_path / "m.json")
+        assert BatchProcessor(cfg).run([src],
+                                       manifest_path=mpath).completed == 1
+        os.unlink(src)
+        m = JobManifest.load_or_create([src], mpath)
+        assert m.get(src).status == FileStatus.COMPLETED
+
+    def test_throttled_updates_flush_without_final_save(self, tmp_path):
+        """Updates landing inside the save-interval window self-flush via
+        the deferred timer — an exception path that skips the batch-end
+        save() can no longer lose the last interval of status changes."""
+        import time as _t
+
+        src = _mk(tmp_path, "e.wav", 1_000, seed=5)
+        mpath = str(tmp_path / "m.json")
+        m = JobManifest.from_files([src], mpath)
+        m._save_interval = 0.2
+        m.update(src, FileStatus.PROCESSING)          # immediate write
+        m.update(src, FileStatus.FAILED, error="late")  # throttled
+        saved = json.load(open(mpath))
+        assert saved["files"][0]["status"] == "processing"  # not yet
+        _t.sleep(0.5)                                  # timer fires
+        saved = json.load(open(mpath))
+        assert saved["files"][0]["status"] == "failed"
+
+
+class TestSkippedCount:
+    def test_resume_skips_reported_separately(self, tmp_path):
+        src = _mk(tmp_path, "k.wav", 4_000, seed=6)
+        cfg = ProcessingConfig(output_dir=str(tmp_path / "out"),
+                               target_rate=48000, quality="low", seed=6)
+        mpath = str(tmp_path / "m.json")
+        r1 = BatchProcessor(cfg).run([src], manifest_path=mpath)
+        assert r1.completed == 1 and r1.skipped == 0 and not r1.aborted
+        r2 = BatchProcessor(cfg).run([src], manifest_path=mpath)
+        assert r2.completed == 1 and r2.skipped == 1   # no work done
