@@ -260,10 +260,14 @@ def cmd_preview(args) -> int:
     if not files:
         print("error: no input files", file=sys.stderr)
         return 2
-    want_monitor = bool(args.monitor_out)  # --monitor alone has no sink
-    if args.monitor and not args.monitor_out:
-        print("note: --monitor without --monitor-out has no file to write; "
-              "pass --monitor-out PATH", file=sys.stderr)
+    # --monitor enables the dual render (in bus mode the MAIN file is a
+    # valid sink: the mixdown accumulates onto the monitoring channels);
+    # --monitor-out implies it because writing the file requires the render
+    want_monitor = args.monitor or bool(args.monitor_out)
+    if args.monitor and not args.monitor_out and not args.target_channels:
+        print("note: --monitor without --monitor-out has no sink in plain "
+              "mode (no --target-channels); pass --monitor-out PATH",
+              file=sys.stderr)
     try:
         mon_ch = tuple(int(c) for c in args.monitor_channels.split(","))
     except ValueError:
@@ -274,21 +278,34 @@ def cmd_preview(args) -> int:
         print(f"error: --monitor-channels needs exactly two channels, got "
               f"{args.monitor_channels!r}", file=sys.stderr)
         return 2
-    main_mix, monitor, items = render_playlist(
-        files, args.rate,
-        silence_ms=args.silence_ms,
-        output_channels=args.channels,
-        monitor=want_monitor,
-        loops=args.loops,
-        target_channels=([int(c) for c in args.target_channels.split(",")]
-                         if args.target_channels else None),
-        monitor_channels=mon_ch,
-        quality=getattr(args, "quality", "high"),
-        kind=getattr(args, "kind", "sinc"),
-    )
+    try:
+        target_ch = ([int(c) for c in args.target_channels.split(",")]
+                     if args.target_channels else None)
+    except ValueError:
+        print(f"error: --target-channels must be integers, got "
+              f"{args.target_channels!r}", file=sys.stderr)
+        return 2
+    try:
+        main_mix, monitor, items = render_playlist(
+            files, args.rate,
+            silence_ms=args.silence_ms,
+            output_channels=args.channels,
+            monitor=want_monitor,
+            loops=args.loops,
+            target_channels=target_ch,
+            monitor_channels=mon_ch,
+            quality=getattr(args, "quality", "high"),
+            kind=getattr(args, "kind", "sinc"),
+        )
+    except ValueError as err:
+        # channel-placement validation (duplicate targets, out-of-bus
+        # channels, monitor placement without bus mode): config errors,
+        # not tracebacks
+        print(f"error: {err}", file=sys.stderr)
+        return 2
     wav.write_wav(args.out, main_mix, args.rate, bits=24)
     print(f"rendered {len(items)} item(s), {main_mix.shape[-1]} frames -> {args.out}")
-    if monitor is not None:
+    if monitor is not None and args.monitor_out:
         wav.write_wav(args.monitor_out, monitor, args.rate, bits=24)
         print(f"monitor mix -> {args.monitor_out}")
     for it in items:

@@ -26,14 +26,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import analysis
 from ..ops.resample import resample_rates
-from ..ops.signal import impulse
+from ..ops.signal import IMPULSE_AMP, impulse
 
 __all__ = ["CalibrationResult", "CalibrationCache", "measure_latency"]
 
-#: Reference impulse parameters (LatencyMeasurementService.swift:130-149).
-IMPULSE_AMP = 0.9
+#: Reference peak threshold (LatencyMeasurementService.swift:130-149); the
+#: 0.9 impulse amplitude lives with the generator (ops.signal.IMPULSE_AMP).
 PEAK_THRESHOLD = 0.1
 CAPTURE_FRAMES = 1 << 16   # ~1.4 s @ 48k; reference captures >= 100k samples
 
@@ -72,9 +71,13 @@ def measure_latency(
         y = resample_rates(x, rate_in, rate_out, quality=quality, kind=kind)
     else:
         y = chain_fn(x)
-    y = jnp.asarray(y)
-    peak_idx = int(analysis.peak_position(y))
-    peak_amp = float(jnp.abs(y[peak_idx]))
+    # one D2H transfer: chain captures run to millions of frames (3x a
+    # reverb ring-out), so device argmax + scalar fetch + two more
+    # np.asarray conversions would move the array repeatedly
+    yn = np.asarray(jnp.asarray(y))
+    ya = np.abs(yn)
+    peak_idx = int(ya.argmax())
+    peak_amp = float(ya[peak_idx])
     # Sub-sample peak refinement (parabolic fit on |y| around the maximum):
     # the raw argmax lands on whichever output sample carries the largest
     # interpolation weight, which for short kernels (Lagrange) can sit 1-2
@@ -82,7 +85,6 @@ def measure_latency(
     # a bogus trim.  The reference's integer peak is fine for its hardware
     # loop (delays are whole buffers); a compensated FIR chain needs the
     # fractional estimate rounded, not the argmax.
-    ya = np.abs(np.asarray(y))
     if 0 < peak_idx < len(ya) - 1:
         a, b, c = ya[peak_idx - 1], ya[peak_idx], ya[peak_idx + 1]
         denom = a - 2 * b + c
@@ -97,11 +99,15 @@ def measure_latency(
     expected_f = pos * L / M
     latency = int(round(refined - expected_f))
     # Noise floor: RMS away from the impulse response's main lobe
-    # (calculateNoiseFloor, LatencyMeasurementService.swift:173-181).
-    yn = np.asarray(y)
+    # (calculateNoiseFloor, LatencyMeasurementService.swift:173-181).  The
+    # ring span is excluded on BOTH sides of the peak: a linear-phase chain
+    # (e.g. a user FIR) pre-rings symmetrically, and counting that pre-ring
+    # as noise would inflate the floor — which the scheduler then adopts as
+    # the reverb tail-detection threshold.
     guard = 4096
     mask = np.ones(len(yn), bool)
-    mask[max(0, peak_idx - guard): peak_idx + guard + int(ringout_frames)] = False
+    mask[max(0, peak_idx - guard - int(ringout_frames)):
+         peak_idx + guard + int(ringout_frames)] = False
     tail = yn[mask]
     rms = float(np.sqrt(np.mean(tail**2))) if tail.size else 0.0
     nf_db = 20.0 * np.log10(max(rms, 1e-30)) if rms > 0 else -200.0
@@ -138,16 +144,22 @@ class CalibrationCache:
         chain_fn=None, chain_sig: str = "",
         capture_frames: int = CAPTURE_FRAMES, ringout_frames: int = 0,
     ) -> CalibrationResult:
-        k = self.key(rate_in, rate_out, quality, kind, chain_sig)
-        with self._lock:
-            if k in self._data:
-                return self._data[k]
+        # an un-signed custom chain cannot share the bare-SRC cache slot (it
+        # would serve a stale latency for a chain that was never measured) —
+        # measure it uncached instead
+        k = (self.key(rate_in, rate_out, quality, kind, chain_sig)
+             if (chain_fn is None or chain_sig) else None)
+        if k is not None:
+            with self._lock:
+                if k in self._data:
+                    return self._data[k]
         res = measure_latency(rate_in, rate_out, quality=quality, kind=kind,
                               chain_fn=chain_fn, capture_frames=capture_frames,
                               ringout_frames=ringout_frames)
-        with self._lock:
-            self._data[k] = res
-            self._save_locked()
+        if k is not None:
+            with self._lock:
+                self._data[k] = res
+                self._save_locked()
         return res
 
     def invalidate(self, prefix: str | None = None) -> None:
@@ -157,8 +169,11 @@ class CalibrationCache:
             if prefix is None:
                 self._data = {}
             else:
+                # match only at a ':' field boundary (or the exact key):
+                # '44100->48000' must not sweep up '44100->480000:...'
+                pat = prefix if prefix.endswith(":") else prefix + ":"
                 self._data = {k: v for k, v in self._data.items()
-                              if not k.startswith(prefix)}
+                              if not (k == prefix or k.startswith(pat))}
             self._save_locked()
 
     def _save_locked(self) -> None:

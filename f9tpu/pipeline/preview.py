@@ -75,9 +75,12 @@ def render_playlist(
     AudioProcessingService.swift:604-627,742-876).  Content is expanded to
     ``len(target_channels)`` and scattered onto those rows; unselected rows
     stay silent.  With ``monitor=True`` a stereo mixdown of the programme is
+    returned separately, and — in bus-render mode (``target_channels`` set) —
     additionally *accumulated* onto ``monitor_channels`` of the same bus (the
-    dual-render design — both renders share one output stream), and also
-    returned separately.  Returns (main, monitor_stereo|None, items).
+    dual-render design — both renders share one output stream).  In plain
+    mode there is no in-bus placement: ``main`` is the bare programme and
+    non-default ``monitor_channels`` raise.  Returns
+    (main, monitor_stereo|None, items).
     """
     from ..ops.resample import resample_rates
     from ..ops.routing import mixdown_monitor

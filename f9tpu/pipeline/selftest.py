@@ -4,8 +4,10 @@ The reference's 1 kHz loop test plays a sine out, meters both directions for
 5 s, and classifies: loop detected / output-but-no-input / nothing
 (Services/HardwareLoopTestService.swift:65-219).  The TPU equivalent validates
 the compute loop instead of a cable: generate the test tone on device, push it
-through the full SRC graph, and verify level, frequency and latency at the
-other end.  Same tri-state verdict so orchestration code can treat them alike.
+through the full SRC graph, and verify level and frequency at the other end
+(delay verification is `selftest --parity` / `measure`'s job — the impulse
+measurement, not the tone loop).  Same tri-state verdict so orchestration
+code can treat them alike.
 """
 
 from __future__ import annotations
@@ -62,7 +64,13 @@ def run_loop_test(
     # Frequency check via zero-crossing count (mid 80 % to skip edges).
     y = np.asarray(back)
     n = len(y)
-    mid = y[n // 10 : -n // 10]
+    mid = y[n // 10 : n - n // 10]
+    if len(mid) < 4:
+        # too short to count crossings (y[0:0] would divide by zero below):
+        # the level gates passed, so classify as degraded, not a crash
+        return LoopTestReport(LoopTestVerdict.DEGRADED, out_rms, in_rms, 0.0,
+                              f"capture too short for frequency analysis "
+                              f"({n} frames)")
     crossings = np.count_nonzero(np.diff(np.signbit(mid)))
     measured = crossings / 2.0 * rate_out / len(mid)
     ok = abs(measured - freq) < freq * 0.01

@@ -633,3 +633,36 @@ def test_cli_watch_aborted_sweep_retries_files(tmp_path, monkeypatch, capsys):
     assert os.path.exists(tmp_path / "out" / "x_processed.wav")
     y, r = read_wav(str(tmp_path / "out" / "x_processed.wav"))
     assert r == 48000 and y.shape[1] > 0
+
+
+def test_cli_preview_monitor_in_bus_without_monitor_out(tmp_path):
+    """--monitor with --target-channels has a sink (the main bus): the
+    mixdown must accumulate onto the monitoring channels even without a
+    --monitor-out file (pre-fix --monitor alone was a silent no-op)."""
+    src = str(tmp_path / "p.wav")
+    write_wav(src, (0.2 * np.random.default_rng(1).standard_normal((2, 3000))
+                    ).astype(np.float32), 48000, bits=24)
+    out = str(tmp_path / "mix.wav")
+    rc = main(["preview", src, "--out", out, "--rate", "48000",
+               "--channels", "6", "--target-channels", "4,5", "--monitor",
+               "--monitor-channels", "0,1"])
+    assert rc == 0
+    y, r = read_wav(out)
+    assert r == 48000 and y.shape[0] == 6
+    assert np.abs(y[0]).max() > 0 and np.abs(y[1]).max() > 0  # mixdown landed
+    assert np.abs(y[4]).max() > 0 and np.abs(y[5]).max() > 0  # programme
+    assert np.abs(y[2]).max() == 0 and np.abs(y[3]).max() == 0
+
+
+def test_cli_preview_bad_target_channels_is_config_error(tmp_path, capsys):
+    src = str(tmp_path / "q.wav")
+    write_wav(src, (0.1 * np.random.default_rng(2).standard_normal((1, 2000))
+                    ).astype(np.float32), 48000, bits=24)
+    rc = main(["preview", src, "--out", str(tmp_path / "o.wav"), "--rate",
+               "48000", "--target-channels", "4,x"])
+    assert rc == 2
+    assert "error" in capsys.readouterr().err
+    # render_playlist's own validation surfaces the same way
+    rc = main(["preview", src, "--out", str(tmp_path / "o.wav"), "--rate",
+               "48000", "--channels", "2", "--target-channels", "0,0"])
+    assert rc == 2

@@ -1109,3 +1109,70 @@ def test_outputs_invariant_to_batch_grouping(tmp_path):
     b = run("o2", 4)
     for p in paths:
         assert a[p] == b[p], p
+
+
+def test_noise_floor_excludes_linear_phase_pre_ring():
+    """A linear-phase chain pre-rings symmetrically BEFORE the peak; that
+    span is filter response, not noise, and must not inflate the measured
+    floor (which the scheduler adopts as the tail-detection threshold)."""
+    from f9tpu.ops.chain import Chain, FIRInsert
+    from f9tpu.ops.resample import resample_rates as _rr
+
+    W = 12001                              # > FIR direct-form cutoff: FFT path
+    n = np.arange(W)
+    taps = np.sinc((n - (W - 1) / 2) / 4).astype(np.float32)
+    taps *= np.hamming(W).astype(np.float32)
+    chain = Chain(FIRInsert(taps / taps.sum()))
+
+    def chain_fn(x):
+        return chain.apply(_rr(x, 44100, 48000, quality="low"), 48000)
+
+    res = measure_latency(44100, 48000, quality="low", chain_fn=chain_fn,
+                          ringout_frames=chain.tail_frames(48000))
+    assert res.detected
+    assert res.latency_frames == (W - 1) // 2
+    # pre-fix the [peak-ring, peak-guard] span of real pre-ring landed in
+    # the "noise" RMS and reported tens of dB too high
+    assert res.noise_floor_db < -100.0
+
+
+def test_calibration_cache_unsigned_chain_not_cached(tmp_path):
+    """A custom chain_fn without a chain signature must not share (or
+    poison) the bare-SRC cache slot."""
+    from f9tpu.ops.chain import Chain, Delay
+    from f9tpu.ops.resample import resample_rates as _rr
+
+    cache = CalibrationCache(str(tmp_path / "cal.json"))
+    bare = cache.get_or_measure(44100, 48000, quality="low")
+    assert abs(bare.latency_frames) <= 1
+
+    chain = Chain(Delay(0.05))             # 2400 frames at 48 kHz
+
+    def chain_fn(x):
+        return chain.apply(_rr(x, 44100, 48000, quality="low"), 48000)
+
+    got = cache.get_or_measure(44100, 48000, quality="low",
+                               chain_fn=chain_fn)   # no chain_sig
+    assert abs(got.latency_frames - 2400) <= 1      # measured, not bare hit
+    again = cache.get_or_measure(44100, 48000, quality="low")
+    assert abs(again.latency_frames) <= 1           # bare slot unpoisoned
+
+
+def test_calibration_invalidate_field_boundary(tmp_path):
+    from f9tpu.pipeline.calibration import CalibrationResult
+
+    cache = CalibrationCache(str(tmp_path / "cal.json"))
+    r = CalibrationResult(latency_frames=0, noise_floor_db=-150.0,
+                          peak_amplitude=0.9)
+    cache._data = {"44100->48000:sinc:low:": r,
+                   "44100->480000:sinc:low:": r}
+    cache.invalidate("44100->48000")
+    assert list(cache._data) == ["44100->480000:sinc:low:"]
+
+
+def test_loop_test_short_capture_no_crash():
+    """A capture too short for zero-crossing analysis must classify, not
+    divide by zero."""
+    rep = run_loop_test(48000, 44100, seconds=1e-4, quality="low")
+    assert rep.verdict in (LoopTestVerdict.DEGRADED, LoopTestVerdict.NO_INPUT,
+                           LoopTestVerdict.NO_OUTPUT)
