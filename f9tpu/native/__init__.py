@@ -35,11 +35,19 @@ _build_error: str | None = None
 
 
 def _build() -> str | None:
+    # NOTE: -march=native binds the .so to the build host's ISA; a checkout
+    # shared across heterogeneous hosts (NFS home) must delete the cached
+    # library when moving to an older CPU.
     if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
         return None
+    # compile to a per-process temp and publish atomically: two processes
+    # building concurrently (watch daemon + CLI) must never interleave
+    # writes into a half-ELF at the final name, which the mtime staleness
+    # check would then treat as up to date forever
+    tmp = f"{_LIB}.tmp.{os.getpid()}"
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-        "-o", _LIB, _SRC, "-lpthread",
+        "-o", tmp, _SRC, "-lpthread",
     ]
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
@@ -47,6 +55,10 @@ def _build() -> str | None:
         return f"build failed: {e}"
     if proc.returncode != 0:
         return f"build failed: {proc.stderr[-2000:]}"
+    try:
+        os.replace(tmp, _LIB)
+    except OSError as e:
+        return f"build failed: {e}"
     return None
 
 
@@ -61,26 +73,29 @@ def _load() -> ctypes.CDLL | None:
             return None
         try:
             lib = ctypes.CDLL(_LIB)
-        except OSError as e:
+            c_i64 = ctypes.c_int64
+            c_i32 = ctypes.c_int32
+            pd = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+            pf = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+            pu8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+            pi32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+            lib.f9_resample_oracle_mt.argtypes = [
+                pd, c_i64, pd, c_i64, c_i64, c_i64, c_i64, pd, c_i64, c_i32]
+            lib.f9_unpack24_to_f32.argtypes = [pu8, c_i64, pf]
+            lib.f9_pack24_from_i32.argtypes = [pi32, c_i64, pu8]
+            lib.f9_interleave_f32.argtypes = [pf, c_i64, c_i64, pf]
+            lib.f9_deinterleave_f32.argtypes = [pf, c_i64, c_i64, pf]
+            lib.f9_native_abi_version.restype = c_i32
+            abi = int(lib.f9_native_abi_version())
+            if abi != 1:
+                raise OSError(f"ABI version {abi} != 1 (stale library?)")
+        except (OSError, AttributeError) as e:
+            # missing symbol / ABI mismatch (stale or hand-built .so) must
+            # fall back like a failed build, not raise out of available()
+            # on the hot decode path; an explicit check, not an assert —
+            # python -O would strip an assert and bind a mismatched ABI
             _build_error = str(e)
             return None
-        c_i64 = ctypes.c_int64
-        c_i32 = ctypes.c_int32
-        pd = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
-        pf = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
-        pu8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
-        pi16 = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
-        pi32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
-        lib.f9_resample_oracle_mt.argtypes = [
-            pd, c_i64, pd, c_i64, c_i64, c_i64, c_i64, pd, c_i64, c_i32]
-        lib.f9_unpack24_to_f32.argtypes = [pu8, c_i64, pf]
-        lib.f9_pack24_from_i32.argtypes = [pi32, c_i64, pu8]
-        lib.f9_i16_to_f32.argtypes = [pi16, c_i64, pf]
-        lib.f9_f32_to_i16.argtypes = [pf, c_i64, pi16]
-        lib.f9_interleave_f32.argtypes = [pf, c_i64, c_i64, pf]
-        lib.f9_deinterleave_f32.argtypes = [pf, c_i64, c_i64, pf]
-        lib.f9_native_abi_version.restype = c_i32
-        assert lib.f9_native_abi_version() == 1
         _lib = lib
         return _lib
 
@@ -104,6 +119,13 @@ def resample_oracle_native(
         raise RuntimeError(f"native library unavailable: {_build_error}")
     x = np.ascontiguousarray(x, np.float64)
     H = np.ascontiguousarray(H, np.float64)
+    # validate BEFORE crossing the ctypes boundary: the NumPy oracle would
+    # raise IndexError on these; the C++ loop would read out of bounds
+    if H.ndim != 2 or H.shape[0] != L:
+        raise ValueError(f"phase bank shape {H.shape} does not match L={L}")
+    if L <= 0 or M <= 0 or delay < 0 or out_len < 0:
+        raise ValueError(f"invalid resample args L={L} M={M} delay={delay} "
+                         f"out_len={out_len}")
     K = H.shape[1]
     y = np.empty(out_len, np.float64)
     if n_threads is None:
@@ -190,14 +212,20 @@ class AsyncLoader:
         """Queue a decode into a fresh (channels, max_frames) buffer; returns
         a ticket for `poll`."""
         dst = np.zeros((channels, max_frames), np.float32)
+        # fsencode, not str.encode: Linux filenames are bytes, and listdir
+        # surrogate-escapes non-UTF-8 names that strict UTF-8 would reject
         ticket = self._lib.f9_loader_submit(
-            self._handle, path.encode(), dst, max_frames, channels)
+            self._handle, os.fsencode(path), dst, max_frames, channels)
         self._buffers[ticket] = dst
         return ticket
 
     def poll(self, ticket: int):
         """None while pending; (data (channels, frames), rate) when done.
         Raises on decode error."""
+        if ticket not in self._buffers:
+            # consumed or foreign ticket: the native poll would dereference
+            # a freed/garbage job pointer — refuse on the Python side
+            raise KeyError(f"unknown or already-consumed ticket {ticket}")
         frames = ctypes.c_int64(0)
         rate = ctypes.c_int32(0)
         st = self._lib.f9_loader_poll(ticket, ctypes.byref(frames),
@@ -209,7 +237,10 @@ class AsyncLoader:
             raise ValueError(f"native decode failed (code {st})")
         return buf[:, : frames.value], rate.value
 
-    def wait(self, ticket: int, timeout: float = 30.0, poll_s: float = 0.001):
+    def wait(self, ticket: int, timeout: float = 600.0, poll_s: float = 0.001):
+        # generous default: file I/O here is link-bound and varies 10x day
+        # to day (CLAUDE.md) — a slow multi-GB read must not spuriously
+        # fail files that the Python decode path would have completed
         import time as _time
 
         deadline = _time.monotonic() + timeout
@@ -225,6 +256,15 @@ class AsyncLoader:
         if self._handle:
             self._lib.f9_loader_destroy(self._handle)
             self._handle = None
+
+    def __del__(self):
+        # safety net for exception paths that skip close(): each leaked
+        # loader would otherwise pin n_threads C++ threads for the process
+        # lifetime (a long-lived watch daemon creates one per sweep)
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def __enter__(self):
         return self

@@ -112,23 +112,6 @@ void f9_pack24_from_i32(const int32_t* src, int64_t n, uint8_t* dst)
     }
 }
 
-// int16 -> float32
-void f9_i16_to_f32(const int16_t* src, int64_t n, float* dst)
-{
-    constexpr float inv = 1.0f / 32768.0f;
-    for (int64_t i = 0; i < n; ++i) dst[i] = (float)src[i] * inv;
-}
-
-// float32 -> int16 PCM codes with round-to-nearest + clip
-void f9_f32_to_i16(const float* src, int64_t n, int16_t* dst)
-{
-    for (int64_t i = 0; i < n; ++i) {
-        float v = std::nearbyintf(src[i] * 32768.0f);
-        v = std::min(32767.0f, std::max(-32768.0f, v));
-        dst[i] = (int16_t)v;
-    }
-}
-
 // interleave planar (channels, frames) f32 -> (frames*channels) f32
 void f9_interleave_f32(const float* src, int64_t channels, int64_t frames,
                        float* dst)

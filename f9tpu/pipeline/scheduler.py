@@ -473,17 +473,14 @@ class BatchProcessor:
                             data, rinfo = codec.read_raw_pcm(info.path)
                             rate = rinfo.sample_rate
                             audio_s = rinfo.num_frames / rate
-                        elif native_eligible(info):
-                            ticket = loader.submit(
-                                info.path, info.num_channels,
-                                info.num_frames)
-                            data, rate = loader.wait(ticket)
-                            audio_s = data.shape[-1] / rate
                         elif info.num_frames >= SUBFILE_PROGRESS_FRAMES:
                             # sub-file decode progress for long files: the
                             # reference's throttled per-buffer callbacks
                             # (AudioProcessingService.swift:209-264) mapped
-                            # onto the decode stage's 0 -> 0.3 span
+                            # onto the decode stage's 0 -> 0.3 span.  Checked
+                            # BEFORE native eligibility: long files are
+                            # exactly the ones whose decode progress matters,
+                            # and the native loader has no progress callbacks
                             manifest.update(info.path, FileStatus.PROCESSING,
                                             progress=0.0)
                             data, rate = codec.read_audio_progress(
@@ -491,6 +488,14 @@ class BatchProcessor:
                                 lambda fr, _p=info.path:
                                     manifest.set_progress(_p, 0.3 * fr),
                                 chunk_frames=SUBFILE_PROGRESS_CHUNK)
+                            audio_s = data.shape[-1] / rate
+                        elif native_eligible(info):
+                            ticket = loader.submit(
+                                info.path, info.num_channels,
+                                info.num_frames)
+                            data, rate = loader.wait(
+                                ticket,
+                                timeout=max(120.0, info.num_frames * 1e-4))
                             audio_s = data.shape[-1] / rate
                         else:
                             data, rate = codec.read_audio(info.path)

@@ -160,3 +160,58 @@ def test_native_oracle_minphase_cross_validation():
     y_np = resample_oracle(x, 44100, 48000, quality="low", kind="minphase")
     assert y_cpp.shape == y_np.shape
     assert np.abs(y_cpp - y_np).max() < 1e-12
+
+
+@needs_native
+def test_async_loader_consumed_ticket_refused(tmp_path):
+    """Polling a consumed ticket must raise a Python KeyError, not hand a
+    freed job pointer to the native poll."""
+    from f9tpu.io import write_wav
+    from f9tpu.native import AsyncLoader
+
+    x = np.zeros((1, 500), np.float32)
+    p = str(tmp_path / "one.wav")
+    write_wav(p, x, 44100, bits=16)
+    with AsyncLoader(n_threads=1) as loader:
+        t = loader.submit(p, 1, 1000)
+        loader.wait(t)
+        with pytest.raises(KeyError):
+            loader.poll(t)
+
+
+@needs_native
+def test_async_loader_non_utf8_filename(tmp_path):
+    """Linux filenames are bytes; a surrogate-escaped (non-UTF-8) name must
+    decode through the native loader like it does through the Python path."""
+    import os
+
+    from f9tpu.io import write_wav
+
+    bname = b"take_\xff_01.wav"
+    bpath = os.path.join(os.fsencode(str(tmp_path)), bname)
+    path = os.fsdecode(bpath)
+    x = np.clip(0.3 * np.random.default_rng(1).standard_normal((2, 800)),
+                -0.99, 0.99).astype(np.float32)
+    try:
+        write_wav(path, x, 48000, bits=24)
+    except OSError:
+        pytest.skip("filesystem rejects non-UTF-8 names")
+    from f9tpu.native import AsyncLoader
+
+    with AsyncLoader(n_threads=1) as loader:
+        t = loader.submit(path, 2, 1000)
+        data, rate = loader.wait(t)
+        assert rate == 48000 and data.shape == x.shape
+        assert np.abs(data - x).max() <= 2.0 ** -23
+
+
+@needs_native
+def test_oracle_native_validates_args():
+    from f9tpu.native import resample_oracle_native
+
+    with pytest.raises(ValueError):
+        resample_oracle_native(np.zeros(16), np.zeros((4, 8)), L=5, M=3,
+                               delay=0, out_len=4)
+    with pytest.raises(ValueError):
+        resample_oracle_native(np.zeros(16), np.zeros((4, 8)), L=4, M=3,
+                               delay=-1, out_len=4)
