@@ -47,7 +47,15 @@ def process_files_sharded(mesh: Mesh, fn, x, *args):
     (the 'embarrassingly parallel' row of SURVEY.md section 2.4).
     """
     xs = jax.device_put(x, NamedSharding(mesh, P("files", None, None)))
-    return jax.jit(fn)(xs, *args)
+    return _jit_cached(fn)(xs, *args)
+
+
+@functools.lru_cache(maxsize=64)
+def _jit_cached(fn):
+    # a fresh jax.jit per call would discard the dispatch cache and
+    # re-trace on every batch (the _build_cp_fn lesson); keyed on fn
+    # identity, so pass stable module-level callables, not fresh lambdas
+    return jax.jit(fn)
 
 
 def channels_shardable(cfg, num_channels: int, mesh: Mesh) -> tuple[bool, str]:
@@ -113,23 +121,22 @@ def process_batch_channels_sharded(
     """
     import dataclasses
 
-    import numpy as np
-
     from ..pipeline.graph import (
         ProcessResult,
         _cfg_key,
         _default_pad_frames,
-        _process_impl,
     )
 
     files, C, _T = x.shape
-    nc = mesh.shape["channels"]
     nf_shards = mesh.shape.get("files", 1)
     if files % nf_shards:
         raise ValueError(f"{files} files not divisible by {nf_shards} file shards")
     ok, reason = channels_shardable(cfg, C, mesh)
     if not ok:
+        # checked BEFORE reading mesh.shape["channels"]: a channels-less
+        # mesh must surface this graceful reason, not a bare KeyError
         raise ValueError(f"not channel-shardable: {reason}")
+    nc = mesh.shape["channels"]
     c_local = C // nc
     r_tuple = (tuple(int(v) for v in cfg.channel_routing)
                if cfg.channel_routing is not None else None)
@@ -144,7 +151,11 @@ def process_batch_channels_sharded(
         noise_floor_db = cfg.noise_floor_db
     nf = jnp.float32(noise_floor_db if noise_floor_db is not None else 1.0)
     static_zero = isinstance(latency_frames, int) and latency_frames == 0
-    lat = jnp.asarray(latency_frames, jnp.int32)
+    # always a per-file vector sharded over the files axis: a replicated
+    # per-file ARRAY would reach every shard whole and trim_latency's
+    # row-repeat pairing would silently mis-assign latencies to
+    # (local file, channel) rows — all outputs wrong, no error
+    lat = jnp.broadcast_to(jnp.asarray(latency_frames, jnp.int32), (files,))
     valid = jnp.asarray(frames_valid, jnp.int32)
     seeds = jnp.asarray(seeds, jnp.int32)
 
@@ -196,7 +207,7 @@ def _build_cp_fn(mesh, rate_in, rate_out, base_key, static_zero, chain,
     fn = shard_map(
         local, mesh=mesh,
         in_specs=(P("files", "channels", None), P("files"), P("files"),
-                  P(), P()),
+                  P("files"), P()),
         out_specs=(P("files", "channels", None), P("files"), P("files"),
                    P("files"), P("files"), P("files")),
         check_vma=False,

@@ -176,6 +176,10 @@ def _process_impl(
         # past the padded capture; if never silent, keep the full capture
         # (the 60 s cap is enforced by the capture size upstream).
         out_frames = jnp.maximum(jnp.minimum(end_frame, out_total), out_valid)
+        # an EMPTY file has no tail to ring: without this, the all-quiet
+        # detector fires at win+(consecutive-1)*hop and ~0.2 s of pure
+        # dither noise is written for a 0-frame input
+        out_frames = jnp.where(out_valid > 0, out_frames, 0)
     else:
         end_frame = out_valid
         terminated = jnp.ones((files,), bool)

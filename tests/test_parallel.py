@@ -574,3 +574,40 @@ def test_scheduler_mesh_with_oversized_file_streams_single_chip(tmp_path):
     res = BatchProcessor(cfg, mesh=mesh).run(paths)
     assert res.completed == 5 and res.failed == 0
     assert res.per_file[big].get("streamed") is True
+
+
+def test_channels_sharded_per_file_latency_matches_unsharded():
+    """Regression: a per-file latency ARRAY must shard over the files axis.
+    Replicated, every shard saw the whole vector and trim_latency's
+    row-repeat pairing silently mis-assigned latencies — all codes wrong."""
+    from f9tpu.parallel import process_batch_channels_sharded
+
+    mesh = make_mesh(num_files_shards=4, num_channel_shards=2)
+    rng = np.random.default_rng(9)
+    files, C, T = 4, 4, 2205
+    x = (0.3 * rng.standard_normal((files, C, T))).astype(np.float32)
+    valid = np.full(files, T, np.int32)
+    seeds = np.arange(40, 40 + files, dtype=np.int32)
+    lat = jnp.asarray(np.array([0, 100, 200, 300], np.int32))
+    cfg = ProcessingConfig(output_dir="/tmp/x", quality="low", dither=True,
+                           remove_dc=False)
+    ref = process_batch(x, valid, cfg, 44100, jnp.asarray(seeds),
+                        latency_frames=lat)
+    got = process_batch_channels_sharded(x, valid, cfg, 44100, seeds, mesh,
+                                         latency_frames=lat)
+    diff = (np.asarray(ref.codes).astype(np.int64)
+            - np.asarray(got.codes).astype(np.int64))
+    assert np.abs(diff).max() <= 1          # FMA-tie residual only
+    assert (diff != 0).mean() < 0.01
+
+
+def test_channels_sharded_rejects_channelless_mesh():
+    from f9tpu.parallel import process_batch_channels_sharded
+
+    mesh = make_mesh(num_files_shards=8)     # no channels axis
+    x = np.zeros((8, 2, 441), np.float32)
+    valid = np.full(8, 441, np.int32)
+    seeds = np.arange(8, dtype=np.int32)
+    cfg = ProcessingConfig(output_dir="/tmp/x", quality="low")
+    with pytest.raises(ValueError, match="not channel-shardable"):
+        process_batch_channels_sharded(x, valid, cfg, 44100, seeds, mesh)

@@ -1176,3 +1176,22 @@ def test_loop_test_short_capture_no_crash():
     rep = run_loop_test(48000, 44100, seconds=1e-4, quality="low")
     assert rep.verdict in (LoopTestVerdict.DEGRADED, LoopTestVerdict.NO_INPUT,
                            LoopTestVerdict.NO_OUTPUT)
+
+
+def test_empty_file_reverb_mode_emits_zero_frames(tmp_path):
+    """Regression: a 0-frame input in reverb mode must produce 0 output
+    frames — the all-quiet tail detector used to fire at win+(k-1)*hop and
+    ~0.2 s of pure dither noise was written for an empty file."""
+    rate = 44100
+    frames = rate // 2
+    rng = np.random.default_rng(4)
+    x = np.zeros((2, 1, frames), np.float32)
+    x[0, 0] = (0.3 * rng.standard_normal(frames)).astype(np.float32)
+    cfg = ProcessingConfig(output_dir=str(tmp_path), quality="low",
+                           reverb_mode=True, noise_floor_db=-96.0,
+                           dither=True)
+    res = process_batch(x, np.array([frames, 0], np.int32), cfg, rate,
+                        jnp.asarray(np.array([3, 4], np.int32)))
+    of = np.asarray(res.out_frames)
+    assert of[1] == 0                       # empty in -> empty out
+    assert of[0] >= -(-frames * 160 // 147)  # real file unaffected
