@@ -34,7 +34,7 @@ so memory stays O(K·N) regardless of capture length.
 from __future__ import annotations
 
 import functools
-import zlib
+import hashlib
 
 import jax
 import jax.numpy as jnp
@@ -55,9 +55,13 @@ __all__ = [
 
 
 def _array_sig(a: np.ndarray) -> tuple:
-    """Content signature of a host array: shape + CRC of the raw bytes."""
+    """Content signature of a host array: shape + 128-bit blake2b of the raw
+    bytes.  Chains hash/compare by these signatures and ride ``jax.jit`` as
+    static args — a 32-bit CRC's birthday odds (~1% at 10^4 distinct IRs in
+    a long-lived service) would silently serve the WRONG chain's compiled
+    graph, so the digest must be collision-free in practice."""
     a = np.ascontiguousarray(a)
-    return (a.shape, zlib.crc32(a.tobytes()))
+    return (a.shape, hashlib.blake2b(a.tobytes(), digest_size=16).hexdigest())
 
 
 def _direct_convolve(x: jax.Array, taps: np.ndarray) -> jax.Array:
@@ -137,6 +141,8 @@ def fft_convolve(x: jax.Array, ir: np.ndarray, block: int = 4096) -> jax.Array:
     if ir_len == 0:
         return jnp.zeros_like(x)
     B = int(block)
+    if B < 1:
+        raise ValueError(f"block must be >= 1, got {block}")
     while ir_len > 64 * B:  # bound the delay-line depth
         B *= 2
     h_re, h_im = _partition_ir(ir, B)
@@ -145,8 +151,35 @@ def fft_convolve(x: jax.Array, ir: np.ndarray, block: int = 4096) -> jax.Array:
     return y.reshape(*lead, T).astype(x.dtype)
 
 
+def _fft_convolve_multi(x: jax.Array, irs: np.ndarray,
+                        block: int = 4096) -> jax.Array:
+    """Per-channel FFT convolution in ONE batched scan: ``x`` (..., C, T)
+    with ``irs`` (C, ir_len) -> (..., C, T).  The per-channel partitioned
+    spectra ride a leading ``vmap`` axis so all channels share one compiled
+    scan — C separate :func:`fft_convolve` calls would launch C scans and
+    re-FFT the input windows C times (the multichannel-reverb hot path)."""
+    C, ir_len = irs.shape
+    B = int(block)
+    if B < 1:
+        raise ValueError(f"block must be >= 1, got {block}")
+    while ir_len > 64 * B:
+        B *= 2
+    parts = [_partition_ir(np.asarray(irs[c], np.float32), B)
+             for c in range(C)]
+    h_re = jnp.asarray(np.stack([p[0] for p in parts]))
+    h_im = jnp.asarray(np.stack([p[1] for p in parts]))
+    lead, T = x.shape[:-2], x.shape[-1]
+    xr = jnp.moveaxis(x, -2, 0).reshape(C, -1, T)
+    y = jax.vmap(lambda xc, re, im: _upols(xc, re, im, B))(xr, h_re, h_im)
+    y = jnp.moveaxis(y.reshape(C, *lead, T), 0, -2)
+    return y.astype(x.dtype)
+
+
 class Gain:
     """Scalar gain stage (an external processor's make-up gain)."""
+
+    #: per-channel stage: safe to run inside a channel shard
+    channel_local = True
 
     def __init__(self, db: float):
         self.db = float(db)
@@ -164,6 +197,9 @@ class Gain:
 class Delay:
     """Pure delay (models an external processor's transport latency — what
     the reference's round-trip calibration exists to measure)."""
+
+    #: per-channel stage: safe to run inside a channel shard
+    channel_local = True
 
     def __init__(self, seconds: float):
         if seconds < 0:
@@ -196,6 +232,9 @@ class FIRInsert:
     #: above this tap count the MXU direct form loses to FFT convolution
     DIRECT_MAX = 8192
 
+    #: per-channel stage: safe to run inside a channel shard
+    channel_local = True
+
     def __init__(self, taps):
         self.taps = np.asarray(taps, np.float32).reshape(-1)
         if self.taps.size == 0:
@@ -225,6 +264,9 @@ class Biquad:
     """
 
     TYPES = ("lowpass", "highpass", "peaking", "lowshelf", "highshelf")
+
+    #: per-channel stage: safe to run inside a channel shard
+    channel_local = True
 
     def __init__(self, kind: str, freq_hz: float, q: float = 0.70710678,
                  gain_db: float = 0.0, max_ir_seconds: float = 2.0):
@@ -284,26 +326,46 @@ class Biquad:
         if cached is not None:
             return cached
         b, a = self.coefficients(rate)
-        n_max = max(16, int(self.max_ir_seconds * rate))
+        # size the render window from the POLE RADIUS: the envelope decays
+        # ~ r^n, so reaching the 1e-10 (float32-quantum) threshold needs
+        # n ~ log(1e-10)/log(r).  A high-Q low-frequency section can need
+        # tens of seconds — max_ir_seconds is a floor for the window, not a
+        # cap (a 2 s cap measured a -74 dB residual tail for a 40 Hz Q=30
+        # peaking EQ at 96 kHz, far over the -120 dB budget).  The 64 s
+        # hard bound only engages for pathological radii.
+        r = min(0.999999, float(np.sqrt(max(a[2], 0.0))))
+        need = (int(np.log(1e-10) / np.log(r)) + 16 if 0.0 < r < 1.0 else 16)
+        n_max = max(16, int(self.max_ir_seconds * rate),
+                    min(need, 64 * rate))
         # direct-form recursion in float64 (host, exact).  Truncation uses a
         # pole-radius envelope tracker, NOT consecutive small samples: a
         # high-Q low-frequency section's IR passes through zero every
         # half-period while its envelope is still large, and the old
         # two-small-samples test cut such tails at -69 dB (measured).
-        r = min(0.999999, float(np.sqrt(max(a[2], 0.0))))
-        h = np.zeros(n_max)
-        x1 = x2 = y1 = y2 = 0.0
-        env = 0.0
-        for n in range(n_max):
-            xn = 1.0 if n == 0 else 0.0
-            yn = b[0] * xn + b[1] * x1 + b[2] * x2 - a[1] * y1 - a[2] * y2
-            h[n] = yn
-            x2, x1 = x1, xn
-            y2, y1 = y1, yn
-            env = max(abs(yn), env * r)
-            if n > 8 and env < 1e-10:
-                h = h[: n + 1]
-                break
+        try:
+            from scipy.signal import lfilter
+
+            imp = np.zeros(n_max)
+            imp[0] = 1.0
+            h = lfilter(b, a, imp)
+            env = np.maximum.accumulate(np.abs(h)[::-1])[::-1]
+            past = np.nonzero(env < 1e-10)[0]
+            if past.size and past[0] > 8:
+                h = h[: past[0] + 1]
+        except ImportError:       # pragma: no cover - scipy is present here
+            h = np.zeros(n_max)
+            x1 = x2 = y1 = y2 = 0.0
+            env = 0.0
+            for n in range(n_max):
+                xn = 1.0 if n == 0 else 0.0
+                yn = b[0] * xn + b[1] * x1 + b[2] * x2 - a[1] * y1 - a[2] * y2
+                h[n] = yn
+                x2, x1 = x1, xn
+                y2, y1 = y1, yn
+                env = max(abs(yn), env * r)
+                if n > 8 and env < 1e-10:
+                    h = h[: n + 1]
+                    break
         self._ir_cache[rate] = h
         return h
 
@@ -321,8 +383,11 @@ class Saturator:
     """Memoryless waveshaper (the 'tape machine / tube stage in the loop'
     scenario — the most common outboard insert after EQ and compression).
 
-    ``out = (1-mix)*y + mix * shape(drive*y) * 10^(trim_db/20)`` where the
-    curves are normalised so a full-scale input maps to full scale:
+    ``out = (1-mix)*y + mix * shape(drive*y) * 10^(trim_db/20)``.  At
+    drive >= 0 dB every curve maps a full-scale input to full scale; at
+    negative drive only ``tanh`` keeps that normalisation (``soft``/``hard``
+    pass the attenuated signal through their linear region, i.e. a plain
+    level drop — use ``trim_db`` to level-match wet/dry there):
 
     - ``tanh``:  tanh(g*x) / tanh(g)
     - ``soft``:  cubic soft clip 1.5u - 0.5u^3 on u = clip(g*x, -1, 1)
@@ -544,6 +609,9 @@ class ConvolutionReverb:
     true-stereo/multichannel, matched positionally to the signal's channels.
     """
 
+    #: per-channel stage: safe to run inside a channel shard
+    channel_local = True
+
     def __init__(self, ir, wet: float = 1.0, dry: float = 0.0):
         ir = np.asarray(ir, np.float32)
         if ir.ndim == 1:
@@ -575,9 +643,7 @@ class ConvolutionReverb:
                 raise ValueError(
                     f"multichannel IR has {n_ir} channels but the signal's "
                     f"channel axis is {y.shape[-2]}")
-            wet = jnp.stack(
-                [fft_convolve(y[..., c, :], self.ir[c]) for c in range(n_ir)],
-                axis=-2)
+            wet = _fft_convolve_multi(y, self.ir)
         out = np.float32(self.wet) * wet
         if self.dry:
             out = out + np.float32(self.dry) * y
@@ -601,8 +667,11 @@ class Chain:
         return self._sig
 
     def sig_str(self) -> str:
-        """Compact signature for persistent cache keys."""
-        return format(zlib.crc32(repr(self._sig).encode()), "08x")
+        """Compact signature for persistent cache keys (collision-free
+        digest: a colliding key would reuse another chain's measured
+        latency)."""
+        return hashlib.blake2b(repr(self._sig).encode(),
+                               digest_size=16).hexdigest()
 
     def tail_frames(self, rate: int) -> int:
         """Worst-case ring-out of the whole chain at ``rate`` (delays and

@@ -84,12 +84,16 @@ def channels_shardable(cfg, num_channels: int, mesh: Mesh) -> tuple[bool, str]:
             ir = getattr(s, "ir", None)
             if ir is not None and ir.shape[0] > 1:
                 return False, "per-channel IR not channel-shardable"
-            if not getattr(s, "channel_local", True):
+            if not getattr(s, "channel_local", False):
                 # cross-channel stages (linked Compressor, StereoWidth M/S)
                 # would see only their shard's channels inside shard_map:
                 # the compressor link would silently diverge per shard and
-                # width would mis-shape — fall back to files-only sharding
-                return False, (f"{type(s).__name__} couples channels; "
+                # width would mis-shape — fall back to files-only sharding.
+                # Default FALSE: a user-supplied stage that doesn't know
+                # about the flag must not be silently channel-sharded
+                # (built-ins opt in with channel_local = True)
+                return False, (f"{type(s).__name__} couples channels (or "
+                               "does not declare channel_local); "
                                "not channel-shardable")
     return True, ""
 

@@ -753,3 +753,75 @@ def test_compressor_infinite_ratio_is_limiter():
     steady = slice(rate // 4, rate // 2 - 500)
     out_db = 20 * np.log10(np.sqrt((y[0, 0, steady] ** 2).mean()))
     assert abs(out_db - (-20.0)) < 0.5     # output pinned at the threshold
+
+
+def test_biquad_high_q_ir_covers_decay():
+    """Regression: the IR render window is sized from the pole radius —
+    a 2 s cap left a -74 dB residual tail for a 40 Hz Q=30 peaking EQ at
+    96 kHz (the truncated filter deviated audibly from the designed one)."""
+    from f9tpu.ops.chain import Biquad
+
+    bq = Biquad("peaking", 40.0, q=30.0, gain_db=12.0)
+    h = bq.impulse_response(96000)
+    assert h.shape[0] > 4 * 96000            # window extended past old cap
+    # the remaining tail at the truncation point is at the float32 quantum
+    assert np.abs(h[-64:]).max() < 1e-9
+    # and the declared ring matches the rendered length (honest tail_frames)
+    assert bq.tail_frames(96000) == h.shape[0] - 1
+
+
+def test_unknown_stage_not_channel_shardable():
+    """A user-supplied stage that doesn't declare channel_local must fall
+    back to files-only sharding, not be silently channel-sharded."""
+    from f9tpu.parallel.sharding import channels_shardable
+
+    class CustomLinkedLimiter:
+        def signature(self):
+            return ("custom",)
+
+        def tail_frames(self, rate):
+            return 0
+
+        def apply(self, y, rate):
+            return y / jnp.maximum(1.0, jnp.max(jnp.abs(y), axis=-2,
+                                                keepdims=True))
+
+    from f9tpu.parallel import make_mesh
+
+    mesh = make_mesh(num_files_shards=2, num_channel_shards=4)
+    cfg = ProcessingConfig(output_dir="/tmp/x", quality="low",
+                           chain=Chain(CustomLinkedLimiter()))
+    ok, reason = channels_shardable(cfg, 8, mesh)
+    assert not ok and "channel_local" in reason
+    # built-ins still shard
+    cfg2 = ProcessingConfig(output_dir="/tmp/x", quality="low",
+                            chain=Chain(Gain(-3.0), Delay(0.001)))
+    ok2, _ = channels_shardable(cfg2, 8, mesh)
+    assert ok2
+
+
+def test_multichannel_reverb_batched_matches_per_channel():
+    """The batched multichannel convolution must match per-channel
+    fft_convolve exactly (same UPOLS algebra, one vmapped scan)."""
+    from f9tpu.ops.chain import _fft_convolve_multi, fft_convolve
+
+    rng = np.random.default_rng(11)
+    C, T = 3, 5000
+    x = jnp.asarray((0.3 * rng.standard_normal((2, C, T))).astype(np.float32))
+    irs = (0.5 * rng.standard_normal((C, 700))).astype(np.float32)
+    got = np.asarray(_fft_convolve_multi(x, irs, block=256))
+    ref = np.stack([np.asarray(fft_convolve(x[:, c, :], irs[c], block=256))
+                    for c in range(C)], axis=1)
+    assert np.abs(got - ref).max() <= 1e-6
+
+
+def test_fft_convolve_rejects_bad_block():
+    from f9tpu.ops.chain import fft_convolve
+
+    with pytest.raises(ValueError):
+        fft_convolve(jnp.zeros((1, 64)), np.ones(8, np.float32), block=0)
+
+
+def test_chain_sig_str_is_collision_resistant_format():
+    s = Chain(Gain(1.0)).sig_str()
+    assert len(s) == 32 and int(s, 16) >= 0   # 128-bit hex digest
