@@ -74,7 +74,7 @@ def _add_common_src_args(p: argparse.ArgumentParser) -> None:
 _CONFIG_KEYS = (
     "rate", "quality", "kind", "bits", "postfix", "output_format",
     "no_dither", "keep_dc", "normalize_lufs", "normalize_tp_db",
-    "keep_metadata",
+    "surround_weights", "keep_metadata",
     "gain", "reverb", "noise_floor", "margin", "require_rate", "batch_size",
     "routing", "channels", "device_layout", "seed",
     "chain_ir", "chain_wet", "chain_dry", "chain_fir", "chain_delay_ms",
@@ -210,6 +210,7 @@ def cmd_process(args) -> int:
         gain_db=args.gain,
         normalize_lufs=args.normalize_lufs,
         normalize_tp_db=args.normalize_tp_db,
+        surround_weights=getattr(args, "surround_weights", False),
         channel_routing=(
             [int(c) for c in args.routing.split(",")] if args.routing else None),
         output_channels=args.channels,
@@ -390,6 +391,7 @@ def cmd_stream(args) -> int:
         gain_db=getattr(args, "gain", 0.0),
         normalize_lufs=getattr(args, "normalize_lufs", None),
         normalize_tp_db=getattr(args, "normalize_tp_db", None),
+        surround_weights=getattr(args, "surround_weights", False),
         channel_routing=(
             [int(c) for c in args.routing.split(",")]
             if getattr(args, "routing", None) else None),
@@ -455,6 +457,7 @@ def cmd_watch(args) -> int:
         keep_metadata=args.keep_metadata,
         normalize_lufs=args.normalize_lufs,
         normalize_tp_db=args.normalize_tp_db,
+        surround_weights=getattr(args, "surround_weights", False),
         gain_db=args.gain,
         reverb_mode=args.reverb,
         noise_floor_db=args.noise_floor,
@@ -660,10 +663,13 @@ def cmd_probe(args) -> int:
             if getattr(args, "loudness", False):
                 # r128_stats shares one SRC-to-48k + K-weighting pass between
                 # the integrated and LRA statistics
-                from .ops.loudness import r128_stats, true_peak_db
+                from .ops.loudness import (r128_stats, surround_weights,
+                                           true_peak_db)
 
                 x, r = codec.read_audio(f)
-                lufs, lra = r128_stats(x, r)
+                w = (surround_weights(x.shape[0])
+                     if getattr(args, "surround_weights", False) else None)
+                lufs, lra = r128_stats(x, r, weights=w)
                 tp = None
                 if lufs <= -199.0:
                     loud = "  --.- LUFS (too short/silent)"
@@ -758,6 +764,10 @@ def main(argv: list[str] | None = None) -> int:
                        help="with --normalize-lufs: cap gains so the true "
                             "peak stays <= CEILING dBTP (= form for "
                             "negatives)")
+        p.add_argument("--surround-weights", action="store_true",
+                       help="meter 6/8-channel files with BS.1770-4 5.1/7.1 "
+                            "channel weights (surrounds 1.41, LFE excluded) "
+                            "instead of treating them as discrete buses")
         p.add_argument("--reverb", action="store_true",
                        help="reverb mode: keep tails until below noise floor")
         p.add_argument("--noise-floor", type=float, default=None,
@@ -855,6 +865,9 @@ def main(argv: list[str] | None = None) -> int:
                    default=None,
                    help="with --normalize-lufs: cap the gain so the source "
                         "true peak stays at/below this dBTP")
+    p.add_argument("--surround-weights", action="store_true",
+                   help="meter 6/8-channel files with BS.1770-4 5.1/7.1 "
+                        "channel weights (surrounds 1.41, LFE excluded)")
     p.add_argument("--routing", default=None,
                    help="channel routing map, e.g. '0,1,-1,2' "
                         "(-1 = silent output channel)")
@@ -959,6 +972,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--loudness", action="store_true",
                    help="also measure BS.1770-4 integrated loudness (LUFS) "
                         "on device")
+    p.add_argument("--surround-weights", action="store_true",
+                   help="with --loudness: apply BS.1770-4 5.1/7.1 channel "
+                        "weights to 6/8-channel files")
     p.add_argument("--json", action="store_true",
                    help="machine-readable output (one list of objects)")
     p.set_defaults(fn=cmd_probe)

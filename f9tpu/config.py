@@ -63,6 +63,12 @@ class ProcessingConfig:
     practice.  SOURCE-referenced: exact for plain resampling; with an insert
     chain the chain reshapes peaks after the measurement, so verify
     deliverables with ``probe --loudness``.  None = no ceiling."""
+    surround_weights: bool = False
+    """Apply BS.1770-4 channel weights when metering 6/8-channel files laid
+    out as standard 5.1/7.1 (L R C LFE [BL BR] SL SR): surrounds 1.41, LFE
+    excluded — what a conforming broadcast meter reads.  OFF by default
+    because this framework's multichannel buses are typically DISCRETE
+    channel sets (MCFX), not 5.1 beds, where weighting would be wrong."""
 
     # --- input validation ---
     require_input_rate: int | None = None

@@ -36,7 +36,7 @@ import numpy as np
 
 __all__ = ["integrated_lufs", "k_weighting_ir", "block_loudness",
            "true_peak_db", "loudness_range", "r128_stats",
-           "meter_source_streamed", "array_reader"]
+           "meter_source_streamed", "array_reader", "surround_weights"]
 
 #: BS.1770-4 stage 1: high-shelf (+~4 dB above ~1.5 kHz), 48 kHz.
 K_STAGE1_B = (1.53512485958697, -2.69169618940638, 1.19839281085285)
@@ -110,6 +110,33 @@ def _bucket(n: int, lo: int = 64) -> int:
     return b
 
 
+def surround_weights(channels: int):
+    """BS.1770-4 channel weights G_i for the standard 5.1 / 7.1 layouts our
+    EXTENSIBLE writer emits (L R C LFE [BL BR] SL SR): fronts 1.0, surrounds
+    1.41 (+1.5 dB), LFE excluded (weight 0).  Returns None for layouts the
+    spec does not define (mono/stereo need no weighting; discrete MCFX
+    buses are not 5.1 beds — weighting them would be wrong, which is why
+    weighting is opt-in via ``cfg.surround_weights``)."""
+    if channels == 6:
+        return (1.0, 1.0, 1.0, 0.0, 1.41, 1.41)
+    if channels == 8:
+        return (1.0, 1.0, 1.0, 0.0, 1.41, 1.41, 1.41, 1.41)
+    return None
+
+
+def _apply_weights(hop_sq: jax.Array, weights):
+    """Scale per-channel hop energies by the BS.1770 G_i weights (weighting
+    mean-square energies post-hoc is algebraically identical to weighting
+    the channels before summation)."""
+    if weights is None:
+        return hop_sq
+    w = jnp.asarray(weights, jnp.float32).reshape(-1, 1)
+    if w.shape[0] != hop_sq.shape[0]:
+        raise ValueError(
+            f"{w.shape[0]} channel weights for {hop_sq.shape[0]} channels")
+    return hop_sq * w
+
+
 def _hop_energies(x: jax.Array, rate: int):
     """The shared statistic base: SRC to 48 kHz if needed, K-weight, then
     per-channel 100 ms hop energy sums.
@@ -155,12 +182,13 @@ def _windows_db(hop_sq: jax.Array, block_hops: int, stride_hops: int,
     return z, _OFFSET + 10.0 * jnp.log10(jnp.maximum(z, 1e-30)), in_valid
 
 
-def block_loudness(x48: jax.Array) -> jax.Array:
+def block_loudness(x48: jax.Array, weights=None) -> jax.Array:
     """Per-block loudness (LUFS) of a 48 kHz signal ``(C, T)``: 400 ms
     blocks at 100 ms hop.  Returns ``(n_blocks,)``; blocks are summed over
     channels with unity weights (BS.1770 surround weights apply to >3-ch
     setups; this framework's buses are fullband channels)."""
     hop_sq, n_valid = _hop_energies(x48, _RATE)
+    hop_sq = _apply_weights(hop_sq, weights)
     if n_valid < _I_BLOCK_HOPS:
         return jnp.full((0,), 0.0, jnp.float32)
     _, lb, _ = _windows_db(hop_sq, _I_BLOCK_HOPS, 1, n_valid)
@@ -198,32 +226,37 @@ def _lra_from_hops(hop_sq: jax.Array, n_valid) -> jax.Array:
     # pushed to +inf, index by the (traced) count of surviving blocks
     n = jnp.sum(mask)
     st_sorted = jnp.sort(jnp.where(mask, st, jnp.inf))
-    lo_i = jnp.clip((0.10 * (n - 1)).astype(jnp.int32), 0, n_blocks - 1)
-    hi_i = jnp.clip((0.95 * (n - 1)).astype(jnp.int32), 0, n_blocks - 1)
+    # rank policy: round-to-nearest (libebur128 / EBU reference meters);
+    # plain floor biased p95 one rank low whenever frac(0.95*(n-1)) >= 0.5
+    lo_i = jnp.clip((0.10 * (n - 1) + 0.5).astype(jnp.int32), 0, n_blocks - 1)
+    hi_i = jnp.clip((0.95 * (n - 1) + 0.5).astype(jnp.int32), 0, n_blocks - 1)
     lra = st_sorted[hi_i] - st_sorted[lo_i]
     return jnp.where(n > 1, lra, jnp.float32(0.0))
 
 
-def integrated_lufs(x: jax.Array, rate: int) -> jax.Array:
+def integrated_lufs(x: jax.Array, rate: int, weights=None) -> jax.Array:
     """BS.1770-4 integrated loudness of ``x`` (C, T) float32 at ``rate``.
 
     Returns a scalar (LUFS); silence/too-short input returns a -200 floor.
     Non-48 kHz input rides the framework's own SRC first.
     """
-    return _integrated_from_hops(*_hop_energies(x, rate))
+    hop_sq, n_valid = _hop_energies(x, rate)
+    return _integrated_from_hops(_apply_weights(hop_sq, weights), n_valid)
 
 
-def loudness_range(x: jax.Array, rate: int) -> jax.Array:
+def loudness_range(x: jax.Array, rate: int, weights=None) -> jax.Array:
     """Loudness range (LRA, LU) per EBU Tech 3342: short-term loudness
     (3 s windows, 1 s stride), absolute gate at -70 LUFS, relative gate at
     -20 LU below the gated mean, LRA = p95 - p10 of what survives."""
-    return _lra_from_hops(*_hop_energies(x, rate))
+    hop_sq, n_valid = _hop_energies(x, rate)
+    return _lra_from_hops(_apply_weights(hop_sq, weights), n_valid)
 
 
-def r128_stats(x: jax.Array, rate: int) -> tuple[float, float]:
+def r128_stats(x: jax.Array, rate: int, weights=None) -> tuple[float, float]:
     """(integrated LUFS, LRA) from ONE resample + K-weighting pass — both
     statistics derive from the same 100 ms hop energies."""
     hop_sq, n_valid = _hop_energies(x, rate)
+    hop_sq = _apply_weights(hop_sq, weights)
     return (float(_integrated_from_hops(hop_sq, n_valid)),
             float(_lra_from_hops(hop_sq, n_valid)))
 
@@ -364,15 +397,19 @@ def _true_peak_chunked(read, C: int, T: int, rate: int,
     tp_bank = design_cycle_bank(rate, rate * oversample, quality="high")
     h_l, h_r = _halos(tp_bank)
     chunk_in = max(1, int(chunk_seconds * rate) // tp_bank.M) * tp_bank.M
-    pk = 0.0
+    peaks = [0.0]
     start = 0
     while start < T:
         xp = _read_span(read, C, T, start - h_l, h_l + chunk_in + h_r)
-        pk = max(pk, float(_tp_step(jnp.asarray(xp),
+        peaks.append(float(_tp_step(jnp.asarray(xp),
                                     cycles=chunk_in // tp_bank.M,
                                     rate_in=rate, oversample=oversample)))
         start += chunk_in
-    return float(20.0 * np.log10(max(pk, 1e-30)))
+    # np.max propagates NaN (corrupt decode) exactly like the whole-file
+    # path; Python's max(pk, nan) silently KEPT the finite value
+    pk = float(np.max(peaks))
+    return float(20.0 * np.log10(max(pk, 1e-30))) if not np.isnan(pk) \
+        else float("nan")
 
 
 def normalization_gain_db(target_lufs: float, source_lufs: float,
@@ -400,7 +437,8 @@ def normalization_gain_db(target_lufs: float, source_lufs: float,
 
 def meter_source_streamed(read, channels: int, frames: int, rate: int,
                           want_tp: bool = False,
-                          chunk_seconds: float = 20.0) -> dict:
+                          chunk_seconds: float = 20.0,
+                          weights=None) -> dict:
     """Integrated LUFS (and optionally true peak) of a source exposed via a
     ``read(start, count) -> (C, n)`` function, in constant memory.
 
@@ -408,7 +446,14 @@ def meter_source_streamed(read, channels: int, frames: int, rate: int,
     result is a pure function of the samples — the batch scheduler (with
     `array_reader`) and the streaming pre-pass (with `WavReader.read`) get
     bit-identical floats, which keeps normalization gains — and therefore
-    emitted bytes — identical across the two paths."""
+    emitted bytes — identical across the two paths.
+
+    ``want_tp`` shares the SAME host reads as the loudness pass (the
+    pre-pass is LINK-bound; a second full read pass doubled its wall time).
+    The true-peak value is exact regardless of the chunk grid: overlap-save
+    chunks reproduce the oversampled samples exactly and max is
+    order-independent.  ``weights``: optional BS.1770 G_i per-channel
+    weights (see :func:`surround_weights`)."""
     ctx = int(k_weighting_ir().shape[0]) - 1
     chunk_in, cycles, bank = _meter_chunk_plan(rate, chunk_seconds, ctx)
     if bank is not None:
@@ -417,18 +462,38 @@ def meter_source_streamed(read, channels: int, frames: int, rate: int,
     else:
         h_l = h_r = 0
         out48_total = frames
+    if want_tp:
+        from ..models.filters import design_cycle_bank
+
+        tp_bank = design_cycle_bank(rate, rate * 4, quality="high")
+        th_l, th_r = _halos(tp_bank)
+        tp_cycles = chunk_in // tp_bank.M      # tp_bank.M == 1
+        peaks = [0.0]
     total_hops = out48_total // _HOP
     hops: list[np.ndarray] = []
     carry = jnp.zeros((channels, ctx), jnp.float32)
     start = 0
     got_hops = 0
-    while start < frames and got_hops < total_hops:
-        xp = _read_span(read, channels, frames, start - h_l,
-                        h_l + chunk_in + h_r)
-        hop_sq, carry = _meter48_step(jnp.asarray(xp), carry,
-                                      cycles=cycles, rate_in=rate, ctx=ctx)
-        hops.append(np.asarray(hop_sq))
-        got_hops += hop_sq.shape[1]
+    while start < frames:
+        meter_more = got_hops < total_hops
+        if not (meter_more or want_tp):
+            break
+        lo = start - max(h_l, th_l if want_tp else 0)
+        hi = start + chunk_in + max(h_r, th_r if want_tp else 0)
+        span = _read_span(read, channels, frames, lo, hi - lo)
+        if meter_more:
+            a = (start - h_l) - lo
+            xp = span[:, a: a + h_l + chunk_in + h_r]
+            hop_sq, carry = _meter48_step(jnp.asarray(xp), carry,
+                                          cycles=cycles, rate_in=rate,
+                                          ctx=ctx)
+            hops.append(np.asarray(hop_sq))
+            got_hops += hop_sq.shape[1]
+        if want_tp:
+            a = (start - th_l) - lo
+            xtp = span[:, a: a + th_l + chunk_in + th_r]
+            peaks.append(float(_tp_step(jnp.asarray(xtp), cycles=tp_cycles,
+                                        rate_in=rate, oversample=4)))
         start += chunk_in
     out = {"lufs": -200.0, "true_peak_db": None}
     if total_hops >= _I_BLOCK_HOPS and hops:
@@ -436,9 +501,10 @@ def meter_source_streamed(read, channels: int, frames: int, rate: int,
         nb = _bucket(total_hops)
         hop_pad = np.zeros((channels, nb), np.float32)
         hop_pad[:, :total_hops] = hop_all
-        out["lufs"] = float(_integrated_from_hops(jnp.asarray(hop_pad),
-                                                  total_hops))
+        out["lufs"] = float(_integrated_from_hops(
+            _apply_weights(jnp.asarray(hop_pad), weights), total_hops))
     if want_tp:
-        out["true_peak_db"] = _true_peak_chunked(read, channels, frames,
-                                                 rate, chunk_seconds=chunk_seconds)
+        pk = float(np.max(peaks))      # np.max propagates NaN (corruption)
+        out["true_peak_db"] = (float(20.0 * np.log10(max(pk, 1e-30)))
+                               if not np.isnan(pk) else float("nan"))
     return out

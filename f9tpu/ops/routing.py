@@ -50,6 +50,13 @@ def route_channels(x: jax.Array, routing: np.ndarray | list[int], num_out: int |
         padded = np.full(num_out, -1, np.int32)
         padded[: min(num_out, len(routing))] = routing[:num_out]
         routing = padded
+    c_in = int(x.shape[-2])
+    if routing.size and int(routing.max()) >= c_in:
+        # validate at trace time: jnp.take's out-of-range fill would write
+        # NaN rows into the output audio with no error
+        raise ValueError(
+            f"routing entry {int(routing.max())} out of range for a "
+            f"{c_in}-channel input")
     src = jnp.asarray(np.where(routing < 0, 0, routing))
     out = jnp.take(x, src, axis=-2)
     silent = jnp.asarray((routing < 0).reshape(-1, 1))
@@ -87,5 +94,11 @@ def interleave(x: jax.Array) -> jax.Array:
 
 def deinterleave(x: jax.Array, num_channels: int) -> jax.Array:
     """Inverse of :func:`interleave`."""
+    if x.shape[-1] % num_channels:
+        # a torn/partial interleaved buffer must raise, not silently drop
+        # its trailing samples
+        raise ValueError(
+            f"interleaved length {x.shape[-1]} is not a multiple of "
+            f"{num_channels} channels")
     frames = x.shape[-1] // num_channels
     return jnp.swapaxes(x.reshape(*x.shape[:-1], frames, num_channels), -1, -2)

@@ -114,7 +114,19 @@ def detect_tail_end(
     nf = jnp.asarray(noise_floor_db, jnp.float32)
     threshold_db = jnp.where(nf < 0, nf + nf * jnp.asarray(margin_pct, jnp.float32) / 100.0, -80.0)
 
-    mono = jnp.max(jnp.abs(x), axis=1)  # loudest channel governs, (files, frames)
+    # Per-mode per-frame statistic stream (files, frames):
+    #  - peak: the loudest channel governs (Swift rule)
+    #  - rms:  mean square over ALL channels — the C++ reference computes
+    #    buffer RMS over the whole interleaved buffer
+    #    (Source/MainComponent.cpp:863-882); squaring the channel-max
+    #    envelope instead inflated the level by up to ~3 dB per quiet
+    #    channel and could keep a borderline tail from ever terminating
+    if mode == "rms":
+        stream = jnp.mean(jnp.square(x), axis=1)
+    elif mode == "peak":
+        stream = jnp.max(jnp.abs(x), axis=1)
+    else:
+        raise ValueError(f"mode must be 'peak' or 'rms', got {mode!r}")
     # Two-level windowing instead of lax.reduce_window: a 100 ms window at 48 k
     # is 4800 lanes of scoped VMEM per output in XLA's reduce-window lowering,
     # which overflows the 16 MB budget on real TPUs.  Reduce per hop-chunk
@@ -122,14 +134,18 @@ def detect_tail_end(
     # chunk results with shifted maxima/sums — identical hop-aligned windows,
     # tiny VMEM footprint, and MXU/VPU-friendly shapes.
     factor = -(-win // hop)               # chunks per window
+    win = factor * hop                    # effective hop-aligned window: a
+    # window_ms not a multiple of hop_ms rounds UP to whole chunks, and
+    # n_hops derives from the EFFECTIVE window so trailing windows never
+    # average zero padding into their RMS (default 100/50 ms is exact)
     n_hops = (frames - win) // hop + 1
     if n_hops <= 0:  # capture shorter than one window: nothing to detect
         return (jnp.full((files,), frames, jnp.int32),
                 jnp.zeros((files,), bool))
     n_chunks = n_hops + factor - 1
     pad_to = n_chunks * hop
-    mono_p = jnp.pad(mono, ((0, 0), (0, max(0, pad_to - frames))))[:, :pad_to]
-    chunks = mono_p.reshape(files, n_chunks, hop)
+    stream_p = jnp.pad(stream, ((0, 0), (0, max(0, pad_to - frames))))[:, :pad_to]
+    chunks = stream_p.reshape(files, n_chunks, hop)
 
     def _combine(per_chunk, reduce_fn):
         out = per_chunk[:, 0:n_hops]
@@ -138,17 +154,14 @@ def detect_tail_end(
         return out
 
     if mode == "rms":
-        chunk_sum = jnp.sum(jnp.square(chunks), axis=-1)
+        chunk_sum = jnp.sum(chunks, axis=-1)          # sums of mean squares
         energy = _combine(chunk_sum, jnp.add) / (factor * hop)
         level_db = jnp.where(energy > 0, 10.0 * jnp.log10(jnp.maximum(energy, 1e-30)), -200.0)
-    elif mode == "peak":
+    else:
         chunk_max = jnp.max(chunks, axis=-1)
         peaks = _combine(chunk_max, jnp.maximum)
         level_db = jnp.where(peaks > 0, 20.0 * jnp.log10(jnp.maximum(peaks, 1e-30)), -200.0)
-    else:
-        raise ValueError(f"mode must be 'peak' or 'rms', got {mode!r}")
 
-    win = factor * hop                    # effective hop-aligned window length
     n_win = level_db.shape[-1]
     quiet = level_db < threshold_db                       # (files, n_win)
     # Window w ends at frame w*hop + win; enforce the minimum capture length

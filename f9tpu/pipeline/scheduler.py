@@ -510,12 +510,14 @@ class BatchProcessor:
                             # bit-identical output bytes)
                             from ..ops.loudness import (
                                 array_reader, meter_source_streamed,
-                                normalization_gain_db)
+                                normalization_gain_db, surround_weights)
 
                             m = meter_source_streamed(
                                 array_reader(data), data.shape[0],
                                 data.shape[-1], rate,
-                                want_tp=cfg.normalize_tp_db is not None)
+                                want_tp=cfg.normalize_tp_db is not None,
+                                weights=(surround_weights(data.shape[0])
+                                         if cfg.surround_weights else None))
                             lufs = m["lufs"]
                             if lufs > -199.0:
                                 gain_db, note = normalization_gain_db(

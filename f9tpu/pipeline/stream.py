@@ -96,17 +96,18 @@ class _TailDetector:
         self._run = 0
         self._rem = np.zeros(0, np.float32)
 
-    def feed(self, mono_abs: np.ndarray) -> int | None:
-        """Feed the next |signal| frames (loudest-channel envelope); returns
-        the absolute end frame the moment termination is confirmed."""
-        buf = (np.concatenate([self._rem, mono_abs])
-               if self._rem.size else np.asarray(mono_abs))
+    def feed(self, env: np.ndarray) -> int | None:
+        """Feed the next per-frame statistic values — loudest-channel
+        |envelope| (peak mode) or channel-mean SQUARE (rms mode, the C++
+        buffer-RMS rule); returns the absolute end frame the moment
+        termination is confirmed."""
+        buf = (np.concatenate([self._rem, env])
+               if self._rem.size else np.asarray(env))
         n_complete = len(buf) // self.hop
         for k in range(n_complete):
             seg = buf[k * self.hop : (k + 1) * self.hop]
             self._stats.append(float(seg.max()) if self.mode == "peak"
-                               else float(np.square(seg, dtype=np.float64)
-                                          .sum()))
+                               else float(seg.sum(dtype=np.float64)))
             self._n_chunks += 1
             if len(self._stats) < self.factor:
                 continue
@@ -130,7 +131,7 @@ class _TailDetector:
 
 def _finish_chunk(y, carry, seeds_c, pos0, gain, *, rate_out, bits,
                   do_dither, chain=None, carry_frames=0, silent=None,
-                  want_env=False):
+                  want_env=False, env_rms=False):
     """Everything downstream of the SRC for one streamed chunk: chain
     continuation, gain, position-keyed dither/quantize, silent-channel
     zeroing.  Shared (traced inline) by the single-chip `_stream_step` and
@@ -160,7 +161,11 @@ def _finish_chunk(y, carry, seeds_c, pos0, gain, *, rate_out, bits,
     else:
         y_out, new_carry = y, carry
     y_out = y_out * gain
-    env = jnp.max(jnp.abs(y_out), axis=0) if want_env else None
+    # detector statistic stream: loudest-channel |envelope| (peak mode) or
+    # per-frame mean square over ALL channels (rms mode — the C++ buffer-RMS
+    # rule the batch detect_tail_end mirrors)
+    env = ((jnp.mean(jnp.square(y_out), axis=0) if env_rms
+            else jnp.max(jnp.abs(y_out), axis=0)) if want_env else None)
     if do_dither:
         # noise keyed by (seed, channel, ABSOLUTE output frame pos0+j):
         # bytes are chunk-size invariant and identical to the batch path's
@@ -181,10 +186,11 @@ def _finish_chunk(y, carry, seeds_c, pos0, gain, *, rate_out, bits,
                                              "quality", "kind", "bits",
                                              "do_dither", "chain",
                                              "carry_frames", "silent",
-                                             "want_env", "rows_form"))
+                                             "want_env", "env_rms",
+                                             "rows_form"))
 def _stream_step(xp, carry, seeds_c, pos0, gain, *, cycles, rate_in, rate_out,
                  quality, kind, bits, do_dither, chain=None,
-                 carry_frames=0, silent=None, want_env=False,
+                 carry_frames=0, silent=None, want_env=False, env_rms=False,
                  rows_form=False):
     """``gain`` is a TRACED float32 scalar (static gain x per-file
     normalization gain as one linear factor): per-file gains never recompile.
@@ -208,15 +214,16 @@ def _stream_step(xp, carry, seeds_c, pos0, gain, *, cycles, rate_in, rate_out,
     return _finish_chunk(y, carry, seeds_c, pos0, gain, rate_out=rate_out,
                          bits=bits, do_dither=do_dither, chain=chain,
                          carry_frames=carry_frames, silent=silent,
-                         want_env=want_env)
+                         want_env=want_env, env_rms=env_rms)
 
 
 @functools.partial(jax.jit, static_argnames=("rate_out", "bits", "do_dither",
                                              "chain", "carry_frames",
-                                             "silent", "want_env"))
+                                             "silent", "want_env",
+                                             "env_rms"))
 def _chain_finish_step(y, carry, seeds_c, pos0, gain, *, rate_out, bits,
                        do_dither, chain, carry_frames, silent,
-                       want_env=False):
+                       want_env=False, env_rms=False):
     """Sharded-stream tail when a chain is configured: the super-chunk's SRC
     output (gathered — chain state is sequential over frames, so this stage
     runs on one device while the SRC itself stays frames-sharded) through
@@ -224,7 +231,7 @@ def _chain_finish_step(y, carry, seeds_c, pos0, gain, *, rate_out, bits,
     return _finish_chunk(y, carry, seeds_c, pos0, gain, rate_out=rate_out,
                          bits=bits, do_dither=do_dither, chain=chain,
                          carry_frames=carry_frames, silent=silent,
-                         want_env=want_env)
+                         want_env=want_env, env_rms=env_rms)
 
 
 class _Emitter:
@@ -412,11 +419,14 @@ def stream_resample_file(
         norm_gain_db = 0.0
         if cfg.normalize_lufs is not None and T > 0:
             from ..ops.loudness import (meter_source_streamed,
-                                        normalization_gain_db)
+                                        normalization_gain_db,
+                                        surround_weights)
 
             m = meter_source_streamed(
                 reader.read, C_in, T, rate_in,
-                want_tp=cfg.normalize_tp_db is not None)
+                want_tp=cfg.normalize_tp_db is not None,
+                weights=(surround_weights(C_in)
+                         if cfg.surround_weights else None))
             if m["lufs"] > -199.0:
                 norm_gain_db, _note = normalization_gain_db(
                     cfg.normalize_lufs, m["lufs"], cfg.gain_db,
@@ -543,6 +553,7 @@ def stream_resample_file(
                     do_dither=cfg.dither,
                     chain=cfg.chain, carry_frames=carry_frames,
                     silent=silent, want_env=detector is not None,
+                    env_rms=cfg.tail_mode == "rms",
                     rows_form=rows_form,
                 )
                 if detector is not None:
@@ -600,9 +611,9 @@ def _banded_rows_sharded_step(rows, *, rate_in, rate_out, quality, kind):
 
 
 @functools.partial(jax.jit, static_argnames=("bits", "do_dither",
-                                             "want_env"))
+                                             "want_env", "env_rms"))
 def _finish_step(y, seeds_c, pos0, gain, *, bits, do_dither,
-                 want_env=False):
+                 want_env=False, env_rms=False):
     """Gain + dither/quantize on the (sharded) resampled super-chunk; XLA
     partitions these elementwise ops (and the position iota) along the
     existing frames sharding, so each shard hashes its own positions.
@@ -610,7 +621,8 @@ def _finish_step(y, seeds_c, pos0, gain, *, bits, do_dither,
     ``want_env``: also return the pre-dither loudest-channel envelope for
     the reverb-tail detector (see `_finish_chunk`)."""
     y = y * gain
-    env = jnp.max(jnp.abs(y), axis=0) if want_env else None
+    env = ((jnp.mean(jnp.square(y), axis=0) if env_rms
+            else jnp.max(jnp.abs(y), axis=0)) if want_env else None)
     if do_dither:
         pos = pos0 + jnp.arange(y.shape[-1], dtype=jnp.int32)[None, :]
         codes = dither.quantize_noise(y, bits, seeds_c[:, None], pos)
@@ -730,7 +742,7 @@ def _stream_sharded(reader, routed_read, out_ch, silent, out_path, cfg, bank,
                     jnp.int32(em.g0 - lat), gain, rate_out=cfg.target_rate,
                     bits=cfg.bits, do_dither=cfg.dither, chain=cfg.chain,
                     carry_frames=carry_frames, silent=None,
-                    want_env=want_env)
+                    want_env=want_env, env_rms=cfg.tail_mode == "rms")
                 if want_env:
                     codes, env, carry = step
                 else:
@@ -738,7 +750,8 @@ def _stream_sharded(reader, routed_read, out_ch, silent, out_path, cfg, bank,
             else:
                 step = _finish_step(
                     y, seeds_c, jnp.int32(em.g0 - lat), gain, bits=cfg.bits,
-                    do_dither=cfg.dither, want_env=want_env)
+                    do_dither=cfg.dither, want_env=want_env,
+                    env_rms=cfg.tail_mode == "rms")
                 if want_env:
                     codes, env = step
                 else:

@@ -287,11 +287,11 @@ def test_cli_probe_json_survives_device_side_failure(tmp_path, capsys,
 
     real = loud.r128_stats
 
-    def flaky(x, rate):
+    def flaky(x, rate, **kw):
         if flaky.calls == 0:
             flaky.calls += 1
             raise RuntimeError("XlaRuntimeError: RESOURCE_EXHAUSTED (fake)")
-        return real(x, rate)
+        return real(x, rate, **kw)
 
     flaky.calls = 0
     monkeypatch.setattr(loud, "r128_stats", flaky)

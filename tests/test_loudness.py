@@ -336,3 +336,62 @@ def test_normalization_note_keeps_clamp_when_capped():
     gain_db, note = normalization_gain_db(-10.0, -60.0, 0.0, -1.0, -20.0)
     assert "clamped" in note and "capped" in note
     assert gain_db == pytest.approx(40.0 - ((-20.0 + 40.0) - (-1.0)))
+
+
+def test_surround_weights_spec_behavior():
+    """BS.1770-4 5.1 weights: LFE excluded, surrounds +1.5 dB."""
+    from f9tpu.ops.loudness import integrated_lufs, surround_weights
+
+    rng = np.random.default_rng(5)
+    sig = (0.2 * rng.standard_normal(48000 * 2)).astype(np.float32)
+    w = surround_weights(6)
+    assert w == (1.0, 1.0, 1.0, 0.0, 1.41, 1.41)
+    # LFE-only content: a conforming meter reads silence
+    x = np.zeros((6, sig.shape[0]), np.float32)
+    x[3] = sig
+    lufs_w = float(integrated_lufs(jnp.asarray(x), 48000, weights=w))
+    lufs_u = float(integrated_lufs(jnp.asarray(x), 48000))
+    assert lufs_w <= -199.0 and lufs_u > -30.0
+    # surrounds-only content reads ~+1.5 dB over unweighted
+    x2 = np.zeros((6, sig.shape[0]), np.float32)
+    x2[4] = sig
+    x2[5] = sig
+    d = (float(integrated_lufs(jnp.asarray(x2), 48000, weights=w))
+         - float(integrated_lufs(jnp.asarray(x2), 48000)))
+    # G weights scale mean-square POWER: +1.5 dB = 10 log10(1.41)
+    assert abs(d - 10 * np.log10(1.41)) < 0.05
+    assert surround_weights(2) is None and surround_weights(5) is None
+
+
+def test_meter_streamed_tp_single_pass_counts_reads(tmp_path):
+    """want_tp shares the loudness pass's host reads (the pre-pass is
+    link-bound; a second full pass doubled its wall time) and matches the
+    reference true_peak_db value."""
+    from f9tpu.ops.loudness import (array_reader, meter_source_streamed,
+                                    true_peak_db)
+
+    rng = np.random.default_rng(6)
+    x = (0.5 * rng.standard_normal((2, 44100 * 3))).astype(np.float32)
+    reads = {"n": 0, "spans": []}
+    base = array_reader(x)
+
+    def counting(start, count):
+        reads["n"] += 1
+        return base(start, count)
+
+    m = meter_source_streamed(counting, 2, x.shape[1], 44100, want_tp=True)
+    # one read per chunk (loudness+TP fused), plus nothing else
+    assert reads["n"] <= 2 + x.shape[1] // (44100 * 20) + 1
+    ref_tp = float(true_peak_db(jnp.asarray(x), 44100))
+    assert abs(m["true_peak_db"] - ref_tp) < 1e-3
+    assert m["lufs"] > -30.0
+
+
+def test_true_peak_nan_propagates_in_chunked_scan():
+    from f9tpu.ops.loudness import _true_peak_chunked, array_reader
+
+    x = np.zeros((1, 3 << 21), np.float32)
+    x[0, 1 << 21] = np.nan
+    got = _true_peak_chunked(array_reader(x), 1, x.shape[1], 48000,
+                             chunk_seconds=10.0)
+    assert np.isnan(got)

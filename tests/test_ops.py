@@ -235,3 +235,56 @@ def test_route_channels_num_out_padding():
     assert y.shape == (5, 4)
     assert np.array_equal(y[0], np.asarray(x)[2])
     assert np.all(y[2:] == 0)  # silence beyond the map
+
+
+def test_rms_tail_mode_uses_buffer_rms_over_channels():
+    """Regression: rms mode must average energy over ALL channels (the C++
+    buffer-RMS rule), not square the channel-max envelope — a silent second
+    channel halves the energy (-3 dB), which decides borderline tails."""
+    from f9tpu.ops.trim import detect_tail_end
+
+    rate = 8000
+    frames = rate  # 1 s
+    amp = 10 ** (-60.0 / 20.0)
+    x = np.zeros((1, 2, frames), np.float32)
+    x[0, 0] = amp                       # ch0 constant, ch1 silent
+    # buffer RMS = amp/sqrt(2) = -63 dB; envelope-RMS (old, wrong) = -60 dB.
+    # threshold between them: -61.5 dB => must read quiet (terminate)
+    nf = -61.5 / 1.1                    # nf + nf*10% = -61.5 dB threshold
+    end, hit = detect_tail_end(jnp.asarray(x), nf, 10.0, rate=rate,
+                               mode="rms")
+    assert bool(np.asarray(hit)[0])     # new (correct) semantics terminate
+
+
+def test_tail_window_not_multiple_of_hop_uses_effective_window():
+    """window_ms that is not a multiple of hop_ms rounds UP to whole hop
+    chunks; the hop count derives from the effective window so trailing
+    windows never average zero padding into their RMS."""
+    from f9tpu.ops.trim import detect_tail_end
+
+    rate = 48000
+    frames = rate // 2
+    x = np.full((1, 1, frames), 10 ** (-60.0 / 20.0), np.float32)
+    # constant signal at -60 dB; threshold below it -> never quiet; with the
+    # old n_hops the final windows averaged padding zeros (-60.8 dB) and
+    # could dip under a threshold sitting just below the true level
+    nf = -60.4 / 1.1
+    end, hit = detect_tail_end(jnp.asarray(x), nf, 10.0, rate=rate,
+                               window_ms=100, hop_ms=30, mode="rms")
+    assert not bool(np.asarray(hit)[0])
+    assert int(np.asarray(end)[0]) == frames
+
+
+def test_route_channels_rejects_out_of_range_sources():
+    from f9tpu.ops.routing import route_channels
+
+    x = jnp.zeros((2, 100), jnp.float32)
+    with pytest.raises(ValueError, match="out of range"):
+        route_channels(x, [0, 5])
+
+
+def test_deinterleave_rejects_partial_frames():
+    from f9tpu.ops.routing import deinterleave
+
+    with pytest.raises(ValueError, match="not a multiple"):
+        deinterleave(jnp.zeros(101, jnp.float32), 2)
