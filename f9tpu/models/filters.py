@@ -177,14 +177,20 @@ def minimum_phase(h: np.ndarray, nfft_factor: int = 16) -> np.ndarray:
     n = int(h.shape[0])
     pad_pow = max(1, int(nfft_factor)).bit_length() - 1   # floor(log2)
     nfft = 1 << (int(np.ceil(np.log2(max(n, 2)))) + pad_pow)
-    mag = np.abs(np.fft.fft(h, nfft))
-    mag = np.maximum(mag, mag.max() * 1e-10)   # -200 dB log floor
-    cep = np.fft.ifft(np.log(mag)).real
+    # rfft: |H| of a real input is conjugate-symmetric, so the full
+    # spectrum reconstructs from the half-size transform — the complex128
+    # temporaries halve, which matters for varispeed minphase banks
+    # (K*L ~ 1.4-2.2M taps -> nfft 2^25-2^26; full-FFT peaked multi-GB)
+    mag_h = np.abs(np.fft.rfft(h, nfft))
+    mag_h = np.maximum(mag_h, mag_h.max() * 1e-10)   # -200 dB log floor
+    cep = np.fft.irfft(np.log(mag_h), nfft)
     fold = np.zeros(nfft)
     fold[0] = cep[0]
     fold[1 : nfft // 2] = 2.0 * cep[1 : nfft // 2]
     fold[nfft // 2] = cep[nfft // 2]
-    h_min = np.fft.ifft(np.exp(np.fft.fft(fold))).real[:n]
+    # exp of a conjugate-symmetric spectrum is conjugate-symmetric, so the
+    # half-size transform reconstructs the real result exactly
+    h_min = np.fft.irfft(np.exp(np.fft.rfft(fold)), nfft)[:n]
     return h_min
 
 
@@ -262,7 +268,9 @@ class CycleBank:
     ``y[q*L + p] = sum_w G[w, p] * x_padded[q*M + w]`` and
     ``x_padded = [zeros(pad_front), x, zeros(...)]``.  For varispeed ratios
     whose dense matrix would exceed `DENSE_MAX_ELEMS`, ``G`` is ``None`` and
-    execution uses the phase bank ``H`` directly (gather path).
+    execution uses the phase bank ``H`` directly — production dispatch is
+    the banded MXU path (`resample_banded` / `resample_banded_rows_pre`);
+    the gather path survives only as the slow cross-check.
     """
 
     L: int                 # upsampling factor (output samples per cycle)
@@ -355,6 +363,13 @@ def design_cycle_bank(
     invariant to direction.  Results are cached (pure function of args).
     """
     L, M = resolve_ratio(rate_in, rate_out)
+    # validate BEFORE the 1:1 shortcut: a config typo must fail for a
+    # session-rate-only batch exactly as it would for any other rate pair
+    if kind not in ("sinc", "minphase", "lagrange"):
+        raise ValueError(f"unknown kind {kind!r}")
+    if kind in ("sinc", "minphase") and quality not in QUALITY_PRESETS:
+        raise ValueError(f"unknown quality {quality!r}; "
+                         f"choose from {sorted(QUALITY_PRESETS)}")
     if L == 1 and M == 1:
         # 1:1 ratio is an exact passthrough (the reference validates files to the
         # session rate and copies them through the loop; Source/AppState.h:137-141).
@@ -363,8 +378,6 @@ def design_cycle_bank(
         return CycleBank(L=1, M=1, taps_per_phase=1, G=G, H=H, W_width=W,
                          pad_front=pad_front, delay_upsamples=0, kind=kind)
     if kind in ("sinc", "minphase"):
-        if quality not in QUALITY_PRESETS:
-            raise ValueError(f"unknown quality {quality!r}; choose from {sorted(QUALITY_PRESETS)}")
         Z = QUALITY_PRESETS[quality]
         K = max(4, int(math.ceil(2.0 * Z * max(L, M) / L)))
         # Keep K even so the group delay (K*L-1)/2 splits cleanly.

@@ -17,6 +17,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = ["tpdf_dither_quantize", "tpdf_noise", "channel_seeds",
            "noise_seeds", "quantize", "dequantize"]
@@ -118,8 +119,12 @@ def tpdf_dither_quantize(
 
     ``key`` is either one PRNG key for the whole array, or a per-file seed
     vector ``(files,) int32`` (with ``x`` batched ``(files, ...)``): each
-    file's noise then depends only on its own seed, so outputs are
-    byte-identical however files are grouped into batches across runs.
+    file's noise then depends only on (seed, padded trailing shape), so
+    outputs repeat across runs whenever the bucket shape matches.  NOTE:
+    the draw is SHAPE-keyed — the same file padded to a different bucket
+    length draws different noise.  The pipeline's grouping-invariant path
+    is `quantize_noise` (position-keyed `tpdf_noise`), which is what every
+    production graph uses; this helper is the standalone-API form.
     (int32 is the discriminator: a raw threefry key is a (2,) *uint32*
     array, which a 2-file seed vector must not be mistaken for.)
     """
@@ -140,14 +145,26 @@ def tpdf_dither_quantize(
         u2 = (bits32 >> 16).astype(x.dtype) * (1.0 / 65536.0)
         v = v + (u1 - u2)
     q = jnp.round(v)
-    lo, hi = -s, s - 1.0
-    return jnp.clip(q, lo, hi).astype(jnp.int32)
+    return jnp.clip(q, -s, _clip_hi(s)).astype(jnp.int32)
+
+
+def _clip_hi(s: float) -> np.float32:
+    """Largest float32 clip bound strictly below ``s`` (= 2^(bits-1)).
+    For bits <= 25, ``s - 1`` is exact; at 32 bits it rounds UP to 2^31 in
+    float32 and the out-of-range float->int32 conversion is
+    implementation-defined in XLA (today's backends saturate; a wrapping
+    backend would flip a full-scale positive sample to -2^31) — clamp to a
+    representable bound so the byte contract never rests on it."""
+    hi = np.float32(s - 1.0)
+    if float(hi) >= s:
+        hi = np.nextafter(np.float32(s), np.float32(0))
+    return hi
 
 
 def quantize(x: jax.Array, bits: int = 24) -> jax.Array:
     """Undithered round-to-nearest PCM quantization (reference behaviour)."""
     s = _scale(bits)
-    return jnp.clip(jnp.round(x * s), -s, s - 1.0).astype(jnp.int32)
+    return jnp.clip(jnp.round(x * s), -s, _clip_hi(s)).astype(jnp.int32)
 
 
 def quantize_noise(z: jax.Array, bits: int, seeds: jax.Array | None = None,
@@ -158,8 +175,12 @@ def quantize_noise(z: jax.Array, bits: int, seeds: jax.Array | None = None,
     s = _scale(bits)
     v = z * s
     if seeds is not None:
+        if pos is None:
+            raise ValueError(
+                "quantize_noise: position-keyed noise needs BOTH seeds and "
+                "pos (seeds alone would silently be shape-keyed)")
         v = v + tpdf_noise(seeds, pos)
-    return jnp.clip(jnp.round(v), -s, s - 1.0).astype(jnp.int32)
+    return jnp.clip(jnp.round(v), -s, _clip_hi(s)).astype(jnp.int32)
 
 
 def dequantize(q: jax.Array, bits: int = 24) -> jax.Array:

@@ -37,8 +37,9 @@ def _g_f32_cached(bank: CycleBank) -> np.ndarray:
     if bank.G is None:
         raise RuntimeError(
             f"dense cycle matrix disabled for ratio {bank.L}/{bank.M} "
-            f"(would be {bank.W}x{bank.L}); this bank runs via "
-            "resample_gather (dispatched automatically by resample_auto)")
+            f"(would be {bank.W}x{bank.L}); this bank runs via the banded "
+            "path (resample_banded / resample_banded_rows_pre, dispatched "
+            "automatically by resample / resample_auto)")
     return np.ascontiguousarray(bank.G, dtype=np.float32)
 
 
@@ -106,6 +107,12 @@ def _gather_core(xp: jax.Array, bank: CycleBank, n_out: int) -> jax.Array:
     if L * M + L >= 2**31:
         raise ValueError(
             f"ratio {bank.L}/{bank.M} too fine for int32 gather index math")
+    if xp.shape[-1] >= 2**31 or n_out >= 2**31:
+        # the signal-length-scaled indices (base, arange) are int32 too;
+        # beyond this they would silently wrap and gather garbage
+        raise ValueError(
+            f"signal too long for int32 gather index math "
+            f"({xp.shape[-1]} in / {n_out} out frames)")
     lead = xp.shape[:-1]
     T_pad = xp.shape[-1]
     xf = xp.reshape(-1, T_pad)
@@ -172,7 +179,7 @@ def _banded_plan(bank: CycleBank):
     L, M, K = bank.L, bank.M, bank.taps_per_phase
     seg = min(_BAND_SEG, L)
     off, ph = _cycle_tables(L, M, bank.delay_upsamples % L)
-    hrev = np.ascontiguousarray(bank.H[:, ::-1], dtype=np.float32)
+    hrev = _h_rev_f32_cached(bank)   # shared with the gather path
     S = max(1, -(-L // seg))
     p0s = [s * seg for s in range(S - 1)] + [L - seg]
     raw0 = [int(off[p0]) for p0 in p0s]

@@ -747,8 +747,17 @@ class BatchProcessor:
                 flat = np.zeros((bs, channels, total_len), np.float32)
                 for i, d in enumerate(batch_x):
                     n = min(d.data.shape[-1], blen)
-                    flat[i, :, pf : pf + n] = d.data[:, :n]
                     valid[i] = n
+                    # the n_rows windows read at most total_len - pf input
+                    # samples; any excess is unread (the flat path's keep_T
+                    # truncation drops it too).  Defensive clamp: across all
+                    # measured real banks total_len - pf >= blen holds, but
+                    # the margin runs as low as ~5 frames at NTSC ratios —
+                    # a future bank geometry must degrade to the flat-path
+                    # semantics, not overflow the staging slice
+                    nc = min(n, total_len - pf)
+                    if nc > 0:
+                        flat[i, :, pf : pf + nc] = d.data[:, :nc]
                 x = marshal_banded_rows(flat, bank_v)
             elif b["rows_bank"] is not None:
                 # host-rows marshalling: write samples at flat offset

@@ -288,3 +288,37 @@ def test_deinterleave_rejects_partial_frames():
 
     with pytest.raises(ValueError, match="not a multiple"):
         deinterleave(jnp.zeros(101, jnp.float32), 2)
+
+
+def test_quantize_bits32_full_scale_is_positive():
+    """bits=32: the clip bound s-1 is not float32-representable (rounds up
+    to 2^31) and out-of-range float->int32 conversion is implementation-
+    defined in XLA — the bound must clamp to a representable value so a
+    full-scale positive sample can never wrap to -2^31 on any backend."""
+    from f9tpu.ops.dither import quantize
+
+    q = int(np.asarray(quantize(jnp.asarray([[1.0]], jnp.float32), 32))[0, 0])
+    assert 0 < q <= 2**31 - 1
+    # neighbouring bit depths keep their exact bounds
+    q24 = int(np.asarray(quantize(jnp.asarray([[1.0]], jnp.float32), 24))[0, 0])
+    assert q24 == 2**23 - 1
+    qn = int(np.asarray(quantize(jnp.asarray([[-1.5]], jnp.float32), 32))[0, 0])
+    assert qn == -2**31
+
+
+def test_quantize_noise_requires_pos_with_seeds():
+    from f9tpu.ops.dither import quantize_noise
+
+    z = jnp.zeros((2, 8), jnp.float32)
+    seeds = jnp.asarray(np.array([1, 2], np.uint32))
+    with pytest.raises(ValueError, match="seeds and"):
+        quantize_noise(z, 24, seeds)
+
+
+def test_design_validates_args_at_identity_ratio():
+    from f9tpu.models.filters import design_cycle_bank
+
+    with pytest.raises(ValueError, match="quality"):
+        design_cycle_bank(44100, 44100, quality="hgih")
+    with pytest.raises(ValueError, match="kind"):
+        design_cycle_bank(48000, 48000, kind="bogus")

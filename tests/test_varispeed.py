@@ -36,7 +36,7 @@ def test_varispeed_bank_skips_dense_matrix():
     assert b.G is None and not b.dense_ok
     assert b.H.shape == (b.L, b.taps_per_phase)
     assert (b.W + 1) * b.L > DENSE_MAX_ELEMS
-    with pytest.raises(RuntimeError, match="resample_gather"):
+    with pytest.raises(RuntimeError, match="resample_banded"):
         cycle_matrix_f32(b)
     # a mild pull (0.1%) still fits densely
     b2 = design_cycle_bank(48000, 47952, quality="low")
