@@ -21,6 +21,8 @@ __all__ = ["probe_aiff", "read_aiff", "write_aiff", "AiffReader",
 
 def _read_extended80(b: bytes) -> float:
     """80-bit IEEE extended float (the COMM sample-rate field)."""
+    if len(b) < 10:
+        raise ValueError("truncated 80-bit float field")
     (se,) = struct.unpack(">H", b[0:2])
     sign = -1.0 if se & 0x8000 else 1.0
     exp = se & 0x7FFF
@@ -28,6 +30,11 @@ def _read_extended80(b: bytes) -> float:
     mant = (hi << 32) | lo
     if exp == 0 and mant == 0:
         return 0.0
+    if exp >= 0x43FE:
+        # Inf/NaN encoding (0x7FFF) or any exponent beyond double range:
+        # 2.0**huge raises OverflowError, which would escape the module's
+        # ValueError contract for malformed files
+        raise ValueError(f"malformed 80-bit float (exponent {exp:#x})")
     return sign * mant * 2.0 ** (exp - 16383 - 63)
 
 
@@ -63,15 +70,23 @@ def _parse(raw: bytes, path: str):
     is_aifc = bytes(buf[8:12]) == b"AIFC"
     comm = None
     ssnd = None
-    for cid, off, size in _chunks(buf, 12, len(buf)):
-        if cid == b"COMM":
-            channels, frames, bits = struct.unpack_from(">hIh", buf, off)
-            rate = _read_extended80(bytes(buf[off + 8 : off + 18]))
-            comp = bytes(buf[off + 18 : off + 22]) if (is_aifc and size >= 22) else b"NONE"
-            comm = (channels, frames, bits, rate, comp)
-        elif cid == b"SSND":
-            offset, _block = struct.unpack_from(">II", buf, off)
-            ssnd = (off + 8 + offset, size - 8 - offset)
+    try:
+        for cid, off, size in _chunks(buf, 12, len(buf)):
+            if cid == b"COMM":
+                channels, frames, bits = struct.unpack_from(">hIh", buf, off)
+                if channels < 1:
+                    raise ValueError(f"{path}: malformed COMM "
+                                     f"({channels} channels)")
+                rate = _read_extended80(bytes(buf[off + 8 : off + 18]))
+                comp = bytes(buf[off + 18 : off + 22]) if (is_aifc and size >= 22) else b"NONE"
+                comm = (channels, frames, bits, rate, comp)
+            elif cid == b"SSND" and size >= 8:
+                offset, _block = struct.unpack_from(">II", buf, off)
+                # clamp: a hostile offset beyond the chunk must not go
+                # negative (downstream frame math would go degenerate)
+                ssnd = (off + 8 + offset, max(0, size - 8 - offset))
+    except struct.error as e:
+        raise ValueError(f"{path}: truncated or malformed chunk ({e})")
     if comm is None:
         raise ValueError(f"{path}: missing COMM chunk")
     return comm, ssnd
@@ -95,17 +110,23 @@ def _scan_aiff_header(f, path: str):
         cid = hdr[0:4]
         (size,) = struct.unpack(">I", hdr[4:8])
         pos = f.tell()
-        if cid == b"COMM":
-            payload = f.read(min(size, 64))
-            channels, frames, bits = struct.unpack_from(">hIh", payload, 0)
-            rate = _read_extended80(payload[8:18])
-            comp = payload[18:22] if (is_aifc and size >= 22) else b"NONE"
-            comm = (channels, frames, bits, rate, comp)
-        elif cid == b"SSND" and size >= 8:
-            offset, _block = struct.unpack(">II", f.read(8))
-            ssnd = (pos + 8 + offset, size - 8 - offset)
-            if comm is not None:
-                break
+        try:
+            if cid == b"COMM":
+                payload = f.read(min(size, 64))
+                channels, frames, bits = struct.unpack_from(">hIh", payload, 0)
+                if channels < 1:
+                    raise ValueError(f"{path}: malformed COMM "
+                                     f"({channels} channels)")
+                rate = _read_extended80(payload[8:18])
+                comp = payload[18:22] if (is_aifc and size >= 22) else b"NONE"
+                comm = (channels, frames, bits, rate, comp)
+            elif cid == b"SSND" and size >= 8:
+                offset, _block = struct.unpack(">II", f.read(8))
+                ssnd = (pos + 8 + offset, max(0, size - 8 - offset))
+                if comm is not None:
+                    break
+        except struct.error as e:
+            raise ValueError(f"{path}: truncated or malformed chunk ({e})")
         f.seek(pos + size + (size & 1))
     if comm is None:
         raise ValueError(f"{path}: missing COMM chunk")
@@ -119,9 +140,17 @@ def _decode_aiff_samples(data, channels: int, bits: int, comp: bytes,
     little = comp == b"sowt"
     endian = "<" if little else ">"
     if comp in (b"fl32", b"FL32"):
-        return np.frombuffer(data, endian + "f4").astype(np.float32)
+        # scrub NaN/Inf exactly like the WAV float path: one NaN would
+        # spread across the resampler's whole convolution window
+        with np.errstate(over="ignore", invalid="ignore"):
+            return np.nan_to_num(np.frombuffer(data, endian + "f4")
+                                 .astype(np.float32),
+                                 nan=0.0, posinf=0.0, neginf=0.0)
     if comp in (b"fl64", b"FL64"):
-        return np.frombuffer(data, endian + "f8").astype(np.float32)
+        with np.errstate(over="ignore", invalid="ignore"):
+            return np.nan_to_num(np.frombuffer(data, endian + "f8")
+                                 .astype(np.float32),
+                                 nan=0.0, posinf=0.0, neginf=0.0)
     if comp in (b"NONE", b"sowt"):
         if bits == 16:
             return np.frombuffer(data, endian + "i2").astype(np.float32) / 32768.0
@@ -200,9 +229,25 @@ class AiffReader:
 
 
 def probe_aiff(path: str) -> AudioFileInfo:
+    import os
+
     with open(path, "rb") as f:
-        comm, _ = _scan_aiff_header(f, path)
+        comm, ssnd = _scan_aiff_header(f, path)
     channels, frames, bits, rate, comp = comm
+    if ssnd is not None:
+        # clamp to what the file actually holds (probe_wav parity): the
+        # scheduler's bucket planning and the readers must agree on a
+        # truncated file's frame count
+        if comp in (b"fl32", b"FL32"):
+            sample_bytes = 4
+        elif comp in (b"fl64", b"FL64"):
+            sample_bytes = 8
+        else:
+            sample_bytes = max(1, abs(bits)) // 8 or 1
+        bpf = max(1, channels) * sample_bytes
+        off, size = ssnd
+        actual = max(0, os.path.getsize(path) - off)
+        frames = min(frames, min(size, actual) // bpf)
     return AudioFileInfo(
         path=path,
         sample_rate=int(round(rate)),

@@ -79,24 +79,35 @@ def _parse_wav(buf: memoryview, path: str):
     ds64_data = None
     pos = 12
     end = len(buf)
-    while pos + 8 <= end:
-        cid = bytes(buf[pos : pos + 4])
-        (size,) = struct.unpack_from("<I", buf, pos + 4)
-        off = pos + 8
-        if cid == _DS64 and size >= 28:
-            _riff64, ds64_data, _samples = struct.unpack_from("<QQQ", buf, off)
-        elif cid == _FMT:
-            tag, channels, rate, _, block_align, bits = struct.unpack_from("<HHIIHH", buf, off)
-            if tag == WAVE_FORMAT_EXTENSIBLE and size >= 40:
-                (sub,) = struct.unpack_from("<H", buf, off + 24)
-                tag = sub
-            fmt = (tag, channels, rate, block_align, bits)
-        elif cid == _DATA:
-            if size == _SIZE_SENTINEL and ds64_data is not None:
-                size = ds64_data   # RF64: real 64-bit size from ds64
-            data_off, data_size = off, size  # declared size (file may extend
-            # beyond this buffer; callers clamp to what they actually hold)
-        pos = off + size + (size & 1)
+    try:
+        while pos + 8 <= end:
+            cid = bytes(buf[pos : pos + 4])
+            (size,) = struct.unpack_from("<I", buf, pos + 4)
+            off = pos + 8
+            if cid == _DS64 and size >= 28:
+                _riff64, ds64_data, _samples = struct.unpack_from("<QQQ", buf, off)
+            elif cid == _FMT:
+                tag, channels, rate, _, block_align, bits = struct.unpack_from("<HHIIHH", buf, off)
+                if tag == WAVE_FORMAT_EXTENSIBLE and size >= 40:
+                    (sub,) = struct.unpack_from("<H", buf, off + 24)
+                    tag = sub
+                if channels < 1:
+                    raise ValueError(
+                        f"{path}: malformed fmt ({channels} channels)")
+                fmt = (tag, channels, rate, block_align, bits)
+            elif cid == _DATA:
+                if size == _SIZE_SENTINEL and ds64_data is not None:
+                    size = ds64_data   # RF64: real 64-bit size from ds64
+                data_off, data_size = off, size  # declared size (file may
+                # extend beyond this buffer; callers clamp to what they hold)
+                if fmt is not None:
+                    # FIRST data chunk after fmt, exactly like the seek-based
+                    # scanner — on a malformed double-data file, read_wav and
+                    # WavReader/probe must decode the SAME chunk
+                    break
+            pos = off + size + (size & 1)
+    except struct.error as e:
+        raise ValueError(f"{path}: truncated or malformed header ({e})")
     if fmt is None or data_off is None:
         raise ValueError(f"{path}: missing fmt/data chunk")
     return fmt, data_off, data_size
@@ -119,18 +130,24 @@ def _scan_wav_header(f, path: str):
         cid = hdr[0:4]
         (size,) = struct.unpack("<I", hdr[4:8])
         pos = f.tell()
-        if cid == _DS64 and size >= 28:
-            payload = f.read(24)
-            _riff64, ds64_data, _samples = struct.unpack("<QQQ", payload)
-        elif cid == _FMT:
-            payload = f.read(min(size, 64))
-            tag, channels, rate, _, block_align, bits = struct.unpack_from(
-                "<HHIIHH", payload, 0)
-            if tag == WAVE_FORMAT_EXTENSIBLE and size >= 40:
-                (sub,) = struct.unpack_from("<H", payload, 24)
-                tag = sub
-            fmt = (tag, channels, rate, block_align, bits)
-        elif cid == _DATA:
+        try:
+            if cid == _DS64 and size >= 28:
+                payload = f.read(24)
+                _riff64, ds64_data, _samples = struct.unpack("<QQQ", payload)
+            elif cid == _FMT:
+                payload = f.read(min(size, 64))
+                tag, channels, rate, _, block_align, bits = struct.unpack_from(
+                    "<HHIIHH", payload, 0)
+                if tag == WAVE_FORMAT_EXTENSIBLE and size >= 40:
+                    (sub,) = struct.unpack_from("<H", payload, 24)
+                    tag = sub
+                if channels < 1:
+                    raise ValueError(
+                        f"{path}: malformed fmt ({channels} channels)")
+                fmt = (tag, channels, rate, block_align, bits)
+        except struct.error as e:
+            raise ValueError(f"{path}: truncated or malformed header ({e})")
+        if cid == _DATA:
             if size == _SIZE_SENTINEL and ds64_data is not None:
                 size = ds64_data   # RF64: real 64-bit size from ds64
             data_off, data_size = pos, size
@@ -572,6 +589,10 @@ class WavWriter:
     JUCE's writer in the reference (Source/MainComponent.cpp:784-801)."""
 
     def __init__(self, path: str, channels: int, rate: int, bits: int = 24):
+        if bits not in (16, 24, 32):
+            # validate BEFORE opening: a post-open failure would leave a
+            # header-only corpse claiming a bogus format at the output path
+            raise ValueError(f"unsupported bit depth {bits}")
         self.path = path
         self.channels = channels
         self.rate = rate
@@ -641,6 +662,13 @@ def write_wav_payload(path: str, payload: np.ndarray, channels: int, rate: int,
     (sub-file encode progress; bytes identical to the one-shot form)."""
     bpf = channels * (bits // 8)
     frames = len(payload) // bpf
+    if len(payload) != frames * bpf:
+        # whole frames only (the AIFF twin raises too): stray tail bytes
+        # would sit between the declared data chunk and the pad, where a
+        # later metadata append/walk would parse them as a chunk header
+        raise ValueError(
+            f"payload of {len(payload)} bytes is not whole "
+            f"{channels}-channel {bits}-bit frames")
     data = np.ascontiguousarray(payload)
     with open(path, "wb") as f:
         f.write(_wav_header(frames, channels, rate, bits, is_float=False))
@@ -649,8 +677,6 @@ def write_wav_payload(path: str, payload: np.ndarray, channels: int, rate: int,
                 e = min(frames, s + chunk_frames)
                 f.write(data[s * bpf: e * bpf].tobytes())
                 progress_cb(e / frames)
-            if len(data) > frames * bpf:   # trailing partial-frame bytes
-                f.write(data[frames * bpf:].tobytes())
         else:
             f.write(data.tobytes())
         if (frames * bpf) & 1:

@@ -649,3 +649,94 @@ def test_append_chunks_size_overflow_restores_file(tmp_path):
     assert os.path.getsize(p) == 0xFFFFFFF0    # appended bytes removed
     with open(p, "rb") as f:                   # header untouched
         assert f.read(8) == b"RIFF" + _st.pack("<I", 0xFFFFFFF0 - 8)
+
+
+def test_aiff_float_nan_scrubbed_like_wav():
+    """fl32 AIFC with NaN/Inf payloads decodes to scrubbed zeros exactly as
+    the WAV float path does — one NaN would otherwise spread across the
+    resampler's whole convolution window."""
+    import struct as _st
+
+    from f9tpu.io.aiff import AiffReader, read_aiff
+
+    # hand-build a minimal AIFC fl32 file with a NaN and an Inf sample
+    vals = np.array([0.5, np.nan, np.inf, -0.25], np.float32)
+    payload = vals.astype(">f4").tobytes()
+    comm = (_st.pack(">hIh", 1, 4, 32) + b"\x40\x0D" + b"\xAC\x44\x00\x00"
+            + b"\x00\x00\x00\x00" + b"fl32" + b"\x00\x00")
+    ssnd = _st.pack(">II", 0, 0) + payload
+    body = (b"AIFC"
+            + b"COMM" + _st.pack(">I", len(comm)) + comm
+            + b"SSND" + _st.pack(">I", len(ssnd)) + ssnd)
+    import io as _io
+    raw = b"FORM" + _st.pack(">I", len(body)) + body
+    p = "/tmp/nan_test.aifc"
+    open(p, "wb").write(raw)
+    x, r = read_aiff(p)
+    assert np.isfinite(x).all()
+    assert x[0, 0] == np.float32(0.5) and x[0, 1] == 0.0 and x[0, 2] == 0.0
+    with AiffReader(p) as rd:
+        y = rd.read(0, 4)
+    assert np.isfinite(y).all()
+
+
+def test_probe_aiff_clamps_to_truncated_payload(tmp_path):
+    """A truncated AIFF: probe must report what the readers will deliver
+    (probe_wav parity), not the raw COMM frame count."""
+    from f9tpu.io.aiff import AiffReader, probe_aiff, write_aiff
+
+    p = str(tmp_path / "t.aiff")
+    x = (0.2 * np.random.default_rng(0).standard_normal((2, 4000))
+         ).astype(np.float32)
+    write_aiff(p, x, 44100, bits=24)
+    full = open(p, "rb").read()
+    open(p, "wb").write(full[: len(full) - 3000])   # chop payload tail
+    info = probe_aiff(p)
+    with AiffReader(p) as rd:
+        assert info.num_frames == rd.num_frames < 4000
+
+
+def test_malformed_headers_raise_valueerror_not_struct_error(tmp_path):
+    """Truncated ds64 / short fmt / COMM must surface the module's
+    ValueError contract, not a raw struct.error that escapes callers'
+    containment."""
+    import struct as _st
+
+    from f9tpu.io.aiff import probe_aiff
+    from f9tpu.io.wav import probe_wav, read_wav
+
+    # RF64 with a ds64 truncated mid-payload
+    p1 = str(tmp_path / "tr.wav")
+    open(p1, "wb").write(b"RF64" + _st.pack("<I", 100) + b"WAVE"
+                         + b"ds64" + _st.pack("<I", 28) + b"\x00" * 10)
+    for fn in (probe_wav, read_wav):
+        with pytest.raises(ValueError):
+            fn(p1)
+    # AIFF COMM with an Inf-exponent sample rate
+    p2 = str(tmp_path / "inf.aiff")
+    comm = _st.pack(">hIh", 2, 100, 16) + b"\x7F\xFF" + b"\x80" + b"\x00" * 7
+    body = b"AIFF" + b"COMM" + _st.pack(">I", len(comm)) + comm
+    open(p2, "wb").write(b"FORM" + _st.pack(">I", len(body)) + body)
+    with pytest.raises(ValueError):
+        probe_aiff(p2)
+    # zero-channel WAV fmt
+    p3 = str(tmp_path / "zc.wav")
+    fmt = _st.pack("<HHIIHH", 1, 0, 44100, 0, 0, 16)
+    body = (b"WAVE" + b"fmt " + _st.pack("<I", len(fmt)) + fmt
+            + b"data" + _st.pack("<I", 4) + b"\x00" * 4)
+    open(p3, "wb").write(b"RIFF" + _st.pack("<I", len(body)) + body)
+    for fn in (probe_wav, read_wav):
+        with pytest.raises(ValueError, match="channels"):
+            fn(p3)
+
+
+def test_wav_writer_rejects_bits_before_opening(tmp_path):
+    from f9tpu.io.wav import WavWriter, write_wav_payload
+
+    p = str(tmp_path / "nope.wav")
+    with pytest.raises(ValueError):
+        WavWriter(p, 2, 48000, bits=20)
+    assert not os.path.exists(p)            # no header-only corpse
+    with pytest.raises(ValueError, match="whole"):
+        write_wav_payload(str(tmp_path / "p.wav"), np.zeros(10, np.uint8),
+                          2, 48000, bits=24)   # 10 bytes != whole 6-byte frames
