@@ -95,11 +95,20 @@ def main() -> None:
     xa_h = (0.125 * rng.standard_normal((1, 1, n_acc))).astype(np.float32)
 
     def rows_case(r_in, r_out):
+        # feed the HOST-MARSHALLED 4-D rows form — the exact branch the
+        # headline times and the scheduler ships in production; 3-D input
+        # would fall into the separate conv implementation and the artifact
+        # would certify a path it never measures
         acc_cfg = ProcessingConfig(output_dir="/tmp/bench_out",
                                    target_rate=r_out, quality="high",
                                    dither=False, remove_dc=False)
+        bank_c = design_cycle_bank(r_in, r_out, quality="high")
+        n_r, pf_r = rows_marshal_plan(bank_c, n_acc)
+        xb_c = np.zeros((1, 1, n_r * bank_c.M), np.float32)
+        xb_c[:, :, pf_r: pf_r + n_acc] = xa_h
         res = _process_impl_rows(
-            jax.device_put(jnp.asarray(xa_h), dev),
+            jax.device_put(
+                jnp.asarray(xb_c.reshape(1, 1, n_r, bank_c.M)), dev),
             jnp.full((1,), n_acc, jnp.int32),
             jax.random.PRNGKey(1),
             rate_in=r_in, rate_out=r_out, cfg_key=_cfg_key(acc_cfg, 0),
@@ -189,7 +198,9 @@ def main() -> None:
         print(f"accuracy[{name}]: {db:.1f} dB RMS vs float64 oracle [{status}]",
               file=sys.stderr)
     rms_db = gates["up_44k_to_48k_rows"]
-    if any(db > -120.0 for db in gates.values()):
+    # `not (db <= -120)` so a NaN (degraded device) FAILS the gate — the
+    # naive `db > -120` is False for NaN and would certify garbage
+    if any(not (db <= -120.0) for db in gates.values()):
         print("ACCURACY GATE FAILED (target -120 dB)", file=sys.stderr)
         sys.exit(1)
 
@@ -227,7 +238,7 @@ def main() -> None:
     print(f"varispeed 44.1k->44.056k (banded rows): {wv*1000:.2f} ms -> "
           f"{vs_x_rt:.0f}x RT (flat form {wv_flat*1000:.2f} ms -> "
           f"{vs_flat_x_rt:.0f}x), {vs_db:.1f} dB vs oracle", file=sys.stderr)
-    if vs_db > -120.0:
+    if not (vs_db <= -120.0):     # NaN-proof (see the gate loop above)
         print("VARISPEED ACCURACY GATE FAILED", file=sys.stderr)
         sys.exit(1)
 
@@ -269,6 +280,11 @@ def main() -> None:
         bp = BatchProcessor(e2e_cfg)
         r = bp.run(paths)
         e2e_wall = time.time() - t0
+        if r.failed or r.completed < n_files:
+            # a contained device outage returns normally with files FAILED;
+            # a wall over partial work would inflate the metric
+            raise RuntimeError(
+                f"e2e incomplete: {r.completed}/{n_files} completed")
         e2e_x_rt = (n_files * e2e_frames / 44100) / e2e_wall
         print(f"e2e files->files: {e2e_wall:.2f}s for "
               f"{n_files * e2e_frames / 44100:.0f}s audio -> "
@@ -285,18 +301,25 @@ def main() -> None:
         print(f"e2e bench skipped: {err}", file=sys.stderr)
 
     baseline_x_rt = 1000.0  # north-star: 1000x real time per chip
+
+    def _num(v, nd=1):
+        # bare NaN/Inf are invalid JSON tokens; the one-line artifact
+        # contract requires strict-parseable output
+        f = float(v)
+        return round(f, nd) if np.isfinite(f) else None
+
     print(json.dumps({
         "metric": "audio-minutes resampled/sec/chip (44.1->48k stereo)",
-        "value": round(audio_min_per_s, 3),
+        "value": _num(audio_min_per_s, 3),
         "unit": "audio-min/s",
-        "vs_baseline": round(x_rt / baseline_x_rt, 3),
-        "x_realtime": round(x_rt, 1),
-        "accuracy_rms_db_vs_oracle": round(float(rms_db), 1),
-        "accuracy_gates_db": {k: round(float(v), 1) for k, v in gates.items()},
-        "varispeed_x_realtime": round(vs_x_rt, 1),
-        "varispeed_flat_x_realtime": round(vs_flat_x_rt, 1),
-        "varispeed_rms_db": round(float(vs_db), 1),
-        "e2e_x_realtime": (round(e2e_x_rt, 1) if e2e_x_rt else None),
+        "vs_baseline": _num(x_rt / baseline_x_rt, 3),
+        "x_realtime": _num(x_rt),
+        "accuracy_rms_db_vs_oracle": _num(rms_db),
+        "accuracy_gates_db": {k: _num(v) for k, v in gates.items()},
+        "varispeed_x_realtime": _num(vs_x_rt),
+        "varispeed_flat_x_realtime": _num(vs_flat_x_rt),
+        "varispeed_rms_db": _num(vs_db),
+        "e2e_x_realtime": (_num(e2e_x_rt) if e2e_x_rt else None),
         "e2e_stage_x_realtime": e2e_stages or None,
         "device": str(dev),
     }))

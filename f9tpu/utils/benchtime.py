@@ -89,7 +89,16 @@ def measure_op(
         t0 = time.time()
         float(run(x, s, many))
         tn = time.time() - t0
-        samples.append(max(1e-9, (tn - t1) / n))
+        slope = (tn - t1) / n
+        if slope > 0:
+            samples.append(slope)
+        # a non-positive slope (dispatch-latency noise swamped n ops) is an
+        # INVALID sample, not a 1e-9 s one — clamping would let two noisy
+        # repeats claim ~4e11x realtime with no warning
+    if not samples:
+        raise RuntimeError(
+            "measure_op: every slope sample was non-positive — dispatch "
+            "round-trip variance exceeded the op time; re-run with larger n")
     samples.sort()
     mid = len(samples) // 2
     if len(samples) % 2 == 0:
