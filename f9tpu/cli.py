@@ -48,6 +48,10 @@ def _expand_inputs(inputs: list[str]) -> list[str]:
             files.extend(sorted(
                 os.path.join(item, name) for name in os.listdir(item)
                 if codec.is_supported(name)))  # case-insensitive (.WAV etc.)
+        elif os.path.exists(item):
+            # literal path FIRST: glob characters are legal in filenames
+            # ('take[1].wav' must not be eaten as an unmatched pattern)
+            files.append(item)
         elif any(ch in item for ch in "*?["):
             files.extend(sorted(glob.glob(item)))  # unmatched glob -> nothing
         else:
@@ -82,6 +86,18 @@ _CONFIG_KEYS = (
 )
 
 
+def _parse_routing(spec):
+    """'0,1,-1,2' -> [0, 1, -1, 2] with a clean usage error on junk."""
+    if not spec:
+        return None
+    try:
+        return [int(c) for c in spec.split(",")]
+    except ValueError:
+        raise SystemExit(
+            f"error: --routing must be comma-separated integers "
+            f"(-1 = silent), got {spec!r}")
+
+
 def _build_chain(args):
     """Assemble the insert chain from CLI flags (the reference's external
     processor loop, expressed as in-graph stages).  Studio signal order:
@@ -92,26 +108,36 @@ def _build_chain(args):
 
     stages = []
     if getattr(args, "chain_delay_ms", None):
-        stages.append(Delay(args.chain_delay_ms / 1000.0))
+        try:
+            stages.append(Delay(args.chain_delay_ms / 1000.0))
+        except ValueError as e:
+            raise SystemExit(f"--chain-delay-ms: {e}")
     for spec in getattr(args, "chain_eq", None) or []:
         parts = spec.split(":")
         if not 2 <= len(parts) <= 4:
             raise SystemExit(
                 f"--chain-eq expects kind:freq[:q[:gain_db]], got {spec!r}")
-        kind, freq = parts[0], float(parts[1])
-        q = float(parts[2]) if len(parts) > 2 else 0.70710678
-        gain = float(parts[3]) if len(parts) > 3 else 0.0
-        stages.append(Biquad(kind, freq, q=q, gain_db=gain))
+        try:
+            kind, freq = parts[0], float(parts[1])
+            q = float(parts[2]) if len(parts) > 2 else 0.70710678
+            gain = float(parts[3]) if len(parts) > 3 else 0.0
+            stages.append(Biquad(kind, freq, q=q, gain_db=gain))
+        except ValueError as e:
+            raise SystemExit(f"--chain-eq {spec!r}: {e}")
     def _read_at_session_rate(path):
         # filters/IRs captured at another rate keep their frequency response
         # by oracle-resampling (host float64, exact) to the session rate
-        arr, arr_rate = codec.read_audio(path)
+        try:
+            arr, arr_rate = codec.read_audio(path)
+        except (OSError, ValueError) as e:
+            raise SystemExit(f"error: cannot read chain file {path}: {e}")
         if arr_rate != args.rate:
             from .models.oracle import resample_oracle
 
             arr = resample_oracle(arr.astype(np.float64), arr_rate,
                                   args.rate).astype(np.float32)
         return arr
+
 
     if getattr(args, "chain_fir", None):
         taps = _read_at_session_rate(args.chain_fir)
@@ -167,9 +193,17 @@ def _apply_config_file(parser, argv) -> None:
             path = a.split("=", 1)[1]
     if not path:
         return
-    with open(path) as f:
-        data = json.load(f)
-    vals = {k: v for k, v in data.items() if k in _CONFIG_KEYS}
+    try:
+        with open(path) as f:
+            data = json.load(f)
+        if not isinstance(data, dict):
+            raise ValueError("top level must be a JSON object")
+        vals = {k: v for k, v in data.items() if k in _CONFIG_KEYS}
+    except (OSError, ValueError) as err:
+        # a broken --config must be a clean usage error, not a traceback
+        # before argparse even runs
+        print(f"error: cannot load --config {path}: {err}", file=sys.stderr)
+        raise SystemExit(2)
     # append-action options (--chain-eq) would MERGE a config default with
     # explicit command-line values; when the user passed the flag, the
     # config's list must not contribute ("command line always wins")
@@ -211,8 +245,7 @@ def cmd_process(args) -> int:
         normalize_lufs=args.normalize_lufs,
         normalize_tp_db=args.normalize_tp_db,
         surround_weights=getattr(args, "surround_weights", False),
-        channel_routing=(
-            [int(c) for c in args.routing.split(",")] if args.routing else None),
+        channel_routing=_parse_routing(args.routing),
         output_channels=args.channels,
         device_layout=args.device_layout,
         seed=None if args.seed == -1 else args.seed,
@@ -392,9 +425,7 @@ def cmd_stream(args) -> int:
         normalize_lufs=getattr(args, "normalize_lufs", None),
         normalize_tp_db=getattr(args, "normalize_tp_db", None),
         surround_weights=getattr(args, "surround_weights", False),
-        channel_routing=(
-            [int(c) for c in args.routing.split(",")]
-            if getattr(args, "routing", None) else None),
+        channel_routing=_parse_routing(getattr(args, "routing", None)),
         output_channels=getattr(args, "channels", None),
         reverb_mode=getattr(args, "reverb", False),
         noise_floor_db=getattr(args, "noise_floor", None),
@@ -465,12 +496,14 @@ def cmd_watch(args) -> int:
         require_input_rate=args.require_rate,
         batch_size=args.batch_size,
         device_layout=args.device_layout,
-        channel_routing=(
-            [int(c) for c in args.routing.split(",")] if args.routing else None),
+        channel_routing=_parse_routing(args.routing),
         output_channels=args.channels,
         seed=None if args.seed == -1 else args.seed,
         chain=_build_chain(args),
     )
+    if args.interval <= 0:
+        print("watch: --interval must be positive", file=sys.stderr)
+        return 2
     if os.path.realpath(args.out) == os.path.realpath(args.dir):
         # outputs landing in the watched folder would be picked up and
         # reprocessed forever (x -> x_processed -> x_processed_processed...)
@@ -589,7 +622,12 @@ def cmd_verify(args) -> int:
     (deliverable integrity for archives/transfers)."""
     from .pipeline.manifest import FileStatus, JobManifest, file_crc32
 
-    m = JobManifest.load(args.manifest)
+    try:
+        m = JobManifest.load(args.manifest)
+    except (OSError, ValueError, KeyError) as err:
+        print(f"verify: cannot load manifest {args.manifest}: {err}",
+              file=sys.stderr)
+        return 2
     rows = []
     counts = {"ok": 0, "corrupt": 0, "missing": 0, "unverified": 0,
               "not_completed": 0}
@@ -724,6 +762,9 @@ def main(argv: list[str] | None = None) -> int:
     enable_compile_cache()
     ap = argparse.ArgumentParser(
         prog="f9tpu",
+        allow_abbrev=False,   # the --config pre-scan and --chain-eq merge
+        # suppression match literal flag spellings; a silently-accepted
+        # abbreviation (--conf) would bypass them
         description="TPU-native batch audio resampler "
                     "(capabilities of F9 JUCE Batch Resampler Studio)",
     )
@@ -983,7 +1024,14 @@ def main(argv: list[str] | None = None) -> int:
     # otherwise shadow anything set on the top-level parser)
     _apply_config_file(process_parser, list(argv) if argv is not None else sys.argv[1:])
     args = ap.parse_args(argv)
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except ValueError as err:
+        # the CLI boundary: config/validation errors (cfg.validate(),
+        # mesh shape checks, per-file bound checks raised before any work)
+        # are usage errors, not tracebacks
+        print(f"error: {err}", file=sys.stderr)
+        return 2
 
 
 if __name__ == "__main__":

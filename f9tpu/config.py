@@ -160,6 +160,13 @@ class ProcessingConfig:
             raise ValueError("output_dir is required")
         if self.target_rate <= 0:
             raise ValueError("target_rate must be positive")
+        if self.batch_size < 1:
+            # the scheduler hard-assumes a positive batch width; 0 would
+            # pass startup validation and IndexError mid-run instead
+            raise ValueError(f"batch_size must be >= 1, got {self.batch_size}")
+        if self.output_channels is not None and self.output_channels < 1:
+            raise ValueError(
+                f"output_channels must be >= 1, got {self.output_channels}")
         if self.device_layout not in ("packed", "rows"):
             raise ValueError("device_layout must be 'packed' or 'rows'")
         if self.output_format not in ("wav", "aiff"):

@@ -201,6 +201,12 @@ class BatchProcessor:
         # interleave into one corrupt WAV) ----
         out_paths: dict[str, str] = {}
         taken: dict[str, int] = {}
+        # the ORIGINALS are never overwritten (the reference's output-folder
+        # protection, _Swift Docs/OUTPUT_FOLDER_PROTECTION.md): an output
+        # resolving onto any of this run's inputs (--out == source dir with
+        # an empty postfix, or an input named like a deliverable) must be
+        # suffixed away, exactly like a name collision
+        in_real = {os.path.realpath(p) for p in run_files}
         will_process = {p for p in run_files
                         if manifest.get(p).status == FileStatus.PENDING}
         for e in manifest.entries():
@@ -217,16 +223,17 @@ class BatchProcessor:
             e = manifest.get(path)
             base = build_output_path(e.path, cfg.output_dir, cfg.postfix,
                                      fmt=cfg.output_format)
-            if base in taken:
+            if base in taken or os.path.realpath(base) in in_real:
                 stem, ext = os.path.splitext(base)
-                n = taken[base]
+                n = taken.get(base, 1)
                 while True:
                     # the suffixed candidate must itself dodge every
                     # reserved name (an earlier run's f_2.wav would
-                    # otherwise be silently overwritten)
+                    # otherwise be silently overwritten) AND every input
                     n += 1
                     out = f"{stem}_{n}{ext}"
-                    if out not in taken:
+                    if out not in taken \
+                            and os.path.realpath(out) not in in_real:
                         break
                 taken[base] = n
                 taken[out] = 1

@@ -463,6 +463,10 @@ def stream_resample_file(
                      else int(time.time()) & 0x7FFFFFFF)
         seed32 = file_seed(base_seed, in_path)
         seeds_c = dither.channel_seeds(jnp.uint32(seed32), out_ch)
+        if os.path.realpath(out_path) == os.path.realpath(in_path):
+            raise ValueError(
+                f"output path equals the input path ({in_path}); refusing "
+                "to destroy the source")
         # atomic publish: stream into a .part file and os.replace at the end
         # — an incremental writer would otherwise expose a half-written (and,
         # on crash, permanently corrupt) deliverable at the final name

@@ -666,3 +666,91 @@ def test_cli_preview_bad_target_channels_is_config_error(tmp_path, capsys):
     rc = main(["preview", src, "--out", str(tmp_path / "o.wav"), "--rate",
                "48000", "--channels", "2", "--target-channels", "0,0"])
     assert rc == 2
+
+
+def test_output_never_overwrites_input(tmp_path):
+    """--out == source dir with an empty postfix must suffix the deliverable
+    away from the original (the reference's output-folder protection),
+    never overwrite it."""
+    src = str(tmp_path / "song.wav")
+    x = (0.2 * np.random.default_rng(3).standard_normal((2, 4000))
+         ).astype(np.float32)
+    write_wav(src, x, 44100, bits=24)
+    orig = open(src, "rb").read()
+    rc = main(["process", src, "--out", str(tmp_path), "--postfix", "",
+               "--rate", "48000", "--quality", "low", "--seed", "1"])
+    assert rc == 0
+    assert open(src, "rb").read() == orig          # original untouched
+    out = tmp_path / "song_2.wav"
+    assert out.exists()
+    y, r = read_wav(str(out))
+    assert r == 48000 and y.shape[1] == round(4000 * 48000 / 44100)
+
+
+def test_stream_refuses_output_equals_input(tmp_path):
+    from f9tpu.config import ProcessingConfig
+    from f9tpu.pipeline import stream_resample_file
+
+    src = str(tmp_path / "s.wav")
+    write_wav(src, np.zeros((1, 4000), np.float32), 44100, bits=24)
+    cfg = ProcessingConfig(output_dir=str(tmp_path), target_rate=48000,
+                           quality="low")
+    with pytest.raises(ValueError, match="destroy"):
+        stream_resample_file(src, src, cfg)
+    assert open(src, "rb").read()[:4] == b"RIFF"   # source intact
+
+
+def test_config_validates_batch_size_and_channels():
+    from f9tpu.config import ProcessingConfig
+
+    with pytest.raises(ValueError, match="batch_size"):
+        ProcessingConfig(output_dir="/tmp/x", batch_size=0).validate()
+    with pytest.raises(ValueError, match="output_channels"):
+        ProcessingConfig(output_dir="/tmp/x", output_channels=0).validate()
+
+
+def test_cli_validation_errors_are_clean_exit_2(tmp_path, capsys):
+    src = str(tmp_path / "v.wav")
+    write_wav(src, np.zeros((1, 2000), np.float32), 44100, bits=24)
+    rc = main(["process", src, "--out", str(tmp_path / "o"), "--rate",
+               "48000", "--quality", "low", "--margin", "60"])
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "error:" in err and "margin" in err
+    rc = main(["stream", src, "--out", str(tmp_path / "o.wav"), "--rate",
+               "48000", "--quality", "low", "--margin", "60"])
+    assert rc == 2
+
+
+def test_cli_bad_routing_is_clean_error(tmp_path):
+    src = str(tmp_path / "r.wav")
+    write_wav(src, np.zeros((2, 2000), np.float32), 44100, bits=24)
+    with pytest.raises(SystemExit):
+        main(["process", src, "--out", str(tmp_path / "o"), "--routing",
+              "0;x", "--rate", "48000"])
+
+
+def test_cli_verify_missing_manifest_clean(tmp_path, capsys):
+    rc = main(["verify", str(tmp_path / "nope.json")])
+    assert rc == 2
+    assert "cannot load manifest" in capsys.readouterr().err
+
+
+def test_cli_glob_chars_in_literal_filename(tmp_path):
+    src = str(tmp_path / "take[1].wav")
+    write_wav(src, (0.1 * np.random.default_rng(4).standard_normal((1, 2000))
+                    ).astype(np.float32), 44100, bits=24)
+    rc = main(["process", src, "--out", str(tmp_path / "o"), "--rate",
+               "48000", "--quality", "low", "--seed", "1"])
+    assert rc == 0
+    assert (tmp_path / "o" / "take[1]_processed.wav").exists()
+
+
+def test_cli_missing_config_file_clean(tmp_path, capsys):
+    src = str(tmp_path / "c.wav")
+    write_wav(src, np.zeros((1, 1000), np.float32), 44100, bits=24)
+    with pytest.raises(SystemExit) as ei:
+        main(["process", src, "--out", str(tmp_path / "o"),
+              "--config", str(tmp_path / "missing.json")])
+    assert ei.value.code == 2
+    assert "cannot load --config" in capsys.readouterr().err
