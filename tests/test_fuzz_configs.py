@@ -30,6 +30,9 @@ def _random_cfg(rng, out_dir):
     if rng.integers(2):
         kw["reverb_mode"] = True
         kw["noise_floor_db"] = -90.0
+        # round 3: the C++ buffer-RMS termination rule alongside the
+        # Swift peak rule
+        kw["tail_mode"] = str(rng.choice(["peak", "rms"]))
     if rng.integers(3) == 0:
         from f9tpu.ops.chain import Chain, Gain, Saturator
 
@@ -40,6 +43,9 @@ def _random_cfg(rng, out_dir):
         kw["normalize_lufs"] = float(rng.choice([-14.0, -20.0, -24.0]))
         if rng.integers(2):
             kw["normalize_tp_db"] = -1.0
+        # round 3: BS.1770 surround weighting (no-op below 6 channels but
+        # must interact cleanly with the metering pre-pass)
+        kw["surround_weights"] = bool(rng.integers(2))
     return ProcessingConfig(**kw)
 
 
