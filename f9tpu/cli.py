@@ -337,6 +337,8 @@ def cmd_preview(args) -> int:
         # not tracebacks
         print(f"error: {err}", file=sys.stderr)
         return 2
+    out_dir = os.path.dirname(os.path.abspath(args.out))
+    os.makedirs(out_dir, exist_ok=True)   # process/stream/watch all do
     wav.write_wav(args.out, main_mix, args.rate, bits=24)
     print(f"rendered {len(items)} item(s), {main_mix.shape[-1]} frames -> {args.out}")
     if monitor is not None and args.monitor_out:
