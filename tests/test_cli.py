@@ -754,3 +754,66 @@ def test_cli_missing_config_file_clean(tmp_path, capsys):
               "--config", str(tmp_path / "missing.json")])
     assert ei.value.code == 2
     assert "cannot load --config" in capsys.readouterr().err
+
+
+def test_watch_churn_soak(tmp_path, monkeypatch):
+    """Serving-mode churn soak: files drop, get replaced, and get deleted
+    across many sweeps with one injected device outage — every surviving
+    file ends COMPLETED with a verifiable deliverable, no file is ever
+    half-published, and the daemon never wedges."""
+    import threading
+    import time as _t
+
+    import f9tpu.pipeline.scheduler as sched
+
+    d = tmp_path / "drop"
+    d.mkdir()
+    out = tmp_path / "out"
+    rng = np.random.default_rng(77)
+
+    def mk(name, seed, frames=3000):
+        write_wav(str(d / name),
+                  (0.2 * np.random.default_rng(seed)
+                   .standard_normal((1, frames))).astype(np.float32),
+                  44100, bits=24)
+
+    mk("a.wav", 1)
+    mk("b.wav", 2)
+
+    real_raw = sched.process_batch_raw
+    state = {"n": 0}
+
+    def flaky(*a, **k):
+        state["n"] += 1
+        if state["n"] in (2, 3):       # one outage window (flush + retry)
+            raise RuntimeError("INTERNAL: http 500 remote_compile (soak)")
+        return real_raw(*a, **k)
+
+    monkeypatch.setattr(sched, "process_batch_raw", flaky)
+    monkeypatch.setattr(sched.time, "sleep", lambda s: None)
+
+    def churn():
+        _t.sleep(0.4)
+        mk("c.wav", 3)                 # late drop
+        _t.sleep(0.4)
+        mk("b.wav", 20, frames=4000)   # replaced content
+        _t.sleep(0.4)
+        os.unlink(str(d / "a.wav"))    # removed from the folder
+
+    t = threading.Thread(target=churn, daemon=True)
+    t.start()
+    rc = main(["watch", str(d), "--out", str(out), "--rate", "48000",
+               "--quality", "low", "--seed", "9", "--interval", "0.1",
+               "--sweeps", "40"])
+    t.join()
+    assert rc == 0
+    names = sorted(n for n in os.listdir(out) if n.endswith(".wav"))
+    # a may or may not have completed before deletion; b and c must have,
+    # with b reflecting the REPLACED content
+    assert "b_processed.wav" in names and "c_processed.wav" in names
+    assert not any(n.endswith(".part") for n in os.listdir(out))
+    yb, rb = read_wav(str(out / "b_processed.wav"))
+    assert rb == 48000 and yb.shape[1] == round(4000 * 48000 / 44100)
+    # manifest audit: every completed entry verifies by content
+    rc = main(["verify", str(out / ".manifest.json")])
+    assert rc == 0
