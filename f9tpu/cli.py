@@ -220,12 +220,10 @@ def _save_config(args) -> None:
     print(f"settings saved -> {args.save_config}")
 
 
-def cmd_process(args) -> int:
-    files = _expand_inputs(args.inputs)
-    if not files:
-        print("error: no input files", file=sys.stderr)
-        return 2
-    cfg = ProcessingConfig(
+def _batch_cfg_from_args(args) -> ProcessingConfig:
+    """The ONE ProcessingConfig construction for `process` and `watch`
+    (identical option surfaces — a third copy had already drifted once)."""
+    return ProcessingConfig(
         target_rate=args.rate,
         quality=args.quality,
         kind=args.kind,
@@ -251,6 +249,14 @@ def cmd_process(args) -> int:
         seed=None if args.seed == -1 else args.seed,
         chain=_build_chain(args),
     )
+
+
+def cmd_process(args) -> int:
+    files = _expand_inputs(args.inputs)
+    if not files:
+        print("error: no input files", file=sys.stderr)
+        return 2
+    cfg = _batch_cfg_from_args(args)
     _save_config(args)
     log = StatusLog(sink=lambda line: print(line, flush=True))
     cal = CalibrationCache(os.path.join(args.out, ".calibration.json"))
@@ -477,32 +483,7 @@ def cmd_watch(args) -> int:
     is stable across two consecutive sweeps (a copy in progress keeps
     growing); the persistent manifest dedupes across sweeps and restarts,
     and the calibration cache is shared so the chain is measured once."""
-    cfg = ProcessingConfig(
-        target_rate=args.rate,
-        quality=args.quality,
-        kind=args.kind,
-        bits=args.bits,
-        dither=not args.no_dither,
-        remove_dc=not args.keep_dc,
-        output_dir=args.out,
-        postfix=args.postfix,
-        output_format=args.output_format,
-        keep_metadata=args.keep_metadata,
-        normalize_lufs=args.normalize_lufs,
-        normalize_tp_db=args.normalize_tp_db,
-        surround_weights=getattr(args, "surround_weights", False),
-        gain_db=args.gain,
-        reverb_mode=args.reverb,
-        noise_floor_db=args.noise_floor,
-        noise_floor_margin_pct=args.margin,
-        require_input_rate=args.require_rate,
-        batch_size=args.batch_size,
-        device_layout=args.device_layout,
-        channel_routing=_parse_routing(args.routing),
-        output_channels=args.channels,
-        seed=None if args.seed == -1 else args.seed,
-        chain=_build_chain(args),
-    )
+    cfg = _batch_cfg_from_args(args)
     if args.interval <= 0:
         print("watch: --interval must be positive", file=sys.stderr)
         return 2
