@@ -87,3 +87,29 @@ def read_raw_pcm(path: str):
     from .aiff import read_raw_pcm_aiff
 
     return read_raw_pcm_aiff(path)
+
+
+def carry_metadata(in_path: str, out_path: str, output_format: str,
+                   rate_in: int, rate_out: int) -> None:
+    """Same-container metadata passthrough (--keep-metadata): WAV->WAV
+    carries bext/LIST/cue/smpl/iXML with sample-indexed fields rescaled;
+    AIFF->AIFF carries NAME/AUTH/ANNO/COMT/MARK/INST with marker positions
+    rescaled.  Chunk formats don't translate across RIFF <-> IFF, so
+    cross-container jobs carry nothing.  The ONE carry rule for the batch
+    encode worker and the streaming path (they must never drift: metadata
+    survival would otherwise depend on file length via the oversized-file
+    routing).  Raises ValueError/OSError on failure — callers decide
+    whether to log or swallow (metadata is best-effort; audio is complete
+    by the time this runs)."""
+    src_wav = in_path.lower().endswith(".wav")
+    if src_wav and output_format == "wav":
+        from .wav import append_chunks, read_extra_chunks, scale_metadata_chunks
+
+        append_chunks(out_path, scale_metadata_chunks(
+            read_extra_chunks(in_path), rate_in, rate_out))
+    elif not src_wav and output_format == "aiff":
+        from .aiff import (append_chunks_aiff, read_extra_chunks_aiff,
+                           scale_metadata_chunks_aiff)
+
+        append_chunks_aiff(out_path, scale_metadata_chunks_aiff(
+            read_extra_chunks_aiff(in_path), rate_in, rate_out))

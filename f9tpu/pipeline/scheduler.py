@@ -606,25 +606,15 @@ class BatchProcessor:
                                bits=cfg.bits, progress_cb=prog,
                                chunk_frames=SUBFILE_PROGRESS_CHUNK)
                     if cfg.keep_metadata:
-                        # same-container passthrough only (chunk formats
-                        # don't translate across RIFF <-> IFF)
-                        src_wav = path.lower().endswith(".wav")
-                        r_in = metrics.get("rate_in", rate_out)
+                        # the ONE shared same-container rule
+                        # (io.codec.carry_metadata) — the streaming path
+                        # calls the same helper, so metadata survival can
+                        # never depend on which path a file took
                         try:
-                            if src_wav and cfg.output_format == "wav":
-                                wav.append_chunks(
-                                    part,
-                                    wav.scale_metadata_chunks(
-                                        wav.read_extra_chunks(path),
-                                        r_in, rate_out))
-                            elif (not src_wav
-                                  and cfg.output_format == "aiff"):
-                                aiff.append_chunks_aiff(
-                                    part,
-                                    aiff.scale_metadata_chunks_aiff(
-                                        aiff.read_extra_chunks_aiff(path),
-                                        r_in, rate_out))
-                        except (ValueError, OSError) as err:
+                            codec.carry_metadata(
+                                path, part, cfg.output_format,
+                                metrics.get("rate_in", rate_out), rate_out)
+                        except (ValueError, OSError, MemoryError) as err:
                             self.log.append(
                                 f"Metadata passthrough skipped for "
                                 f"{os.path.basename(path)}: {err}")
@@ -939,10 +929,8 @@ class BatchProcessor:
                 manifest.update(info.path, FileStatus.FAILED, error=str(err))
                 self.log.append(f"Stream failed: {info.path}: {err}")
                 errors.append(str(err))
-                try:
-                    os.unlink(out_path + ".part")  # abandoned atomic publish
-                except OSError:
-                    pass
+                # stream_resample_file owns its .part lifecycle (removed
+                # on any failure inside the wrapper)
 
         if stop_event.is_set():
             # final sweep: a decode worker may have flipped a file to

@@ -288,6 +288,37 @@ def stream_resample_file(
     latency_frames: int | None = None,
     noise_floor_db: float | None = None,
 ) -> int:
+    """Public entry: see `_stream_resample_impl` for the full contract.
+    This wrapper (a) refuses out==in BEFORE any pre-pass reads the (by
+    definition oversized) file, and (b) owns the `.part` temp lifecycle —
+    any mid-stream failure (device error, Ctrl-C) removes the partial file
+    instead of leaving multi-GB corpses beside deliverables."""
+    if os.path.realpath(out_path) == os.path.realpath(in_path):
+        raise ValueError(
+            f"output path equals the input path ({in_path}); refusing "
+            "to destroy the source")
+    try:
+        return _stream_resample_impl(
+            in_path, out_path, cfg, chunk_seconds, progress_cb, mesh,
+            latency_frames, noise_floor_db)
+    except BaseException:
+        try:
+            os.unlink(out_path + ".part")
+        except OSError:
+            pass
+        raise
+
+
+def _stream_resample_impl(
+    in_path: str,
+    out_path: str,
+    cfg: ProcessingConfig,
+    chunk_seconds: float = 20.0,
+    progress_cb=None,
+    mesh=None,
+    latency_frames: int | None = None,
+    noise_floor_db: float | None = None,
+) -> int:
     """Resample ``in_path`` -> ``out_path`` at ``cfg.target_rate`` in constant
     memory.  Returns output frames written.  Output length is exactly
     ceil(in_frames * L / M), matching the whole-file path.
@@ -463,10 +494,19 @@ def stream_resample_file(
                      else int(time.time()) & 0x7FFFFFFF)
         seed32 = file_seed(base_seed, in_path)
         seeds_c = dither.channel_seeds(jnp.uint32(seed32), out_ch)
-        if os.path.realpath(out_path) == os.path.realpath(in_path):
-            raise ValueError(
-                f"output path equals the input path ({in_path}); refusing "
-                "to destroy the source")
+        # the chain ring must fit one chunk — GROW the chunk instead of
+        # failing (output is chunk-size invariant to the usual
+        # cross-conv-shape contract, tested), so the scheduler can route any
+        # oversized chain config here: memory becomes O(ring-out), which is
+        # the floor for streaming this chain.  Hoisted ABOVE the mesh
+        # branch: the sharded super-chunk scales with the same chunk_in, so
+        # both topologies grow
+        carry_frames = 0
+        if cfg.chain is not None:
+            carry_frames = int(cfg.chain.tail_frames(cfg.target_rate))
+            if carry_frames >= cycles * bank.L:
+                cycles = carry_frames // bank.L + 1
+                chunk_in = cycles * bank.M
         # atomic publish: stream into a .part file and os.replace at the end
         # — an incremental writer would otherwise expose a half-written (and,
         # on crash, permanently corrupt) deliverable at the final name
@@ -479,17 +519,6 @@ def stream_resample_file(
             _carry_metadata(in_path, part, cfg, rate_in)
             os.replace(part, out_path)
             return n
-        carry_frames = 0
-        if cfg.chain is not None:
-            carry_frames = int(cfg.chain.tail_frames(cfg.target_rate))
-            if carry_frames >= cycles * bank.L:
-                # the chain ring must fit one chunk — GROW the chunk instead
-                # of failing (output is chunk-size invariant to the usual
-                # cross-conv-shape contract, tested), so the scheduler can
-                # route any oversized chain config here: memory becomes
-                # O(ring-out), which is the floor for streaming this chain
-                cycles = carry_frames // bank.L + 1
-                chunk_in = cycles * bank.M
         carry = jnp.zeros((out_ch, carry_frames), jnp.float32)
         detector = None
         if reverb and T > 0:
@@ -557,7 +586,8 @@ def stream_resample_file(
                     do_dither=cfg.dither,
                     chain=cfg.chain, carry_frames=carry_frames,
                     silent=silent, want_env=detector is not None,
-                    env_rms=cfg.tail_mode == "rms",
+                    env_rms=(detector is not None
+                             and cfg.tail_mode == "rms"),
                     rows_form=rows_form,
                 )
                 if detector is not None:
@@ -572,26 +602,16 @@ def stream_resample_file(
 
 
 def _carry_metadata(in_path: str, out_path: str, cfg, rate_in: int) -> None:
-    """Best-effort --keep-metadata for the streaming path.  Same-container
-    passthrough only (chunk formats don't translate across RIFF <-> IFF),
-    exactly the batch encode worker's rule; both reader walks are
-    seek-based, so inputs bigger than RAM stay safe."""
+    """Best-effort --keep-metadata for the streaming path: the ONE shared
+    rule (`io.codec.carry_metadata`), swallowed here because the stream has
+    no per-file status log (the audio is complete by this point)."""
     if not cfg.keep_metadata:
         return
-    src_wav = in_path.lower().endswith(".wav")
+    from ..io.codec import carry_metadata
+
     try:
-        if src_wav and cfg.output_format == "wav":
-            from ..io.wav import (append_chunks, read_extra_chunks,
-                                  scale_metadata_chunks)
-
-            append_chunks(out_path, scale_metadata_chunks(
-                read_extra_chunks(in_path), rate_in, cfg.target_rate))
-        elif not src_wav and cfg.output_format == "aiff":
-            from ..io.aiff import (append_chunks_aiff, read_extra_chunks_aiff,
-                                   scale_metadata_chunks_aiff)
-
-            append_chunks_aiff(out_path, scale_metadata_chunks_aiff(
-                read_extra_chunks_aiff(in_path), rate_in, cfg.target_rate))
+        carry_metadata(in_path, out_path, cfg.output_format, rate_in,
+                       cfg.target_rate)
     except (ValueError, OSError, MemoryError):
         pass      # metadata is best-effort; the audio is complete
 
@@ -746,7 +766,8 @@ def _stream_sharded(reader, routed_read, out_ch, silent, out_path, cfg, bank,
                     jnp.int32(em.g0 - lat), gain, rate_out=cfg.target_rate,
                     bits=cfg.bits, do_dither=cfg.dither, chain=cfg.chain,
                     carry_frames=carry_frames, silent=None,
-                    want_env=want_env, env_rms=cfg.tail_mode == "rms")
+                    want_env=want_env,
+                    env_rms=want_env and cfg.tail_mode == "rms")
                 if want_env:
                     codes, env, carry = step
                 else:
@@ -755,7 +776,7 @@ def _stream_sharded(reader, routed_read, out_ch, silent, out_path, cfg, bank,
                 step = _finish_step(
                     y, seeds_c, jnp.int32(em.g0 - lat), gain, bits=cfg.bits,
                     do_dither=cfg.dither, want_env=want_env,
-                    env_rms=cfg.tail_mode == "rms")
+                    env_rms=want_env and cfg.tail_mode == "rms")
                 if want_env:
                     codes, env = step
                 else:

@@ -534,3 +534,54 @@ class TestChainRingAutoGrow:
         ys, _ = read_wav(small)
         yb, _ = read_wav(big)
         _assert_dither_contract(ys, yb)
+
+
+class TestStreamLifecycle:
+    def test_sharded_stream_chain_ring_autogrows_too(self, tmp_path):
+        """The chunk auto-grow is hoisted above the mesh branch: a chain
+        ring bigger than the requested chunk streams on the frames-sharded
+        path as well (it used to raise only there)."""
+        from f9tpu.ops.chain import Chain, Delay
+        from f9tpu.parallel import make_mesh
+
+        rate = 44100
+        rng = np.random.default_rng(31)
+        x = (0.3 * rng.standard_normal((2, rate))).astype(np.float32)
+        src = str(tmp_path / "ringsh.wav")
+        write_wav(src, x, rate, bits=24)
+        cfg = ProcessingConfig(output_dir=str(tmp_path), target_rate=48000,
+                               quality="low", seed=3,
+                               chain=Chain(Delay(0.35)), latency_frames=0)
+        mesh = make_mesh(num_files_shards=2, num_frames_shards=4)
+        o1 = str(tmp_path / "sh.wav")
+        n1 = stream_resample_file(src, o1, cfg, chunk_seconds=0.05, mesh=mesh)
+        o2 = str(tmp_path / "sc.wav")
+        n2 = stream_resample_file(src, o2, cfg, chunk_seconds=1.0)
+        assert n1 == n2 == 48000
+        ys, _ = read_wav(o1)
+        yb, _ = read_wav(o2)
+        _assert_dither_contract(ys, yb)
+
+    def test_failed_stream_removes_part_file(self, tmp_path, monkeypatch):
+        """A mid-stream failure must not leave a .part corpse beside the
+        deliverables (the wrapper owns the temp lifecycle)."""
+        import f9tpu.pipeline.stream as stream_mod
+
+        src = str(tmp_path / "die.wav")
+        write_wav(src, np.zeros((1, 30000), np.float32), 44100, bits=24)
+
+        real = stream_mod._stream_step
+
+        def boom(*a, **k):
+            raise RuntimeError("injected device failure")
+
+        monkeypatch.setattr(stream_mod, "_stream_step", boom)
+        cfg = ProcessingConfig(output_dir=str(tmp_path), target_rate=48000,
+                               quality="low", seed=1)
+        out = str(tmp_path / "o.wav")
+        with pytest.raises(RuntimeError):
+            stream_resample_file(src, out, cfg, chunk_seconds=0.1)
+        assert not os.path.exists(out)
+        assert not os.path.exists(out + ".part")
+        monkeypatch.setattr(stream_mod, "_stream_step", real)
+        assert stream_resample_file(src, out, cfg, chunk_seconds=0.1) > 0
