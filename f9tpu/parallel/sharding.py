@@ -28,7 +28,7 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.filters import CycleBank, design_cycle_bank
-from ..ops.resample import resample, resample_presliced
+from ..ops.resample import resample_presliced
 
 __all__ = [
     "process_files_sharded",

@@ -22,7 +22,6 @@ import json
 import os
 import threading
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

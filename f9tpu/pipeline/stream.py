@@ -26,7 +26,7 @@ import numpy as np
 
 from ..config import ProcessingConfig
 from ..io.aiff import AiffWriter
-from ..io.wav import WavReader, WavWriter
+from ..io.wav import WavWriter
 from ..models.filters import design_cycle_bank
 from ..ops import dither
 from ..ops.resample import resample_presliced
