@@ -109,6 +109,7 @@ class JobManifest:
         self._save_interval = save_interval
         self._last_save = 0.0
         self._dirty = False
+        self._timer: threading.Timer | None = None
 
     # -- construction --------------------------------------------------------
 
@@ -267,11 +268,22 @@ class JobManifest:
                 # interval survive even when the caller exits via an
                 # exception path that skips the batch-end save()
                 self._dirty = True
-                t = threading.Timer(self._save_interval, self._deferred_save)
-                t.daemon = True
-                t.start()
+                self._timer = threading.Timer(self._save_interval,
+                                              self._deferred_save)
+                self._timer.daemon = True
+                self._timer.start()
             return
-        tmp = self._path + ".tmp"
+        if self._timer is not None:
+            # a real save supersedes any pending deferred flush — and a
+            # timer left alive past the batch-end save() would RACE the
+            # next run's manifest on the same path (same tmp file: one
+            # os.replace removes it under the other -> FileNotFoundError;
+            # worse, a stale fire could overwrite the newer run's state)
+            self._timer.cancel()
+            self._timer = None
+        # instance-unique tmp name: two manifests on the same path (resume
+        # run, watch sweeps) must never share a staging file
+        tmp = f"{self._path}.tmp-{os.getpid():d}-{id(self):x}"
         with open(tmp, "w") as f:
             json.dump({"files": [e.to_json() for e in self._entries.values()]}, f, indent=1)
             f.flush()

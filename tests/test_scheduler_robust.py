@@ -493,3 +493,39 @@ class TestSkippedCount:
         assert r1.completed == 1 and r1.skipped == 0 and not r1.aborted
         r2 = BatchProcessor(cfg).run([src], manifest_path=mpath)
         assert r2.completed == 1 and r2.skipped == 1   # no work done
+
+
+class TestManifestTimerRace:
+    def test_forced_save_cancels_pending_timer(self, tmp_path):
+        """A deferred-flush timer left alive past the batch-end save() races
+        the NEXT run's manifest on the same path (shared staging file: one
+        os.replace removes it under the other -> FileNotFoundError; a stale
+        fire can also overwrite the newer run's state).  save() must cancel
+        it."""
+        from f9tpu.pipeline.manifest import FileStatus, JobManifest
+
+        p = str(tmp_path / "m.json")
+        m = JobManifest.from_files(["a", "b"], p)
+        m.update("a", FileStatus.PROCESSING)      # immediate save
+        m.update("b", FileStatus.PROCESSING)      # throttled -> timer armed
+        assert m._timer is not None
+        t = m._timer
+        m.save()                                  # batch-end forced save
+        assert m._timer is None
+        assert not t.is_alive() or t.finished.is_set()
+
+    def test_two_manifests_same_path_interleave(self, tmp_path):
+        """Hammer two instances on one manifest path (the resume / watch
+        pattern): instance-unique staging names mean neither can remove the
+        other's tmp file mid-save."""
+        from f9tpu.pipeline.manifest import FileStatus, JobManifest
+
+        p = str(tmp_path / "m.json")
+        m1 = JobManifest.from_files(["a"], p)
+        m2 = JobManifest.from_files(["a"], p)
+        for _ in range(50):
+            m1.update("a", FileStatus.PROCESSING)
+            m2.update("a", FileStatus.COMPLETED)
+            m1.save()
+            m2.save()
+        assert JobManifest.load(p).get("a").status == FileStatus.COMPLETED
