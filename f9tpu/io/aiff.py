@@ -227,6 +227,32 @@ class AiffReader:
         n = len(x) // channels
         return np.ascontiguousarray(x[: n * channels].reshape(n, channels).T)
 
+    def raw_wire(self) -> tuple[int, bool] | None:
+        """``(bits, big_endian)`` when this payload can ride the raw H2D
+        upload wire (integer PCM 16/24: AIFF NONE/twos is big-endian, AIFC
+        sowt little-endian), else None."""
+        if self._bits in (16, 24):
+            if self._comp in (b"NONE", b"twos"):
+                return self._bits, True
+            if self._comp == b"sowt":
+                return self._bits, False
+        return None
+
+    def read_raw(self, start_frame: int, count: int) -> np.ndarray:
+        """Interleaved payload bytes (uint8) for frames [start, start+count)
+        clipped to the file — the AIFF twin of `wav.WavReader.read_raw`."""
+        if self.raw_wire() is None:
+            raise ValueError(f"{self.path}: not an integer-PCM 16/24 payload")
+        start_frame = max(0, start_frame)
+        count = max(0, min(count, self.num_frames - start_frame))
+        if count == 0:
+            return np.zeros(0, np.uint8)
+        self._f.seek(self._data_off + start_frame * self._bytes_per_frame)
+        raw = np.frombuffer(self._f.read(count * self._bytes_per_frame),
+                            np.uint8)
+        bpf = self._bytes_per_frame
+        return raw[: (len(raw) // bpf) * bpf]
+
 
 def probe_aiff(path: str) -> AudioFileInfo:
     import os
@@ -508,6 +534,24 @@ class AiffWriter:
         inter = np.ascontiguousarray(codes.T).reshape(-1)
         self._f.write(_aiff_payload_from_codes(inter, self.bits))
         self.frames_written += codes.shape[1]
+
+    def append_payload(self, payload: np.ndarray) -> None:
+        """Append a device-packed LITTLE-endian 24-bit interleaved payload
+        (uint8): the host byte-swaps each 3-byte sample to big-endian, the
+        same one-pass convention as `write_aiff_payload`.  Raises BEFORE
+        writing if the append would overflow the 32-bit IFF container."""
+        if self.bits != 24:
+            raise ValueError("append_payload requires a 24-bit writer")
+        payload = np.asarray(payload, np.uint8)
+        bpf = self.channels * 3
+        if payload.size % bpf:
+            raise ValueError("payload length is not a whole number of frames")
+        frames = payload.size // bpf
+        check_aiff_capacity(self.frames_written + frames,
+                            self.channels, self.bits)
+        be = np.ascontiguousarray(payload.reshape(-1, 3)[:, ::-1]).reshape(-1)
+        self._f.write(be.tobytes())
+        self.frames_written += frames
 
     def close(self) -> None:
         data = self.frames_written * self.channels * (self.bits // 8)

@@ -578,6 +578,31 @@ class WavReader:
         n = len(x) // channels
         return np.ascontiguousarray(x[: n * channels].reshape(n, channels).T)
 
+    def raw_wire(self) -> tuple[int, bool] | None:
+        """``(bits, big_endian)`` when this file's payload can ride the raw
+        H2D upload wire (integer PCM 16/24 — what
+        `f9tpu.ops.devcodec.unpack_pcm_interleaved` decodes), else None."""
+        tag, _, _, bits = self._fmt
+        if tag != WAVE_FORMAT_IEEE_FLOAT and bits in (16, 24):
+            return bits, False
+        return None
+
+    def read_raw(self, start_frame: int, count: int) -> np.ndarray:
+        """Interleaved payload bytes (uint8) for frames [start, start+count)
+        clipped to the file — the raw upload wire (`raw_wire` must be
+        non-None).  Whole frames only; shorter at EOF."""
+        if self.raw_wire() is None:
+            raise ValueError(f"{self.path}: not an integer-PCM 16/24 payload")
+        start_frame = max(0, start_frame)
+        count = max(0, min(count, self.num_frames - start_frame))
+        if count == 0:
+            return np.zeros(0, np.uint8)
+        self._f.seek(self._data_off + start_frame * self._bytes_per_frame)
+        raw = np.frombuffer(self._f.read(count * self._bytes_per_frame),
+                            np.uint8)
+        bpf = self._bytes_per_frame
+        return raw[: (len(raw) // bpf) * bpf]
+
 
 class WavWriter:
     """Incremental 16/24/32-bit PCM writer; the header is patched on close.
@@ -615,6 +640,21 @@ class WavWriter:
         else:
             raise ValueError(f"unsupported bit depth {self.bits}")
         self.frames_written += codes.shape[1]
+
+    def append_payload(self, payload: np.ndarray) -> None:
+        """Append a device-packed little-endian 24-bit interleaved payload
+        (uint8, the wire format of `f9tpu.ops.devcodec.pack24_interleaved`)
+        — the WAV data chunk's exact byte layout, so this is one fwrite.
+        The streaming download fast path: 3 bytes/sample over the link
+        instead of int32's 4."""
+        if self.bits != 24:
+            raise ValueError("append_payload requires a 24-bit writer")
+        payload = np.asarray(payload, np.uint8)
+        bpf = self.channels * 3
+        if payload.size % bpf:
+            raise ValueError("payload length is not a whole number of frames")
+        self._f.write(payload.tobytes())
+        self.frames_written += payload.size // bpf
 
     def close(self) -> None:
         data_size = self.frames_written * self.channels * (self.bits // 8)

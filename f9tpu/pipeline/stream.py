@@ -131,7 +131,7 @@ class _TailDetector:
 
 def _finish_chunk(y, carry, seeds_c, pos0, gain, *, rate_out, bits,
                   do_dither, chain=None, carry_frames=0, silent=None,
-                  want_env=False, env_rms=False):
+                  want_env=False, env_rms=False, wire=None):
     """Everything downstream of the SRC for one streamed chunk: chain
     continuation, gain, position-keyed dither/quantize, silent-channel
     zeroing.  Shared (traced inline) by the single-chip `_stream_step` and
@@ -177,6 +177,19 @@ def _finish_chunk(y, carry, seeds_c, pos0, gain, *, rate_out, bits,
         mask = np.zeros((codes.shape[0], 1), bool)
         mask[list(silent)] = True
         codes = jnp.where(jnp.asarray(mask), 0, codes)
+    # wire format of the D2H download (this environment is LINK-bound —
+    # docs/PERF.md round 3e): "pack24" packs the 24-bit codes into
+    # interleaved bytes ON DEVICE (3 B/sample instead of int32's 4, the
+    # streaming twin of the batch path's `device_layout="packed"`);
+    # "i16" narrows 16-bit codes to int16 (2 B/sample, value-exact).
+    # The emitted BYTES are identical either way — only the transport
+    # narrows (writers pack int32 codes to the same layout on the host).
+    if wire == "pack24":
+        from ..ops.devcodec import pack24_interleaved
+
+        codes = pack24_interleaved(codes)
+    elif wire == "i16":
+        codes = codes.astype(jnp.int16)
     if want_env:
         return codes, env, new_carry
     return codes, new_carry
@@ -187,11 +200,15 @@ def _finish_chunk(y, carry, seeds_c, pos0, gain, *, rate_out, bits,
                                              "do_dither", "chain",
                                              "carry_frames", "silent",
                                              "want_env", "env_rms",
-                                             "rows_form"))
+                                             "rows_form", "wire", "in_wire",
+                                             "in_channels", "fanout",
+                                             "routing"))
 def _stream_step(xp, carry, seeds_c, pos0, gain, *, cycles, rate_in, rate_out,
                  quality, kind, bits, do_dither, chain=None,
                  carry_frames=0, silent=None, want_env=False, env_rms=False,
-                 rows_form=False):
+                 rows_form=False, wire=None, in_wire=None, in_channels=0,
+                 fanout=0, routing=None, mean=None, valid_lo=None,
+                 valid_hi=None):
     """``gain`` is a TRACED float32 scalar (static gain x per-file
     normalization gain as one linear factor): per-file gains never recompile.
     ``silent``: static tuple of routed-silent output channel indices — their
@@ -202,8 +219,38 @@ def _stream_step(xp, carry, seeds_c, pos0, gain, *, cycles, rate_in, rate_out,
     chunk, skipping the device-side cycle retiling that costs ~4x the banded
     resampler itself (docs/PERF.md round 3b) — the streaming twin of the
     batch scheduler's ``device_layout="rows"`` dispatch.  Bitwise-identical
-    to the flat form: both trace the one ``_banded_eval_rows``."""
+    to the flat form: both trace the one ``_banded_eval_rows``.
+
+    ``in_wire`` = (bits, big_endian) (raw H2D upload, docs/PERF.md round 3e):
+    ``xp`` arrives as the container's interleaved integer-PCM BYTES
+    (zero-padded to the chunk span on the host — zero bytes decode to zero
+    samples) and the decode / mono fan-out / routing gather / DC-mean
+    subtraction run ON DEVICE, replicating the host `routed()` + pre-pass
+    math op for op (integer→float scaling is a power of two, so the floats
+    are bitwise identical to the host decode).  3 B/sample up the link
+    instead of float32's 4 (2 B for 16-bit sources)."""
     bank = design_cycle_bank(rate_in, rate_out, quality=quality, kind=kind)
+    if in_wire is not None:
+        from ..ops.devcodec import unpack_pcm_interleaved
+
+        in_bits, in_be = in_wire
+        x = unpack_pcm_interleaved(xp, in_channels, in_bits, big_endian=in_be)
+        if fanout:                      # mono fan-out (host twin: routed())
+            x = jnp.broadcast_to(x, (fanout, x.shape[-1]))
+        if routing is not None:
+            r = np.asarray(routing, np.int32)
+            x = jnp.where((r < 0)[:, None], jnp.float32(0.0),
+                          x[np.where(r < 0, 0, r)])
+        if mean is not None:
+            # the host pre-pass subtracts the whole-file mean from REAL
+            # samples only, never the zero-padded halo spans (a -mean step
+            # in the halos would smear an edge transient through the
+            # filter); mask with the chunk's real span (traced scalars —
+            # edge chunks don't recompile)
+            idx = jnp.arange(x.shape[-1], dtype=jnp.int32)
+            real = (idx >= valid_lo) & (idx < valid_hi)
+            x = x - jnp.where(real, mean, jnp.float32(0.0))
+        xp = x
     if rows_form:
         from ..ops.resample import resample_banded_rows_pre
 
@@ -214,7 +261,7 @@ def _stream_step(xp, carry, seeds_c, pos0, gain, *, cycles, rate_in, rate_out,
     return _finish_chunk(y, carry, seeds_c, pos0, gain, rate_out=rate_out,
                          bits=bits, do_dither=do_dither, chain=chain,
                          carry_frames=carry_frames, silent=silent,
-                         want_env=want_env, env_rms=env_rms)
+                         want_env=want_env, env_rms=env_rms, wire=wire)
 
 
 @functools.partial(jax.jit, static_argnames=("rate_out", "bits", "do_dither",
@@ -242,7 +289,7 @@ class _Emitter:
     contract)."""
 
     def __init__(self, writer, detector, *, lat, out_limit, out_total,
-                 progress_cb=None):
+                 progress_cb=None, wire=None, channels=0):
         self.writer = writer
         self.detector = detector
         self.lat = int(lat)
@@ -251,28 +298,40 @@ class _Emitter:
         self.progress_cb = progress_cb
         self.written = 0
         self.g0 = 0          # pre-trim output frame index of the next chunk
+        #: "pack24": chunks arrive as device-packed interleaved 24-bit BYTES
+        #: (1-D uint8, `devcodec.pack24_interleaved`) instead of (C, n) int
+        #: codes; frame slicing becomes byte slicing at stride channels*3
+        self.wire = wire
+        self._stride = channels * 3
+
+    def _append(self, codes: np.ndarray, drop: int, take: int) -> None:
+        if self.wire == "pack24":
+            self.writer.append_payload(
+                codes[drop * self._stride : (drop + take) * self._stride])
+        else:
+            self.writer.append_codes(codes[:, drop : drop + take])
 
     def emit(self, codes: np.ndarray, env) -> bool:
-        """Consume one emitted chunk (``codes`` int, ``env`` the post-gain
-        float envelope when a detector is active).  Returns True when the
-        stream is finished (tail detected or out_limit reached)."""
-        drop = min(max(0, self.lat - self.g0), codes.shape[1])
-        usable = codes[:, drop:]
-        take = min(usable.shape[1], self.out_limit - self.written)
-        block = usable[:, :take]
+        """Consume one emitted chunk (``codes`` int codes or packed bytes,
+        ``env`` the post-gain float envelope when a detector is active).
+        Returns True when the stream is finished (tail detected or
+        out_limit reached)."""
+        n = (codes.shape[0] // self._stride if self.wire == "pack24"
+             else codes.shape[1])
+        drop = min(max(0, self.lat - self.g0), n)
+        take = min(n - drop, self.out_limit - self.written)
         if self.detector is not None and take > 0:
             fire = self.detector.feed(
                 np.asarray(env)[drop : drop + take].astype(np.float32))
             if fire is not None:
-                self.writer.append_codes(
-                    block[:, : max(0, fire - self.written)])
+                self._append(codes, drop, max(0, fire - self.written))
                 self.written = max(self.written, fire)
                 if self.progress_cb:
                     self.progress_cb(1.0)
                 return True
-        self.writer.append_codes(block)
+        self._append(codes, drop, take)
         self.written += take
-        self.g0 += codes.shape[1]
+        self.g0 += n
         if self.progress_cb:
             self.progress_cb(min(1.0, self.written / max(self.out_total, 1)))
         return self.written >= self.out_limit
@@ -527,6 +586,12 @@ def _stream_resample_impl(
                   else cfg.noise_floor_db)
             detector = _TailDetector(cfg.target_rate, out_total, cfg,
                                      gain_total_db, nf)
+        # D2H wire format (the stream is LINK-bound here): 24-bit codes pack
+        # to interleaved bytes on device (3 B/sample; AIFF swaps to BE on the
+        # host exactly like the batch `write_aiff_payload` path), 16-bit
+        # codes narrow to int16 (2 B/sample).  Bytes on disk are identical
+        # to the int32-wire form (the writers pack int32 to the same layout).
+        wire = {24: "pack24", 16: "i16"}.get(cfg.bits)
         writer_cls = AiffWriter if cfg.output_format == "aiff" else WavWriter
         with writer_cls(part, out_ch, cfg.target_rate,
                         bits=cfg.bits) as writer:
@@ -538,7 +603,8 @@ def _stream_resample_impl(
             # keyed by the POST-trim output position (pos0 = g0 - lat),
             # matching the batch path's post-trim indexing bit-for-bit.
             em = _Emitter(writer, detector, lat=lat, out_limit=out_limit,
-                          out_total=out_total, progress_cb=progress_cb)
+                          out_total=out_total, progress_cb=progress_cb,
+                          wire=wire, channels=out_ch)
             # Varispeed banks: marshal each chunk into overlapping cycle rows
             # on the host (strided window view, ~2% duplicate bytes at NTSC
             # ratios) so the device starts at the segment windows — the
@@ -560,9 +626,7 @@ def _stream_resample_impl(
                                       ((0, 0), (0, need - flat.shape[1])))
                     return marshal_banded_rows(flat, bank, n_rows=cycles)
 
-            start = 0
-            done = out_limit == 0
-            while not done:
+            def read_chunk(start: int) -> np.ndarray:
                 # chunk input span incl. halos, zero-padded at the ends
                 lo = start - halo_left
                 hi = start + chunk_in + halo_right
@@ -576,11 +640,56 @@ def _stream_resample_impl(
                 pad_l = max(0, -lo)
                 pad_r = (hi - lo) - pad_l - span.shape[1]
                 xp = np.pad(span, ((0, 0), (pad_l, max(0, pad_r))))
-                if rows_form:
-                    xp = marshal_rows(xp)
+                return marshal_rows(xp) if rows_form else xp
+
+            # ---- raw H2D upload wire (docs/PERF.md round 3e): integer-PCM
+            # sources ship their container bytes (3 B/sample at 24 bit,
+            # 2 B at 16) and decode/fan-out/route/DC-subtract ON DEVICE —
+            # bitwise-identical floats (power-of-two scaling, same op order
+            # as the host `routed()` + pre-pass).  Varispeed rows marshal
+            # on the host, so the rows form keeps the float wire.
+            in_wire = (getattr(reader, "raw_wire", lambda: None)()
+                       if not rows_form else None)
+            fanout_n = (cfg.output_channels
+                        if (cfg.output_channels and C_in == 1
+                            and cfg.output_channels != 1) else 0)
+            mean_dev = (jnp.asarray(mean)
+                        if (cfg.remove_dc and in_wire is not None) else None)
+            bpf_in = C_in * (in_wire[0] // 8) if in_wire is not None else 0
+
+            def read_chunk_raw(start: int):
+                lo = start - halo_left
+                hi = start + chunk_in + halo_right
+                span_b = reader.read_raw(max(0, lo), hi - max(0, lo))
+                pad_l = max(0, -lo)
+                buf = np.zeros((hi - lo) * bpf_in, np.uint8)
+                buf[pad_l * bpf_in : pad_l * bpf_in + span_b.size] = span_b
+                # [a, b): the span's REAL frame range (the device's DC-mean
+                # mask — zero-padded halos must stay exactly zero)
+                return buf, pad_l, pad_l + span_b.size // bpf_in
+
+            def dispatch(k: int):
+                # chunk geometry is deterministic: chunk k reads input at
+                # k*chunk_in and emits output positions k*chunk_out - lat
+                # (em.g0 == k*chunk_out when chunk k is next to emit), so
+                # dispatch can run AHEAD of emission — see the pipeline note
+                # below.  `carry` (the chain's device-side state) threads
+                # through dispatch order, which JAX serialises for us.
+                nonlocal carry
+                if in_wire is not None:
+                    buf, a, b = read_chunk_raw(k * chunk_in)
+                    xarg = jnp.asarray(buf)
+                    extra = dict(in_wire=in_wire, in_channels=C_in,
+                                 fanout=fanout_n, routing=routing)
+                    if mean_dev is not None:
+                        extra.update(mean=mean_dev, valid_lo=jnp.int32(a),
+                                     valid_hi=jnp.int32(b))
+                else:
+                    xarg = jnp.asarray(read_chunk(k * chunk_in))
+                    extra = {}
                 step = _stream_step(
-                    jnp.asarray(xp), carry, seeds_c, jnp.int32(em.g0 - lat),
-                    gain,
+                    xarg, carry, seeds_c,
+                    jnp.int32(k * chunk_out - lat), gain,
                     cycles=cycles, rate_in=rate_in, rate_out=cfg.target_rate,
                     quality=cfg.quality, kind=cfg.kind, bits=cfg.bits,
                     do_dither=cfg.dither,
@@ -588,14 +697,41 @@ def _stream_resample_impl(
                     silent=silent, want_env=detector is not None,
                     env_rms=(detector is not None
                              and cfg.tail_mode == "rms"),
-                    rows_form=rows_form,
+                    rows_form=rows_form, wire=wire, **extra,
                 )
                 if detector is not None:
                     codes, env, carry = step
-                else:
-                    (codes, carry), env = step, None
-                done = em.emit(np.asarray(codes), env)
-                start += chunk_in
+                    return codes, env
+                (codes, carry), env = step, None
+                return codes, env
+
+            # ---- one-deep software pipeline: dispatch chunk k (async H2D +
+            # compute under JAX's dispatch queue), THEN materialise and write
+            # chunk k-1 — the host read/pad/marshal and the encode/disk write
+            # overlap the device/link work instead of serialising with it
+            # (measured 51-60x -> see docs/PERF.md round 3e).  Inputs,
+            # positions, and the carry chain are identical to the serial
+            # loop, so output bytes are unchanged (tested contracts: batch
+            # parity, chunk-size invariance).  Without a tail detector the
+            # chunk count is exact (no wasted dispatch); in reverb mode the
+            # stream length is data-dependent, so at most ONE in-flight
+            # chunk is discarded when the detector fires.
+            chunk_out = cycles * bank.L
+            n_chunks = (None if detector is not None
+                        else -(-(out_limit + lat) // chunk_out))
+            k = 0
+            pending = None
+            done = out_limit == 0
+            while not done:
+                nxt = (dispatch(k)
+                       if (n_chunks is None or k < n_chunks) else None)
+                k += 1
+                if pending is not None:
+                    done = em.emit(np.asarray(pending[0]), pending[1])
+                elif nxt is None:
+                    break       # defensive: nothing in flight, nothing left
+                if not done:
+                    pending = nxt
         _carry_metadata(in_path, part, cfg, rate_in)
         os.replace(part, out_path)
         return em.written

@@ -585,3 +585,180 @@ class TestStreamLifecycle:
         assert not os.path.exists(out + ".part")
         monkeypatch.setattr(stream_mod, "_stream_step", real)
         assert stream_resample_file(src, out, cfg, chunk_seconds=0.1) > 0
+
+
+class TestDownloadWire:
+    """Round-3e D2H wire formats: the stream downloads device-packed 24-bit
+    bytes (or int16 at 16 bits) instead of int32 codes — the bytes on disk
+    must be identical to the int32-wire form, and the incremental writers'
+    `append_payload` must be byte-equal to `append_codes` of the same
+    codes."""
+
+    def test_wav_append_payload_equals_append_codes(self, tmp_path):
+        import jax.numpy as jnp
+
+        from f9tpu.io.wav import WavWriter
+        from f9tpu.ops.devcodec import pack24_interleaved
+
+        rng = np.random.default_rng(0)
+        codes = rng.integers(-(1 << 23), 1 << 23,
+                             size=(2, 777)).astype(np.int32)
+        a, b = str(tmp_path / "a.wav"), str(tmp_path / "b.wav")
+        with WavWriter(a, 2, 48000, bits=24) as w:
+            w.append_codes(codes[:, :500])
+            w.append_codes(codes[:, 500:])
+        payload = np.asarray(pack24_interleaved(jnp.asarray(codes)))
+        with WavWriter(b, 2, 48000, bits=24) as w:
+            w.append_payload(payload[: 500 * 6])
+            w.append_payload(payload[500 * 6 :])
+        assert open(a, "rb").read() == open(b, "rb").read()
+
+    def test_aiff_append_payload_equals_append_codes(self, tmp_path):
+        import jax.numpy as jnp
+
+        from f9tpu.io.aiff import AiffWriter
+        from f9tpu.ops.devcodec import pack24_interleaved
+
+        rng = np.random.default_rng(1)
+        codes = rng.integers(-(1 << 23), 1 << 23,
+                             size=(3, 321)).astype(np.int32)
+        a, b = str(tmp_path / "a.aiff"), str(tmp_path / "b.aiff")
+        with AiffWriter(a, 3, 44100, bits=24) as w:
+            w.append_codes(codes)
+        payload = np.asarray(pack24_interleaved(jnp.asarray(codes)))
+        with AiffWriter(b, 3, 44100, bits=24) as w:
+            w.append_payload(payload)
+        assert open(a, "rb").read() == open(b, "rb").read()
+
+    def test_append_payload_validates(self, tmp_path):
+        from f9tpu.io.wav import WavWriter
+
+        with WavWriter(str(tmp_path / "v.wav"), 2, 48000, bits=24) as w:
+            with pytest.raises(ValueError, match="whole number of frames"):
+                w.append_payload(np.zeros(7, np.uint8))
+            w.append_payload(np.zeros(12, np.uint8))
+        with WavWriter(str(tmp_path / "v16.wav"), 2, 48000, bits=16) as w:
+            with pytest.raises(ValueError, match="24-bit"):
+                w.append_payload(np.zeros(12, np.uint8))
+            w.append_codes(np.zeros((2, 3), np.int16))   # i16 wire widens
+
+    def test_stream_to_aiff_output_matches_wav_output(self, tmp_path):
+        """The AIFF writer's host byte-swap of the device-packed payload
+        decodes to the same samples as the WAV output."""
+        rate = 44100
+        rng = np.random.default_rng(2)
+        x = (0.3 * rng.standard_normal((2, rate // 2 + 111))).astype(np.float32)
+        src = str(tmp_path / "s.wav")
+        write_wav(src, x, rate, bits=24)
+        cfg_w = ProcessingConfig(output_dir=str(tmp_path), target_rate=48000,
+                                 quality="low", seed=9, remove_dc=False)
+        cfg_a = ProcessingConfig(output_dir=str(tmp_path), target_rate=48000,
+                                 quality="low", seed=9, remove_dc=False,
+                                 output_format="aiff")
+        ow, oa = str(tmp_path / "o.wav"), str(tmp_path / "o.aiff")
+        stream_resample_file(src, ow, cfg_w, chunk_seconds=0.2)
+        stream_resample_file(src, oa, cfg_a, chunk_seconds=0.2)
+        yw, _ = read_wav(ow)
+        ya, _ = read_aiff(oa)
+        np.testing.assert_array_equal(yw, ya)
+
+    def test_stream_32bit_keeps_int32_wire(self, tmp_path):
+        rate = 44100
+        rng = np.random.default_rng(3)
+        x = (0.3 * rng.standard_normal((2, rate // 3))).astype(np.float32)
+        src = str(tmp_path / "s32.wav")
+        write_wav(src, x, rate, bits=24)
+        cfg = ProcessingConfig(output_dir=str(tmp_path), target_rate=48000,
+                               quality="low", seed=4, bits=32,
+                               remove_dc=False)
+        out = str(tmp_path / "o32.wav")
+        n = stream_resample_file(src, out, cfg, chunk_seconds=0.15)
+        from f9tpu.io import probe
+        info = probe(out)
+        assert info.bit_depth == 32 and info.num_frames == n
+
+
+class TestRawUploadWire:
+    """Round-3e raw H2D upload: integer-PCM sources ship container bytes and
+    decode/fan-out/route/DC-subtract on device.  The integer->float scaling
+    is a power of two and the op order replicates the host `routed()` +
+    pre-pass, so the output must be BITWISE identical to the float wire."""
+
+    def _both(self, monkeypatch, src, cfg, tmp_path, chunk_seconds=0.23):
+        import f9tpu.pipeline.stream as sm
+        from f9tpu.io.aiff import AiffReader
+        from f9tpu.io.wav import WavReader
+
+        o_raw = str(tmp_path / "o_raw.out")
+        o_flt = str(tmp_path / "o_flt.out")
+        n1 = stream_resample_file(src, o_raw, cfg,
+                                  chunk_seconds=chunk_seconds)
+        monkeypatch.setattr(WavReader, "raw_wire", lambda self: None)
+        monkeypatch.setattr(AiffReader, "raw_wire", lambda self: None)
+        n2 = stream_resample_file(src, o_flt, cfg,
+                                  chunk_seconds=chunk_seconds)
+        assert n1 == n2
+        assert open(o_raw, "rb").read() == open(o_flt, "rb").read()
+        return n1
+
+    def test_wav24_routing_dc_latency_bitwise(self, tmp_path, monkeypatch):
+        rate = 44100
+        rng = np.random.default_rng(11)
+        x = (0.3 * rng.standard_normal((3, rate // 2 + 73))
+             + 0.01).astype(np.float32)              # DC offset: mean path on
+        src = str(tmp_path / "s24.wav")
+        write_wav(src, x, rate, bits=24)
+        cfg = ProcessingConfig(output_dir=str(tmp_path), target_rate=48000,
+                               quality="low", seed=2, remove_dc=True,
+                               channel_routing=[2, -1, 0],
+                               trim_enabled=True, latency_frames=37)
+        self._both(monkeypatch, src, cfg, tmp_path)
+
+    def test_wav16_mono_fanout_bitwise(self, tmp_path, monkeypatch):
+        rate = 48000
+        rng = np.random.default_rng(12)
+        x = (0.4 * rng.standard_normal((1, rate // 3))).astype(np.float32)
+        src = str(tmp_path / "s16.wav")
+        write_wav(src, x, rate, bits=16)
+        cfg = ProcessingConfig(output_dir=str(tmp_path), target_rate=44100,
+                               quality="low", seed=5, remove_dc=False,
+                               output_channels=2, bits=16)
+        self._both(monkeypatch, src, cfg, tmp_path)
+
+    def test_aiff24_big_endian_bitwise(self, tmp_path, monkeypatch):
+        rate = 44100
+        rng = np.random.default_rng(13)
+        x = (0.3 * rng.standard_normal((2, rate // 4 + 17))).astype(np.float32)
+        src = str(tmp_path / "s.aiff")
+        write_aiff(src, x, rate, bits=24)
+        cfg = ProcessingConfig(output_dir=str(tmp_path), target_rate=48000,
+                               quality="low", seed=6, remove_dc=True)
+        self._both(monkeypatch, src, cfg, tmp_path)
+
+    def test_reverb_detector_bitwise(self, tmp_path, monkeypatch):
+        rate = 44100
+        rng = np.random.default_rng(14)
+        n = rate // 2
+        x = (0.5 * rng.standard_normal((2, n))).astype(np.float32)
+        x[:, n // 3 :] *= np.float32(1e-6)           # quiet tail to detect
+        src = str(tmp_path / "rv.wav")
+        write_wav(src, x, rate, bits=24)
+        cfg = ProcessingConfig(output_dir=str(tmp_path), target_rate=48000,
+                               quality="low", seed=7, remove_dc=False,
+                               reverb_mode=True, noise_floor_db=-90.0)
+        self._both(monkeypatch, src, cfg, tmp_path, chunk_seconds=0.11)
+
+    def test_float_wav_keeps_float_wire(self, tmp_path):
+        """IEEE-float sources have no raw wire; the stream must still work."""
+        rate = 44100
+        rng = np.random.default_rng(15)
+        x = (0.3 * rng.standard_normal((2, rate // 4))).astype(np.float32)
+        src = str(tmp_path / "f32.wav")
+        write_wav(src, x, rate, bits=32)             # IEEE float container
+        from f9tpu.io.wav import WavReader
+        with WavReader(src) as r:
+            assert r.raw_wire() is None
+        cfg = ProcessingConfig(output_dir=str(tmp_path), target_rate=48000,
+                               quality="low", seed=8)
+        out = str(tmp_path / "of.wav")
+        assert stream_resample_file(src, out, cfg, chunk_seconds=0.2) > 0
