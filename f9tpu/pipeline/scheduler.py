@@ -654,8 +654,17 @@ class BatchProcessor:
                 item = res_q.get()
                 if item is None:
                     return
-                bi, c_paths, res, c_valid, c_rate_in, t_submit = item
+                bi, c_paths, res, c_valid, c_rate_in = item
                 b = buckets[bi]
+                # stage wall = the collector's BLOCKING time materialising
+                # this batch (device + D2H still outstanding at collect
+                # time).  Submit-to-materialise latency is the wrong number
+                # here: in-flight batches overlap, so summed latencies
+                # exceed the run wall and the ratio reads as a throughput
+                # far below what the pipeline actually sustains (a 61x-RT
+                # run used to report a 28x "device stage").  One collector
+                # thread -> these waits never overlap and compose with wall.
+                t_blk = time.time()
                 try:
                     codes = np.asarray(res.codes)
                     if res.layout == "rows":
@@ -677,7 +686,7 @@ class BatchProcessor:
                     continue
                 self.throughput.add(
                     "device", float(c_valid.sum()) / c_rate_in,
-                    time.time() - t_submit)
+                    time.time() - t_blk)
                 for i, p in enumerate(c_paths):
                     manifest.set_progress(p, 0.7)
                     audio_in += c_valid[i] / c_rate_in
@@ -710,7 +719,6 @@ class BatchProcessor:
                 return
             b = buckets[bi]
             blen, channels, raw_bits = b["blen"], b["channels"], b["raw_bits"]
-            t0 = time.time()
             paths = [d.entry_path for d in batch_x]
             # Always submit the bucket's full batch width (zero-padded) so
             # every flush reuses the same compiled graph.
@@ -834,7 +842,7 @@ class BatchProcessor:
                     errors.append(str(err2))
                     pending[bi] = []
                     return
-            res_q.put((bi, paths, res, valid.copy(), b["rate_in"], t0))
+            res_q.put((bi, paths, res, valid.copy(), b["rate_in"]))
             pending[bi] = []
 
         dec_threads = []
