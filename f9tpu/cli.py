@@ -258,7 +258,10 @@ def cmd_process(args) -> int:
         return 2
     cfg = _batch_cfg_from_args(args)
     _save_config(args)
-    log = StatusLog(sink=lambda line: print(line, flush=True))
+    # --json promises machine-parseable stdout (the probe --json contract):
+    # the human log moves to stderr so the ONLY stdout bytes are the summary
+    log_out = sys.stderr if args.json else sys.stdout
+    log = StatusLog(sink=lambda line: print(line, file=log_out, flush=True))
     cal = CalibrationCache(os.path.join(args.out, ".calibration.json"))
     mesh = None
     if args.files_shards > 1 or args.channel_shards > 1:
@@ -276,7 +279,7 @@ def cmd_process(args) -> int:
 
         with jax.profiler.trace(args.profile):
             res = bp.run(files, manifest_path=manifest_path)
-        print(f"profiler trace -> {args.profile}")
+        print(f"profiler trace -> {args.profile}", file=log_out)
     else:
         res = bp.run(files, manifest_path=manifest_path)
     if args.json:
@@ -446,12 +449,15 @@ def cmd_stream(args) -> int:
     # --normalize-lufs, ...) would silently bypass the checks
     cfg.validate()
     last = [0]
+    # --json: progress ticks move to stderr so stdout carries only the
+    # summary document (same contract as process/probe --json)
+    prog_out = sys.stderr if getattr(args, "json", False) else sys.stdout
 
     def progress(p):
         pct = int(p * 100)
         if pct >= last[0] + 10:
             last[0] = pct
-            print(f"  {pct}%", flush=True)
+            print(f"  {pct}%", file=prog_out, flush=True)
 
     os.makedirs(cfg.output_dir, exist_ok=True)
     mesh = None

@@ -817,3 +817,34 @@ def test_watch_churn_soak(tmp_path, monkeypatch):
     # manifest audit: every completed entry verifies by content
     rc = main(["verify", str(out / ".manifest.json")])
     assert rc == 0
+
+
+class TestJsonStdoutPurity:
+    """--json promises machine-parseable stdout: the ONLY stdout bytes are
+    the JSON document; the human log/progress moves to stderr."""
+
+    def test_process_json_stdout_is_pure_json(self, tmp_path, capsys):
+        import json as _json
+
+        paths = make_files(tmp_path)
+        rc = main(["process", *paths, "--out", str(tmp_path / "out"),
+                   "--rate", "48000", "--quality", "low", "--seed", "1",
+                   "--json"])
+        assert rc == 0
+        cap = capsys.readouterr()
+        doc = _json.loads(cap.out)           # would raise on any log line
+        assert doc["completed"] == 2
+        assert "Batch start" in cap.err      # the log still exists, on stderr
+
+    def test_stream_json_stdout_is_pure_json(self, tmp_path, capsys):
+        import json as _json
+
+        paths = make_files(tmp_path, n=1)
+        out = str(tmp_path / "s.wav")
+        rc = main(["stream", paths[0], "--out", out,
+                   "--rate", "48000", "--quality", "low", "--seed", "1",
+                   "--chunk-seconds", "0.02", "--json"])
+        assert rc == 0
+        cap = capsys.readouterr()
+        doc = _json.loads(cap.out)
+        assert doc["out_frames"] > 0
