@@ -261,7 +261,8 @@ def cmd_process(args) -> int:
     # --json promises machine-parseable stdout (the probe --json contract):
     # the human log moves to stderr so the ONLY stdout bytes are the summary
     log_out = sys.stderr if args.json else sys.stdout
-    log = StatusLog(sink=lambda line: print(line, file=log_out, flush=True))
+    log = StatusLog(sink=lambda line: print(line, file=log_out, flush=True),
+                    jsonl_path=args.log_jsonl)
     cal = CalibrationCache(os.path.join(args.out, ".calibration.json"))
     mesh = None
     if args.files_shards > 1 or args.channel_shards > 1:
@@ -509,7 +510,7 @@ def cmd_watch(args) -> int:
     # the sink prints every line; cap in-memory retention so a weeks-long
     # serving daemon doesn't grow without bound
     log = StatusLog(sink=lambda line: print(line, flush=True),
-                    max_lines=1000)
+                    jsonl_path=args.log_jsonl, max_lines=1000)
     cal = CalibrationCache(os.path.join(args.out, ".calibration.json"))
     manifest_path = os.path.join(args.out, ".manifest.json")
     seen_sig: dict[str, tuple] = {}      # path -> (size, mtime) last sweep
@@ -768,6 +769,10 @@ def main(argv: list[str] | None = None) -> int:
         is the serving form of a batch run and takes the full surface)."""
         p.add_argument("--out", required=True,
                        help="output directory (mandatory)")
+        p.add_argument("--log-jsonl", default=None, metavar="PATH",
+                       help="append every status-log event to PATH as one "
+                            "JSON object per line (structured twin of the "
+                            "human log; survives --json, watch restarts)")
         _add_common_src_args(p)
         p.add_argument("--bits", type=int, default=24, choices=[16, 24, 32])
         p.add_argument("--postfix", default="_processed")

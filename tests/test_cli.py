@@ -848,3 +848,17 @@ class TestJsonStdoutPurity:
         cap = capsys.readouterr()
         doc = _json.loads(cap.out)
         assert doc["out_frames"] > 0
+
+    def test_process_log_jsonl(self, tmp_path, capsys):
+        import json as _json
+
+        paths = make_files(tmp_path, n=1)
+        jl = str(tmp_path / "events.jsonl")
+        rc = main(["process", *paths, "--out", str(tmp_path / "out"),
+                   "--rate", "48000", "--quality", "low", "--seed", "1",
+                   "--log-jsonl", jl, "--json"])
+        assert rc == 0
+        events = [_json.loads(ln) for ln in open(jl)]
+        assert any("Batch start" in e["msg"] for e in events)
+        assert any("Completed" in e["msg"] for e in events)
+        assert all("ts" in e for e in events)
