@@ -507,6 +507,14 @@ def cmd_watch(args) -> int:
         print(f"watch: invalid config: {err}", file=sys.stderr)
         return 2
     os.makedirs(args.out, exist_ok=True)
+    mesh = None
+    if args.files_shards > 1 or args.channel_shards > 1:
+        # built once at startup (mesh errors fail the daemon immediately,
+        # like cfg.validate above), shared by every sweep's batch
+        from .parallel import make_mesh
+
+        mesh = make_mesh(num_files_shards=args.files_shards,
+                         num_channel_shards=args.channel_shards)
     # the sink prints every line; cap in-memory retention so a weeks-long
     # serving daemon doesn't grow without bound
     log = StatusLog(sink=lambda line: print(line, flush=True),
@@ -565,7 +573,7 @@ def cmd_watch(args) -> int:
             # stores the INPUT signature too) and overwrite the deliverable
             idle = 0.0
             try:
-                bp = BatchProcessor(cfg, log=log, calibration=cal)
+                bp = BatchProcessor(cfg, log=log, calibration=cal, mesh=mesh)
                 res = bp.run(ready, manifest_path=manifest_path)
             except Exception as err:
                 # keep serving: a transient device/compile failure recovers
@@ -946,6 +954,10 @@ def main(argv: list[str] | None = None) -> int:
                             "(the drop-zone workflow, headless)")
     p.add_argument("dir", help="input folder to watch")
     _add_batch_args(p)
+    p.add_argument("--files-shards", type=int, default=1,
+                   help="shard batches over N chips on the files axis (DP)")
+    p.add_argument("--channel-shards", type=int, default=1,
+                   help="shard MCFX buses over N chips on the channels axis")
     p.add_argument("--interval", type=float, default=2.0,
                    help="sweep interval seconds")
     p.add_argument("--sweeps", type=int, default=0,

@@ -862,3 +862,28 @@ class TestJsonStdoutPurity:
         assert any("Batch start" in e["msg"] for e in events)
         assert any("Completed" in e["msg"] for e in events)
         assert all("ts" in e for e in events)
+
+
+def test_watch_with_files_shards(tmp_path):
+    """The serving daemon accepts the same mesh flags as process: a sweep
+    under --files-shards (8 = the full virtual mesh) produces
+    deliverables byte-identical to the
+    unsharded daemon (dp invariance contract)."""
+    from f9tpu.io import read_wav as _read
+
+    d = tmp_path / "inbox"; d.mkdir()
+    rng = np.random.default_rng(5)
+    for i in range(2):
+        x = (0.3 * rng.standard_normal((2, 3000))).astype(np.float32)
+        write_wav(str(d / f"w{i}.wav"), x, 44100, bits=24)
+    common = ["--rate", "48000", "--quality", "low", "--seed", "3",
+              "--interval", "0.05", "--sweeps", "3"]
+    rc = main(["watch", str(d), "--out", str(tmp_path / "o_dp"),
+               "--files-shards", "8", *common])
+    assert rc == 0
+    rc = main(["watch", str(d), "--out", str(tmp_path / "o_1"), *common])
+    assert rc == 0
+    for i in range(2):
+        a = open(tmp_path / "o_dp" / f"w{i}_processed.wav", "rb").read()
+        b = open(tmp_path / "o_1" / f"w{i}_processed.wav", "rb").read()
+        assert a == b
