@@ -762,3 +762,23 @@ class TestRawUploadWire:
                                quality="low", seed=8)
         out = str(tmp_path / "of.wav")
         assert stream_resample_file(src, out, cfg, chunk_seconds=0.2) > 0
+
+
+def test_stream_16bit_aiff_matches_wav(tmp_path):
+    """The i16 D2H wire through the big-endian AIFF writer decodes to the
+    same samples as the 16-bit WAV output (value-exact narrowing)."""
+    rate = 44100
+    rng = np.random.default_rng(21)
+    x = (0.4 * rng.standard_normal((2, rate // 3 + 77))).astype(np.float32)
+    src = str(tmp_path / "s.wav")
+    write_wav(src, x, rate, bits=24)
+    kw = dict(output_dir=str(tmp_path), target_rate=48000, quality="low",
+              seed=11, bits=16, remove_dc=False)
+    ow, oa = str(tmp_path / "o.wav"), str(tmp_path / "o.aiff")
+    stream_resample_file(src, ow, ProcessingConfig(**kw), chunk_seconds=0.2)
+    stream_resample_file(src, oa,
+                         ProcessingConfig(**kw, output_format="aiff"),
+                         chunk_seconds=0.2)
+    yw, _ = read_wav(ow)
+    ya, _ = read_aiff(oa)
+    np.testing.assert_array_equal(yw, ya)
