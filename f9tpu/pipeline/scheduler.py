@@ -959,8 +959,12 @@ class BatchProcessor:
             skipped=skipped,
             aborted=stop_event.is_set(),
         )
+        # tiny batches on a cold cache run below 10x; whole-number rounding
+        # printed those as "0x real time", which reads as a stall
+        xrt = result.x_realtime
+        xrt_s = f"{xrt:.0f}x" if xrt >= 10 else f"{xrt:.2f}x"
         self.log.append(
             f"Batch done in {wall:.2f}s: {result.completed} completed, "
             f"{result.failed} failed, {result.invalid} invalid rate "
-            f"({result.x_realtime:.0f}x real time)")
+            f"({xrt_s} real time)")
         return result
