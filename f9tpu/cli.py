@@ -24,6 +24,7 @@ import glob
 import json
 import os
 import sys
+import time
 
 import numpy as np
 
@@ -453,12 +454,19 @@ def cmd_stream(args) -> int:
     # --json: progress ticks move to stderr so stdout carries only the
     # summary document (same contract as process/probe --json)
     prog_out = sys.stderr if getattr(args, "json", False) else sys.stdout
+    # --log-jsonl: the structured event journal process/watch already have
+    # (no sink — the human stdout/stderr surface is unchanged)
+    jlog = (StatusLog(jsonl_path=args.log_jsonl)
+            if getattr(args, "log_jsonl", None) else None)
 
     def progress(p):
         pct = int(p * 100)
         if pct >= last[0] + 10:
             last[0] = pct
             print(f"  {pct}%", file=prog_out, flush=True)
+            if jlog:
+                jlog.append(f"progress {pct}%", event="progress",
+                            input=args.input, pct=pct)
 
     os.makedirs(cfg.output_dir, exist_ok=True)
     mesh = None
@@ -467,10 +475,22 @@ def cmd_stream(args) -> int:
 
         mesh = make_mesh(num_files_shards=1,
                          num_frames_shards=args.frames_shards)
+    if jlog:
+        jlog.append(f"Streaming {args.input} -> {args.out}",
+                    event="stream_start", input=args.input, output=args.out,
+                    rate=args.rate, bits=cfg.bits, format=cfg.output_format)
+    t0 = time.time()
     n = stream_resample_file(args.input, args.out, cfg,
                              chunk_seconds=args.chunk_seconds,
                              progress_cb=progress, mesh=mesh,
                              latency_frames=getattr(args, "latency", None))
+    if jlog:
+        wall = time.time() - t0
+        jlog.append(f"Completed: {args.out} ({n} frames @ {args.rate} Hz)",
+                    event="completed", input=args.input, output=args.out,
+                    out_frames=n, rate=args.rate,
+                    seconds=round(n / args.rate, 3), wall_seconds=round(wall, 3),
+                    x_realtime=round(n / args.rate / wall, 2) if wall > 0 else None)
     if getattr(args, "json", False):
         print(json.dumps({"input": args.input, "output": args.out,
                           "out_frames": n, "rate": args.rate,
@@ -525,7 +545,6 @@ def cmd_watch(args) -> int:
     done_sig: dict[str, tuple] = {}      # path -> signature when processed
     sweeps = 0
     idle = 0.0
-    import time as _time
 
     log.append(f"watch: {args.dir} -> {args.out} (interval {args.interval}s)")
     while True:
@@ -540,7 +559,7 @@ def cmd_watch(args) -> int:
             # mid-life listing blip (network mount, transient EMFILE): keep
             # serving, same containment as a processing failure
             log.append(f"watch sweep {sweeps}: cannot list {args.dir}: {err}")
-            _time.sleep(args.interval)
+            time.sleep(args.interval)
             continue
         # prune tracking for files removed from the folder (drop-zone
         # hygiene): a weeks-long daemon must not grow per-path state forever
@@ -610,7 +629,7 @@ def cmd_watch(args) -> int:
         if args.exit_after_idle and idle >= args.exit_after_idle:
             log.append(f"watch: idle {idle:.0f}s, exiting")
             break
-        _time.sleep(args.interval)
+        time.sleep(args.interval)
     return 0
 
 
@@ -888,6 +907,10 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("stream", help="constant-memory resample of one long file")
     p.add_argument("input")
     p.add_argument("--out", required=True, help="output WAV/AIFF path")
+    p.add_argument("--log-jsonl", default=None, metavar="PATH",
+                   help="append stream_start/progress/completed events to "
+                        "PATH as one JSON object per line (the structured "
+                        "journal process/watch have)")
     _add_common_src_args(p)
     p.add_argument("--bits", type=int, default=24, choices=[16, 24, 32])
     p.add_argument("--format", dest="output_format", default="wav",

@@ -863,6 +863,29 @@ class TestJsonStdoutPurity:
         assert any("Completed" in e["msg"] for e in events)
         assert all("ts" in e for e in events)
 
+    def test_stream_log_jsonl(self, tmp_path, capsys):
+        """stream has the same structured journal as process/watch: typed
+        stream_start/progress/completed events, stdout unchanged (--json
+        stays pure)."""
+        import json as _json
+
+        paths = make_files(tmp_path, n=1)
+        out = str(tmp_path / "s.wav")
+        jl = str(tmp_path / "stream_events.jsonl")
+        rc = main(["stream", paths[0], "--out", out,
+                   "--rate", "48000", "--quality", "low", "--seed", "1",
+                   "--chunk-seconds", "0.02", "--log-jsonl", jl, "--json"])
+        assert rc == 0
+        doc = _json.loads(capsys.readouterr().out)   # jsonl must not leak
+        events = [_json.loads(ln) for ln in open(jl)]
+        kinds = [e.get("event") for e in events]
+        assert kinds[0] == "stream_start" and kinds[-1] == "completed"
+        assert "progress" in kinds          # chunked run emits milestones
+        done = events[-1]
+        assert done["out_frames"] == doc["out_frames"] > 0
+        assert done["output"] == out and done["wall_seconds"] >= 0
+        assert all("ts" in e for e in events)
+
 
 def test_watch_with_files_shards(tmp_path):
     """The serving daemon accepts the same mesh flags as process: a sweep
