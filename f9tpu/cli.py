@@ -480,10 +480,18 @@ def cmd_stream(args) -> int:
                     event="stream_start", input=args.input, output=args.out,
                     rate=args.rate, bits=cfg.bits, format=cfg.output_format)
     t0 = time.time()
-    n = stream_resample_file(args.input, args.out, cfg,
-                             chunk_seconds=args.chunk_seconds,
-                             progress_cb=progress, mesh=mesh,
-                             latency_frames=getattr(args, "latency", None))
+    try:
+        n = stream_resample_file(args.input, args.out, cfg,
+                                 chunk_seconds=args.chunk_seconds,
+                                 progress_cb=progress, mesh=mesh,
+                                 latency_frames=getattr(args, "latency", None))
+    except Exception as err:
+        # log shippers need a terminal event for every stream_start; the
+        # error still surfaces through the normal CLI-boundary handling
+        if jlog:
+            jlog.append(f"FAILED: {args.input}: {err}", event="failed",
+                        input=args.input, output=args.out, error=str(err))
+        raise
     if jlog:
         wall = time.time() - t0
         jlog.append(f"Completed: {args.out} ({n} frames @ {args.rate} Hz)",

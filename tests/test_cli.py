@@ -886,6 +886,28 @@ class TestJsonStdoutPurity:
         assert done["output"] == out and done["wall_seconds"] >= 0
         assert all("ts" in e for e in events)
 
+    def test_stream_log_jsonl_failed_event(self, tmp_path):
+        """Every stream_start gets a terminal event: a mid-stream failure
+        journals event=failed before the error surfaces."""
+        import json as _json
+
+        bad = tmp_path / "trunc.wav"
+        good = make_files(tmp_path, n=1)[0]
+        # truncated INSIDE the header (a half-copied drop): the reader's
+        # ValueError surfaces after the journal's stream_start event.
+        # (A truncated *payload* is not an error — readers clamp to the
+        # bytes present and deliver a shorter file.)
+        data = open(good, "rb").read()
+        bad.write_bytes(data[:20])
+        jl = str(tmp_path / "ev.jsonl")
+        rc = main(["stream", str(bad), "--out", str(tmp_path / "o.wav"),
+                   "--rate", "48000", "--quality", "low", "--seed", "1",
+                   "--chunk-seconds", "0.02", "--log-jsonl", jl])
+        assert rc != 0
+        events = [_json.loads(ln) for ln in open(jl)]
+        assert events[0]["event"] == "stream_start"
+        assert events[-1]["event"] == "failed" and events[-1]["error"]
+
 
 def test_watch_with_files_shards(tmp_path):
     """The serving daemon accepts the same mesh flags as process: a sweep
