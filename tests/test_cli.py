@@ -909,6 +909,30 @@ class TestJsonStdoutPurity:
         assert events[-1]["event"] == "failed" and events[-1]["error"]
 
 
+def test_watch_log_jsonl(tmp_path):
+    """The serving daemon's structured journal: sweep events land in the
+    JSONL file (append-only — a restart keeps the earlier history)."""
+    import json as _json
+
+    d = tmp_path / "inbox"; d.mkdir()
+    x = (0.3 * np.random.default_rng(7).standard_normal((2, 3000))
+         ).astype(np.float32)
+    write_wav(str(d / "w.wav"), x, 44100, bits=24)
+    jl = str(tmp_path / "watch_events.jsonl")
+    common = ["--rate", "48000", "--quality", "low", "--seed", "3",
+              "--interval", "0.05", "--sweeps", "3", "--log-jsonl", jl]
+    rc = main(["watch", str(d), "--out", str(tmp_path / "o"), *common])
+    assert rc == 0
+    events = [_json.loads(ln) for ln in open(jl)]
+    assert any("watch:" in e["msg"] for e in events)       # startup banner
+    assert any("Completed" in e["msg"] for e in events)
+    n_first = len(events)
+    rc = main(["watch", str(d), "--out", str(tmp_path / "o"), *common])
+    assert rc == 0
+    events = [_json.loads(ln) for ln in open(jl)]
+    assert len(events) > n_first                            # appended, not truncated
+
+
 def test_watch_with_files_shards(tmp_path):
     """The serving daemon accepts the same mesh flags as process: a sweep
     under --files-shards (8 = the full virtual mesh) produces
