@@ -540,7 +540,9 @@ class Compressor:
 
     #: block length for the slanted cummax: c*B stays ~1e2 so float32 keeps
     #: ~1e-5 dB envelope resolution for ANY file length (a single global
-    #: c*n ramp loses integer spacing past 2^24 frames)
+    #: c*n ramp loses integer spacing past 2^24 frames).  The streaming form
+    #: (`_slanted_cummax_stream`) keys its blocks to ABSOLUTE positions on
+    #: this same grid, which is what makes stream-vs-batch byte-exact.
     _ENV_BLOCK = 1 << 17
 
     @staticmethod
@@ -573,6 +575,76 @@ class Compressor:
         _, envs = jax.lax.scan(step, carry0, blocks)
         return jnp.moveaxis(envs, 0, -2).reshape(*lead, nb * B)[..., :T]
 
+    @staticmethod
+    def _slanted_cummax_stream(level_db: jax.Array, c: float, pos: jax.Array,
+                               m: jax.Array, env_carry: jax.Array):
+        """Streaming form of :meth:`_slanted_cummax`, BYTE-exact with it:
+        blocks are keyed to the ABSOLUTE output position grid (multiples of
+        ``_ENV_BLOCK`` from stream position 0 — the same grid the batch form
+        tiles), so every in-block ``level + c*j`` add and every cross-block
+        ``carry - c*B`` subtract rounds identically.  The carried state per
+        linked lane is ``m`` (the running in-block max of ``level + ramp``
+        over the current partial block) and ``env_carry`` (the cross-block
+        carry entering that block) — exactly what the batch scan computes at
+        the chunk boundary.  ``pos`` is a traced int32 (per-chunk positions
+        never recompile); block alignment is handled by placing the chunk
+        into a grid-aligned buffer at ``pos % B`` (max is exact/associative,
+        so the -1e9 padding and the seed-max injection are bit-neutral)."""
+        c = np.float32(c)
+        B = Compressor._ENV_BLOCK
+        T = level_db.shape[-1]
+        lead = level_db.shape[:-1]
+        nb = (T + B - 1) // B + 1          # worst-case grid straddle
+        o = pos % B
+        zeros = (0,) * len(lead)
+        buf = jnp.full((*lead, nb * B), -1e9, jnp.float32)
+        buf = jax.lax.dynamic_update_slice(buf, level_db, zeros + (o,))
+        blocks = jnp.moveaxis(buf.reshape(*lead, nb, B), -2, 0)
+        ramp = jnp.arange(B, dtype=jnp.float32) * c
+        decay = c * (jnp.arange(B, dtype=jnp.float32) + 1.0)
+        seeds = jnp.concatenate(
+            [m[None], jnp.full((nb - 1, *lead), -1e9, jnp.float32)], axis=0)
+
+        def step(carry, inp):
+            blk, seed = inp
+            s = jnp.maximum(jax.lax.cummax(blk + ramp, axis=blk.ndim - 1),
+                            seed[..., None])
+            slant = s - ramp
+            env = jnp.maximum(slant, carry[..., None] - decay)
+            return env[..., -1], (env, s)
+
+        _, (envs, ss) = jax.lax.scan(step, env_carry, (blocks, seeds))
+        env_flat = jnp.moveaxis(envs, 0, -2).reshape(*lead, nb * B)
+        s_flat = jnp.moveaxis(ss, 0, -2).reshape(*lead, nb * B)
+        env_out = jax.lax.dynamic_slice(env_flat, zeros + (o,), (*lead, T))
+        # next-chunk state: m resumes the partial block containing pos+T
+        # (fresh -1e9 when the chunk ends exactly on the grid), and the
+        # cross-block carry advances past the blocks the chunk completed
+        pos2 = pos + T
+        m_next = jnp.where(
+            pos2 % B == 0, jnp.float32(-1e9),
+            jax.lax.dynamic_slice(s_flat, zeros + (o + T - 1,),
+                                  (*lead, 1))[..., 0])
+        b_rel = pos2 // B - pos // B
+        carr_stack = envs[..., -1]                       # (nb, *lead)
+        carry_next = jnp.where(
+            b_rel == 0, env_carry,
+            jnp.take(carr_stack, jnp.clip(b_rel - 1, 0, nb - 1), axis=0))
+        return env_out, m_next, carry_next
+
+    def _gr_from_env(self, env_db: jax.Array) -> jax.Array:
+        """Unsmoothed gain reduction (dB, <= 0) from the envelope: soft-knee
+        gain computer shared verbatim by the batch and streaming paths."""
+        over = env_db - np.float32(self.threshold_db)
+        slope = np.float32(1.0 - 1.0 / self.ratio)
+        if self.knee_db > 0:
+            k2 = np.float32(self.knee_db / 2.0)
+            knee_gr = -slope * jnp.square(over + k2) / np.float32(
+                2.0 * self.knee_db)
+            return jnp.where(over <= -k2, 0.0,
+                             jnp.where(over >= k2, -slope * over, knee_gr))
+        return jnp.minimum(0.0, -slope * over)
+
     def _gain_db(self, y: jax.Array, rate: int) -> jax.Array:
         win = max(1, int(round(self.detector_ms * rate / 1000.0)))
         p = _direct_convolve(jnp.square(y),
@@ -581,16 +653,7 @@ class Compressor:
             p = jnp.max(p, axis=-2, keepdims=True)       # stereo/bus link
         level_db = 10.0 * jnp.log10(jnp.maximum(p, 1e-20))
         env_db = self._slanted_cummax(level_db, self.release_db_per_s / rate)
-        over = env_db - np.float32(self.threshold_db)
-        slope = np.float32(1.0 - 1.0 / self.ratio)
-        if self.knee_db > 0:
-            k2 = np.float32(self.knee_db / 2.0)
-            knee_gr = -slope * jnp.square(over + k2) / np.float32(
-                2.0 * self.knee_db)
-            gr = jnp.where(over <= -k2, 0.0,
-                           jnp.where(over >= k2, -slope * over, knee_gr))
-        else:
-            gr = jnp.minimum(0.0, -slope * over)
+        gr = self._gr_from_env(env_db)
         win_a = max(1, int(round(self.attack_ms * rate / 1000.0)))
         if win_a > 1:
             gr = _direct_convolve(gr, np.full(win_a, 1.0 / win_a, np.float32))
@@ -599,6 +662,51 @@ class Compressor:
     def apply(self, y: jax.Array, rate: int) -> jax.Array:
         gain = 10.0 ** (self._gain_db(y, rate) * np.float32(1.0 / 20.0))
         return y * gain
+
+    def stream_state(self, rate: int, channels: int) -> tuple:
+        """Initial streaming state: (detector input tail, unsmoothed-gr tail,
+        in-block running max, cross-block env carry).  The zero tails
+        reproduce the batch convolutions' front zero-padding at stream start;
+        -1e9 is the batch scan's virgin carry."""
+        win = max(1, int(round(self.detector_ms * rate / 1000.0)))
+        win_a = max(1, int(round(self.attack_ms * rate / 1000.0)))
+        return (jnp.zeros((channels, win - 1), jnp.float32),
+                jnp.zeros((1, win_a - 1), jnp.float32),
+                jnp.full((1,), -1e9, jnp.float32),
+                jnp.full((1,), -1e9, jnp.float32))
+
+    def apply_stream(self, y: jax.Array, state: tuple, rate: int,
+                     pos: jax.Array) -> tuple:
+        """Chunked application, BYTE-exact with :meth:`apply` over the whole
+        stream: the detector and attack moving averages carry their input
+        tails (XLA convs are position-invariant bitwise — same window, same
+        dot), and the release envelope carries the slanted-cummax scan state
+        on the absolute block grid (`_slanted_cummax_stream`).  ``pos`` is
+        the chunk's absolute start position in the chain-input stream."""
+        x_tail, gr_tail, m, env_carry = state
+        win = max(1, int(round(self.detector_ms * rate / 1000.0)))
+        xin = (jnp.concatenate([x_tail, y], axis=-1) if win > 1 else y)
+        p = _direct_convolve(jnp.square(xin),
+                             np.full(win, 1.0 / win, np.float32))
+        p = p[..., xin.shape[-1] - y.shape[-1]:]
+        if y.ndim >= 2:
+            p = jnp.max(p, axis=-2, keepdims=True)       # stereo/bus link
+        level_db = 10.0 * jnp.log10(jnp.maximum(p, 1e-20))
+        env_db, m, env_carry = self._slanted_cummax_stream(
+            level_db, self.release_db_per_s / rate, pos, m, env_carry)
+        gr = self._gr_from_env(env_db)
+        win_a = max(1, int(round(self.attack_ms * rate / 1000.0)))
+        if win_a > 1:
+            gc = jnp.concatenate([gr_tail, gr], axis=-1)
+            sm = _direct_convolve(gc, np.full(win_a, 1.0 / win_a, np.float32))
+            sm = sm[..., gc.shape[-1] - gr.shape[-1]:]
+            gr_tail = gc[..., gc.shape[-1] - (win_a - 1):]
+            gr = sm
+        gain = 10.0 ** ((gr + np.float32(self.makeup_db))
+                        * np.float32(1.0 / 20.0))
+        if win > 1:
+            x_tail = xin[..., xin.shape[-1] - (win - 1):]
+        return y * gain, (x_tail, gr_tail, m, env_carry)
 
 
 class ConvolutionReverb:
@@ -687,6 +795,47 @@ class Chain:
         # chain's convolutions into each of them — same discipline as the SRC
         # output barrier.
         return jax.lax.optimization_barrier(y)
+
+    def stream_init(self, rate: int, channels: int) -> tuple:
+        """Initial per-stage streaming state (a jit-traceable pytree).
+        Stages that implement ``stream_state``/``apply_stream`` (stateful
+        dynamics — Compressor) own their state; every other stage gets a
+        zero input-context ring of its own ``tail_frames`` (the whole state
+        of a causal FIR/delay stage), or ``None`` for memoryless stages."""
+        states = []
+        for s in self.stages:
+            if hasattr(s, "apply_stream"):
+                states.append(s.stream_state(rate, channels))
+            else:
+                t = int(s.tail_frames(rate))
+                states.append(jnp.zeros((channels, t), jnp.float32)
+                              if t else None)
+        return tuple(states)
+
+    def apply_stream(self, y: jax.Array, states: tuple, rate: int,
+                     pos: jax.Array) -> tuple:
+        """Apply the chain to one streamed chunk with exact continuation:
+        each stage threads its own state, so the emitted chunk equals the
+        corresponding span of the whole-stream :meth:`apply` — BYTE-exact
+        for delays, direct-form FIRs (incl. biquad IRs) and dynamics
+        (Compressor carries its envelope scan state); FFT-convolution
+        stages (long FIRs / reverb IRs) reconverge only to float rounding,
+        because the partitioned-FFT block grid shifts with the chunk
+        alignment (the one documented byte-identity exception).  ``pos`` is
+        the chunk's absolute start in the chain-input stream (stages are
+        same-length maps, so one position serves every stage)."""
+        new = []
+        for s, st in zip(self.stages, states):
+            if hasattr(s, "apply_stream"):
+                y, st = s.apply_stream(y, st, rate, pos)
+            elif st is not None:
+                z = jnp.concatenate([st, y], axis=-1)
+                y = s.apply(z, rate)[..., st.shape[-1]:]
+                st = z[..., z.shape[-1] - st.shape[-1]:]
+            else:
+                y = s.apply(y, rate)
+            new.append(st)
+        return jax.lax.optimization_barrier(y), tuple(new)
 
     def __hash__(self):
         return hash(self._sig)

@@ -130,13 +130,21 @@ class _TailDetector:
 
 
 def _finish_chunk(y, carry, seeds_c, pos0, gain, *, rate_out, bits,
-                  do_dither, chain=None, carry_frames=0, silent=None,
+                  do_dither, chain=None, chain_pos=None, silent=None,
                   want_env=False, env_rms=False, wire=None):
     """Everything downstream of the SRC for one streamed chunk: chain
     continuation, gain, position-keyed dither/quantize, silent-channel
     zeroing.  Shared (traced inline) by the single-chip `_stream_step` and
     the sharded `_chain_finish_step`, so both topologies run the SAME ops
     and stay byte-identical.
+
+    ``carry`` is the chain's streaming-state pytree (`Chain.stream_init`):
+    per-stage input-context rings for FIR-type stages plus the Compressor's
+    envelope scan state, threaded chunk to chunk so the emitted stream is
+    byte-exact with the whole-file `Chain.apply` (FFT-convolution stages
+    reconverge to float rounding — ops/chain.py `apply_stream`).
+    ``chain_pos``: traced absolute chunk start in the chain-input stream
+    (pre-trim output frames — the Compressor's envelope grid is keyed to it).
 
     ``want_env`` (reverb mode): additionally return the loudest-channel
     |envelope| of the post-gain, PRE-dither float signal for the tail
@@ -145,19 +153,8 @@ def _finish_chunk(y, carry, seeds_c, pos0, gain, *, rate_out, bits,
     16 bits: the TPDF dither floor's 100 ms window peak sits near
     -90 dBFS — ABOVE usable tail thresholds — so a codes-based detector
     could never fire there."""
-    if chain is not None and carry_frames > 0:
-        # exact chunk-boundary continuation for FIR-type chains: prepend the
-        # previous chunk's last tail_frames of SRC output (the chain's whole
-        # state for causal FIR stacks), convolve, drop the context span
-        z = jnp.concatenate([carry, y], axis=-1)
-        z = chain.apply(z, rate_out)
-        y_out = z[..., carry_frames:]
-        new_carry = y[..., -carry_frames:]
-    elif chain is not None:
-        # zero-tail chain (memoryless stages only): no context needed —
-        # and `y[..., -0:]` would be the WHOLE chunk, so the carry slice
-        # above must not run (it would re-emit the previous chunk's audio)
-        y_out, new_carry = chain.apply(y, rate_out), carry
+    if chain is not None:
+        y_out, new_carry = chain.apply_stream(y, carry, rate_out, chain_pos)
     else:
         y_out, new_carry = y, carry
     y_out = y_out * gain
@@ -198,14 +195,14 @@ def _finish_chunk(y, carry, seeds_c, pos0, gain, *, rate_out, bits,
 @functools.partial(jax.jit, static_argnames=("cycles", "rate_in", "rate_out",
                                              "quality", "kind", "bits",
                                              "do_dither", "chain",
-                                             "carry_frames", "silent",
+                                             "silent",
                                              "want_env", "env_rms",
                                              "rows_form", "wire", "in_wire",
                                              "in_channels", "fanout",
                                              "routing"))
 def _stream_step(xp, carry, seeds_c, pos0, gain, *, cycles, rate_in, rate_out,
                  quality, kind, bits, do_dither, chain=None,
-                 carry_frames=0, silent=None, want_env=False, env_rms=False,
+                 chain_pos=None, silent=None, want_env=False, env_rms=False,
                  rows_form=False, wire=None, in_wire=None, in_channels=0,
                  fanout=0, routing=None, mean=None, valid_lo=None,
                  valid_hi=None):
@@ -260,16 +257,16 @@ def _stream_step(xp, carry, seeds_c, pos0, gain, *, cycles, rate_in, rate_out,
         y = resample_presliced(xp, bank, cycles)
     return _finish_chunk(y, carry, seeds_c, pos0, gain, rate_out=rate_out,
                          bits=bits, do_dither=do_dither, chain=chain,
-                         carry_frames=carry_frames, silent=silent,
+                         chain_pos=chain_pos, silent=silent,
                          want_env=want_env, env_rms=env_rms, wire=wire)
 
 
 @functools.partial(jax.jit, static_argnames=("rate_out", "bits", "do_dither",
-                                             "chain", "carry_frames",
+                                             "chain",
                                              "silent", "want_env",
                                              "env_rms"))
 def _chain_finish_step(y, carry, seeds_c, pos0, gain, *, rate_out, bits,
-                       do_dither, chain, carry_frames, silent,
+                       do_dither, chain, chain_pos, silent,
                        want_env=False, env_rms=False):
     """Sharded-stream tail when a chain is configured: the super-chunk's SRC
     output (gathered — chain state is sequential over frames, so this stage
@@ -277,7 +274,7 @@ def _chain_finish_step(y, carry, seeds_c, pos0, gain, *, rate_out, bits,
     the SAME `_finish_chunk` the single-chip path traces."""
     return _finish_chunk(y, carry, seeds_c, pos0, gain, rate_out=rate_out,
                          bits=bits, do_dither=do_dither, chain=chain,
-                         carry_frames=carry_frames, silent=silent,
+                         chain_pos=chain_pos, silent=silent,
                          want_env=want_env, env_rms=env_rms)
 
 
@@ -390,10 +387,13 @@ def _stream_resample_impl(
     halo exchange).  Encode stays incremental, so host memory is one
     super-chunk regardless of file length (SURVEY.md section 7 step 6).
 
-    ``cfg.chain``: FIR-type insert chains (EQ, FIR,
-    reverb IRs, delays) stream exactly — the chain's whole state for a causal
-    FIR stack is its last ``tail_frames`` of SRC output, carried across
-    chunks (overlap-save at the output rate).  The chain's group delay IS
+    ``cfg.chain``: insert chains stream exactly via per-stage state
+    (`Chain.apply_stream`): FIR-type stages (EQ, FIR, delays) carry their own
+    input-context ring, and dynamics (Compressor) carry their envelope scan
+    state on the absolute block grid — chunked output is BYTE-identical to
+    the whole-stream chain for everything except partitioned-FFT stages
+    (long FIRs / reverb IRs), which reconverge to float rounding because the
+    FFT block grid shifts with chunk alignment.  The chain's group delay IS
     trimmed when a latency is supplied (``latency_frames`` argument, e.g.
     the scheduler's calibrated value, or ``cfg.latency_frames``; honoured
     under ``cfg.trim_enabled``): the first ``lat`` emitted frames are
@@ -533,38 +533,48 @@ def _stream_resample_impl(
             gain = jnp.float32(g_static)
 
         # DC pre-pass: whole-file mean per (routed) channel (host, streaming).
+        # Accumulate on a FIXED grid, never the audio path's chunk_in: the
+        # float64 partial sums associate by block, so a chunk_seconds-sized
+        # grid would make the mean (and through it every emitted byte) a
+        # function of the chunk size — the same grid-independence rule the
+        # streamed loudness meter follows (measured: 1-LSB divergence on a
+        # handful of samples between chunk_seconds=0.13 and 0.52).
         mean = np.zeros((out_ch, 1), np.float32)
         if cfg.remove_dc and T > 0:
+            DC_GRID = 1 << 20
             acc = np.zeros(out_ch, np.float64)
             pos = 0
             while pos < T:
-                blk = routed_read(pos, chunk_in)
+                blk = routed_read(pos, DC_GRID)
                 acc += blk.sum(axis=1)
                 pos += blk.shape[1]
             mean = (acc / T).astype(np.float32).reshape(-1, 1)
 
         # per-file dither seed: derived from (cfg.seed, path) exactly as the
         # batch scheduler does, so the SAME file streamed or batch-processed
-        # emits byte-identical output (noise is keyed by absolute output
-        # frame position, chunk-size invariant — ops/dither.py)
+        # carries the IDENTICAL dither noise stream (keyed by absolute
+        # output frame position: chunk-size invariant — ops/dither.py).
+        # Streamed output is byte-identical across chunk sizes, shardings
+        # and runs; versus the BATCH graph the signal under the noise
+        # differs at SRC float-rounding level (~3 LSB at 24 bit: the two
+        # paths associate the resampler dots differently by design — the
+        # tested "dither contract", test_stream_features._assert_dither_contract)
         from ..ops.dither import file_seed
 
         base_seed = (cfg.seed if cfg.seed is not None
                      else int(time.time()) & 0x7FFFFFFF)
         seed32 = file_seed(base_seed, in_path)
         seeds_c = dither.channel_seeds(jnp.uint32(seed32), out_ch)
-        # the chain ring must fit one chunk — GROW the chunk instead of
-        # failing (output is chunk-size invariant to the usual
-        # cross-conv-shape contract, tested), so the scheduler can route any
-        # oversized chain config here: memory becomes O(ring-out), which is
-        # the floor for streaming this chain.  Hoisted ABOVE the mesh
-        # branch: the sharded super-chunk scales with the same chunk_in, so
-        # both topologies grow
-        carry_frames = 0
+        # keep the chunk at least as long as the chain's ring-out — per-stage
+        # state rings work at ANY chunk size, but a ring much longer than the
+        # chunk would re-convolve its context every chunk (O(ring/chunk)
+        # overhead), so GROW the chunk (output is chunk-size invariant,
+        # tested).  Hoisted ABOVE the mesh branch: the sharded super-chunk
+        # scales with the same chunk_in, so both topologies grow
         if cfg.chain is not None:
-            carry_frames = int(cfg.chain.tail_frames(cfg.target_rate))
-            if carry_frames >= cycles * bank.L:
-                cycles = carry_frames // bank.L + 1
+            ring = int(cfg.chain.tail_frames(cfg.target_rate))
+            if ring >= cycles * bank.L:
+                cycles = ring // bank.L + 1
                 chunk_in = cycles * bank.M
         # atomic publish: stream into a .part file and os.replace at the end
         # — an incremental writer would otherwise expose a half-written (and,
@@ -578,7 +588,9 @@ def _stream_resample_impl(
             _carry_metadata(in_path, part, cfg, rate_in)
             os.replace(part, out_path)
             return n
-        carry = jnp.zeros((out_ch, carry_frames), jnp.float32)
+        carry = (cfg.chain.stream_init(cfg.target_rate, out_ch)
+                 if cfg.chain is not None
+                 else jnp.zeros((out_ch, 0), jnp.float32))
         detector = None
         if reverb and T > 0:
             gain_total_db = 20.0 * float(np.log10(max(float(gain), 1e-30)))
@@ -693,7 +705,7 @@ def _stream_resample_impl(
                     cycles=cycles, rate_in=rate_in, rate_out=cfg.target_rate,
                     quality=cfg.quality, kind=cfg.kind, bits=cfg.bits,
                     do_dither=cfg.dither,
-                    chain=cfg.chain, carry_frames=carry_frames,
+                    chain=cfg.chain, chain_pos=jnp.int32(k * chunk_out),
                     silent=silent, want_env=detector is not None,
                     env_rms=(detector is not None
                              and cfg.tail_mode == "rms"),
@@ -834,14 +846,15 @@ def _stream_sharded(reader, routed_read, out_ch, silent, out_path, cfg, bank,
               else cfg.noise_floor_db)
         detector = _TailDetector(cfg.target_rate, out_total, cfg,
                                  gain_total_db, nf)
-    carry_frames = 0
     if cfg.chain is not None:
-        carry_frames = int(cfg.chain.tail_frames(cfg.target_rate))
-        if carry_frames >= super_out:
+        ring = int(cfg.chain.tail_frames(cfg.target_rate))
+        if ring >= super_out:
             raise ValueError(
-                f"chain ring-out ({carry_frames} frames) exceeds one "
+                f"chain ring-out ({ring} frames) exceeds one "
                 f"sharded super-chunk ({super_out}); raise chunk_seconds")
-    carry = jnp.zeros((C, carry_frames), jnp.float32)
+        carry = cfg.chain.stream_init(cfg.target_rate, C)
+    else:
+        carry = jnp.zeros((C, 0), jnp.float32)
 
     def read_span(lo: int, length: int) -> np.ndarray:
         """(C, length) float32, zero-padded outside [0, T), DC-corrected."""
@@ -901,7 +914,7 @@ def _stream_sharded(reader, routed_read, out_ch, silent, out_path, cfg, bank,
                     jnp.asarray(np.asarray(y)), carry, seeds_c,
                     jnp.int32(em.g0 - lat), gain, rate_out=cfg.target_rate,
                     bits=cfg.bits, do_dither=cfg.dither, chain=cfg.chain,
-                    carry_frames=carry_frames, silent=None,
+                    chain_pos=jnp.int32(em.g0), silent=None,
                     want_env=want_env,
                     env_rms=want_env and cfg.tail_mode == "rms")
                 if want_env:

@@ -597,10 +597,13 @@ def test_dynamics_chain_in_graph_and_stream(tmp_path):
     ref_codes = np.asarray(quantize(chain.apply(y, rate_out), bits=24))
     ref = ref_codes.astype(np.float64) / (1 << 23)
     assert got.shape[1] == n == ref.shape[1]
-    # the compressor's envelope is recomputed per chunk with different c*n
-    # offsets (f32), so the reconstructed gain differs by ~1e-6 relative:
-    # a few tens of LSB, spread uniformly, NOT clustered at boundaries
-    np.testing.assert_allclose(got, ref, atol=48.0 / (1 << 23))
+    # round 4: the chain itself streams BYTE-exactly (stateful envelope
+    # carry — see test_chain_apply_stream_bitwise_exact); the residual here
+    # is the three SRC forms' float rounding (eager / presliced-stream /
+    # batch-graph differ by design at ~3 LSB, the repo-wide dither
+    # contract), amplified by the compressor's envelope latching a slightly
+    # different detector peak for the release span (measured 6 / 20 LSB)
+    np.testing.assert_allclose(got, ref, atol=8.0 / (1 << 23))
 
     # and through the fixed-shape batch graph (valid-length masked)
     valid = np.full(1, T, np.int32)
@@ -609,7 +612,80 @@ def test_dynamics_chain_in_graph_and_stream(tmp_path):
     codes = np.asarray(res.codes)[0].astype(np.float64) / (1 << 23)
     nb = int(np.asarray(res.out_frames)[0])
     assert nb == ref.shape[1]
-    np.testing.assert_allclose(codes[:, :nb], ref, atol=48.0 / (1 << 23))
+    np.testing.assert_allclose(codes[:, :nb], ref, atol=32.0 / (1 << 23))
+    np.testing.assert_allclose(got, codes[:, :nb], atol=32.0 / (1 << 23))
+
+
+def test_chain_apply_stream_bitwise_exact():
+    """The round-4 stateful streaming contract: applying a mixed chain
+    (delay / biquad / dynamics / FIR / saturator / width) chunk by chunk
+    through `Chain.apply_stream` — uneven chunk sizes, including single-frame
+    chunks and envelope-grid crossings — produces BYTE-identical floats to
+    the whole-signal `Chain.apply`.  The Compressor carries its slanted-
+    cummax scan state on the absolute block grid, so this holds at 0 ULP."""
+    from f9tpu.ops.chain import (Biquad, Compressor, Delay, FIRInsert,
+                                 Saturator, StereoWidth)
+
+    rate = 48000
+    rng = np.random.default_rng(21)
+    T = 40000
+    x = (0.5 * rng.standard_normal((2, T))).astype(np.float32)
+    x[:, 5000:5200] = 0.95                      # a burst the envelope latches
+    chain = Chain(
+        Delay(0.004),
+        Biquad("peaking", 1800.0, 2.0, 5.0),
+        Compressor(threshold_db=-20.0, ratio=4.0, attack_ms=2.0,
+                   release_db_per_s=300.0, knee_db=3.0, makeup_db=1.0),
+        FIRInsert(np.hanning(63).astype(np.float32) / 31.0),
+        Saturator("tanh", drive_db=2.0, mix=0.7),
+        StereoWidth(1.3),
+    )
+    # shrink the envelope grid so the test crosses block boundaries
+    old_block = Compressor._ENV_BLOCK
+    Compressor._ENV_BLOCK = 4096
+    try:
+        whole = np.asarray(chain.apply(jnp.asarray(x), rate))
+        for sizes in ([7000, 1, 4096, 13000, T],
+                      [4095, 4097, 1, 1, 9000, T]):
+            st = chain.stream_init(rate, 2)
+            outs, pos = [], 0
+            for size in sizes:
+                if pos >= T:
+                    break
+                chunk = x[:, pos : pos + size]
+                o, st = chain.apply_stream(jnp.asarray(chunk), st,
+                                           rate, jnp.int32(pos))
+                outs.append(np.asarray(o))
+                pos += chunk.shape[1]
+            got = np.concatenate(outs, axis=1)
+            np.testing.assert_array_equal(whole, got)
+    finally:
+        Compressor._ENV_BLOCK = old_block
+
+
+def test_dynamics_stream_chunk_size_invariant_bitwise(tmp_path):
+    """End-to-end: a compressor chain streamed at two different chunk sizes
+    emits byte-identical files (impossible before round 4 — the envelope was
+    recomputed per chunk with chunk-local ramp offsets)."""
+    from f9tpu.ops.chain import Compressor, Saturator
+    from f9tpu.pipeline.stream import stream_resample_file
+
+    rng = np.random.default_rng(17)
+    T = int(1.1 * 44100)
+    x = (0.5 * rng.standard_normal((2, T))).astype(np.float32)
+    src = str(tmp_path / "inv.wav")
+    wav.write_wav(src, x, 44100, bits=24)
+    chain = Chain(Compressor(threshold_db=-16.0, ratio=5.0, attack_ms=1.0,
+                             release_db_per_s=150.0),
+                  Saturator("soft", drive_db=4.0, mix=0.9))
+    cfg = ProcessingConfig(output_dir=str(tmp_path), target_rate=48000,
+                           quality="low", seed=11, chain=chain)
+    o1, o2 = str(tmp_path / "i1.wav"), str(tmp_path / "i2.wav")
+    stream_resample_file(src, o1, cfg, chunk_seconds=0.13)
+    stream_resample_file(src, o2, cfg, chunk_seconds=0.52)
+    b1 = open(o1, "rb").read()
+    b2 = open(o2, "rb").read()
+    assert b1 == b2
 
 
 def test_cli_dynamics_chain_flags():
