@@ -577,27 +577,28 @@ class AiffWriter:
 def write_aiff_payload(path: str, payload: np.ndarray, channels: int,
                        rate: int, bits: int = 24, progress_cb=None,
                        chunk_frames: int = 1 << 20) -> None:
-    """Write a device-packed little-endian 24-bit payload as AIFF: the host
-    byte-swaps each 3-byte sample to big-endian (one vectorised pass, or
+    """Write a device-packed little-endian 24- or 16-bit payload as AIFF:
+    the host byte-swaps each sample to big-endian (one vectorised pass, or
     chunked with per-slice ``progress_cb(done_fraction)`` callbacks)."""
-    if bits != 24:
-        raise ValueError("packed payloads are 24-bit")
+    if bits not in (16, 24):
+        raise ValueError("packed payloads are 16- or 24-bit")
+    nb = bits // 8
     payload = np.asarray(payload, np.uint8)
-    if payload.size % (3 * channels):
+    if payload.size % (nb * channels):
         raise ValueError("payload length is not a whole number of frames")
-    frames = payload.size // (3 * channels)
+    frames = payload.size // (nb * channels)
     if not (progress_cb and frames):
-        be = np.ascontiguousarray(payload.reshape(-1, 3)[:, ::-1]).reshape(-1)
+        be = np.ascontiguousarray(payload.reshape(-1, nb)[:, ::-1]).reshape(-1)
         _write_aiff_bytes(path, be.tobytes(), channels, frames, rate, bits)
         return
-    bpf = 3 * channels
+    bpf = nb * channels
 
     def chunks():
         for s in range(0, frames, chunk_frames):
             e = min(frames, s + chunk_frames)
             sl = payload[s * bpf: e * bpf]
             yield np.ascontiguousarray(
-                sl.reshape(-1, 3)[:, ::-1]).reshape(-1).tobytes()
+                sl.reshape(-1, nb)[:, ::-1]).reshape(-1).tobytes()
             progress_cb(e / frames)
 
     _write_aiff_stream(path, chunks(), frames * bpf, channels, frames,

@@ -21,7 +21,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["unpack_pcm_interleaved", "pack24_interleaved", "bytes_per_frame"]
+__all__ = ["unpack_pcm_interleaved", "pack24_interleaved",
+           "pack16_interleaved", "pack_interleaved", "bytes_per_frame"]
 
 
 def bytes_per_frame(channels: int, bits: int) -> int:
@@ -74,3 +75,32 @@ def pack24_interleaved(codes: jax.Array) -> jax.Array:
     lead = codes.shape[:-2]
     frames, channels = inter.shape[-2], inter.shape[-1]
     return b.reshape(*lead, frames * channels * 3)
+
+
+def pack16_interleaved(codes: jax.Array) -> jax.Array:
+    """int32 codes ``(..., channels, frames)`` -> uint8
+    ``(..., frames*channels*2)`` little-endian interleaved 16-bit payload —
+    the 16-bit twin of :func:`pack24_interleaved` (2 bytes/sample on the
+    link instead of int32's 4; the WAV data-chunk byte layout, so the host
+    writes header + payload)."""
+    inter = jnp.swapaxes(codes, -1, -2)          # (..., frames, channels)
+    v = inter.astype(jnp.uint32)
+    b = jnp.stack(
+        [
+            (v & 0xFF).astype(jnp.uint8),
+            ((v >> 8) & 0xFF).astype(jnp.uint8),
+        ],
+        axis=-1,
+    )                                            # (..., frames, channels, 2)
+    lead = codes.shape[:-2]
+    frames, channels = inter.shape[-2], inter.shape[-1]
+    return b.reshape(*lead, frames * channels * 2)
+
+
+def pack_interleaved(codes: jax.Array, bits: int) -> jax.Array:
+    """Dispatch to the 16- or 24-bit on-device payload packer."""
+    if bits == 24:
+        return pack24_interleaved(codes)
+    if bits == 16:
+        return pack16_interleaved(codes)
+    raise ValueError(f"no on-device payload packer for {bits}-bit output")

@@ -263,10 +263,11 @@ def _process_impl(
         silent = jnp.asarray([r < 0 for r in routing]).reshape(1, -1, 1)
         codes = jnp.where(silent, 0, codes)
     if packed_out:
-        # On-device encode: download 3 bytes/sample instead of int32 codes.
-        from ..ops.devcodec import pack24_interleaved
+        # On-device encode: download 3 (24-bit) or 2 (16-bit) bytes/sample
+        # instead of int32 codes.
+        from ..ops.devcodec import pack_interleaved
 
-        codes = pack24_interleaved(codes)
+        codes = pack_interleaved(codes, bits)
     return codes, out_frames, terminated, pk_db, level_db, nf_est
 
 
@@ -535,16 +536,20 @@ def process_batch_raw(
     noise_floor_db: float | None = None,
     rows_layout: bool = False,
 ) -> ProcessResult:
-    """Raw-bytes fast path: uint8 interleaved PCM in, packed 24-bit payload out.
+    """Raw-bytes fast path: uint8 interleaved PCM in, packed payload out.
 
     ``raw``: (files, bucket_frames * in_channels * in_bits//8) uint8.
     ``ProcessResult.codes`` holds the uint8 payload
-    (files, out_total * out_channels * 3); slice each file to
-    ``out_frames[i] * out_channels * 3`` and write after a WAV header.
-    Requires ``cfg.bits == 24``.
+    (files, out_total * out_channels * cfg.bits//8); slice each file to
+    ``out_frames[i] * out_channels * cfg.bits//8`` and write after a WAV
+    header.  Requires ``cfg.bits`` in (16, 24) — the on-device packer's
+    wire formats (24-bit was round 3; the 16-bit narrow wire is round 4,
+    docs/PERF.md "Headroom" item 5: a ``--bits 16`` batch used to upload
+    float32 and download int32, 4 B/sample each way on the link-bound path;
+    JUCE's writer wires 16-bit natively, Source/MainComponent.cpp:784-801).
     """
-    if cfg.bits != 24:
-        raise ValueError("packed output path requires bits=24")
+    if cfg.bits not in (16, 24):
+        raise ValueError("packed output path requires bits in (16, 24)")
     if (rows_layout and not cfg.reverb_mode and cfg.chain is None
             and isinstance(latency_frames, int) and latency_frames == 0):
         codes, out_frames, terminated, pk, level, nf_est = _process_impl_rows(

@@ -188,7 +188,8 @@ class BatchProcessor:
             # either byte order); everything else decodes on the host.
             raw_bits = (info.bit_depth
                         if (not info.is_float
-                            and info.bit_depth in (16, 24) and cfg.bits == 24
+                            and info.bit_depth in (16, 24)
+                            and cfg.bits in (16, 24)
                             and cfg.normalize_lufs is None)
                         else 0)
             raw_be = bool(raw_bits) and info.byte_order == "big"
@@ -592,12 +593,14 @@ class BatchProcessor:
                         prog = (lambda fr, _p=path:
                                 manifest.set_progress(_p, 0.7 + 0.3 * fr))
                     if metrics.get("payload"):
-                        # device-packed 24-bit bytes: header + fwrite
+                        # device-packed 24/16-bit bytes: header + fwrite
                         out_ch = metrics["out_channels"]
+                        bpsamp = cfg.bits // 8
                         writer = (aiff.write_aiff_payload if aiff_out
                                   else wav.write_wav_payload)
-                        writer(part, codes[: out_frames * out_ch * 3],
-                               out_ch, rate_out, bits=24, progress_cb=prog,
+                        writer(part, codes[: out_frames * out_ch * bpsamp],
+                               out_ch, rate_out, bits=cfg.bits,
+                               progress_cb=prog,
                                chunk_frames=SUBFILE_PROGRESS_CHUNK)
                     else:
                         writer = (aiff.write_aiff_codes if aiff_out

@@ -351,8 +351,18 @@ def test_aiff_codes_and_payload_writers_roundtrip(tmp_path):
     y2, _ = read_aiff(p2)
     np.testing.assert_array_equal(np.round(y2 * (1 << 23)), codes)
 
-    with pytest.raises(ValueError, match="24-bit"):
-        write_aiff_payload(p2, payload, 2, 48000, bits=16)
+    # round 4: 16-bit payloads are a supported wire too (the batch narrow
+    # wire) — LE int16 bytes swap to BE on write and round-trip exactly
+    codes16 = (codes >> 8).astype(np.int32)
+    p3 = str(tmp_path / "p16.aiff")
+    payload16 = np.ascontiguousarray(
+        codes16.T.astype("<i2")).view(np.uint8).reshape(-1)
+    write_aiff_payload(p3, payload16, 2, 48000, bits=16)
+    y3, _ = read_aiff(p3)
+    np.testing.assert_array_equal(np.round(y3 * (1 << 15)), codes16)
+
+    with pytest.raises(ValueError, match="16- or 24-bit"):
+        write_aiff_payload(p2, payload, 2, 48000, bits=32)
 
 
 def test_aiff_incremental_writer_roundtrip(tmp_path):

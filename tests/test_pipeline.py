@@ -705,6 +705,87 @@ def test_raw_bytes_path_matches_float_path(tmp_path):
     assert np.array_equal(got, want)
 
 
+def test_raw_bytes_path_matches_float_path_16bit(tmp_path):
+    """Round 4 (PERF 'Headroom' item 5): the 16-bit narrow wire — raw uint8
+    in, packed int16 payload out — must equal the float path bit-for-bit,
+    exactly like the 24-bit twin above."""
+    from f9tpu.io import read_raw_pcm, read_wav, write_wav
+    from f9tpu.pipeline import process_batch_raw
+
+    rng = np.random.default_rng(46)
+    frames = 4410
+    x = (0.2 * rng.standard_normal((2, frames))).astype(np.float32)
+    src = str(tmp_path / "raw16.wav")
+    write_wav(src, x, 44100, bits=16)
+    raw, info = read_raw_pcm(src)
+    assert info.bit_depth == 16 and len(raw) == frames * 2 * 2
+
+    cfg = ProcessingConfig(output_dir=str(tmp_path), target_rate=48000,
+                           quality="low", bits=16, dither=True, seed=3,
+                           remove_dc=False)
+    dec, _ = read_wav(src)
+    res_f = process_batch(dec[None], np.array([frames], np.int32), cfg, 44100,
+                          jax.random.PRNGKey(0))
+    bucket = 8192
+    rawb = np.zeros((1, bucket * 2 * 2), np.uint8)
+    rawb[0, : len(raw)] = raw
+    res_r = process_batch_raw(rawb, np.array([frames], np.int32), cfg, 44100,
+                              jax.random.PRNGKey(0), in_channels=2, in_bits=16)
+    of = int(np.asarray(res_f.out_frames)[0])
+    assert int(np.asarray(res_r.out_frames)[0]) == of
+    payload = np.asarray(res_r.codes)[0, : of * 2 * 2]
+    got = payload.view("<i2").astype(np.int32).reshape(of, 2).T
+    want = np.asarray(res_f.codes)[0, :, :of]
+    assert np.array_equal(got, want)
+
+
+def test_16bit_batch_raw_wire_end_to_end(tmp_path, monkeypatch):
+    """A --bits 16 batch rides the narrow wire end to end and emits bytes
+    identical to the host-decode path: the same samples written as 16-bit
+    int PCM (raw-eligible) and as float32 (host decode) produce identical
+    deliverables with dither off.  Also asserts the raw path was actually
+    taken for the int source."""
+    from f9tpu.io import read_wav, write_wav
+    from f9tpu.pipeline import scheduler as sched
+
+    rng = np.random.default_rng(47)
+    frames = 5000
+    # 16-bit-representable values, clipped WELL inside +-1 so the int16
+    # writer and the float32 writer store identical samples
+    x16 = np.round(np.clip(0.3 * rng.standard_normal((2, frames)), -0.9, 0.9)
+                   * 32767) / 32768.0
+    x16 = x16.astype(np.float32)
+    src_i = str(tmp_path / "a" / "song.wav")
+    src_f = str(tmp_path / "b" / "song.wav")
+    os.makedirs(os.path.dirname(src_i))
+    os.makedirs(os.path.dirname(src_f))
+    write_wav(src_i, x16, 44100, bits=16)
+    write_wav(src_f, x16, 44100, bits=32)
+
+    raw_calls = []
+    real_raw = sched.process_batch_raw
+
+    def spy_raw(*a, **k):
+        raw_calls.append(k.get("in_bits"))
+        return real_raw(*a, **k)
+
+    monkeypatch.setattr(sched, "process_batch_raw", spy_raw)
+    out_i, out_f = str(tmp_path / "oi"), str(tmp_path / "of")
+    cfg_i = ProcessingConfig(output_dir=out_i, target_rate=48000,
+                             quality="low", bits=16, dither=False,
+                             remove_dc=False)
+    cfg_f = ProcessingConfig(output_dir=out_f, target_rate=48000,
+                             quality="low", bits=16, dither=False,
+                             remove_dc=False)
+    assert BatchProcessor(cfg_i).run([src_i]).completed == 1
+    assert raw_calls == [16], "16-bit job must take the raw narrow wire"
+    assert BatchProcessor(cfg_f).run([src_f]).completed == 1
+    yi, ri = read_wav(build_output_path(src_i, out_i, cfg_i.postfix))
+    yf, rf = read_wav(build_output_path(src_f, out_f, cfg_f.postfix))
+    assert ri == rf == 48000
+    np.testing.assert_array_equal(yi, yf)
+
+
 def test_write_wav_payload_roundtrip(tmp_path):
     from f9tpu.io import read_wav, write_wav_payload
     from f9tpu.io.wav import _pack24
