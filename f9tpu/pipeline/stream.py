@@ -192,6 +192,37 @@ def _finish_chunk(y, carry, seeds_c, pos0, gain, *, rate_out, bits,
     return codes, new_carry
 
 
+def _raw_front(xp, *, in_wire, in_channels, fanout=0, routing=None,
+               mean=None, valid_lo=None, valid_hi=None,
+               idx_offset=None):
+    """The on-device input front for the raw H2D wire, traced inline by BOTH
+    the single-chip `_stream_step` and the sharded `_decode_span_sharded`
+    (one body, so the two topologies decode bit-identically): container-byte
+    unpack, mono fan-out, routing gather, and DC-mean subtraction over the
+    REAL sample span only (zero-padded halos must stay exactly zero — a
+    -mean step in the halos would smear an edge transient through the
+    filter).  ``valid_lo``/``valid_hi`` are traced scalars (edge chunks
+    never recompile); ``idx_offset`` shifts the local position iota to
+    global coordinates inside a shard_map block."""
+    from ..ops.devcodec import unpack_pcm_interleaved
+
+    in_bits, in_be = in_wire
+    x = unpack_pcm_interleaved(xp, in_channels, in_bits, big_endian=in_be)
+    if fanout:                          # mono fan-out (host twin: routed())
+        x = jnp.broadcast_to(x, (fanout, x.shape[-1]))
+    if routing is not None:
+        r = np.asarray(routing, np.int32)
+        x = jnp.where((r < 0)[:, None], jnp.float32(0.0),
+                      x[np.where(r < 0, 0, r)])
+    if mean is not None:
+        idx = jnp.arange(x.shape[-1], dtype=jnp.int32)
+        if idx_offset is not None:
+            idx = idx + idx_offset
+        real = (idx >= valid_lo) & (idx < valid_hi)
+        x = x - jnp.where(real, mean, jnp.float32(0.0))
+    return x
+
+
 @functools.partial(jax.jit, static_argnames=("cycles", "rate_in", "rate_out",
                                              "quality", "kind", "bits",
                                              "do_dither", "chain",
@@ -228,26 +259,9 @@ def _stream_step(xp, carry, seeds_c, pos0, gain, *, cycles, rate_in, rate_out,
     instead of float32's 4 (2 B for 16-bit sources)."""
     bank = design_cycle_bank(rate_in, rate_out, quality=quality, kind=kind)
     if in_wire is not None:
-        from ..ops.devcodec import unpack_pcm_interleaved
-
-        in_bits, in_be = in_wire
-        x = unpack_pcm_interleaved(xp, in_channels, in_bits, big_endian=in_be)
-        if fanout:                      # mono fan-out (host twin: routed())
-            x = jnp.broadcast_to(x, (fanout, x.shape[-1]))
-        if routing is not None:
-            r = np.asarray(routing, np.int32)
-            x = jnp.where((r < 0)[:, None], jnp.float32(0.0),
-                          x[np.where(r < 0, 0, r)])
-        if mean is not None:
-            # the host pre-pass subtracts the whole-file mean from REAL
-            # samples only, never the zero-padded halo spans (a -mean step
-            # in the halos would smear an edge transient through the
-            # filter); mask with the chunk's real span (traced scalars —
-            # edge chunks don't recompile)
-            idx = jnp.arange(x.shape[-1], dtype=jnp.int32)
-            real = (idx >= valid_lo) & (idx < valid_hi)
-            x = x - jnp.where(real, mean, jnp.float32(0.0))
-        xp = x
+        xp = _raw_front(xp, in_wire=in_wire, in_channels=in_channels,
+                        fanout=fanout, routing=routing, mean=mean,
+                        valid_lo=valid_lo, valid_hi=valid_hi)
     if rows_form:
         from ..ops.resample import resample_banded_rows_pre
 
@@ -264,10 +278,10 @@ def _stream_step(xp, carry, seeds_c, pos0, gain, *, cycles, rate_in, rate_out,
 @functools.partial(jax.jit, static_argnames=("rate_out", "bits", "do_dither",
                                              "chain",
                                              "silent", "want_env",
-                                             "env_rms"))
+                                             "env_rms", "wire"))
 def _chain_finish_step(y, carry, seeds_c, pos0, gain, *, rate_out, bits,
                        do_dither, chain, chain_pos, silent,
-                       want_env=False, env_rms=False):
+                       want_env=False, env_rms=False, wire=None):
     """Sharded-stream tail when a chain is configured: the super-chunk's SRC
     output (gathered — chain state is sequential over frames, so this stage
     runs on one device while the SRC itself stays frames-sharded) through
@@ -275,7 +289,7 @@ def _chain_finish_step(y, carry, seeds_c, pos0, gain, *, rate_out, bits,
     return _finish_chunk(y, carry, seeds_c, pos0, gain, rate_out=rate_out,
                          bits=bits, do_dither=do_dither, chain=chain,
                          chain_pos=chain_pos, silent=silent,
-                         want_env=want_env, env_rms=env_rms)
+                         want_env=want_env, env_rms=env_rms, wire=wire)
 
 
 class _Emitter:
@@ -782,27 +796,54 @@ def _banded_rows_sharded_step(rows, *, rate_in, rate_out, quality, kind):
     return y.reshape(*y.shape[:-2], y.shape[-2] * y.shape[-1])
 
 
-@functools.partial(jax.jit, static_argnames=("bits", "do_dither",
-                                             "want_env", "env_rms"))
-def _finish_step(y, seeds_c, pos0, gain, *, bits, do_dither,
-                 want_env=False, env_rms=False):
-    """Gain + dither/quantize on the (sharded) resampled super-chunk; XLA
-    partitions these elementwise ops (and the position iota) along the
-    existing frames sharding, so each shard hashes its own positions.
-    ``gain`` is a traced f32 scalar (static x normalization gain).
-    ``want_env``: also return the pre-dither loudest-channel envelope for
-    the reverb-tail detector (see `_finish_chunk`)."""
-    y = y * gain
-    env = ((jnp.mean(jnp.square(y), axis=0) if env_rms
-            else jnp.max(jnp.abs(y), axis=0)) if want_env else None)
-    if do_dither:
-        pos = pos0 + jnp.arange(y.shape[-1], dtype=jnp.int32)[None, :]
-        codes = dither.quantize_noise(y, bits, seeds_c[:, None], pos)
-    else:
-        codes = dither.quantize_noise(y, bits)
+@functools.partial(jax.jit, static_argnames=("bits", "do_dither", "silent",
+                                             "want_env", "env_rms", "wire"))
+def _finish_step(y, seeds_c, pos0, gain, *, bits, do_dither, silent=None,
+                 want_env=False, env_rms=False, wire=None):
+    """Gain + dither/quantize (+ silent-channel zeroing + the narrow D2H
+    wire) on the (sharded) resampled super-chunk — delegates to the ONE
+    `_finish_chunk` body (chain=None), so the sharded no-chain tail runs the
+    SAME ops as the single-chip loop.  XLA partitions the elementwise ops
+    (and the position iota) along the existing frames sharding, so each
+    shard hashes its own positions.  ``gain`` is a traced f32 scalar
+    (static x normalization gain).  ``want_env``: also return the pre-dither
+    loudest-channel envelope for the reverb-tail detector."""
+    out = _finish_chunk(y, None, seeds_c, pos0, gain, rate_out=0, bits=bits,
+                        do_dither=do_dither, chain=None, silent=silent,
+                        want_env=want_env, env_rms=env_rms, wire=wire)
     if want_env:
+        codes, env, _ = out
         return codes, env
-    return codes
+    return out[0]
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "in_wire", "in_channels",
+                                             "fanout", "routing", "has_mean"))
+def _decode_span_sharded(raw, mean, valid_lo, valid_hi, *, mesh, in_wire,
+                         in_channels, fanout=0, routing=None, has_mean=False):
+    """Raw H2D wire for the sharded stream (the round-3e single-chip wire
+    surgery, ported per VERDICT r3 #3): the super-chunk's container BYTES
+    arrive sharded over the frames axis (byte index = frame * bpf, so an
+    even byte split lands on frame boundaries) and each shard decodes /
+    fans out / routes / DC-subtracts ITS chunk locally through the SAME
+    `_raw_front` the single-chip `_stream_step` traces — zero collectives,
+    bitwise-identical floats.  Returns (C, super_in) float32 still sharded
+    over frames for `resample_frames_sharded`."""
+    from jax.sharding import PartitionSpec as P
+
+    def local(rc, mn, lo, hi):
+        frames_local = rc.shape[-1] // (in_channels * (in_wire[0] // 8))
+        off = jax.lax.axis_index("frames").astype(jnp.int32) * frames_local
+        return _raw_front(rc, in_wire=in_wire, in_channels=in_channels,
+                          fanout=fanout, routing=routing,
+                          mean=mn if has_mean else None,
+                          valid_lo=lo, valid_hi=hi, idx_offset=off)
+
+    rep = P()
+    return jax.shard_map(local, mesh=mesh,
+                         in_specs=(P("frames"), P(None, None), rep, rep),
+                         out_specs=P(None, "frames"))(
+        raw, mean, valid_lo, valid_hi)
 
 
 def _stream_sharded(reader, routed_read, out_ch, silent, out_path, cfg, bank,
@@ -817,7 +858,20 @@ def _stream_sharded(reader, routed_read, out_ch, silent, out_path, cfg, bank,
     gathered super-chunk is just a bigger streaming chunk; chain output is
     chunk-size invariant, so bytes match), latency trim by dropping the
     first ``lat`` emitted frames while chunks keep flowing past the input
-    EOF, and reverb-mode tails via the same incremental `_TailDetector`."""
+    EOF, and reverb-mode tails via the same incremental `_TailDetector`.
+
+    Round 4 (VERDICT r3 #3) ports the round-3e single-chip wire surgery:
+    integer-PCM sources ship container BYTES sharded over the frames axis
+    and decode on device (`_decode_span_sharded` — zero collectives,
+    bitwise-identical floats), the D2H download packs 24-bit codes to
+    interleaved bytes / narrows 16-bit to int16 on device (the same
+    `_finish_chunk` wire the single-chip loop uses), and a one-deep
+    software pipeline overlaps the host read/encode of super-chunk k-1
+    with the device work of chunk k (chunk geometry is deterministic, so
+    inputs and bytes are unchanged; in reverb mode at most ONE in-flight
+    super-chunk is discarded when the detector fires).  With a chain the
+    host gather of the SRC output serialises the pipeline's compute overlap
+    (the narrow wires still apply)."""
     from ..parallel.sharding import resample_frames_sharded, shard_halos
 
     n = mesh.shape["frames"]
@@ -885,13 +939,55 @@ def _stream_sharded(reader, routed_read, out_ch, silent, out_path, cfg, bank,
         rows_sharding = NamedSharding(
             mesh, PartitionSpec(None, "frames", None))
 
+    # ---- wire formats (the round-3e surgery, shared with the single-chip
+    # loop so bytes on disk are identical): narrow D2H always; raw H2D for
+    # integer-PCM sources on the flat form (varispeed rows marshal floats
+    # on the host, so the rows form keeps the float wire) ----
+    wire = {24: "pack24", 16: "i16"}.get(cfg.bits)
+    in_wire = (getattr(reader, "raw_wire", lambda: None)()
+               if not rows_form else None)
+    if in_wire is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        C_in = reader.num_channels
+        routing_t = (tuple(cfg.channel_routing)
+                     if cfg.channel_routing is not None else None)
+        fanout_n = (cfg.output_channels
+                    if (cfg.output_channels and C_in == 1
+                        and cfg.output_channels != 1) else 0)
+        bpf_in = C_in * (in_wire[0] // 8)
+        byte_sharding = NamedSharding(mesh, PartitionSpec("frames"))
+        mean_dev = jnp.asarray(mean)
+
+        def read_raw_span(lo: int):
+            """Container bytes for [lo, lo+super_in), zero-padded past EOF;
+            returns (buffer, first-real-frame, past-last-real-frame) in
+            span-relative coordinates (lo >= 0 always on this path)."""
+            buf = np.zeros(super_in * bpf_in, np.uint8)
+            if lo < T:
+                span_b = reader.read_raw(lo, min(T, lo + super_in) - lo)
+                buf[: span_b.size] = span_b
+                return buf, 0, span_b.size // bpf_in
+            return buf, 0, 0
+
+    want_env = detector is not None
+    env_rms = want_env and cfg.tail_mode == "rms"
+    silent_t = tuple(silent) if silent else None
+
     writer_cls = AiffWriter if cfg.output_format == "aiff" else WavWriter
     with writer_cls(out_path, C, cfg.target_rate, bits=cfg.bits) as writer:
         em = _Emitter(writer, detector, lat=lat, out_limit=out_limit,
-                      out_total=out_total, progress_cb=progress_cb)
-        start = 0
-        done = out_limit == 0
-        while not done:
+                      out_total=out_total, progress_cb=progress_cb,
+                      wire=wire, channels=C)
+
+        def dispatch(k: int):
+            # super-chunk geometry is deterministic (chunk k reads input at
+            # k*super_in and emits pre-trim output positions k*super_out),
+            # so dispatch can run one step AHEAD of emission — the same
+            # one-deep pipeline as the single-chip loop.  `carry` (the
+            # chain's state pytree) threads through dispatch order.
+            nonlocal carry
+            start = k * super_in
             if rows_form:
                 flatbuf = read_span(start - bank.pad_front, rows_need)
                 rows = marshal_banded_rows(flatbuf, bank, n_rows=Qc)
@@ -900,40 +996,56 @@ def _stream_sharded(reader, routed_read, out_ch, silent, out_path, cfg, bank,
                     rate_in=rate_in, rate_out=cfg.target_rate,
                     quality=cfg.quality, kind=cfg.kind)
             else:
-                x = read_span(start, super_in)
+                if in_wire is not None:
+                    buf, a, b = read_raw_span(start)
+                    x = _decode_span_sharded(
+                        jax.device_put(buf, byte_sharding), mean_dev,
+                        jnp.int32(a), jnp.int32(b), mesh=mesh,
+                        in_wire=in_wire, in_channels=C_in, fanout=fanout_n,
+                        routing=routing_t, has_mean=bool(cfg.remove_dc))
+                else:
+                    x = jnp.asarray(read_span(start, super_in))
                 left = read_span(start - halo_left, halo_left)
                 right = read_span(start + super_in, halo_right)
                 y = resample_frames_sharded(
-                    jnp.asarray(x), rate_in, cfg.target_rate, mesh,
+                    x, rate_in, cfg.target_rate, mesh,
                     quality=cfg.quality, kind=cfg.kind,
                     left_halo=jnp.asarray(left), right_halo=jnp.asarray(right))
-            want_env = detector is not None
-            env = None
             if cfg.chain is not None:
                 step = _chain_finish_step(
                     jnp.asarray(np.asarray(y)), carry, seeds_c,
-                    jnp.int32(em.g0 - lat), gain, rate_out=cfg.target_rate,
+                    jnp.int32(k * super_out - lat), gain,
+                    rate_out=cfg.target_rate,
                     bits=cfg.bits, do_dither=cfg.dither, chain=cfg.chain,
-                    chain_pos=jnp.int32(em.g0), silent=None,
-                    want_env=want_env,
-                    env_rms=want_env and cfg.tail_mode == "rms")
+                    chain_pos=jnp.int32(k * super_out), silent=silent_t,
+                    want_env=want_env, env_rms=env_rms, wire=wire)
                 if want_env:
                     codes, env, carry = step
                 else:
-                    codes, carry = step
-            else:
-                step = _finish_step(
-                    y, seeds_c, jnp.int32(em.g0 - lat), gain, bits=cfg.bits,
-                    do_dither=cfg.dither, want_env=want_env,
-                    env_rms=want_env and cfg.tail_mode == "rms")
-                if want_env:
-                    codes, env = step
-                else:
-                    codes = step
-            codes = np.asarray(codes)
-            if silent:
-                codes = codes.copy()       # np.asarray of a jax buffer is
-                codes[list(silent), :] = 0  # a read-only view
-            done = em.emit(codes, env)
-            start += super_in
+                    (codes, carry), env = step, None
+                return codes, env
+            step = _finish_step(
+                y, seeds_c, jnp.int32(k * super_out - lat), gain,
+                bits=cfg.bits, do_dither=cfg.dither, silent=silent_t,
+                want_env=want_env, env_rms=env_rms, wire=wire)
+            if want_env:
+                codes, env = step
+                return codes, env
+            return step, None
+
+        n_super = (None if detector is not None
+                   else -(-(out_limit + lat) // super_out))
+        k = 0
+        pending = None
+        done = out_limit == 0
+        while not done:
+            nxt = (dispatch(k)
+                   if (n_super is None or k < n_super) else None)
+            k += 1
+            if pending is not None:
+                done = em.emit(np.asarray(pending[0]), pending[1])
+            elif nxt is None:
+                break       # defensive: nothing in flight, nothing left
+            if not done:
+                pending = nxt
     return em.written

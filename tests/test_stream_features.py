@@ -748,6 +748,67 @@ class TestRawUploadWire:
                                reverb_mode=True, noise_floor_db=-90.0)
         self._both(monkeypatch, src, cfg, tmp_path, chunk_seconds=0.11)
 
+    def test_sharded_raw_wire_bitwise(self, tmp_path, monkeypatch):
+        """Round 4 (VERDICT r3 #3): the raw upload wire on the
+        frames-SHARDED stream — routing + silent channel + DC + latency
+        trim — must emit bytes identical to (a) the single-chip stream at
+        the matching chunk plan and (b) the float wire on the same mesh."""
+        from f9tpu.io.wav import WavReader
+        from f9tpu.parallel import make_mesh
+
+        rate = 44100
+        rng = np.random.default_rng(16)
+        x = (0.3 * rng.standard_normal((3, int(1.2 * rate)))
+             + 0.01).astype(np.float32)              # DC offset: mean path on
+        src = str(tmp_path / "sh24.wav")
+        write_wav(src, x, rate, bits=24)
+        cfg = ProcessingConfig(output_dir=str(tmp_path), target_rate=48000,
+                               quality="low", seed=2, remove_dc=True,
+                               channel_routing=[2, -1, 0],
+                               trim_enabled=True, latency_frames=37)
+        # single chip first (raw wire), chunk 0.4 s == 4-shard super-chunk
+        o_single = str(tmp_path / "sh_single.wav")
+        n0 = stream_resample_file(src, o_single, cfg, chunk_seconds=0.4)
+        mesh = make_mesh(num_files_shards=2, num_frames_shards=4)
+        o_raw = str(tmp_path / "sh_raw.wav")
+        n1 = stream_resample_file(src, o_raw, cfg, chunk_seconds=0.1,
+                                  mesh=mesh)
+        monkeypatch.setattr(WavReader, "raw_wire", lambda self: None)
+        o_flt = str(tmp_path / "sh_flt.wav")
+        n2 = stream_resample_file(src, o_flt, cfg, chunk_seconds=0.1,
+                                  mesh=mesh)
+        assert n0 == n1 == n2
+        raw_bytes = open(o_raw, "rb").read()
+        assert raw_bytes == open(o_flt, "rb").read()
+        assert raw_bytes == open(o_single, "rb").read()
+
+    def test_sharded_raw_wire_16bit_fanout_bitwise(self, tmp_path,
+                                                   monkeypatch):
+        """16-bit source + mono fan-out + 16-bit output on the sharded
+        stream: raw wire (int16 payload both directions) equals the float
+        wire byte-for-byte."""
+        from f9tpu.io.wav import WavReader
+        from f9tpu.parallel import make_mesh
+
+        rate = 48000
+        rng = np.random.default_rng(17)
+        x = (0.4 * rng.standard_normal((1, rate))).astype(np.float32)
+        src = str(tmp_path / "sh16.wav")
+        write_wav(src, x, rate, bits=16)
+        cfg = ProcessingConfig(output_dir=str(tmp_path), target_rate=44100,
+                               quality="low", seed=5, remove_dc=False,
+                               output_channels=2, bits=16)
+        mesh = make_mesh(num_files_shards=2, num_frames_shards=4)
+        o_raw = str(tmp_path / "sh16_raw.wav")
+        n1 = stream_resample_file(src, o_raw, cfg, chunk_seconds=0.11,
+                                  mesh=mesh)
+        monkeypatch.setattr(WavReader, "raw_wire", lambda self: None)
+        o_flt = str(tmp_path / "sh16_flt.wav")
+        n2 = stream_resample_file(src, o_flt, cfg, chunk_seconds=0.11,
+                                  mesh=mesh)
+        assert n1 == n2
+        assert open(o_raw, "rb").read() == open(o_flt, "rb").read()
+
     def test_float_wav_keeps_float_wire(self, tmp_path):
         """IEEE-float sources have no raw wire; the stream must still work."""
         rate = 44100
