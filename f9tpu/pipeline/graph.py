@@ -422,8 +422,9 @@ def _default_pad_frames(cfg: ProcessingConfig, rate_in: int, latency_frames) -> 
     fall off the end (the reference's insufficient-capture warning path)."""
     # latency is measured in OUTPUT-rate frames (trim consumes it from y);
     # the pad is INPUT-rate frames — convert so the reference's src + 5*lat
-    # head-room survives downsampling ratios
-    lat_out = int(latency_frames) if isinstance(latency_frames, int) else 0
+    # head-room survives downsampling ratios.  Negative (acausal) latency
+    # right-shifts and needs no extra tail head-room.
+    lat_out = max(0, int(latency_frames)) if isinstance(latency_frames, int) else 0
     lat_in = -(-lat_out * rate_in // max(cfg.target_rate, 1))
     tail_in = 0
     if cfg.chain is not None:

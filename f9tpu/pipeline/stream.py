@@ -322,6 +322,23 @@ class _Emitter:
         else:
             self.writer.append_codes(codes[:, drop : drop + take])
 
+    def emit_head(self, codes: np.ndarray, env) -> bool:
+        """Write the acausal-latency zero head (dithered digital silence at
+        output positions 0..|lat|) BEFORE the first chunk: the streaming
+        twin of `trim_latency`'s negative right-shift.  Does not advance
+        ``g0`` (the head is not a pre-trim chunk — chunk k's noise keying
+        pos0 = k*chunk_out - lat already lands past it)."""
+        n = (codes.shape[0] // self._stride if self.wire == "pack24"
+             else codes.shape[1])
+        take = min(n, self.out_limit - self.written)
+        if self.detector is not None and take > 0:
+            self.detector.feed(np.asarray(env)[:take].astype(np.float32))
+        self._append(codes, 0, take)
+        self.written += take
+        if self.progress_cb:
+            self.progress_cb(min(1.0, self.written / max(self.out_total, 1)))
+        return self.written >= self.out_limit
+
     def emit(self, codes: np.ndarray, env) -> bool:
         """Consume one emitted chunk (``codes`` int codes or packed bytes,
         ``env`` the post-gain float envelope when a detector is active).
@@ -346,6 +363,26 @@ class _Emitter:
         if self.progress_cb:
             self.progress_cb(min(1.0, self.written / max(self.out_total, 1)))
         return self.written >= self.out_limit
+
+
+def _emit_acausal_head(em: _Emitter, lat: int, out_ch: int, seeds_c, gain,
+                       cfg, want_env: bool, env_rms: bool, wire,
+                       silent) -> bool:
+    """Negative measured latency (an acausal chain / caller-supplied
+    compensation): the batch `trim_latency` right-shifts with a zero head;
+    the streaming twin writes ``|lat|`` frames of dithered digital silence
+    at output positions 0..|lat| before the first chunk — same noise
+    keying, same wire, same silent-channel zeroing as the chunks (one
+    `_finish_step` call on zeros).  Returns True if the stream is already
+    complete (out_limit <= |lat|)."""
+    d = -int(lat)
+    step = _finish_step(jnp.zeros((out_ch, d), jnp.float32), seeds_c,
+                        jnp.int32(0), gain, bits=cfg.bits,
+                        do_dither=cfg.dither, silent=silent,
+                        want_env=want_env, env_rms=env_rms, wire=wire)
+    codes, env = step if want_env else (step, None)
+    return em.emit_head(np.asarray(codes),
+                        np.asarray(env) if env is not None else None)
 
 
 def stream_resample_file(
@@ -748,6 +785,13 @@ def _stream_resample_impl(
             k = 0
             pending = None
             done = out_limit == 0
+            if lat < 0 and not done:
+                # acausal chain compensation: dithered zero head first
+                done = _emit_acausal_head(
+                    em, lat, out_ch, seeds_c, gain, cfg,
+                    detector is not None,
+                    detector is not None and cfg.tail_mode == "rms",
+                    wire, silent)
             while not done:
                 nxt = (dispatch(k)
                        if (n_chunks is None or k < n_chunks) else None)
@@ -1038,6 +1082,10 @@ def _stream_sharded(reader, routed_read, out_ch, silent, out_path, cfg, bank,
         k = 0
         pending = None
         done = out_limit == 0
+        if lat < 0 and not done:
+            # acausal chain compensation: dithered zero head first
+            done = _emit_acausal_head(em, lat, C, seeds_c, gain, cfg,
+                                      want_env, env_rms, wire, silent_t)
         while not done:
             nxt = (dispatch(k)
                    if (n_super is None or k < n_super) else None)

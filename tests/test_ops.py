@@ -94,6 +94,22 @@ def test_trim_latency_underrun_pads():
     assert np.all(y[..., :40] == 1) and np.all(y[..., 40:] == 0)
 
 
+def test_trim_latency_negative_right_shifts():
+    """Round 4 (VERDICT r3 missing #2): NEGATIVE measured latency (acausal
+    chain) right-shifts with a zero head instead of silently clamping to
+    0 — apply-what-you-measure for both signs."""
+    src_len, adv = 100, 13
+    x = np.zeros((1, 2, src_len + 50), np.float32)
+    payload = np.arange(src_len, dtype=np.float32)[None, None, :] + 1
+    x[:, :, :src_len] = payload
+    y = np.asarray(ops.trim_latency(jnp.asarray(x), -adv, src_len))
+    assert y.shape == (1, 2, src_len)
+    assert np.all(y[..., :adv] == 0.0)
+    assert np.array_equal(y[..., adv:],
+                          np.broadcast_to(payload[..., : src_len - adv],
+                                          (1, 2, src_len - adv)))
+
+
 def test_interleaved_to_frames():
     # 1024 interleaved samples stereo = 512 frames (LATENCY_TRIMMING_FIX.md)
     assert int(ops.interleaved_to_frames(1024, 2)) == 512
