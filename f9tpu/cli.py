@@ -330,7 +330,50 @@ def cmd_preview(args) -> int:
         print(f"error: --target-channels must be integers, got "
               f"{args.target_channels!r}", file=sys.stderr)
         return 2
+    out_dir = os.path.dirname(os.path.abspath(args.out))
+    os.makedirs(out_dir, exist_ok=True)   # process/stream/watch all do
+    stream_mode = bool(getattr(args, "stream", False))
+    if not stream_mode:
+        # auto-route hour-scale programmes to the constant-memory renderer:
+        # the in-memory form would hold the whole playlist in host RAM
+        # (~5.5 GB for an hour of looped 8-channel 48 k)
+        from .pipeline.preview import projected_frames
+
+        try:
+            proj = projected_frames(files, args.rate,
+                                    silence_ms=args.silence_ms,
+                                    loops=args.loops)
+            if proj * max(args.channels, 2) * 4 > (1 << 29):   # > 512 MB
+                stream_mode = True
+                print(f"note: projected programme of {proj} frames exceeds "
+                      "the in-memory budget; using the streaming renderer",
+                      file=sys.stderr)
+        except Exception:
+            pass     # unprobeable input: let the renderer raise properly
     try:
+        if stream_mode:
+            from .pipeline.preview import stream_playlist
+
+            items, frames = stream_playlist(
+                files, args.rate, args.out,
+                silence_ms=args.silence_ms,
+                output_channels=args.channels,
+                monitor=want_monitor,
+                monitor_out=args.monitor_out,
+                loops=args.loops,
+                target_channels=target_ch,
+                monitor_channels=mon_ch,
+                quality=getattr(args, "quality", "high"),
+                kind=getattr(args, "kind", "sinc"),
+            )
+            print(f"rendered {len(items)} item(s), {frames} frames -> "
+                  f"{args.out} (streamed)")
+            if want_monitor and args.monitor_out:
+                print(f"monitor mix -> {args.monitor_out}")
+            for it in items:
+                print(f"  @{it.start_frame:>10} {os.path.basename(it.path)} "
+                      f"({it.num_frames} frames)")
+            return 0
         main_mix, monitor, items = render_playlist(
             files, args.rate,
             silence_ms=args.silence_ms,
@@ -348,8 +391,6 @@ def cmd_preview(args) -> int:
         # not tracebacks
         print(f"error: {err}", file=sys.stderr)
         return 2
-    out_dir = os.path.dirname(os.path.abspath(args.out))
-    os.makedirs(out_dir, exist_ok=True)   # process/stream/watch all do
     wav.write_wav(args.out, main_mix, args.rate, bits=24)
     print(f"rendered {len(items)} item(s), {main_mix.shape[-1]} frames -> {args.out}")
     if monitor is not None and args.monitor_out:
@@ -770,12 +811,27 @@ def cmd_probe(args) -> int:
                 if lufs > -199.0:
                     row["true_peak_db"] = round(tp, 2)
                     row["lra_lu"] = round(lra, 2)
+            if getattr(args, "pairs", False):
+                from .ops.routing import stereo_pairs
+
+                row["stereo_pairs"] = [list(p) for p in
+                                       stereo_pairs(info.num_channels)]
             rows.append(row)
         else:
             print(f"{f}: {info.container} {info.sample_rate} Hz, "
                   f"{info.num_channels} ch, {info.num_frames} frames "
                   f"({info.duration_seconds:.3f} s), {info.bit_depth}-bit {kind}"
                   f"{valid}{loud}")
+            if getattr(args, "pairs", False):
+                # the reference's stereo-pair picker enumeration
+                # (Source/AppState.h:328-373; AudioDevice.swift:33-44);
+                # 0-indexed so entries paste directly into --routing
+                from .ops.routing import stereo_pairs
+
+                pairs = stereo_pairs(info.num_channels)
+                txt = (", ".join(f"{a}-{b}" for a, b in pairs)
+                       if pairs else "(none: fewer than 2 channels)")
+                print(f"  stereo pairs (0-indexed): {txt}")
     if getattr(args, "json", False):
         print(json.dumps(rows, indent=1))
     return code
@@ -1028,6 +1084,9 @@ def main(argv: list[str] | None = None) -> int:
                         "(others stay silent)")
     p.add_argument("--monitor-channels", default="0,1",
                    help="bus channels carrying the monitor mix (dual render)")
+    p.add_argument("--stream", action="store_true",
+                   help="constant-memory renderer (one item at a time; "
+                        "auto-selected for hour-scale programmes)")
     p.set_defaults(fn=cmd_preview)
 
     p = sub.add_parser("measure", help="measure chain latency (impulse test)")
@@ -1053,6 +1112,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--surround-weights", action="store_true",
                    help="with --loudness: apply BS.1770-4 5.1/7.1 channel "
                         "weights to 6/8-channel files")
+    p.add_argument("--pairs", action="store_true",
+                   help="list each file's odd/even stereo pairs (the "
+                        "reference's pair-picker enumeration; 0-indexed, "
+                        "pasteable into --routing)")
     p.add_argument("--json", action="store_true",
                    help="machine-readable output (one list of objects)")
     p.set_defaults(fn=cmd_probe)

@@ -6,7 +6,8 @@ the cycle-matrix construction and the device execution path.  This plays the
 role ``BASELINE.json`` assigns to JUCE's ``WindowedSincInterpolator`` /
 ``LagrangeInterpolator`` running on CPU: the accuracy reference the TPU output
 must match to <= -120 dB RMS.  A C++ double-precision twin lives in
-``f9tpu/native/oracle.cpp`` (built via ctypes) for native cross-validation.
+``f9tpu/native/f9native.cpp`` (``oracle_resample``, built lazily via ctypes —
+see ``f9tpu/native/__init__.py``) for native cross-validation.
 """
 
 from __future__ import annotations
