@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
+import functools
 import json
 import os
 import threading
@@ -110,6 +111,35 @@ class JobManifest:
         self._last_save = 0.0
         self._dirty = False
         self._timer: threading.Timer | None = None
+        self._save_gen = 0          # bumps on every actual disk write
+        if path:
+            self._clean_stale_tmp(path)
+
+    @staticmethod
+    def _clean_stale_tmp(path: str) -> None:
+        """Unlink orphaned ``<path>.tmp-<pid>-<id>`` staging files left by
+        DEAD processes (a repeatedly-killed watch daemon accumulated them
+        forever — advisor r3 #1).  Only dead owners: a live sibling process
+        may be mid-write, and removing its staging file would break its
+        os.replace."""
+        import glob
+
+        for tmp in glob.glob(glob.escape(path) + ".tmp-*"):
+            try:
+                pid = int(os.path.basename(tmp).rsplit("-", 2)[-2])
+            except (ValueError, IndexError):
+                continue
+            if pid == os.getpid():
+                continue
+            try:
+                os.kill(pid, 0)     # raises if the owner is gone
+            except ProcessLookupError:
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
+            except OSError:
+                pass                # no permission to signal: assume live
 
     # -- construction --------------------------------------------------------
 
@@ -266,10 +296,16 @@ class JobManifest:
             if not self._dirty:
                 # schedule a deferred flush so throttled updates in the last
                 # interval survive even when the caller exits via an
-                # exception path that skips the batch-end save()
+                # exception path that skips the batch-end save().  The timer
+                # carries the CURRENT save generation: if any real save
+                # flushes before it fires, the stale timer becomes a no-op
+                # instead of overwriting newer on-disk state (advisor r3 #2
+                # — the exception-exit path leaves the timer alive, and a
+                # later manifest instance on the same path may have saved).
                 self._dirty = True
-                self._timer = threading.Timer(self._save_interval,
-                                              self._deferred_save)
+                self._timer = threading.Timer(
+                    self._save_interval,
+                    functools.partial(self._deferred_save, self._save_gen))
                 self._timer.daemon = True
                 self._timer.start()
             return
@@ -292,14 +328,35 @@ class JobManifest:
         os.replace(tmp, self._path)
         self._last_save = now
         self._dirty = False
+        self._save_gen += 1
 
-    def _deferred_save(self) -> None:
-        try:
-            self.save()
-        except OSError:
-            pass    # out dir vanished under the timer (shutdown/cleanup)
+    def _deferred_save(self, gen: int) -> None:
+        with self._lock:
+            if self._save_gen != gen:
+                return  # a newer save already flushed: stale timer, no-op
+            try:
+                self._save_locked(force=True)
+            except OSError:
+                pass    # out dir vanished under the timer (shutdown/cleanup)
 
     def save(self) -> None:
         """Force a flush to disk (batch end / abort)."""
         with self._lock:
             self._save_locked(force=True)
+
+    def close(self) -> None:
+        """Cancel any pending deferred-save timer (flushing throttled state
+        first if one was armed).  Call from a ``finally``: an exception exit
+        must not leave a live timer that could fire up to save_interval
+        later and overwrite a NEWER manifest instance's state on the same
+        path — the cross-instance half of advisor r3 #2 (the generation
+        check in `_deferred_save` only covers this instance's own saves)."""
+        with self._lock:
+            if self._timer is not None:
+                self._timer.cancel()
+                self._timer = None
+            if self._dirty:
+                try:
+                    self._save_locked(force=True)
+                except OSError:
+                    pass
