@@ -114,6 +114,62 @@ def _upols(xb: jax.Array, h_re: jax.Array, h_im: jax.Array, B: int) -> jax.Array
     return jnp.swapaxes(ys, 0, 1).reshape(R, nb * B)[:, :T]
 
 
+def _upols_stream(xb: jax.Array, prev_tail: jax.Array, fdl_re: jax.Array,
+                  fdl_im: jax.Array, h_re, h_im, B: int):
+    """Streaming twin of :func:`_upols`, BYTE-exact with it when the block
+    grid is keyed to absolute stream positions: ``xb`` (R, T) with T a
+    multiple of B and the chunk starting on a grid boundary; ``prev_tail``
+    (R, B) the previous B input frames; ``fdl_re``/``fdl_im`` the carried
+    frequency-domain delay line as split real/imag float32 planes (complex
+    never crosses the jit boundary — the axon tunnel cannot move complex64).
+    Every per-block op (window assembly, rfft of an (R, 2B) row, the K-deep
+    fdl multiply-sum, irfft) is IDENTICAL to the batch scan's step, and each
+    block's window holds the same values, so the emitted floats match the
+    whole-signal convolution bit for bit.  Returns (y, prev_tail', fdl')."""
+    N = 2 * B
+    R, T = xb.shape
+    nb = T // B
+    H = jax.lax.complex(h_re, h_im)
+    blk = xb.reshape(R, nb, B)
+    prevs = jnp.concatenate([prev_tail[:, None, :], blk[:, : nb - 1]], axis=1)
+    win = jnp.concatenate([prevs, blk], axis=-1)             # (R, nb, N)
+
+    def step(fdl, wi):                     # fdl (K, R, Nf); wi (R, N)
+        Xi = jnp.fft.rfft(wi, n=N, axis=-1)
+        fdl = jnp.concatenate([Xi[None], fdl[:-1]], axis=0)
+        Y = jnp.sum(fdl * H[:, None, :], axis=0)
+        yb = jnp.fft.irfft(Y, n=N, axis=-1)[:, B:]           # (R, B)
+        return fdl, yb
+
+    fdl0 = jax.lax.complex(fdl_re, fdl_im)
+    fdl, ys = jax.lax.scan(step, fdl0, jnp.swapaxes(win, 0, 1))
+    y = jnp.swapaxes(ys, 0, 1).reshape(R, nb * B)
+    return y, xb[:, T - B:], jnp.real(fdl), jnp.imag(fdl)
+
+
+def _fft_block_size(ir_len: int, block: int = 4096) -> int:
+    """The B the UPOLS convolvers pick for this IR (must stay in lockstep
+    with :func:`fft_convolve` / :func:`_fft_convolve_multi`): the streaming
+    grid is a multiple of B, so chunk boundaries land on block boundaries."""
+    B = int(block)
+    while ir_len > 64 * B:
+        B *= 2
+    return B
+
+
+def _ring_stream(stage, x: jax.Array, ring: jax.Array, rate: int):
+    """Generic exact continuation for causal position-invariant stages: the
+    stage's whole state is its last ``tail_frames`` of INPUT; prepend,
+    apply, drop the context span (used by Chain.apply_stream for stages
+    without their own state, and by the FIR-type stages' direct-conv
+    paths)."""
+    if ring.shape[-1] == 0:
+        return stage.apply(x, rate), ring
+    z = jnp.concatenate([ring, x], axis=-1)
+    y = stage.apply(z, rate)[..., ring.shape[-1]:]
+    return y, z[..., z.shape[-1] - ring.shape[-1]:]
+
+
 def _partition_ir(ir: np.ndarray, B: int) -> tuple[np.ndarray, np.ndarray]:
     """Host-side IR partitioning: (K, N//2+1) float32 real/imag planes."""
     ir_len = int(ir.shape[0])
@@ -251,6 +307,35 @@ class FIRInsert:
             return _direct_convolve(y, self.taps)
         return fft_convolve(y, self.taps)
 
+    # --- streaming (round 4): direct taps ride the generic input ring;
+    # long taps carry the UPOLS frequency-domain delay line on the absolute
+    # block grid, so chunked output is byte-exact too ---
+
+    def stream_grid(self, rate: int) -> int:
+        if self.taps.shape[0] <= self.DIRECT_MAX:
+            return 1
+        return _fft_block_size(int(self.taps.shape[0]))
+
+    def stream_state(self, rate: int, channels: int):
+        if self.taps.shape[0] <= self.DIRECT_MAX:
+            return jnp.zeros((channels, self.tail_frames(rate)), jnp.float32)
+        B = self.stream_grid(rate)
+        K = -(-int(self.taps.shape[0]) // B)
+        return (jnp.zeros((channels, B), jnp.float32),
+                jnp.zeros((K, channels, B + 1), jnp.float32),
+                jnp.zeros((K, channels, B + 1), jnp.float32))
+
+    def apply_stream(self, x: jax.Array, state, rate: int, pos) -> tuple:
+        if self.taps.shape[0] <= self.DIRECT_MAX:
+            return _ring_stream(self, x, state, rate)
+        B = self.stream_grid(rate)
+        h_re, h_im = _partition_ir(self.taps.astype(np.float32), B)
+        prev, fre, fim = state
+        y, prev, fre, fim = _upols_stream(x, prev, fre, fim,
+                                          jnp.asarray(h_re),
+                                          jnp.asarray(h_im), B)
+        return y.astype(x.dtype), (prev, fre, fim)
+
 
 class Biquad:
     """A second-order IIR EQ section (RBJ audio-EQ-cookbook forms), realised
@@ -377,6 +462,34 @@ class Biquad:
         if h.shape[0] <= FIRInsert.DIRECT_MAX:
             return _direct_convolve(y, h)
         return fft_convolve(y, h)
+
+    # --- streaming: same dispatch as apply (direct ring / UPOLS state) ---
+
+    def stream_grid(self, rate: int) -> int:
+        n = int(self.impulse_response(rate).shape[0])
+        return 1 if n <= FIRInsert.DIRECT_MAX else _fft_block_size(n)
+
+    def stream_state(self, rate: int, channels: int):
+        n = int(self.impulse_response(rate).shape[0])
+        if n <= FIRInsert.DIRECT_MAX:
+            return jnp.zeros((channels, n - 1), jnp.float32)
+        B = _fft_block_size(n)
+        K = -(-n // B)
+        return (jnp.zeros((channels, B), jnp.float32),
+                jnp.zeros((K, channels, B + 1), jnp.float32),
+                jnp.zeros((K, channels, B + 1), jnp.float32))
+
+    def apply_stream(self, x: jax.Array, state, rate: int, pos) -> tuple:
+        h = self.impulse_response(rate).astype(np.float32)
+        if h.shape[0] <= FIRInsert.DIRECT_MAX:
+            return _ring_stream(self, x, state, rate)
+        B = _fft_block_size(int(h.shape[0]))
+        h_re, h_im = _partition_ir(h, B)
+        prev, fre, fim = state
+        y, prev, fre, fim = _upols_stream(x, prev, fre, fim,
+                                          jnp.asarray(h_re),
+                                          jnp.asarray(h_im), B)
+        return y.astype(x.dtype), (prev, fre, fim)
 
 
 class Saturator:
@@ -757,6 +870,58 @@ class ConvolutionReverb:
             out = out + np.float32(self.dry) * y
         return out
 
+    # --- streaming: UPOLS state on the absolute block grid (round 4).
+    # Chunked output is byte-exact with the whole-stream apply — the last
+    # byte-identity exception closed (chunk boundaries land on FFT block
+    # boundaries; Chain.stream_grid sizes the stream's chunks) ---
+
+    def stream_grid(self, rate: int) -> int:
+        return _fft_block_size(int(self.ir.shape[-1]))
+
+    def stream_state(self, rate: int, channels: int):
+        B = self.stream_grid(rate)
+        K = -(-int(self.ir.shape[-1]) // B)
+        if self.ir.shape[0] == 1:
+            return (jnp.zeros((channels, B), jnp.float32),
+                    jnp.zeros((K, channels, B + 1), jnp.float32),
+                    jnp.zeros((K, channels, B + 1), jnp.float32))
+        # true-stereo/multichannel: per-channel delay lines on a leading
+        # vmap axis, exactly like `_fft_convolve_multi`'s layout
+        C = int(self.ir.shape[0])
+        return (jnp.zeros((C, 1, B), jnp.float32),
+                jnp.zeros((C, K, 1, B + 1), jnp.float32),
+                jnp.zeros((C, K, 1, B + 1), jnp.float32))
+
+    def apply_stream(self, x: jax.Array, state, rate: int, pos) -> tuple:
+        B = self.stream_grid(rate)
+        prev, fre, fim = state
+        if self.ir.shape[0] == 1:
+            h_re, h_im = _partition_ir(
+                np.asarray(self.ir[0], np.float32), B)
+            wet, prev, fre, fim = _upols_stream(
+                x, prev, fre, fim, jnp.asarray(h_re), jnp.asarray(h_im), B)
+        else:
+            C = int(self.ir.shape[0])
+            if x.shape[-2] != C:
+                raise ValueError(
+                    f"multichannel IR has {C} channels but the signal's "
+                    f"channel axis is {x.shape[-2]}")
+            parts = [_partition_ir(np.asarray(self.ir[c], np.float32), B)
+                     for c in range(C)]
+            h_re = jnp.asarray(np.stack([p[0] for p in parts]))
+            h_im = jnp.asarray(np.stack([p[1] for p in parts]))
+            xr = x[:, None, :]                    # (C, 1, T) like the batch
+            wet, prev, fre, fim = jax.vmap(
+                lambda xc, pt, fr, fi, re, im:
+                    _upols_stream(xc, pt, fr, fi, re, im, B)
+            )(xr, prev, fre, fim, h_re, h_im)
+            wet = wet[:, 0, :]
+        wet = wet.astype(x.dtype)
+        out = np.float32(self.wet) * wet
+        if self.dry:
+            out = out + np.float32(self.dry) * x
+        return out, (prev, fre, fim)
+
 
 class Chain:
     """An ordered stack of stages, hashable by content so it can be a
@@ -796,12 +961,28 @@ class Chain:
         # output barrier.
         return jax.lax.optimization_barrier(y)
 
+    def stream_grid(self, rate: int) -> int:
+        """Chunk-length granule for exact streaming: the lcm of every
+        stage's UPOLS block size (1 when no stage convolves by FFT).  The
+        streaming pipeline sizes its chunks to a multiple of this so chunk
+        boundaries land on FFT block boundaries — the condition under which
+        `apply_stream` is byte-exact for FFT stages too."""
+        import math
+
+        g = 1
+        for s in self.stages:
+            sg = int(getattr(s, "stream_grid", lambda _r: 1)(rate))
+            g = g * sg // math.gcd(g, sg)
+        return g
+
     def stream_init(self, rate: int, channels: int) -> tuple:
         """Initial per-stage streaming state (a jit-traceable pytree).
-        Stages that implement ``stream_state``/``apply_stream`` (stateful
-        dynamics — Compressor) own their state; every other stage gets a
-        zero input-context ring of its own ``tail_frames`` (the whole state
-        of a causal FIR/delay stage), or ``None`` for memoryless stages."""
+        Stages that implement ``stream_state``/``apply_stream`` own their
+        state (Compressor: envelope scan state; FFT convolvers: the UPOLS
+        frequency-domain delay line + previous input block); every other
+        stage gets a zero input-context ring of its own ``tail_frames``
+        (the whole state of a causal FIR/delay stage), or ``None`` for
+        memoryless stages."""
         states = []
         for s in self.stages:
             if hasattr(s, "apply_stream"):
@@ -816,22 +997,20 @@ class Chain:
                      pos: jax.Array) -> tuple:
         """Apply the chain to one streamed chunk with exact continuation:
         each stage threads its own state, so the emitted chunk equals the
-        corresponding span of the whole-stream :meth:`apply` — BYTE-exact
-        for delays, direct-form FIRs (incl. biquad IRs) and dynamics
-        (Compressor carries its envelope scan state); FFT-convolution
-        stages (long FIRs / reverb IRs) reconverge only to float rounding,
-        because the partitioned-FFT block grid shifts with the chunk
-        alignment (the one documented byte-identity exception).  ``pos`` is
-        the chunk's absolute start in the chain-input stream (stages are
+        corresponding span of the whole-stream :meth:`apply` BYTE-exactly —
+        delays, FIRs (direct and partitioned-FFT), biquad IRs, reverb IRs
+        and dynamics alike.  Contract: when `stream_grid(rate)` > 1, every
+        chunk's length (and therefore ``pos``) must be a multiple of it, so
+        the UPOLS block grid stays keyed to absolute stream positions (the
+        streaming pipeline's chunk sizing guarantees this).  ``pos`` is the
+        chunk's absolute start in the chain-input stream (stages are
         same-length maps, so one position serves every stage)."""
         new = []
         for s, st in zip(self.stages, states):
             if hasattr(s, "apply_stream"):
                 y, st = s.apply_stream(y, st, rate, pos)
             elif st is not None:
-                z = jnp.concatenate([st, y], axis=-1)
-                y = s.apply(z, rate)[..., st.shape[-1]:]
-                st = z[..., z.shape[-1] - st.shape[-1]:]
+                y, st = _ring_stream(s, y, st, rate)
             else:
                 y = s.apply(y, rate)
             new.append(st)

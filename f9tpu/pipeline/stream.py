@@ -139,10 +139,11 @@ def _finish_chunk(y, carry, seeds_c, pos0, gain, *, rate_out, bits,
     and stay byte-identical.
 
     ``carry`` is the chain's streaming-state pytree (`Chain.stream_init`):
-    per-stage input-context rings for FIR-type stages plus the Compressor's
-    envelope scan state, threaded chunk to chunk so the emitted stream is
-    byte-exact with the whole-file `Chain.apply` (FFT-convolution stages
-    reconverge to float rounding — ops/chain.py `apply_stream`).
+    per-stage input-context rings for direct FIR-type stages, the
+    Compressor's envelope scan state, and FFT stages' UPOLS delay lines —
+    threaded chunk to chunk so the emitted stream is byte-exact with the
+    whole-file `Chain.apply` (ops/chain.py `apply_stream`; chunks are sized
+    to the chain's `stream_grid`).
     ``chain_pos``: traced absolute chunk start in the chain-input stream
     (pre-trim output frames — the Compressor's envelope grid is keyed to it).
 
@@ -439,12 +440,13 @@ def _stream_resample_impl(
     super-chunk regardless of file length (SURVEY.md section 7 step 6).
 
     ``cfg.chain``: insert chains stream exactly via per-stage state
-    (`Chain.apply_stream`): FIR-type stages (EQ, FIR, delays) carry their own
-    input-context ring, and dynamics (Compressor) carry their envelope scan
-    state on the absolute block grid — chunked output is BYTE-identical to
-    the whole-stream chain for everything except partitioned-FFT stages
-    (long FIRs / reverb IRs), which reconverge to float rounding because the
-    FFT block grid shifts with chunk alignment.  The chain's group delay IS
+    (`Chain.apply_stream`): direct FIR-type stages (EQ, FIR, delays) carry
+    their own input-context ring, dynamics (Compressor) carry their envelope
+    scan state on the absolute block grid, and partitioned-FFT stages (long
+    FIRs / reverb IRs) carry their UPOLS frequency-domain delay line with
+    chunks sized to multiples of the FFT block (`Chain.stream_grid`) —
+    chunked output is BYTE-identical to the whole-stream chain for every
+    built-in stage.  The chain's group delay IS
     trimmed when a latency is supplied (``latency_frames`` argument, e.g.
     the scheduler's calibrated value, or ``cfg.latency_frames``; honoured
     under ``cfg.trim_enabled``): the first ``lat`` emitted frames are
@@ -621,12 +623,23 @@ def _stream_resample_impl(
         # chunk would re-convolve its context every chunk (O(ring/chunk)
         # overhead), so GROW the chunk (output is chunk-size invariant,
         # tested).  Hoisted ABOVE the mesh branch: the sharded super-chunk
-        # scales with the same chunk_in, so both topologies grow
+        # scales with the same chunk_in, so both topologies grow.
+        # FFT-convolution stages additionally require chunk_out to be a
+        # multiple of the chain's stream grid (the UPOLS block size), so
+        # chunk boundaries land on the absolute FFT block grid — the
+        # condition for byte-exact streaming of reverb/long-FIR stages
+        # (ops/chain.py `Chain.apply_stream`).
         if cfg.chain is not None:
             ring = int(cfg.chain.tail_frames(cfg.target_rate))
             if ring >= cycles * bank.L:
                 cycles = ring // bank.L + 1
-                chunk_in = cycles * bank.M
+            g = int(cfg.chain.stream_grid(cfg.target_rate))
+            if g > 1:
+                import math
+
+                m = g // math.gcd(bank.L, g)   # smallest cycles granule
+                cycles = -(-cycles // m) * m
+            chunk_in = cycles * bank.M
         # atomic publish: stream into a .part file and os.replace at the end
         # — an incremental writer would otherwise expose a half-written (and,
         # on crash, permanently corrupt) deliverable at the final name

@@ -663,6 +663,46 @@ def test_chain_apply_stream_bitwise_exact():
         Compressor._ENV_BLOCK = old_block
 
 
+def test_fft_chain_apply_stream_bitwise_exact():
+    """Round 4 closes the LAST byte-identity exception: partitioned-FFT
+    stages (reverb IRs / long FIRs / long biquad IRs) stream bitwise too —
+    the UPOLS frequency-domain delay line is carried as stage state on the
+    absolute block grid, and chunks sized to `stream_grid` multiples keep
+    every FFT window's contents identical to the whole-signal scan."""
+    from f9tpu.ops.chain import (Compressor, ConvolutionReverb, Delay,
+                                 FIRInsert)
+
+    rate = 48000
+    rng = np.random.default_rng(23)
+    ir = (0.1 * np.exp(-np.arange(20000) / 5000.0)
+          * rng.standard_normal(20000)).astype(np.float32)
+    irs = np.stack([ir, 0.7 * ir])                 # true-stereo IR
+    chains = [
+        Chain(ConvolutionReverb(ir, wet=0.6, dry=0.4)),
+        Chain(ConvolutionReverb(irs, wet=0.5, dry=0.5)),
+        Chain(Delay(0.003), ConvolutionReverb(ir, wet=0.6, dry=0.4),
+              Compressor(threshold_db=-20.0, ratio=3.0, attack_ms=2.0,
+                         release_db_per_s=200.0)),
+        Chain(FIRInsert(np.hanning(10000).astype(np.float32) / 5000.0)),
+    ]
+    for chain in chains:
+        g = chain.stream_grid(rate)
+        assert g == 4096                           # the UPOLS block size
+        T = 6 * g
+        x = (0.4 * rng.standard_normal((2, T))).astype(np.float32)
+        whole = np.asarray(chain.apply(jnp.asarray(x), rate))
+        for sizes in ([g, 2 * g, 3 * g], [2 * g, g, g, 2 * g]):
+            st = chain.stream_init(rate, 2)
+            outs, pos = [], 0
+            for s in sizes:
+                o, st = chain.apply_stream(jnp.asarray(x[:, pos : pos + s]),
+                                           st, rate, jnp.int32(pos))
+                outs.append(np.asarray(o))
+                pos += s
+            np.testing.assert_array_equal(whole,
+                                          np.concatenate(outs, axis=1))
+
+
 def test_dynamics_stream_chunk_size_invariant_bitwise(tmp_path):
     """End-to-end: a compressor chain streamed at two different chunk sizes
     emits byte-identical files (impossible before round 4 — the envelope was

@@ -313,12 +313,11 @@ class TestStreamReverbTail:
         n1 = stream_resample_file(src, o1, cfg, chunk_seconds=0.31)
         n2 = stream_resample_file(src, o2, cfg, chunk_seconds=0.62)
         assert n1 == n2
-        # the partitioned-FFT reverb's float rounding depends on chunk
-        # alignment, so byte identity cannot hold with a chain in the loop;
-        # dither keying is identical, so differences stay at rounding level
-        y1, _ = read_wav(o1)
-        y2, _ = read_wav(o2)
-        _assert_dither_contract(y1, y2, max_codes=2, max_frac=0.2)
+        # round 4: the reverb's UPOLS delay line is carried as stage state
+        # on the ABSOLUTE block grid (chunks are sized to multiples of the
+        # FFT block), so even FFT chains are now bitwise chunk-invariant —
+        # this was the last rounding-level exception
+        assert open(o1, "rb").read() == open(o2, "rb").read()
 
     def test_never_quiet_tail_hits_cap(self, tmp_path):
         rate = 8000
@@ -401,12 +400,12 @@ class TestShardedStreamFeatures:
         mesh = make_mesh(num_files_shards=2, num_frames_shards=4)
         o2 = str(tmp_path / "sharded.wav")
         n2 = stream_resample_file(src, o2, cfg, chunk_seconds=0.25, mesh=mesh)
-        # the tail extends past the source span and both paths terminate on
-        # the same hop grid (chunk alignment shifts rounding at the
-        # threshold by at most one hop)
+        # round 4: with the reverb's UPOLS state on the absolute block grid,
+        # chunk size no longer shifts any rounding — the sharded run (4x
+        # super-chunks) is BITWISE the single-chip run, tail length included
         hop = 48000 * cfg.tail_hop_ms // 1000
-        assert n1 > 48000 and n2 > 48000
-        assert abs(n1 - n2) <= hop, (n1, n2)
+        assert n1 > 48000 and n1 == n2, (n1, n2)
+        assert open(o1, "rb").read() == open(o2, "rb").read()
         y2, _ = read_wav(o2)
         assert 20 * np.log10(np.abs(y2[:, -hop:]).max() + 1e-30) < -85.0
 
@@ -529,11 +528,9 @@ class TestChainRingAutoGrow:
         big = str(tmp_path / "big_chunk.wav")
         n2 = stream_resample_file(src, big, cfg, chunk_seconds=1.0)
         assert n1 == n2 == 48000
-        # chain conv shapes differ with chunk size, so parity is the repo's
-        # cross-shape contract (a few 24-bit codes), not byte identity
-        ys, _ = read_wav(small)
-        yb, _ = read_wav(big)
-        _assert_dither_contract(ys, yb)
+        # round 4: per-stage state rings make this byte-exact too (a Delay's
+        # ring is its whole state; the grown chunk only changes batching)
+        assert open(small, "rb").read() == open(big, "rb").read()
 
 
 class TestStreamLifecycle:
