@@ -703,6 +703,71 @@ def test_fft_chain_apply_stream_bitwise_exact():
                                           np.concatenate(outs, axis=1))
 
 
+def test_chain_apply_stream_fuzz_random_stacks():
+    """Property fuzz over the streaming-state API: random stage stacks in
+    random orders, streamed in random grid-respecting chunkings, must equal
+    the whole-signal apply at 0 ULP.  Catches state-threading mistakes no
+    hand-picked chain would (stage interactions, repeated stage types,
+    grid/EOF edge chunks)."""
+    from f9tpu.ops.chain import (Biquad, Compressor, ConvolutionReverb,
+                                 Delay, FIRInsert, Gain, Saturator,
+                                 StereoWidth)
+
+    rate = 48000
+    rng = np.random.default_rng(99)
+
+    def pool():
+        ir = (0.05 * np.exp(-np.arange(9000) / 3000.0)
+              * rng.standard_normal(9000)).astype(np.float32)
+        return [
+            lambda: Gain(float(rng.uniform(-6, 6))),
+            lambda: Delay(float(rng.uniform(0.0, 0.01))),
+            lambda: FIRInsert(np.hanning(int(rng.integers(3, 200)))
+                              .astype(np.float32)),
+            lambda: Biquad("peaking", float(rng.uniform(100, 8000)),
+                           float(rng.uniform(0.5, 4.0)),
+                           float(rng.uniform(-6, 6))),
+            lambda: Saturator(("tanh", "soft", "hard")[rng.integers(3)],
+                              drive_db=float(rng.uniform(-6, 9)),
+                              mix=float(rng.uniform(0.2, 1.0))),
+            lambda: Compressor(threshold_db=float(rng.uniform(-30, -10)),
+                               ratio=float(rng.uniform(1.5, 8.0)),
+                               attack_ms=float(rng.uniform(0.0, 8.0)),
+                               release_db_per_s=float(rng.uniform(60, 600)),
+                               knee_db=float(rng.uniform(0, 8))),
+            lambda: StereoWidth(float(rng.uniform(0.2, 1.8))),
+            lambda: ConvolutionReverb(ir, wet=float(rng.uniform(0.2, 0.8)),
+                                      dry=float(rng.uniform(0.0, 0.8))),
+        ]
+
+    for trial in range(5):
+        makers = pool()
+        n_stages = int(rng.integers(1, 5))
+        chain = Chain(*(makers[rng.integers(len(makers))]()
+                        for _ in range(n_stages)))
+        g = chain.stream_grid(rate)
+        T = 5 * max(g, 4000)
+        T -= T % max(g, 1)
+        x = (0.4 * rng.standard_normal((2, T))).astype(np.float32)
+        whole = np.asarray(chain.apply(jnp.asarray(x), rate))
+        # random grid-respecting split
+        n_cuts = int(rng.integers(1, 4))
+        cuts = sorted(set(
+            int(c) * max(g, 1)
+            for c in rng.integers(1, T // max(g, 1), size=n_cuts)))
+        bounds = [0] + [c for c in cuts if 0 < c < T] + [T]
+        st = chain.stream_init(rate, 2)
+        outs = []
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            o, st = chain.apply_stream(jnp.asarray(x[:, a:b]), st, rate,
+                                       jnp.int32(a))
+            outs.append(np.asarray(o))
+        got = np.concatenate(outs, axis=1)
+        assert np.array_equal(whole, got), (
+            f"trial {trial}: {chain!r} split {bounds} diverged by "
+            f"{np.abs(whole - got).max()}")
+
+
 def test_dynamics_stream_chunk_size_invariant_bitwise(tmp_path):
     """End-to-end: a compressor chain streamed at two different chunk sizes
     emits byte-identical files (impossible before round 4 — the envelope was
