@@ -81,9 +81,10 @@ _CONFIG_KEYS = (
     "no_dither", "keep_dc", "normalize_lufs", "normalize_tp_db",
     "surround_weights", "keep_metadata",
     "gain", "reverb", "noise_floor", "margin", "require_rate", "batch_size",
-    "routing", "channels", "device_layout", "seed",
+    "routing", "channels", "device_layout", "seed", "latency",
     "chain_ir", "chain_wet", "chain_dry", "chain_fir", "chain_delay_ms",
     "chain_eq", "chain_comp", "chain_sat", "chain_width",
+    "chain_gate", "chain_limit",
 )
 
 
@@ -102,10 +103,11 @@ def _parse_routing(spec):
 def _build_chain(args):
     """Assemble the insert chain from CLI flags (the reference's external
     processor loop, expressed as in-graph stages).  Studio signal order:
-    delay -> EQ -> FIR -> compressor -> saturator -> width -> reverb, each
-    optional."""
+    delay -> gate -> EQ -> FIR -> compressor -> saturator -> width ->
+    reverb -> limiter, each optional."""
     from .ops.chain import (Biquad, Chain, Compressor, ConvolutionReverb,
-                            Delay, FIRInsert, Saturator, StereoWidth)
+                            Delay, Expander, FIRInsert, Limiter, Saturator,
+                            StereoWidth)
 
     stages = []
     if getattr(args, "chain_delay_ms", None):
@@ -113,6 +115,21 @@ def _build_chain(args):
             stages.append(Delay(args.chain_delay_ms / 1000.0))
         except ValueError as e:
             raise SystemExit(f"--chain-delay-ms: {e}")
+    if getattr(args, "chain_gate", None):
+        parts = str(args.chain_gate).split(":")
+        if not 2 <= len(parts) <= 5:
+            raise SystemExit("--chain-gate expects "
+                             "thresh_db:ratio[:release_db_s[:range_db"
+                             f"[:attack_ms]]], got {args.chain_gate!r}")
+        try:
+            stages.append(Expander(
+                threshold_db=float(parts[0]), ratio=float(parts[1]),
+                release_db_per_s=(float(parts[2]) if len(parts) > 2
+                                  else 200.0),
+                range_db=float(parts[3]) if len(parts) > 3 else 60.0,
+                attack_ms=float(parts[4]) if len(parts) > 4 else 0.0))
+        except ValueError as e:
+            raise SystemExit(f"--chain-gate: {e}")
     for spec in getattr(args, "chain_eq", None) or []:
         parts = spec.split(":")
         if not 2 <= len(parts) <= 4:
@@ -179,6 +196,20 @@ def _build_chain(args):
             ir = ir[0]
         stages.append(ConvolutionReverb(ir, wet=args.chain_wet,
                                         dry=args.chain_dry))
+    if getattr(args, "chain_limit", None):
+        parts = str(args.chain_limit).split(":")
+        if not 1 <= len(parts) <= 3:
+            raise SystemExit("--chain-limit expects "
+                             "ceiling_db[:lookahead_ms[:release_db_s]], "
+                             f"got {args.chain_limit!r}")
+        try:
+            stages.append(Limiter(
+                ceiling_db=float(parts[0]),
+                lookahead_ms=float(parts[1]) if len(parts) > 1 else 1.5,
+                release_db_per_s=(float(parts[2]) if len(parts) > 2
+                                  else 300.0)))
+        except ValueError as e:
+            raise SystemExit(f"--chain-limit: {e}")
     return Chain(*stages) if stages else None
 
 
@@ -248,6 +279,7 @@ def _batch_cfg_from_args(args) -> ProcessingConfig:
         output_channels=args.channels,
         device_layout=args.device_layout,
         seed=None if args.seed == -1 else args.seed,
+        latency_frames=getattr(args, "latency", None),
         chain=_build_chain(args),
     )
 
@@ -866,6 +898,11 @@ def main(argv: list[str] | None = None) -> int:
                             "human log; survives --json, watch restarts)")
         _add_common_src_args(p)
         p.add_argument("--bits", type=int, default=24, choices=[16, 24, 32])
+        p.add_argument("--latency", type=int, default=None,
+                       help="known chain/system delay in output frames: "
+                            "skip auto-calibration and trim exactly this "
+                            "(negative = acausal, compensated with a zero "
+                            "head)")
         p.add_argument("--postfix", default="_processed")
         p.add_argument("--keep-metadata", action="store_true",
                        help="carry metadata chunks into same-container "
@@ -950,6 +987,20 @@ def main(argv: list[str] | None = None) -> int:
                        help="insert chain: biquad EQ section (lowpass/"
                             "highpass/peaking/lowshelf/highshelf); "
                             "repeatable, applied in order")
+        p.add_argument("--chain-gate", default=None,
+                       metavar="THRESH:RATIO[:RELEASE_DBS[:RANGE_DB"
+                               "[:ATTACK_MS]]]",
+                       help="insert chain: downward expander / gate "
+                            "(channel-linked; the release doubles as hold). "
+                            "Negative threshold needs the = form: "
+                            "--chain-gate=-50:3")
+        p.add_argument("--chain-limit", default=None,
+                       metavar="CEILING_DB[:LOOKAHEAD_MS[:RELEASE_DBS]]",
+                       help="insert chain: lookahead brickwall limiter "
+                            "(applied last; its lookahead delay is "
+                            "measured by calibration and trimmed). "
+                            "Negative ceiling needs the = form: "
+                            "--chain-limit=-0.3")
 
     p = sub.add_parser("process", help="batch resample files")
     process_parser = p

@@ -28,8 +28,8 @@ from .routing import (  # noqa: F401
     deinterleave,
 )
 from .chain import (  # noqa: F401
-    Biquad, Chain, Compressor, Gain, Delay, FIRInsert, ConvolutionReverb,
-    Saturator, StereoWidth, fft_convolve,
+    Biquad, Chain, Compressor, Expander, Gain, Delay, FIRInsert,
+    ConvolutionReverb, Limiter, Saturator, StereoWidth, fft_convolve,
 )
 from .loudness import (  # noqa: F401
     integrated_lufs, k_weighting_ir, loudness_range, true_peak_db,

@@ -49,6 +49,8 @@ __all__ = [
     "Saturator",
     "StereoWidth",
     "Compressor",
+    "Expander",
+    "Limiter",
     "ConvolutionReverb",
     "fft_convolve",
 ]
@@ -820,6 +822,197 @@ class Compressor:
         if win > 1:
             x_tail = xin[..., xin.shape[-1] - (win - 1):]
         return y * gain, (x_tail, gr_tail, m, env_carry)
+
+
+def _window_max_past(a: jax.Array, W: int) -> jax.Array:
+    """Causal windowed maximum over the last axis: ``out[m] = max a[m-W+1..m]``
+    (positions before the start read as 0 — callers feed non-negative
+    attenuation streams, for which 0 is the neutral element).  Log-depth
+    sparse-table doubling: ~log2(W) shifted maxima instead of W; max is
+    exact and associative, so the result is bitwise the window max
+    regardless of the combine order (which is what makes the streaming
+    recomputation over a context ring byte-identical)."""
+    if W <= 1:
+        return a
+    pad_cfg = [(0, 0)] * (a.ndim - 1)
+    f, s = a, 1
+    while s * 2 <= W:
+        f = jnp.maximum(f, jnp.pad(f, pad_cfg + [(s, 0)])[..., : a.shape[-1]])
+        s *= 2
+    rem = W - s
+    if rem:
+        f = jnp.maximum(f, jnp.pad(f, pad_cfg + [(rem, 0)])[..., : a.shape[-1]])
+    return f
+
+
+class Expander(Compressor):
+    """Downward expander / noise gate (the 'gate in the loop' scenario —
+    the other half of the outboard dynamics rack).  Shares the Compressor's
+    TPU-native machinery wholesale: moving-RMS detector, channel link,
+    slanted-cummax release envelope (which doubles as the gate's HOLD — a
+    transient keeps the gate open while the envelope decays at
+    ``release_db_per_s``), and the causal attack smoother.  Only the gain
+    computer differs: below ``threshold_db`` the gain falls at
+    ``(ratio - 1)`` dB per dB of shortfall, floored at ``-range_db`` (a
+    gate is an expander with a high ratio).  Streaming is byte-exact via
+    the inherited stateful `apply_stream`.
+
+    ``attack_ms`` defaults to 0 (instant open — the usual gate behaviour):
+    a nonzero attack averages the gain over its window, so a transient
+    arriving while the gate is closed is partially chopped (as on hardware
+    gates) — including the calibration impulse, which a slow-attack gate
+    can suppress below the detection threshold (supply
+    ``cfg.latency_frames`` explicitly in that case)."""
+
+    def __init__(self, threshold_db: float = -50.0, ratio: float = 2.0,
+                 attack_ms: float = 0.0, release_db_per_s: float = 200.0,
+                 range_db: float = 60.0, makeup_db: float = 0.0,
+                 detector_ms: float = 5.0):
+        if range_db <= 0:
+            raise ValueError(f"range_db must be positive, got {range_db}")
+        super().__init__(threshold_db=threshold_db, ratio=ratio,
+                         attack_ms=attack_ms,
+                         release_db_per_s=release_db_per_s, knee_db=0.0,
+                         makeup_db=makeup_db, detector_ms=detector_ms)
+        self.range_db = float(range_db)
+
+    def signature(self) -> tuple:
+        return ("expand", round(self.threshold_db, 9), round(self.ratio, 9),
+                round(self.attack_ms, 9), round(self.release_db_per_s, 9),
+                round(self.range_db, 9), round(self.makeup_db, 9),
+                round(self.detector_ms, 9))
+
+    def tail_frames(self, rate: int) -> int:
+        # the envelope's influence reaches until a past transient has
+        # decayed past the threshold by the full range (beyond which the
+        # gate floor is saturated): range + 120 dB covers any audible case
+        horizon = int(np.ceil((120.0 + self.range_db)
+                              / self.release_db_per_s * rate))
+        win_det = max(1, int(round(self.detector_ms * rate / 1000.0)))
+        win_att = max(1, int(round(self.attack_ms * rate / 1000.0)))
+        return horizon + win_det + win_att
+
+    def _gr_from_env(self, env_db: jax.Array) -> jax.Array:
+        under = jnp.minimum(0.0, env_db - np.float32(self.threshold_db))
+        return jnp.clip(under * np.float32(self.ratio - 1.0),
+                        -np.float32(self.range_db), 0.0)
+
+
+class Limiter:
+    """Lookahead brickwall limiter, TPU-native: every stage is an
+    associative scan or a small windowed reduction — no serial recurrence.
+
+    The signal is delayed by ``lookahead_ms``; the gain is computed from the
+    UNdelayed channel-linked peak, so attenuation ramps in before a peak
+    arrives and the ceiling is guaranteed (in exact arithmetic; float
+    rounding can poke ~1 ULP above):
+
+    - ``atten[m] = max(0, level_db[m] - ceiling_db)`` — needed attenuation,
+    - release: ``atten_rel = slanted_cummax(atten, release_db_per_s)`` (the
+      Compressor's associative linear-dB law; attack is instant here),
+    - lookahead spread: ``B[m] = max(atten_rel[m-L..m])`` (windowed max),
+    - ramp: ``S[m] = mean(B[m-L..m])`` (the moving average turns the
+      rectangular dip into a linear ramp reaching full attenuation exactly
+      when the peak plays),
+    - ``out[n] = x[n-L] * 10^(-S[n]/20)``.
+
+    The brickwall guarantee: every ``B[n-i]`` window (i in [0, L]) contains
+    position ``n-L``, so ``S[n] >= atten_rel[n-L] >= atten[n-L]`` and the
+    played sample never exceeds the ceiling.  The ``L``-frame delay is real
+    group delay — calibration measures it and latency trim removes it, the
+    framework's apply-what-you-measure contract.
+
+    The ceiling holds at the LIMITER's output; the batch graph's later
+    stages can shift the final peak slightly — DC removal subtracts the
+    whole-capture mean after the chain (the reference's capture-then-
+    DC-remove order, Source/MainComponent.cpp:751-805; ~0.01 dB on noisy
+    programme), and ``gain_db``/normalization scale it outright.  For a
+    strict deliverable ceiling, disable ``remove_dc`` or leave headroom."""
+
+    #: linked across channels (like the stereo bus limiter it models)
+    channel_local = False
+
+    def __init__(self, ceiling_db: float = -0.3, lookahead_ms: float = 1.5,
+                 release_db_per_s: float = 300.0):
+        if not -60.0 <= ceiling_db <= 0.0:
+            raise ValueError(f"ceiling_db out of range [-60, 0]: {ceiling_db}")
+        if lookahead_ms <= 0:
+            raise ValueError("lookahead_ms must be positive")
+        if release_db_per_s <= 0:
+            raise ValueError("release_db_per_s must be positive")
+        self.ceiling_db = float(ceiling_db)
+        self.lookahead_ms = float(lookahead_ms)
+        self.release_db_per_s = float(release_db_per_s)
+
+    def signature(self) -> tuple:
+        return ("limit", round(self.ceiling_db, 9),
+                round(self.lookahead_ms, 9),
+                round(self.release_db_per_s, 9))
+
+    def lookahead_frames(self, rate: int) -> int:
+        return max(1, int(round(self.lookahead_ms * rate / 1000.0)))
+
+    def tail_frames(self, rate: int) -> int:
+        L = self.lookahead_frames(rate)
+        horizon = int(np.ceil(120.0 / self.release_db_per_s * rate))
+        return 3 * L + horizon
+
+    def _atten_db(self, x: jax.Array, rate: int) -> jax.Array:
+        """The smoothed attenuation stream S (dB >= 0), channel-linked."""
+        L = self.lookahead_frames(rate)
+        if x.ndim >= 2:
+            lvl = jnp.max(jnp.abs(x), axis=-2, keepdims=True)
+        else:
+            lvl = jnp.abs(x)
+        level_db = 20.0 * jnp.log10(jnp.maximum(lvl, 1e-20))
+        atten = jnp.maximum(0.0, level_db - np.float32(self.ceiling_db))
+        atten_rel = Compressor._slanted_cummax(
+            atten, self.release_db_per_s / rate)
+        b = _window_max_past(atten_rel, L + 1)
+        return _direct_convolve(b, np.full(L + 1, 1.0 / (L + 1), np.float32))
+
+    def apply(self, x: jax.Array, rate: int) -> jax.Array:
+        L = self.lookahead_frames(rate)
+        s_db = self._atten_db(x, rate)
+        pad = [(0, 0)] * (x.ndim - 1) + [(L, 0)]
+        xd = jnp.pad(x, pad)[..., : x.shape[-1]]
+        return xd * 10.0 ** (s_db * np.float32(-1.0 / 20.0))
+
+    # --- byte-exact streaming: the delay/window rings carry raw inputs and
+    # intermediate attenuation values; the release envelope carries the
+    # slanted-cummax scan state on the absolute block grid ---
+
+    def stream_state(self, rate: int, channels: int) -> tuple:
+        L = self.lookahead_frames(rate)
+        return (jnp.zeros((channels, L), jnp.float32),   # signal delay ring
+                jnp.zeros((1, L), jnp.float32),          # atten_rel ring (B)
+                jnp.zeros((1, L), jnp.float32),          # B ring (S average)
+                jnp.full((1,), -1e9, jnp.float32),       # in-block run max
+                jnp.full((1,), -1e9, jnp.float32))       # cross-block carry
+
+    def apply_stream(self, x: jax.Array, state: tuple, rate: int,
+                     pos: jax.Array) -> tuple:
+        L = self.lookahead_frames(rate)
+        x_tail, ar_tail, b_tail, m, env_carry = state
+        if x.ndim >= 2:
+            lvl = jnp.max(jnp.abs(x), axis=-2, keepdims=True)
+        else:
+            lvl = jnp.abs(x)
+        level_db = 20.0 * jnp.log10(jnp.maximum(lvl, 1e-20))
+        atten = jnp.maximum(0.0, level_db - np.float32(self.ceiling_db))
+        atten_rel, m, env_carry = Compressor._slanted_cummax_stream(
+            atten, self.release_db_per_s / rate, pos, m, env_carry)
+        ac = jnp.concatenate([ar_tail, atten_rel], axis=-1)
+        b = _window_max_past(ac, L + 1)[..., L:]
+        bc = jnp.concatenate([b_tail, b], axis=-1)
+        s_db = _direct_convolve(
+            bc, np.full(L + 1, 1.0 / (L + 1), np.float32))[..., L:]
+        xc = jnp.concatenate([x_tail, x], axis=-1)
+        xd = xc[..., : x.shape[-1]]
+        out = xd * 10.0 ** (s_db * np.float32(-1.0 / 20.0))
+        return out, (xc[..., xc.shape[-1] - L:],
+                     ac[..., ac.shape[-1] - L:],
+                     bc[..., bc.shape[-1] - L:], m, env_carry)
 
 
 class ConvolutionReverb:

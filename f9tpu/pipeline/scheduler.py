@@ -291,8 +291,14 @@ class BatchProcessor:
                 chain_fn=chain_fn, chain_sig=chain_sig,
                 capture_frames=capture, ringout_frames=ringout)
             if not cal.detected:
+                hint = ("" if cfg.chain is None else
+                        " (a dynamics stage — slow-attack gate, heavy "
+                        "limiter — can suppress the impulse below the "
+                        "detection threshold; pass --latency / "
+                        "cfg.latency_frames to skip calibration)")
                 raise RuntimeError(
-                    f"calibration impulse not detected for {rate_in}->{cfg.target_rate}")
+                    f"calibration impulse not detected for "
+                    f"{rate_in}->{cfg.target_rate}{hint}")
             latencies[rate_in] = cal.latency_frames
             noise_floors[rate_in] = cal.noise_floor_db
             self.log.append(

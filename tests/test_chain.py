@@ -703,6 +703,114 @@ def test_fft_chain_apply_stream_bitwise_exact():
                                           np.concatenate(outs, axis=1))
 
 
+def test_limiter_brickwall_and_latency():
+    """The lookahead limiter: output never exceeds the ceiling (the ramped
+    windowed-max/average guarantee), the delay equals the lookahead exactly
+    (measured by calibration, the apply-what-you-measure contract), and
+    quiet material passes bit-exactly at unity."""
+    from f9tpu.ops.chain import Limiter
+    from f9tpu.ops.resample import resample_rates
+    from f9tpu.pipeline.calibration import measure_latency
+
+    rate = 48000
+    rng = np.random.default_rng(41)
+    lim = Limiter(ceiling_db=-1.0, lookahead_ms=1.5, release_db_per_s=300.0)
+    x = (1.6 * rng.standard_normal((2, rate))).astype(np.float32)  # hot
+    y = np.asarray(lim.apply(jnp.asarray(x), rate))
+    assert 20 * np.log10(np.abs(y).max()) <= -1.0 + 1e-3
+    L = lim.lookahead_frames(rate)
+    q = (0.05 * rng.standard_normal((2, rate))).astype(np.float32)
+    yq = np.asarray(lim.apply(jnp.asarray(q), rate))
+    np.testing.assert_array_equal(yq[:, L:], q[:, :-L])   # unity + delay
+
+    chain = Chain(lim)
+
+    def cf(z):
+        return chain.apply(resample_rates(z, 44100, 48000, quality="low"),
+                           48000)
+
+    cal = measure_latency(44100, 48000, quality="low", chain_fn=cf)
+    assert cal.detected and cal.latency_frames == L
+
+
+def test_expander_gates_quiet_passages():
+    from f9tpu.ops.chain import Expander
+
+    rate = 48000
+    rng = np.random.default_rng(42)
+    quiet = (0.001 * rng.standard_normal((2, rate // 2))).astype(np.float32)
+    loud = (0.5 * rng.standard_normal((2, rate // 2))).astype(np.float32)
+    x = np.concatenate([quiet, loud], axis=1)
+    exp = Expander(threshold_db=-40.0, ratio=3.0, attack_ms=1.0,
+                   release_db_per_s=400.0, range_db=40.0, detector_ms=5.0)
+    y = np.asarray(exp.apply(jnp.asarray(x), rate))
+    n = rate // 2
+    g_quiet = np.abs(y[:, 5000 : n - 4000]).max() / \
+        np.abs(x[:, 5000 : n - 4000]).max()
+    g_loud = np.abs(y[:, n + 6000 :]).max() / np.abs(x[:, n + 6000 :]).max()
+    assert 20 * np.log10(g_quiet) < -20.0       # gated
+    assert abs(20 * np.log10(g_loud)) < 0.5     # open at unity
+    # range floor: attenuation never exceeds range_db (+ makeup 0)
+    ratio = np.abs(y[:, :n]) / np.maximum(np.abs(x[:, :n]), 1e-12)
+    assert 20 * np.log10(ratio.min() + 1e-12) >= -40.0 - 0.5
+
+
+def test_limiter_expander_stream_bitwise():
+    """Both new dynamics stages thread exact streaming state (delay/window
+    rings + the absolute-grid envelope scan): chunked == whole at 0 ULP,
+    also stacked with a Compressor."""
+    from f9tpu.ops.chain import Compressor, Expander, Limiter
+
+    rate = 48000
+    rng = np.random.default_rng(43)
+    ch = Chain(Limiter(-0.5, 2.0, 250.0),
+               Expander(threshold_db=-45.0, ratio=2.5,
+                        release_db_per_s=300.0),
+               Compressor(threshold_db=-18.0, ratio=3.0, attack_ms=2.0,
+                          release_db_per_s=200.0))
+    T = 40000
+    x = (1.2 * rng.standard_normal((2, T))).astype(np.float32)
+    whole = np.asarray(ch.apply(jnp.asarray(x), rate))
+    for sizes in ([7000, 1, 13000, T], [4096, 9000, T]):
+        st = ch.stream_init(rate, 2)
+        outs, p = [], 0
+        for s in sizes:
+            if p >= T:
+                break
+            c = x[:, p : p + s]
+            o, st = ch.apply_stream(jnp.asarray(c), st, rate, jnp.int32(p))
+            outs.append(np.asarray(o))
+            p += c.shape[1]
+        np.testing.assert_array_equal(whole, np.concatenate(outs, axis=1))
+
+
+def test_cli_gate_and_limit_flags():
+    from types import SimpleNamespace
+
+    from f9tpu.cli import _build_chain
+    from f9tpu.ops.chain import Expander, Limiter
+
+    args = SimpleNamespace(
+        chain_delay_ms=0.0, chain_eq=None, chain_fir=None, chain_ir=None,
+        chain_wet=1.0, chain_dry=0.0, rate=48000, chain_comp=None,
+        chain_sat=None, chain_width=None,
+        chain_gate="-50:3:250:50:2", chain_limit="-0.3:2:400")
+    ch = _build_chain(args)
+    assert [type(s) for s in ch.stages] == [Expander, Limiter]
+    gate, lim = ch.stages
+    assert gate.threshold_db == -50 and gate.ratio == 3
+    assert gate.release_db_per_s == 250 and gate.range_db == 50
+    assert gate.attack_ms == 2
+    assert lim.ceiling_db == -0.3 and lim.lookahead_ms == 2
+    assert lim.release_db_per_s == 400
+    with pytest.raises(SystemExit):
+        _build_chain(SimpleNamespace(
+            chain_delay_ms=0.0, chain_eq=None, chain_fir=None,
+            chain_ir=None, chain_wet=1.0, chain_dry=0.0, rate=48000,
+            chain_comp=None, chain_sat=None, chain_width=None,
+            chain_gate="-50", chain_limit=None))
+
+
 def test_chain_apply_stream_fuzz_random_stacks():
     """Property fuzz over the streaming-state API: random stage stacks in
     random orders, streamed in random grid-respecting chunkings, must equal
@@ -710,8 +818,8 @@ def test_chain_apply_stream_fuzz_random_stacks():
     hand-picked chain would (stage interactions, repeated stage types,
     grid/EOF edge chunks)."""
     from f9tpu.ops.chain import (Biquad, Compressor, ConvolutionReverb,
-                                 Delay, FIRInsert, Gain, Saturator,
-                                 StereoWidth)
+                                 Delay, Expander, FIRInsert, Gain, Limiter,
+                                 Saturator, StereoWidth)
 
     rate = 48000
     rng = np.random.default_rng(99)
@@ -738,6 +846,13 @@ def test_chain_apply_stream_fuzz_random_stacks():
             lambda: StereoWidth(float(rng.uniform(0.2, 1.8))),
             lambda: ConvolutionReverb(ir, wet=float(rng.uniform(0.2, 0.8)),
                                       dry=float(rng.uniform(0.0, 0.8))),
+            lambda: Expander(threshold_db=float(rng.uniform(-60, -30)),
+                             ratio=float(rng.uniform(1.5, 6.0)),
+                             release_db_per_s=float(rng.uniform(100, 500)),
+                             range_db=float(rng.uniform(20, 70))),
+            lambda: Limiter(ceiling_db=float(rng.uniform(-6, -0.1)),
+                            lookahead_ms=float(rng.uniform(0.5, 4.0)),
+                            release_db_per_s=float(rng.uniform(100, 600))),
         ]
 
     for trial in range(5):
