@@ -369,6 +369,10 @@ class BatchProcessor:
             # only stream-ineligible configs fall back to an exact-fit
             # bucket at reduced batch width.
             cap = int(cfg.max_tail_seconds * rate_in) if cfg.reverb_mode else None
+            # rate-pair-specific exclusions (round 4: varispeed + FFT-chain
+            # grid alignment) need a representative path for the group's rate
+            group_stream_ok = (stream_ok and not streaming_exclusions(
+                cfg, infos[0].path))
             by_bucket: dict[int, list] = {}
             for info in infos:
                 n = info.num_frames
@@ -377,7 +381,7 @@ class BatchProcessor:
                         f"Reverb capture cap: truncating {info.path} to "
                         f"{cfg.max_tail_seconds:.0f} s ({cap} frames)")
                     n = cap
-                if cap is None and n > max_bucket and stream_ok:
+                if cap is None and n > max_bucket and group_stream_ok:
                     stream_jobs.append((info, rate_in, lat))
                     continue
                 blen = next((b for b in sorted(cfg.bucket_frames) if n <= b), n)

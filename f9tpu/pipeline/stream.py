@@ -46,14 +46,43 @@ def streaming_exclusions(cfg: ProcessingConfig, in_path: str | None = None,
     normalization, then latency trim / reverb tails / insert chains on the
     SHARDED path too) automatically widens the scheduler's routing.
 
-    As of round 3's final state the list is empty for every config: the
+    As of round 3's final state the list was empty for every config: the
     sharded stream gathers each super-chunk's SRC output in file order, so
     the sequential stages (chain continuation, latency trim, the incremental
     tail detector) run exactly as they do single-chip — the chain stage on
     one device (its state is sequential over frames; the frames-sharded part
     is the SRC, where the FLOPs are), trim and detection on the host stream.
-    The signature is kept so future stages have a place to gate."""
-    del cfg, in_path, sharded
+
+    Round 4 adds ONE narrow gate: byte-exact streaming of an FFT-convolution
+    chain requires chunk lengths that are multiples of both the SRC's
+    upsample factor L and the chain's FFT block (`Chain.stream_grid`).  For
+    ordinary rational pairs that chunk is small (L=147 -> ~13 s), but a
+    VARISPEED ratio's L is in the ten-thousands, and gcd(L, 2^k) is tiny —
+    the aligned chunk would reach tens of megaframes (a compile/memory
+    hazard, CLAUDE.md 'fresh multi-megaframe programs').  Such configs are
+    excluded loudly; the scheduler's existing fallback routes them to an
+    exact-fit reduced-width batch instead."""
+    del sharded
+    if cfg.chain is not None and in_path is not None:
+        g = int(cfg.chain.stream_grid(cfg.target_rate))
+        if g > 1:
+            import math
+
+            from ..io import codec
+            from ..models.filters import resolve_ratio
+
+            try:
+                rate_in = codec.probe(in_path).sample_rate
+            except (OSError, ValueError):
+                return []     # unreadable input fails later, with its own error
+            L, _M = resolve_ratio(rate_in, cfg.target_rate)
+            m = g // math.gcd(L, g)
+            if m * L > (1 << 23):
+                return [
+                    f"chain FFT-grid alignment needs {m * L}-frame chunks "
+                    f"for ratio L={L} (over the 2^23 budget); this "
+                    "varispeed + FFT-chain config cannot stream — use the "
+                    "batch path"]
     return []
 
 
@@ -468,8 +497,11 @@ def _stream_resample_impl(
     with its tail detected at the end (only the tail itself is capped at
     ``max_tail_seconds``).  The sharded path carries the full feature set
     too (chains / trim / tails run on the sequentially-gathered super-chunk
-    stream — `_stream_sharded`), so `streaming_exclusions` is empty for
-    every config.
+    stream — `_stream_sharded`).  `streaming_exclusions` is empty for every
+    config except one narrow round-4 gate: varispeed ratios combined with
+    FFT-convolution chains, whose byte-exact grid alignment would need
+    tens-of-megaframe chunks (see `streaming_exclusions`); those route to
+    the batch path instead.
 
     DC-removal ordering: streaming subtracts the SOURCE's whole-file mean
     before SRC+chain (a cheap host pre-pass — the output mean cannot be known

@@ -1091,6 +1091,49 @@ def test_streaming_exclusions_empty_for_all_configs(tmp_path):
     assert streaming_exclusions(cfg, sharded=True) == []
 
 
+def test_streaming_exclusion_varispeed_fft_chain(tmp_path):
+    """The ONE round-4 gate: a varispeed ratio (huge L) + an FFT-convolution
+    chain would need tens-of-megaframe grid-aligned chunks for byte-exact
+    streaming — excluded loudly, and the scheduler falls back to an
+    exact-fit reduced batch instead of failing the file."""
+    from f9tpu.ops.chain import Chain, ConvolutionReverb
+    from f9tpu.pipeline.stream import (stream_resample_file,
+                                       streaming_exclusions)
+
+    rng = np.random.default_rng(51)
+    ir = (0.05 * rng.standard_normal(20000)).astype(np.float32)
+    src = str(tmp_path / "vs.wav")
+    write_wav(src, (0.3 * rng.standard_normal((2, 30_000))).astype(
+        np.float32), 44100, bits=24)
+    cfg = ProcessingConfig(output_dir=str(tmp_path / "out"),
+                           target_rate=44056, quality="low", seed=3,
+                           chain=Chain(ConvolutionReverb(ir, wet=0.5,
+                                                         dry=0.5)),
+                           latency_frames=0)
+    excl = streaming_exclusions(cfg, src)
+    assert excl and "FFT-grid" in excl[0]
+    with pytest.raises(ValueError, match="FFT-grid"):
+        stream_resample_file(src, str(tmp_path / "o.wav"), cfg)
+    # a non-varispeed pair with the same chain streams fine (L small)
+    cfg48 = ProcessingConfig(output_dir=str(tmp_path / "out"),
+                             target_rate=48000, quality="low", seed=3,
+                             chain=Chain(ConvolutionReverb(ir, wet=0.5,
+                                                           dry=0.5)),
+                             latency_frames=0)
+    assert streaming_exclusions(cfg48, src) == []
+    # scheduler: an oversized varispeed+FFT-chain file takes the exact-fit
+    # reduced-batch fallback and still COMPLETES
+    cfg_b = ProcessingConfig(output_dir=str(tmp_path / "outb"),
+                             target_rate=44056, quality="low", seed=3,
+                             bucket_frames=(16_384,), batch_size=4,
+                             chain=Chain(ConvolutionReverb(
+                                 ir[:4000], wet=0.5, dry=0.5)),
+                             latency_frames=0)
+    res = BatchProcessor(cfg_b).run([src])
+    assert res.completed == 1 and res.failed == 0
+    assert not res.per_file[src].get("streamed")
+
+
 def test_rms_db_normalized_by_valid_length(tmp_path):
     """A short file in a big bucket must report its true RMS, not one diluted
     by bucket padding."""
