@@ -910,7 +910,7 @@ def main(argv: list[str] | None = None) -> int:
                             "NAME/MARK/INST), sample positions rescaled to "
                             "the output rate")
         p.add_argument("--format", dest="output_format", default="wav",
-                       choices=["wav", "aiff"],
+                       choices=["wav", "aiff", "flac"],
                        help="output container (wav = reference behaviour)")
         p.add_argument("--no-dither", action="store_true")
         p.add_argument("--keep-dc", action="store_true",
@@ -1029,7 +1029,7 @@ def main(argv: list[str] | None = None) -> int:
     _add_common_src_args(p)
     p.add_argument("--bits", type=int, default=24, choices=[16, 24, 32])
     p.add_argument("--format", dest="output_format", default="wav",
-                   choices=["wav", "aiff"], help="output container")
+                   choices=["wav", "aiff", "flac"], help="output container")
     p.add_argument("--keep-metadata", action="store_true",
                    help="carry bext/LIST/cue metadata (WAV outputs)")
     p.add_argument("--seed", type=int, default=0,

@@ -169,8 +169,8 @@ class ProcessingConfig:
                 f"output_channels must be >= 1, got {self.output_channels}")
         if self.device_layout not in ("packed", "rows"):
             raise ValueError("device_layout must be 'packed' or 'rows'")
-        if self.output_format not in ("wav", "aiff"):
-            raise ValueError("output_format must be 'wav' or 'aiff'")
+        if self.output_format not in ("wav", "aiff", "flac"):
+            raise ValueError("output_format must be 'wav', 'aiff' or 'flac'")
         if self.normalize_lufs is not None and not (
                 -70.0 <= self.normalize_lufs <= 0.0):
             raise ValueError("normalize_lufs out of range [-70, 0] LUFS")

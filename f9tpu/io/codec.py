@@ -1,5 +1,10 @@
-"""Format dispatch: one entry point for .wav/.aif/.aiff, the drop-zone filter
-of the reference (Source/FileListAndLogComponent.cpp:150-181)."""
+"""Format dispatch: one entry point for .wav/.aif/.aiff/.flac — the
+drop-zone filter of the reference (Source/FileListAndLogComponent.cpp:150-181)
+whose format set comes from JUCE ``registerBasicFormats()``
+(Source/MainComponent.cpp:13): WAV, AIFF, FLAC, Ogg Vorbis.  The first
+three are implemented natively; Ogg Vorbis is perceptual-lossy — wrong as
+a mastering source and pointless as a deliverable — so it is rejected
+with an actionable message instead of a generic one."""
 
 from __future__ import annotations
 
@@ -14,7 +19,17 @@ __all__ = ["SUPPORTED_EXTENSIONS", "probe", "read_audio",
            "read_audio_progress", "read_raw_pcm", "is_supported",
            "open_reader"]
 
-SUPPORTED_EXTENSIONS = (".wav", ".aif", ".aiff")
+SUPPORTED_EXTENSIONS = (".wav", ".aif", ".aiff", ".flac")
+
+# formats the reference's GUI shell could list via OS codecs but that a
+# lossless mastering pipeline should refuse, each with the reason
+_KNOWN_LOSSY = {
+    ".ogg": "Ogg Vorbis is lossy; transcode to WAV/AIFF/FLAC first",
+    ".oga": "Ogg Vorbis is lossy; transcode to WAV/AIFF/FLAC first",
+    ".mp3": "MP3 is lossy; transcode to WAV/AIFF/FLAC first",
+    ".m4a": "AAC/ALAC containers are not supported; transcode to "
+            "WAV/AIFF/FLAC first",
+}
 
 
 def is_supported(path: str) -> bool:
@@ -27,16 +42,34 @@ def _kind(path: str) -> str:
         return "wav"
     if ext in (".aif", ".aiff"):
         return "aiff"
+    if ext == ".flac":
+        return "flac"
+    if ext in _KNOWN_LOSSY:
+        raise ValueError(f"{path}: {_KNOWN_LOSSY[ext]}")
     raise ValueError(f"unsupported audio file type: {path}")
 
 
 def probe(path: str) -> AudioFileInfo:
-    return probe_wav(path) if _kind(path) == "wav" else probe_aiff(path)
+    k = _kind(path)
+    if k == "wav":
+        return probe_wav(path)
+    if k == "flac":
+        from .flac import probe_flac
+
+        return probe_flac(path)
+    return probe_aiff(path)
 
 
 def read_audio(path: str) -> tuple[np.ndarray, int]:
     """Decode any supported file to planar float32 (channels, frames) + rate."""
-    return read_wav(path) if _kind(path) == "wav" else read_aiff(path)
+    k = _kind(path)
+    if k == "wav":
+        return read_wav(path)
+    if k == "flac":
+        from .flac import read_flac
+
+        return read_flac(path)
+    return read_aiff(path)
 
 
 def read_audio_progress(path: str, progress_cb,
@@ -66,10 +99,15 @@ def open_reader(path: str):
     """Incremental seek-based frame reader for any supported container
     (`wav.WavReader` / `aiff.AiffReader` — the same `read(start, count)`
     contract), so the streaming path accepts the full drop-zone surface."""
-    if _kind(path) == "wav":
+    k = _kind(path)
+    if k == "wav":
         from .wav import WavReader
 
         return WavReader(path)
+    if k == "flac":
+        from .flac import FlacReader
+
+        return FlacReader(path)
     from .aiff import AiffReader
 
     return AiffReader(path)
@@ -80,10 +118,14 @@ def read_raw_pcm(path: str):
     codec, from either container.  Payload endianness is
     ``info.byte_order`` ("little" for WAV and AIFC sowt, "big" for AIFF
     NONE); `f9tpu.ops.devcodec.unpack_pcm_interleaved` handles both."""
-    if _kind(path) == "wav":
+    k = _kind(path)
+    if k == "wav":
         from .wav import read_raw_pcm as _wav_raw
 
         return _wav_raw(path)
+    if k == "flac":
+        raise ValueError(f"{path}: FLAC has no raw-PCM payload (the frames "
+                         "are entropy-coded); decode on the host instead")
     from .aiff import read_raw_pcm_aiff
 
     return read_raw_pcm_aiff(path)
@@ -101,13 +143,13 @@ def carry_metadata(in_path: str, out_path: str, output_format: str,
     routing).  Raises ValueError/OSError on failure — callers decide
     whether to log or swallow (metadata is best-effort; audio is complete
     by the time this runs)."""
-    src_wav = in_path.lower().endswith(".wav")
-    if src_wav and output_format == "wav":
+    src_kind = _kind(in_path)
+    if src_kind == "wav" and output_format == "wav":
         from .wav import append_chunks, read_extra_chunks, scale_metadata_chunks
 
         append_chunks(out_path, scale_metadata_chunks(
             read_extra_chunks(in_path), rate_in, rate_out))
-    elif not src_wav and output_format == "aiff":
+    elif src_kind == "aiff" and output_format == "aiff":
         from .aiff import (append_chunks_aiff, read_extra_chunks_aiff,
                            scale_metadata_chunks_aiff)
 

@@ -19,6 +19,9 @@ import numpy as np
 __all__ = [
     "AsyncLoader",
     "available",
+    "flac_available",
+    "flac_decode_all",
+    "flac_decode_frames",
     "resample_oracle_native",
     "unpack24_to_f32",
     "pack24_from_i32",
@@ -85,10 +88,18 @@ def _load() -> ctypes.CDLL | None:
             lib.f9_pack24_from_i32.argtypes = [pi32, c_i64, pu8]
             lib.f9_interleave_f32.argtypes = [pf, c_i64, c_i64, pf]
             lib.f9_deinterleave_f32.argtypes = [pf, c_i64, c_i64, pf]
+            lib.f9_flac_decode.restype = c_i32
+            lib.f9_flac_decode.argtypes = [
+                pu8, c_i64, c_i32, c_i32, pi32, c_i64, c_i64,
+                ctypes.POINTER(c_i64), ctypes.POINTER(c_i64)]
+            lib.f9_flac_encode_frame.restype = c_i64
+            lib.f9_flac_encode_frame.argtypes = [
+                pi32, c_i64, c_i64, c_i32, c_i32, c_i64, c_i32, c_i32,
+                pu8, c_i64]
             lib.f9_native_abi_version.restype = c_i32
             abi = int(lib.f9_native_abi_version())
-            if abi != 1:
-                raise OSError(f"ABI version {abi} != 1 (stale library?)")
+            if abi != 2:
+                raise OSError(f"ABI version {abi} != 2 (stale library?)")
         except (OSError, AttributeError) as e:
             # missing symbol / ABI mismatch (stale or hand-built .so) must
             # fall back like a failed build, not raise out of available()
@@ -175,6 +186,88 @@ def deinterleave_f32(inter: np.ndarray, channels: int) -> np.ndarray:
     out = np.empty((channels, frames), np.float32)
     lib.f9_deinterleave_f32(inter, channels, frames, out)
     return out
+
+
+_FLAC_ERRORS = {
+    -1: "lost frame sync", -2: "frame header CRC-8 mismatch",
+    -3: "frame CRC-16 mismatch", -4: "reserved field set",
+    -5: "truncated stream", -6: "channel count differs from STREAMINFO",
+    -7: "invalid field value",
+}
+
+
+def flac_available() -> bool:
+    """True when the native FLAC frame decoder is loadable (the Python
+    decoder in `f9tpu.io.flac` is the fallback and parity oracle)."""
+    return _load() is not None
+
+
+_FLAC_MAXBLOCK = 65535
+
+
+def flac_decode_frames(data, channels: int, bits: int, want_samples: int,
+                       partial_ok: bool = False
+                       ) -> tuple[np.ndarray, int, int, bool]:
+    """Decode whole FLAC frames from a frame boundary until >= want_samples
+    samples (or the window runs out): (planar int32 codes (channels, done),
+    samples done, bytes consumed, truncated flag).  bytes-consumed always
+    lands on a frame boundary, so a streaming caller resumes losslessly.
+    CRC / sync / reserved-field violations raise ValueError; a window that
+    ends mid-frame raises too unless ``partial_ok`` (then the truncated
+    flag is returned with the progress made, and the caller refills)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native library unavailable: {_build_error}")
+    buf = np.frombuffer(data, np.uint8) if not isinstance(data, np.ndarray) \
+        else np.ascontiguousarray(data, np.uint8)
+    # frames are never split: capacity needs max-blocksize headroom past the
+    # target so the final frame fits whole
+    cap = int(want_samples) + _FLAC_MAXBLOCK + 1
+    out = np.empty((channels, cap), np.int32)
+    done = ctypes.c_int64(0)
+    used = ctypes.c_int64(0)
+    rc = lib.f9_flac_decode(buf, len(buf), channels, bits, out, cap,
+                            want_samples, ctypes.byref(done),
+                            ctypes.byref(used))
+    if rc == -5 and partial_ok:
+        return out[:, :done.value], int(done.value), int(used.value), True
+    if rc != 0:
+        raise ValueError(
+            f"flac: {_FLAC_ERRORS.get(rc, f'decode error {rc}')} "
+            f"(after {done.value} samples)")
+    return out[:, :done.value], int(done.value), int(used.value), False
+
+
+def flac_encode_frame(codes: np.ndarray, bits: int, frame_no: int,
+                      nominal_block: int, sample_rate: int) -> bytes:
+    """Encode ONE FLAC frame from planar (channels, n) integer codes —
+    bit-identical to `f9tpu.io.flac._encode_frame` (the Python oracle;
+    parity is a tested contract)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native library unavailable: {_build_error}")
+    codes = np.ascontiguousarray(codes, np.int32)
+    ch, n = codes.shape
+    # worst case ~47 bits/sample (escaped 33-bit side-channel residuals
+    # plus rice quotients); 8 B/sample is comfortably above it
+    cap = n * ch * 8 + 256
+    out = np.empty(cap, np.uint8)
+    rc = lib.f9_flac_encode_frame(codes, n, n, ch, bits, frame_no,
+                                  nominal_block, sample_rate, out, cap)
+    if rc < 0:
+        raise ValueError(f"flac: native encode error {rc}")
+    return out[:rc].tobytes()
+
+
+def flac_decode_all(data, si) -> np.ndarray:
+    """Full-stream decode against a parsed STREAMINFO (`f9tpu.io.flac`
+    calls this when available; same result dtype contract: planar int64)."""
+    codes, done, _, _ = flac_decode_frames(
+        data, si.channels, si.bits, si.total_samples)
+    if done < si.total_samples:
+        raise ValueError(
+            f"flac: truncated stream ({done}/{si.total_samples} samples)")
+    return codes[:, :si.total_samples].astype(np.int64)
 
 
 class AsyncLoader:

@@ -134,7 +134,7 @@ void f9_deinterleave_f32(const float* src, int64_t channels, int64_t frames,
     }
 }
 
-int32_t f9_native_abi_version(void) { return 1; }
+int32_t f9_native_abi_version(void) { return 2; }
 
 }  // extern "C"
 
@@ -311,6 +311,762 @@ int32_t f9_loader_poll(void* ticket, int64_t* frames, int32_t* rate) {
         *rate = job->rate;
     }
     return st;
+}
+
+}  // extern "C"
+
+// ===========================================================================
+// 3. FLAC frame decoder (RFC 9639) — the native hot path behind
+//    f9tpu/io/flac.py (whose pure-Python decoder is the readable,
+//    spec-shaped form and the parity oracle for this one).  Decodes a run
+//    of frames starting at a frame boundary: every subframe type
+//    (CONSTANT / VERBATIM / FIXED 0-4 / LPC 1-32), RICE + RICE2 residuals
+//    with escaped raw partitions, wasted bits, all four channel
+//    assignments, CRC-8 + CRC-16 verification.  The role JUCE's
+//    FlacAudioFormat (vendored libFLAC) plays in the reference's format
+//    manager (Source/MainComponent.cpp:13).
+// ===========================================================================
+
+namespace flacdec {
+
+static uint8_t CRC8_T[256];
+static uint16_t CRC16_T[256];
+static const bool tables_ready = []() {
+    for (int i = 0; i < 256; ++i) {
+        int c8 = i;
+        for (int k = 0; k < 8; ++k)
+            c8 = (c8 & 0x80) ? ((c8 << 1) ^ 0x07) : (c8 << 1);
+        CRC8_T[i] = (uint8_t)c8;
+        int c16 = i << 8;
+        for (int k = 0; k < 8; ++k)
+            c16 = (c16 & 0x8000) ? ((c16 << 1) ^ 0x8005) : (c16 << 1);
+        CRC16_T[i] = (uint16_t)c16;
+    }
+    return true;
+}();
+
+static inline uint8_t crc8(const uint8_t* p, int64_t n) {
+    uint8_t c = 0;
+    for (int64_t i = 0; i < n; ++i) c = CRC8_T[c ^ p[i]];
+    return c;
+}
+static inline uint16_t crc16(const uint8_t* p, int64_t n) {
+    uint16_t c = 0;
+    for (int64_t i = 0; i < n; ++i)
+        c = (uint16_t)((c << 8) ^ CRC16_T[((c >> 8) ^ p[i]) & 0xFF]);
+    return c;
+}
+
+// MSB-first bit reader with a 64-bit cache.  The low `nb` bits of `acc`
+// are the unread bits; bits above them are consumed garbage (reads mask).
+struct BR {
+    const uint8_t* d;
+    int64_t n;          // total bytes
+    int64_t bytep = 0;  // next byte to load into the cache
+    uint64_t acc = 0;
+    int nb = 0;
+    bool err = false;
+
+    BR(const uint8_t* data, int64_t nbytes) : d(data), n(nbytes) {}
+
+    int64_t bitpos() const { return bytep * 8 - nb; }
+
+    inline void refill() {
+        while (nb <= 56 && bytep < n) { acc = (acc << 8) | d[bytep++]; nb += 8; }
+    }
+    inline uint64_t read(int k) {  // k in [0, 33]
+        if (k == 0) return 0;
+        if (nb < k) {
+            refill();
+            if (nb < k) { err = true; nb = 0; return 0; }
+        }
+        nb -= k;
+        return (acc >> nb) & ((1ull << k) - 1);
+    }
+    inline int64_t read_signed(int k) {
+        uint64_t v = read(k);
+        if (k && (v >> (k - 1))) return (int64_t)v - ((int64_t)1 << k);
+        return (int64_t)v;
+    }
+    inline int64_t unary() {
+        int64_t z = 0;
+        for (;;) {
+            if (nb == 0) {
+                refill();
+                if (nb == 0) { err = true; return 0; }
+            }
+            uint64_t seg = nb == 64 ? acc : (acc & ((1ull << nb) - 1));
+            if (seg == 0) { z += nb; nb = 0; continue; }
+            int hb = 63 - __builtin_clzll(seg);
+            z += nb - 1 - hb;
+            nb = hb;  // consume the zeros and the terminating 1
+            return z;
+        }
+    }
+    inline void align() { nb -= nb & 7; }
+};
+
+enum {
+    FLAC_OK = 0,
+    FLAC_ERR_SYNC = -1,
+    FLAC_ERR_CRC8 = -2,
+    FLAC_ERR_CRC16 = -3,
+    FLAC_ERR_RESERVED = -4,
+    FLAC_ERR_TRUNCATED = -5,
+    FLAC_ERR_CHANNELS = -6,
+    FLAC_ERR_VALUE = -7,
+};
+
+static int read_utf8_num(BR& br, uint64_t* out) {
+    uint32_t b0 = (uint32_t)br.read(8);
+    if (br.err) return FLAC_ERR_TRUNCATED;
+    if (b0 < 0x80) { *out = b0; return FLAC_OK; }
+    int extra = 0;
+    uint32_t mask = 0x40;
+    while (b0 & mask) { ++extra; mask >>= 1; }
+    if (extra < 1 || extra > 6) return FLAC_ERR_VALUE;
+    uint64_t v = b0 & (mask - 1);
+    for (int i = 0; i < extra; ++i) {
+        uint32_t b = (uint32_t)br.read(8);
+        if (br.err) return FLAC_ERR_TRUNCATED;
+        if ((b & 0xC0) != 0x80) return FLAC_ERR_VALUE;
+        v = (v << 6) | (b & 0x3F);
+    }
+    *out = v;
+    return FLAC_OK;
+}
+
+static int decode_residual(BR& br, int64_t blocksize, int order, int64_t* res) {
+    uint32_t method = (uint32_t)br.read(2);
+    if (method > 1) return FLAC_ERR_RESERVED;
+    const int pbits = 4 + (int)method;
+    const uint32_t escape = (1u << pbits) - 1;
+    const uint32_t po = (uint32_t)br.read(4);
+    const int64_t nparts = (int64_t)1 << po;
+    if (blocksize % nparts) return FLAC_ERR_VALUE;
+    const int64_t psize = blocksize >> po;
+    if (po > 0 && psize <= order) return FLAC_ERR_VALUE;
+    int64_t pos = 0;
+    for (int64_t p = 0; p < nparts; ++p) {
+        int64_t cnt = psize - (p == 0 ? order : 0);
+        if (cnt < 0) return FLAC_ERR_VALUE;
+        uint32_t param = (uint32_t)br.read(pbits);
+        if (br.err) return FLAC_ERR_TRUNCATED;
+        if (param == escape) {
+            int nbits = (int)br.read(5);
+            if (nbits == 0) {
+                for (int64_t i = 0; i < cnt; ++i) res[pos + i] = 0;
+            } else {
+                for (int64_t i = 0; i < cnt; ++i)
+                    res[pos + i] = br.read_signed(nbits);
+            }
+        } else {
+            const int k = (int)param;
+            for (int64_t i = 0; i < cnt; ++i) {
+                uint64_t q = (uint64_t)br.unary();
+                uint64_t v = (q << k) | br.read(k);
+                res[pos + i] = (int64_t)(v >> 1) ^ -(int64_t)(v & 1);
+            }
+        }
+        if (br.err) return FLAC_ERR_TRUNCATED;
+        pos += cnt;
+    }
+    return FLAC_OK;
+}
+
+// decode one subframe into x[0..blocksize)
+static int decode_subframe(BR& br, int64_t blocksize, int bps, int64_t* x) {
+    if (br.read(1)) return FLAC_ERR_VALUE;  // padding bit
+    uint32_t t = (uint32_t)br.read(6);
+    int wasted = 0;
+    if (br.read(1)) wasted = (int)br.unary() + 1;
+    if (br.err) return FLAC_ERR_TRUNCATED;
+    const int eb = bps - wasted;
+    if (eb <= 0) return FLAC_ERR_VALUE;
+    if (t == 0) {                               // CONSTANT
+        int64_t v = br.read_signed(eb);
+        for (int64_t i = 0; i < blocksize; ++i) x[i] = v;
+    } else if (t == 1) {                        // VERBATIM
+        for (int64_t i = 0; i < blocksize; ++i) x[i] = br.read_signed(eb);
+    } else if (t >= 8 && t <= 12) {             // FIXED
+        const int order = (int)t - 8;
+        if (order > blocksize) return FLAC_ERR_VALUE;
+        for (int i = 0; i < order; ++i) x[i] = br.read_signed(eb);
+        int rc = decode_residual(br, blocksize, order, x + order);
+        if (rc) return rc;
+        switch (order) {
+        case 0: break;
+        case 1:
+            for (int64_t i = 1; i < blocksize; ++i) x[i] += x[i - 1];
+            break;
+        case 2:
+            for (int64_t i = 2; i < blocksize; ++i)
+                x[i] += 2 * x[i - 1] - x[i - 2];
+            break;
+        case 3:
+            for (int64_t i = 3; i < blocksize; ++i)
+                x[i] += 3 * x[i - 1] - 3 * x[i - 2] + x[i - 3];
+            break;
+        case 4:
+            for (int64_t i = 4; i < blocksize; ++i)
+                x[i] += 4 * x[i - 1] - 6 * x[i - 2] + 4 * x[i - 3] - x[i - 4];
+            break;
+        }
+    } else if (t >= 32) {                       // LPC
+        const int order = (int)(t & 31) + 1;
+        if (order > blocksize) return FLAC_ERR_VALUE;
+        for (int i = 0; i < order; ++i) x[i] = br.read_signed(eb);
+        const int prec = (int)br.read(4) + 1;
+        if (prec == 16) return FLAC_ERR_VALUE;
+        const int shift = (int)br.read_signed(5);
+        if (shift < 0) return FLAC_ERR_VALUE;
+        int64_t coefs[32];
+        for (int i = 0; i < order; ++i) coefs[i] = br.read_signed(prec);
+        int rc = decode_residual(br, blocksize, order, x + order);
+        if (rc) return rc;
+        for (int64_t i = order; i < blocksize; ++i) {
+            int64_t acc = 0;
+            for (int j = 0; j < order; ++j) acc += coefs[j] * x[i - 1 - j];
+            x[i] += acc >> shift;
+        }
+    } else {
+        return FLAC_ERR_RESERVED;
+    }
+    if (br.err) return FLAC_ERR_TRUNCATED;
+    if (wasted)
+        for (int64_t i = 0; i < blocksize; ++i) x[i] <<= wasted;
+    return FLAC_OK;
+}
+
+}  // namespace flacdec
+
+extern "C" {
+
+// Decode frames from `data` (which must start at a frame boundary) until
+// `want_samples` samples are decoded, the buffer is exhausted, or the next
+// frame would not fit in the remaining capacity.  Output is planar int32:
+// out[c * out_stride + i].  Returns 0 (or a negative FLAC_ERR_*); fills
+// samples_done / bytes_used either way with progress so far.
+int32_t f9_flac_decode(const uint8_t* data, int64_t nbytes,
+                       int32_t channels, int32_t stream_bits,
+                       int32_t* out, int64_t out_stride,
+                       int64_t want_samples,
+                       int64_t* samples_done, int64_t* bytes_used) {
+    using namespace flacdec;
+    *samples_done = 0;
+    *bytes_used = 0;
+    if (channels < 1 || channels > 8 || stream_bits < 4 || stream_bits > 32)
+        return FLAC_ERR_VALUE;
+    const int64_t MAXBLOCK = 65535;
+    std::vector<int64_t> buf((size_t)(2 > channels ? 2 : channels) * MAXBLOCK);
+    int64_t off = 0;
+    int64_t done = 0;
+    while (done < want_samples && off < nbytes) {
+        BR br(data + off, nbytes - off);
+        if (br.read(14) != 0x3FFE) return FLAC_ERR_SYNC;
+        if (br.read(1)) return FLAC_ERR_RESERVED;
+        (void)br.read(1);  // blocking strategy: both accepted
+        const uint32_t bs_code = (uint32_t)br.read(4);
+        const uint32_t sr_code = (uint32_t)br.read(4);
+        const uint32_t ch_code = (uint32_t)br.read(4);
+        const uint32_t ss_code = (uint32_t)br.read(3);
+        if (br.read(1)) return FLAC_ERR_RESERVED;
+        if (br.err) return FLAC_ERR_TRUNCATED;
+        uint64_t number;
+        int rc = read_utf8_num(br, &number);
+        if (rc) return rc;
+        int64_t blocksize;
+        if (bs_code == 0) return FLAC_ERR_RESERVED;
+        else if (bs_code == 1) blocksize = 192;
+        else if (bs_code <= 5) blocksize = 576ll << (bs_code - 2);
+        else if (bs_code == 6) blocksize = (int64_t)br.read(8) + 1;
+        else if (bs_code == 7) blocksize = (int64_t)br.read(16) + 1;
+        else blocksize = 256ll << (bs_code - 8);
+        if (sr_code == 12) (void)br.read(8);
+        else if (sr_code == 13 || sr_code == 14) (void)br.read(16);
+        else if (sr_code == 15) return FLAC_ERR_VALUE;
+        int bits;
+        if (ss_code == 0) bits = stream_bits;
+        else if (ss_code == 1) bits = 8;
+        else if (ss_code == 2) bits = 12;
+        else if (ss_code == 4) bits = 16;
+        else if (ss_code == 5) bits = 20;
+        else if (ss_code == 6) bits = 24;
+        else if (ss_code == 7) bits = 32;
+        else return FLAC_ERR_RESERVED;
+        if (br.err) return FLAC_ERR_TRUNCATED;
+        if ((br.bitpos() & 7) != 0) return FLAC_ERR_VALUE;  // defensive
+        const int64_t hdr_len = br.bitpos() >> 3;
+        if (crc8(data + off, hdr_len) != (uint8_t)br.read(8))
+            return FLAC_ERR_CRC8;
+        // whole frames only: stop BEFORE consuming when this frame would
+        // overflow the physical capacity, so bytes_used stays at a frame
+        // boundary and a streaming caller resumes losslessly.  Callers size
+        // capacity >= want_samples + the 65535 max blocksize, so the
+        // done == 0 case can only mean a miscalled buffer.
+        if (done + blocksize > out_stride) {
+            if (done > 0) break;
+            return FLAC_ERR_VALUE;
+        }
+
+        int64_t* ch0 = buf.data();
+        if (ch_code <= 7) {
+            if ((int)ch_code + 1 != channels) return FLAC_ERR_CHANNELS;
+            for (int c = 0; c < channels; ++c) {
+                rc = decode_subframe(br, blocksize, bits, ch0 + c * MAXBLOCK);
+                if (rc) return rc;
+            }
+        } else if (ch_code <= 10) {
+            if (channels != 2) return FLAC_ERR_CHANNELS;
+            const int bits_a = bits + (ch_code == 9 ? 1 : 0);
+            const int bits_b = bits + (ch_code == 9 ? 0 : 1);
+            rc = decode_subframe(br, blocksize, bits_a, ch0);
+            if (rc) return rc;
+            rc = decode_subframe(br, blocksize, bits_b, ch0 + MAXBLOCK);
+            if (rc) return rc;
+            int64_t* a = ch0;
+            int64_t* b = ch0 + MAXBLOCK;
+            if (ch_code == 8) {            // left/side
+                for (int64_t i = 0; i < blocksize; ++i) b[i] = a[i] - b[i];
+            } else if (ch_code == 9) {     // side/right (stream order)
+                for (int64_t i = 0; i < blocksize; ++i) {
+                    int64_t side = a[i], right = b[i];
+                    a[i] = side + right;
+                }
+            } else {                        // mid/side
+                for (int64_t i = 0; i < blocksize; ++i) {
+                    int64_t m2 = (a[i] << 1) | (b[i] & 1);
+                    int64_t s = b[i];
+                    a[i] = (m2 + s) >> 1;
+                    b[i] = (m2 - s) >> 1;
+                }
+            }
+        } else {
+            return FLAC_ERR_RESERVED;
+        }
+        br.align();
+        if ((br.bitpos() & 7) != 0) return FLAC_ERR_VALUE;
+        const int64_t body_len = br.bitpos() >> 3;
+        if (body_len + 2 > nbytes - off) return FLAC_ERR_TRUNCATED;
+        if (crc16(data + off, body_len) != (uint16_t)br.read(16))
+            return FLAC_ERR_CRC16;
+        for (int c = 0; c < channels; ++c) {
+            const int64_t* src = ch0 + c * MAXBLOCK;
+            int32_t* dst = out + c * out_stride + done;
+            for (int64_t i = 0; i < blocksize; ++i) dst[i] = (int32_t)src[i];
+        }
+        done += blocksize;
+        off += br.bitpos() >> 3;
+        *samples_done = done;
+        *bytes_used = off;
+    }
+    return FLAC_OK;
+}
+
+}  // extern "C"
+
+// ===========================================================================
+// 4. FLAC frame ENCODER — the native twin of the Python encoder in
+//    f9tpu/io/flac.py (fixed predictors 0-4, exact per-partition rice
+//    parameter search, escape fallback, stereo decorrelation, wasted
+//    bits, constant detection).  Every search below uses the same
+//    deterministic integer arithmetic as the Python form, so the two
+//    produce BIT-IDENTICAL frames (a tested contract: the Python encoder
+//    is the readable oracle, this is the production path).
+// ===========================================================================
+
+namespace flacenc {
+
+struct BW {
+    std::vector<uint8_t> buf;
+    uint64_t acc = 0;
+    int nb = 0;
+
+    inline void write(uint64_t v, int nbits) {  // nbits <= 57
+        acc = (acc << nbits) | (v & ((nbits == 64) ? ~0ull : ((1ull << nbits) - 1)));
+        nb += nbits;
+        while (nb >= 8) {
+            nb -= 8;
+            buf.push_back((uint8_t)((acc >> nb) & 0xFF));
+        }
+        acc &= (1ull << nb) - 1;
+    }
+    inline void write_signed(int64_t v, int nbits) {
+        write((uint64_t)v, nbits);
+    }
+    inline void write_unary(int64_t q) {  // q zeros then a 1
+        while (q >= 32) { write(0, 32); q -= 32; }
+        write(1, (int)q + 1);
+    }
+    inline void align() { if (nb) write(0, 8 - nb); }
+};
+
+static inline uint64_t zigzag(int64_t v) {
+    return (uint64_t)((v << 1) ^ (v >> 63));
+}
+
+static inline int signed_bits_range(int64_t mn, int64_t mx) {
+    int need = 1;
+    if (mx > 0) { int b = 64 - __builtin_clzll((uint64_t)mx); need = b + 1; }
+    if (mn < 0) {
+        uint64_t m = (uint64_t)(~mn);
+        int b = m ? 64 - __builtin_clzll(m) : 0;
+        if (b + 1 > need) need = b + 1;
+    }
+    return need;
+}
+
+// exact rice cost for zigzagged values at parameter k
+static inline int64_t rice_cost(const uint64_t* u, int64_t n, int k) {
+    int64_t c = 0;
+    for (int64_t i = 0; i < n; ++i) c += (int64_t)(u[i] >> k);
+    return c + n * (k + 1);
+}
+
+// (k, bits): floor-mean seeds a +-3 window searched with exact costs
+// (mirrors flac.py _best_rice_k bit-for-bit)
+static inline void best_rice_k(const uint64_t* u, int64_t n,
+                               int* best_k, int64_t* best_c) {
+    if (n == 0) { *best_k = 0; *best_c = 0; return; }
+    uint64_t sum = 0;
+    for (int64_t i = 0; i < n; ++i) sum += u[i];
+    uint64_t mean = sum / (uint64_t)n;
+    int k0 = 0;
+    if (mean) { int b = 64 - __builtin_clzll(mean); k0 = b - 1; }
+    if (k0 < 0) k0 = 0;
+    int lo = k0 - 2 > 0 ? k0 - 2 : 0;
+    int hi = k0 + 3 < 30 ? k0 + 3 : 30;
+    int bk = 0;
+    int64_t bc = -1;
+    for (int k = lo; k <= hi; ++k) {
+        int64_t c = rice_cost(u, n, k);
+        if (bc < 0 || c < bc) { bk = k; bc = c; }
+    }
+    *best_k = bk;
+    *best_c = bc;
+}
+
+struct PartPlan { int k; int nb; };  // k = -1 means escaped raw, width nb
+
+// mirrors flac.py _encode_residual: po search with exact totals
+static void encode_residual(BW& bw, const int64_t* res, int64_t blocksize,
+                            int order, std::vector<uint64_t>& uscratch,
+                            std::vector<PartPlan>& plan_scratch) {
+    const int64_t nres = blocksize - order;
+    uscratch.resize((size_t)nres);
+    for (int64_t i = 0; i < nres; ++i) uscratch[i] = zigzag(res[i]);
+    const uint64_t* u = uscratch.data();
+
+    int best_po = 0, best_method = 0;
+    int64_t best_total = -1;
+    std::vector<PartPlan> best_plan;
+    for (int po = 0; po <= 6; ++po) {
+        const int64_t nparts = (int64_t)1 << po;
+        const int64_t psize = blocksize >> po;
+        if (po && ((blocksize % nparts) || psize <= order)) continue;
+        plan_scratch.clear();
+        int64_t pos = 0, content = 0;
+        int max_k = 0;
+        for (int64_t p = 0; p < nparts; ++p) {
+            const int64_t cnt = psize - (p == 0 ? order : 0);
+            int k;
+            int64_t c;
+            best_rice_k(u + pos, cnt, &k, &c);
+            int nbw = 1;
+            if (cnt) {
+                int64_t mn = res[pos], mx = res[pos];
+                for (int64_t i = 1; i < cnt; ++i) {
+                    if (res[pos + i] < mn) mn = res[pos + i];
+                    if (res[pos + i] > mx) mx = res[pos + i];
+                }
+                nbw = signed_bits_range(mn, mx);
+            }
+            const int64_t raw_c = 5 + cnt * nbw;
+            if (nbw <= 31 && c > raw_c) {
+                plan_scratch.push_back({-1, nbw});
+                content += raw_c;
+            } else {
+                plan_scratch.push_back({k, 0});
+                content += c;
+                if (k > max_k) max_k = k;
+            }
+            pos += cnt;
+        }
+        const int method = max_k > 14 ? 1 : 0;
+        const int64_t total = 2 + 4 + (int64_t)(4 + method) * nparts + content;
+        if (best_total < 0 || total < best_total) {
+            best_total = total;
+            best_po = po;
+            best_method = method;
+            best_plan = plan_scratch;
+        }
+    }
+    const int pbits = 4 + best_method;
+    const uint32_t escape = (1u << pbits) - 1;
+    bw.write((uint64_t)best_method, 2);
+    bw.write((uint64_t)best_po, 4);
+    const int64_t nparts = (int64_t)1 << best_po;
+    const int64_t psize = blocksize >> best_po;
+    int64_t pos = 0;
+    for (int64_t p = 0; p < nparts; ++p) {
+        const int64_t cnt = psize - (p == 0 ? order : 0);
+        const PartPlan pp = best_plan[(size_t)p];
+        if (pp.k < 0) {
+            bw.write(escape, pbits);
+            bw.write((uint64_t)pp.nb, 5);
+            for (int64_t i = 0; i < cnt; ++i)
+                bw.write_signed(res[pos + i], pp.nb);
+        } else {
+            bw.write((uint64_t)pp.k, pbits);
+            const int k = pp.k;
+            for (int64_t i = 0; i < cnt; ++i) {
+                const uint64_t v = u[pos + i];
+                bw.write_unary((int64_t)(v >> k));
+                if (k) bw.write(v & ((1ull << k) - 1), k);
+            }
+        }
+        pos += cnt;
+    }
+}
+
+// mirrors flac.py _pick_fixed_order: first order (0..min(4, n-1)) with the
+// minimal sum|residual|; fills res (length n - order) and returns the order
+static int pick_fixed_order(const int64_t* x, int64_t n,
+                            std::vector<int64_t>& d_scratch,
+                            std::vector<int64_t>& res_out) {
+    const int max_order = n - 1 < 4 ? (int)(n - 1) : 4;
+    // cost of order 0
+    int best_order = 0;
+    int64_t best_cost = 0;
+    for (int64_t i = 0; i < n; ++i)
+        best_cost += x[i] < 0 ? -x[i] : x[i];
+    d_scratch.assign(x, x + n);
+    std::vector<int64_t> cur(d_scratch);
+    for (int o = 1; o <= max_order; ++o) {
+        // cur := diff(cur), length n - o
+        const int64_t m = n - o;
+        int64_t cost = 0;
+        for (int64_t i = 0; i < m; ++i) {
+            cur[i] = cur[i + 1] - cur[i];
+            cost += cur[i] < 0 ? -cur[i] : cur[i];
+        }
+        cur.resize((size_t)m);
+        if (cost < best_cost) { best_cost = cost; best_order = o; }
+    }
+    // recompute the best order's residual (cheap: <= 4 diff passes)
+    res_out.assign(x, x + n);
+    for (int o = 0; o < best_order; ++o) {
+        const int64_t m = n - o - 1;
+        for (int64_t i = 0; i < m; ++i)
+            res_out[i] = res_out[i + 1] - res_out[i];
+        res_out.resize((size_t)m);
+    }
+    return best_order;
+}
+
+// sum|residual| at the winning fixed order — the stereo-decision metric
+// (mirrors flac.py _abs_cost)
+static int64_t abs_cost(const int64_t* x, int64_t n,
+                        std::vector<int64_t>& d_scratch,
+                        std::vector<int64_t>& res_scratch) {
+    int order = pick_fixed_order(x, n, d_scratch, res_scratch);
+    (void)order;
+    int64_t c = 0;
+    for (int64_t v : res_scratch) c += v < 0 ? -v : v;
+    return c;
+}
+
+static void encode_subframe(BW& bw, const int64_t* x_in, int64_t n, int bps,
+                            std::vector<int64_t>& xs,
+                            std::vector<int64_t>& d_scratch,
+                            std::vector<int64_t>& res_scratch,
+                            std::vector<uint64_t>& u_scratch,
+                            std::vector<PartPlan>& plan_scratch) {
+    bool all_equal = true;
+    for (int64_t i = 1; i < n; ++i)
+        if (x_in[i] != x_in[0]) { all_equal = false; break; }
+    if (n && all_equal) {
+        bw.write(0, 1);
+        bw.write(0, 6);          // CONSTANT
+        bw.write(0, 1);
+        bw.write_signed(x_in[0], bps);
+        return;
+    }
+    uint64_t acc = 0;
+    for (int64_t i = 0; i < n; ++i) acc |= (uint64_t)x_in[i];
+    int wasted = 0;
+    if (acc) wasted = __builtin_ctzll(acc);
+    if (wasted > bps - 1) wasted = bps - 1;
+    const int eb = bps - wasted;
+    xs.resize((size_t)n);
+    for (int64_t i = 0; i < n; ++i) xs[i] = x_in[i] >> wasted;
+    const int order = pick_fixed_order(xs.data(), n, d_scratch, res_scratch);
+    bw.write(0, 1);
+    bw.write((uint64_t)(8 + order), 6);  // FIXED
+    if (wasted) {
+        bw.write(1, 1);
+        bw.write(1, wasted);     // (wasted-1) zeros then a 1
+    } else {
+        bw.write(0, 1);
+    }
+    for (int i = 0; i < order; ++i) bw.write_signed(xs[(size_t)i], eb);
+    encode_residual(bw, res_scratch.data(), n, order, u_scratch, plan_scratch);
+}
+
+}  // namespace flacenc
+
+extern "C" {
+
+// Encode ONE frame (fixed blocking strategy) from planar int32 codes.
+// Returns the frame's byte length (written into `out`, capacity out_cap)
+// or a negative error.  Bit-identical to flac.py _encode_frame.
+int64_t f9_flac_encode_frame(const int32_t* codes, int64_t n, int64_t stride,
+                             int32_t channels, int32_t bits,
+                             int64_t frame_no, int32_t nominal_block,
+                             int32_t sample_rate,
+                             uint8_t* out, int64_t out_cap) {
+    using namespace flacenc;
+    using flacdec::crc8;
+    using flacdec::crc16;
+    if (channels < 1 || channels > 8 || n < 1) return -7;
+    BW bw;
+    bw.buf.reserve((size_t)(n * channels * 5 + 64));
+    bw.write(0x3FFE, 14);
+    bw.write(0, 1);
+    bw.write(0, 1);              // fixed blocking
+    int bs_code;
+    int bs_extra = -1;           // -1 none, else value (width from code)
+    // blocksize table (flac.py _BLOCKSIZE_CODE)
+    int table_code = 0;
+    switch (n) {
+    case 192: table_code = 1; break;
+    case 576: table_code = 2; break;
+    case 1152: table_code = 3; break;
+    case 2304: table_code = 4; break;
+    case 4608: table_code = 5; break;
+    case 256: table_code = 8; break;
+    case 512: table_code = 9; break;
+    case 1024: table_code = 10; break;
+    case 2048: table_code = 11; break;
+    case 4096: table_code = 12; break;
+    case 8192: table_code = 13; break;
+    case 16384: table_code = 14; break;
+    case 32768: table_code = 15; break;
+    }
+    if (n == nominal_block && table_code) {
+        bs_code = table_code;
+    } else if (n - 1 < 256) {
+        bs_code = 6; bs_extra = (int)(n - 1);
+    } else {
+        bs_code = 7; bs_extra = (int)(n - 1);
+    }
+    bw.write((uint64_t)bs_code, 4);
+    int sr_code = 0;
+    switch (sample_rate) {
+    case 88200: sr_code = 1; break;
+    case 176400: sr_code = 2; break;
+    case 192000: sr_code = 3; break;
+    case 8000: sr_code = 4; break;
+    case 16000: sr_code = 5; break;
+    case 22050: sr_code = 6; break;
+    case 24000: sr_code = 7; break;
+    case 32000: sr_code = 8; break;
+    case 44100: sr_code = 9; break;
+    case 48000: sr_code = 10; break;
+    case 96000: sr_code = 11; break;
+    }
+    bw.write((uint64_t)sr_code, 4);
+
+    // channel assignment decision (2ch only; mirrors flac.py options order)
+    std::vector<int64_t> L, R, S, M, xs, d1, d2, res;
+    std::vector<uint64_t> uz;
+    std::vector<PartPlan> plan;
+    int ch_code;
+    if (channels == 2) {
+        L.resize((size_t)n); R.resize((size_t)n);
+        S.resize((size_t)n); M.resize((size_t)n);
+        for (int64_t i = 0; i < n; ++i) {
+            const int64_t l = codes[i], r = codes[stride + i];
+            L[(size_t)i] = l; R[(size_t)i] = r;
+            S[(size_t)i] = l - r;
+            M[(size_t)i] = (l + r) >> 1;
+        }
+        const int64_t c_l = abs_cost(L.data(), n, d1, res);
+        const int64_t c_r = abs_cost(R.data(), n, d1, res);
+        const int64_t c_s = abs_cost(S.data(), n, d1, res);
+        const int64_t c_m = abs_cost(M.data(), n, d1, res);
+        const int codes4[4] = {0x1, 0x8, 0x9, 0xA};
+        const int64_t costs4[4] = {c_l + c_r, c_l + c_s, c_r + c_s, c_m + c_s};
+        int bi = 0;
+        for (int i = 1; i < 4; ++i) if (costs4[i] < costs4[bi]) bi = i;
+        ch_code = codes4[bi];
+    } else {
+        ch_code = channels - 1;
+    }
+    bw.write((uint64_t)ch_code, 4);
+    int ss_code = 0;
+    switch (bits) {
+    case 8: ss_code = 1; break;
+    case 12: ss_code = 2; break;
+    case 16: ss_code = 4; break;
+    case 20: ss_code = 5; break;
+    case 24: ss_code = 6; break;
+    case 32: ss_code = 7; break;
+    default: return -7;
+    }
+    bw.write((uint64_t)ss_code, 3);
+    bw.write(0, 1);
+    // UTF-8-style coded frame number (flac.py _utf8_coded)
+    {
+        uint64_t fn = (uint64_t)frame_no;
+        if (fn < 0x80) {
+            bw.write(fn, 8);
+        } else {
+            int total = 2;
+            for (; total <= 7; ++total) {
+                const int payload = 6 * (total - 1) + (total < 7 ? 7 - total : 0);
+                if (payload < 64 && fn < (1ull << payload)) break;
+            }
+            if (total > 7) return -7;
+            if (total < 7) {
+                const uint32_t lead = (0xFFu << (8 - total)) & 0xFF;
+                bw.write(lead | (uint32_t)(fn >> (6 * (total - 1))), 8);
+            } else {
+                bw.write(0xFE, 8);
+            }
+            for (int i = total - 2; i >= 0; --i)
+                bw.write(0x80 | ((fn >> (6 * i)) & 0x3F), 8);
+        }
+    }
+    if (bs_extra >= 0) bw.write((uint64_t)bs_extra, bs_code == 6 ? 8 : 16);
+    // header CRC-8 (bw is byte-aligned here)
+    bw.write(crc8(bw.buf.data(), (int64_t)bw.buf.size()), 8);
+
+    if (channels == 2 && ch_code >= 8) {
+        if (ch_code == 8) {
+            encode_subframe(bw, L.data(), n, bits, xs, d1, res, uz, plan);
+            encode_subframe(bw, S.data(), n, bits + 1, xs, d1, res, uz, plan);
+        } else if (ch_code == 9) {
+            encode_subframe(bw, S.data(), n, bits + 1, xs, d1, res, uz, plan);
+            encode_subframe(bw, R.data(), n, bits, xs, d1, res, uz, plan);
+        } else {
+            encode_subframe(bw, M.data(), n, bits, xs, d1, res, uz, plan);
+            encode_subframe(bw, S.data(), n, bits + 1, xs, d1, res, uz, plan);
+        }
+    } else {
+        std::vector<int64_t> chan((size_t)n);
+        for (int c = 0; c < channels; ++c) {
+            for (int64_t i = 0; i < n; ++i) chan[(size_t)i] = codes[c * stride + i];
+            encode_subframe(bw, chan.data(), n, bits, xs, d1, res, uz, plan);
+        }
+    }
+    bw.align();
+    const uint16_t c16 = crc16(bw.buf.data(), (int64_t)bw.buf.size());
+    bw.write(c16, 16);
+    const int64_t len = (int64_t)bw.buf.size();
+    if (len > out_cap) return -8;
+    std::memcpy(out, bw.buf.data(), (size_t)len);
+    return len;
 }
 
 }  // extern "C"

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import ProcessingConfig
-from ..io import aiff, codec, wav
+from ..io import aiff, codec, flac, wav
 from .calibration import CAPTURE_FRAMES, CalibrationCache
 from .graph import process_batch, process_batch_raw
 from .logbook import StatusLog, Throughput
@@ -52,7 +52,7 @@ def build_output_path(src_path: str, output_dir: str, postfix: str,
     """out_dir/<stem><postfix>.<fmt> — mandatory output dir + postfix naming
     (Source/MainComponent.cpp:807-819; AudioProcessingService.swift:652-672)."""
     stem = os.path.splitext(os.path.basename(src_path))[0]
-    ext = "aiff" if fmt == "aiff" else "wav"
+    ext = fmt if fmt in ("aiff", "flac") else "wav"
     return os.path.join(output_dir, f"{stem}{postfix}.{ext}")
 
 
@@ -197,6 +197,7 @@ class BatchProcessor:
             # either byte order); everything else decodes on the host.
             raw_bits = (info.bit_depth
                         if (not info.is_float
+                            and info.container in ("wav", "aiff")
                             and info.bit_depth in (16, 24)
                             and cfg.bits in (16, 24)
                             and cfg.normalize_lufs is None)
@@ -615,7 +616,7 @@ class BatchProcessor:
                     # half-written deliverable (nor a crash leave one at the
                     # final name)
                     part = out_path + ".part"
-                    aiff_out = cfg.output_format == "aiff"
+                    fmt = cfg.output_format
                     prog = None
                     if out_frames >= SUBFILE_PROGRESS_FRAMES:
                         # sub-file encode progress (0.7 -> 1.0 span); the
@@ -624,17 +625,21 @@ class BatchProcessor:
                                 manifest.set_progress(_p, 0.7 + 0.3 * fr))
                     if metrics.get("payload"):
                         # device-packed 24/16-bit bytes: header + fwrite
+                        # (FLAC unpacks to codes on the host — the narrow
+                        # wire is about LINK bytes, which are identical)
                         out_ch = metrics["out_channels"]
                         bpsamp = cfg.bits // 8
-                        writer = (aiff.write_aiff_payload if aiff_out
-                                  else wav.write_wav_payload)
+                        writer = {"aiff": aiff.write_aiff_payload,
+                                  "flac": flac.write_flac_payload,
+                                  }.get(fmt, wav.write_wav_payload)
                         writer(part, codes[: out_frames * out_ch * bpsamp],
                                out_ch, rate_out, bits=cfg.bits,
                                progress_cb=prog,
                                chunk_frames=SUBFILE_PROGRESS_CHUNK)
                     else:
-                        writer = (aiff.write_aiff_codes if aiff_out
-                                  else wav.write_wav_codes)
+                        writer = {"aiff": aiff.write_aiff_codes,
+                                  "flac": flac.write_flac_codes,
+                                  }.get(fmt, wav.write_wav_codes)
                         writer(part, codes[:, :out_frames], rate_out,
                                bits=cfg.bits, progress_cb=prog,
                                chunk_frames=SUBFILE_PROGRESS_CHUNK)

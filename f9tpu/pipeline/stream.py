@@ -26,7 +26,11 @@ import numpy as np
 
 from ..config import ProcessingConfig
 from ..io.aiff import AiffWriter
+from ..io.flac import FlacWriter
 from ..io.wav import WavWriter
+
+#: output container -> incremental writer (shared open/append/close shape)
+_WRITERS = {"aiff": AiffWriter, "flac": FlacWriter}
 from ..models.filters import design_cycle_bank
 from ..ops import dither
 from ..ops.resample import resample_presliced
@@ -700,7 +704,7 @@ def _stream_resample_impl(
         # codes narrow to int16 (2 B/sample).  Bytes on disk are identical
         # to the int32-wire form (the writers pack int32 to the same layout).
         wire = {24: "pack24", 16: "i16"}.get(cfg.bits)
-        writer_cls = AiffWriter if cfg.output_format == "aiff" else WavWriter
+        writer_cls = _WRITERS.get(cfg.output_format, WavWriter)
         with writer_cls(part, out_ch, cfg.target_rate,
                         bits=cfg.bits) as writer:
             # Latency trim (chain group delay): drop the first `lat` emitted
@@ -1063,7 +1067,7 @@ def _stream_sharded(reader, routed_read, out_ch, silent, out_path, cfg, bank,
     env_rms = want_env and cfg.tail_mode == "rms"
     silent_t = tuple(silent) if silent else None
 
-    writer_cls = AiffWriter if cfg.output_format == "aiff" else WavWriter
+    writer_cls = _WRITERS.get(cfg.output_format, WavWriter)
     with writer_cls(out_path, C, cfg.target_rate, bits=cfg.bits) as writer:
         em = _Emitter(writer, detector, lat=lat, out_limit=out_limit,
                       out_total=out_total, progress_cb=progress_cb,

@@ -1,0 +1,620 @@
+"""FLAC codec tests: encoder round-trips, decoder-only spec features via
+hand-built streams, corruption detection, the incremental reader, and the
+pipeline surface (batch + stream byte parity with WAV sources).
+
+The reference registers JUCE's basic formats — WAV, AIFF, FLAC, Ogg
+(Source/MainComponent.cpp:13, Source/AppState.h:153) — so FLAC sources are
+part of its drop-zone surface; these tests pin f9tpu's match of it."""
+
+import os
+
+import numpy as np
+import pytest
+
+from f9tpu.io import codec
+from f9tpu.io import flac
+from f9tpu.io.flac import (
+    FlacReader,
+    FlacWriter,
+    _BitReader,
+    _BitWriter,
+    _crc8,
+    _crc16,
+    _utf8_coded,
+    _read_utf8_num,
+    probe_flac,
+    read_flac,
+    read_flac_codes,
+    write_flac,
+    write_flac_codes,
+)
+from f9tpu.io.wav import read_wav, write_wav
+
+
+@pytest.fixture(params=["native", "python"])
+def decode_path(request, monkeypatch):
+    """Run decoder tests against BOTH the native C++ frame decoder and the
+    pure-Python spec oracle (they must agree bit-for-bit)."""
+    if request.param == "python":
+        from f9tpu import native
+
+        monkeypatch.setattr(native, "flac_available", lambda: False)
+    else:
+        from f9tpu import native
+
+        if not native.available():
+            pytest.skip(f"native unavailable: {native.build_error()}")
+    return request.param
+
+
+def tonal(ch, n, bits, seed=0):
+    rng = np.random.default_rng(seed)
+    lim = 1 << (bits - 1)
+    t = np.arange(n)
+    base = np.stack([
+        0.6 * lim * np.sin(2 * np.pi * (110 + 70 * c) * t / 44100)
+        for c in range(ch)])
+    return (base + rng.normal(0, max(1.0, lim * 1e-4), (ch, n))).astype(np.int64)
+
+
+# --------------------------------------------------------------------------
+# encoder round-trips
+# --------------------------------------------------------------------------
+
+@pytest.mark.parametrize("bits", [8, 12, 16, 20, 24, 32])
+def test_roundtrip_bit_depths(tmp_path, bits, decode_path):
+    codes = tonal(2, 9991, bits, seed=bits)
+    p = str(tmp_path / "t.flac")
+    write_flac_codes(p, codes, 48000, bits=bits)
+    dec, si = read_flac_codes(p)
+    assert si.bits == bits and si.sample_rate == 48000
+    assert np.array_equal(dec, codes)
+
+
+@pytest.mark.parametrize("ch", [1, 2, 3, 6, 8])
+def test_roundtrip_channel_counts(tmp_path, ch, decode_path):
+    codes = tonal(ch, 5000, 24, seed=ch)
+    p = str(tmp_path / "t.flac")
+    write_flac_codes(p, codes, 96000, bits=24)
+    dec, _ = read_flac_codes(p)
+    assert np.array_equal(dec, codes)
+
+
+def test_roundtrip_fuzz(tmp_path, decode_path):
+    """Random shapes x signal classes: silence, constant, full-scale noise
+    (escape partitions), tonal (rice), shifted low-res (wasted bits)."""
+    rng = np.random.default_rng(7)
+    for trial in range(40):
+        bits = int(rng.choice([8, 16, 24, 32]))
+        ch = int(rng.choice([1, 2, 4]))
+        n = int(rng.choice([1, 3, 192, 4095, 4096, 4097, 9000]))
+        lim = 1 << (bits - 1)
+        kind = int(rng.integers(0, 5))
+        if kind == 0:
+            codes = np.zeros((ch, n), np.int64)
+        elif kind == 1:
+            codes = np.full((ch, n), -(lim // 3), np.int64)
+        elif kind == 2:
+            codes = rng.integers(-lim, lim, (ch, n)).astype(np.int64)
+        elif kind == 3:
+            codes = tonal(ch, n, bits, seed=trial)
+        else:
+            t = np.arange(n)
+            codes = np.stack([
+                ((lim >> 9) * np.sin(2 * np.pi * (100 + 37 * c) * t / 44100)
+                 ).astype(np.int64) << 6 for c in range(ch)])
+        rate = int(rng.choice([44100, 48000, 12345]))
+        p = str(tmp_path / f"f{trial}.flac")
+        write_flac_codes(p, codes, rate, bits=bits)
+        dec, si = read_flac_codes(p)
+        assert si.sample_rate == rate
+        assert np.array_equal(dec, codes), (trial, bits, ch, n, kind)
+
+
+def test_native_encoder_bit_parity():
+    """The C++ encoder must produce BIT-IDENTICAL frames to the Python
+    oracle for every signal class (the deterministic integer searches —
+    rice k, partition order, stereo assignment, fixed order, escapes,
+    wasted bits — are mirrored exactly)."""
+    from f9tpu import native
+
+    if not native.available():
+        pytest.skip(f"native unavailable: {native.build_error()}")
+    rng = np.random.default_rng(31)
+    for trial in range(25):
+        bits = int(rng.choice([8, 12, 16, 20, 24, 32]))
+        ch = int(rng.choice([1, 2, 2, 2, 6]))
+        n = int(rng.choice([1, 2, 192, 1000, 4096, 4097]))
+        lim = 1 << (bits - 1)
+        kind = int(rng.integers(0, 6))
+        if kind == 0:
+            codes = np.zeros((ch, n), np.int64)
+        elif kind == 1:
+            codes = np.full((ch, n), -(lim // 7), np.int64)
+        elif kind == 2:
+            codes = rng.integers(-lim, lim, (ch, n)).astype(np.int64)
+        elif kind == 3:
+            codes = tonal(ch, n, bits, seed=trial)
+        elif kind == 4:
+            t = np.arange(n)
+            codes = np.stack([
+                ((lim >> 9) * np.sin(2 * np.pi * (99 + 31 * c) * t / 44100)
+                 ).astype(np.int64) << 5 for c in range(ch)])
+        else:  # near-identical channels: exercises mid/side & left/side
+            t = np.arange(n)
+            base = (0.6 * lim * np.sin(2 * np.pi * 123 * t / 44100)
+                    ).astype(np.int64)
+            codes = np.stack([base + rng.integers(-3, 4, n)
+                              for _ in range(ch)])
+        si = flac.StreamInfo(4096, 4096, 0, 0, 44100, ch, bits, n,
+                             b"\x00" * 16, 0)
+        py = flac._encode_frame(codes, trial, si, 4096)
+        nat = native.flac_encode_frame(codes, bits, trial, 4096, 44100)
+        assert py == nat, (trial, bits, ch, n, kind)
+
+
+def test_actually_compresses(tmp_path):
+    codes = tonal(2, 44100, 16, seed=1)
+    p = str(tmp_path / "t.flac")
+    write_flac_codes(p, codes, 44100, bits=16)
+    assert os.path.getsize(p) < 0.75 * codes.size * 2
+
+
+def test_write_flac_float_quantize(tmp_path):
+    x = (0.4 * np.sin(2 * np.pi * 440 * np.arange(4000) / 44100)
+         ).astype(np.float32)[None, :]
+    p = str(tmp_path / "t.flac")
+    write_flac(p, x, 44100, bits=16)
+    y, rate = read_flac(p)
+    assert rate == 44100
+    assert np.abs(y - x).max() <= 2 ** -15
+
+
+def test_probe_fields(tmp_path):
+    codes = tonal(3, 777, 24)
+    p = str(tmp_path / "t.flac")
+    write_flac_codes(p, codes, 88200, bits=24)
+    info = probe_flac(p)
+    assert (info.sample_rate, info.num_channels, info.num_frames,
+            info.bit_depth, info.is_float, info.container) == \
+        (88200, 3, 777, 24, False, "flac")
+
+
+def test_incremental_writer_matches_one_shot(tmp_path):
+    """FlacWriter fed in odd-sized pieces produces a stream that decodes
+    identically to the one-shot write (frame boundaries are the writer's
+    own; appends must not leak into emitted frames)."""
+    codes = tonal(2, 10240, 16, seed=3)
+    a, b = str(tmp_path / "a.flac"), str(tmp_path / "b.flac")
+    write_flac_codes(a, codes, 48000, bits=16)
+    with FlacWriter(b, 2, 48000, bits=16) as w:
+        pos = 0
+        for step in (1, 999, 4096, 123, 5021):
+            w.append_codes(codes[:, pos:pos + step])
+            pos += step
+        w.append_codes(codes[:, pos:])
+    assert open(a, "rb").read() == open(b, "rb").read()
+
+
+# --------------------------------------------------------------------------
+# decoder-only spec features (hand-built streams)
+# --------------------------------------------------------------------------
+
+def _container(frames: bytes, rate=44100, ch=1, bits=16, total=0) -> bytes:
+    si = flac.StreamInfo(4096, 4096, 0, 0, rate, ch, bits, total,
+                         b"\x00" * 16, 0)
+    return (b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big")
+            + flac._pack_streaminfo_simple(si) + frames)
+
+
+def _frame_header(bw, blocksize, rate_code, ch_code, ss_code, number=0,
+                  variable=False, bs_extra=None, sr_extra=None):
+    bw.write(0x3FFE, 14)
+    bw.write(0, 1)
+    bw.write(1 if variable else 0, 1)
+    bw.write(blocksize, 4)
+    bw.write(rate_code, 4)
+    bw.write(ch_code, 4)
+    bw.write(ss_code, 3)
+    bw.write(0, 1)
+    for byte in _utf8_coded(number):
+        bw.write(byte, 8)
+    if bs_extra is not None:
+        nbits, val = bs_extra
+        bw.write(val, nbits)
+    if sr_extra is not None:
+        nbits, val = sr_extra
+        bw.write(val, nbits)
+    bw.write(_crc8(bytes(bw.buf)), 8)
+
+
+def _finish_frame(bw) -> bytes:
+    bw.align()
+    body = bytes(bw.buf)
+    bw.write(_crc16(body), 16)
+    return bw.getvalue()
+
+
+def test_decode_lpc_subframe(tmp_path, decode_path):
+    """Hand-built LPC subframe: the decoder must reproduce the recurrence
+    s[i] = (sum c[j]*s[i-1-j] >> shift) + res[i] exactly (RFC 9639 sec.
+    9.2.5).  The expectation is computed independently here."""
+    n, order, shift = 64, 3, 4
+    coefs = [19, -11, 5]
+    warm = [100, -200, 300]
+    res = list(range(-30, 31))                # n - order = 61 values
+    assert len(res) == n - order
+    # independent model
+    exp = list(warm)
+    for i in range(order, n):
+        acc = sum(coefs[j] * exp[i - 1 - j] for j in range(order))
+        exp.append((acc >> shift) + res[i - order])
+
+    bw = _BitWriter()
+    _frame_header(bw, 6, 9, 0, 4, number=0, bs_extra=(8, n - 1))
+    bw.write(0, 1)
+    bw.write(32 + (order - 1), 6)             # LPC, order 3
+    bw.write(0, 1)                            # no wasted bits
+    for v in warm:
+        bw.write_signed(v, 16)
+    prec = 6
+    bw.write(prec - 1, 4)
+    bw.write_signed(shift, 5)
+    for c in coefs:
+        bw.write_signed(c, prec)
+    # residual: method 0, partition order 0, rice k=6
+    bw.write(0, 2)
+    bw.write(0, 4)
+    k = 6
+    bw.write(k, 4)
+    for v in res:
+        u = (v << 1) ^ (v >> 63) if v >= 0 else ((-v) << 1) - 1
+        q = u >> k
+        bw.write(1, q + 1)
+        bw.write(u & ((1 << k) - 1), k)
+    p = str(tmp_path / "lpc.flac")
+    with open(p, "wb") as f:
+        f.write(_container(_finish_frame(bw), ch=1, bits=16, total=n))
+    dec, _ = read_flac_codes(p, verify_md5=False)
+    assert dec.shape == (1, n)
+    assert dec[0].tolist() == exp
+
+
+def test_decode_verbatim_and_constant(tmp_path, decode_path):
+    n = 16
+    vals = list(range(-8, 8))
+    bw = _BitWriter()
+    _frame_header(bw, 6, 9, 1, 4, number=0, bs_extra=(8, n - 1))  # 2ch indep
+    bw.write(0, 1)
+    bw.write(1, 6)                            # VERBATIM
+    bw.write(0, 1)
+    for v in vals:
+        bw.write_signed(v, 16)
+    bw.write(0, 1)
+    bw.write(0, 6)                            # CONSTANT
+    bw.write(0, 1)
+    bw.write_signed(-12345, 16)
+    p = str(tmp_path / "vc.flac")
+    with open(p, "wb") as f:
+        f.write(_container(_finish_frame(bw), ch=2, bits=16, total=n))
+    dec, _ = read_flac_codes(p, verify_md5=False)
+    assert dec[0].tolist() == vals
+    assert (dec[1] == -12345).all()
+
+
+def test_decode_variable_blocking_and_rate_codes(tmp_path, decode_path):
+    """Variable blocking strategy (sample-number coded headers) plus the
+    three get-N-bit sample-rate codes (12/13/14)."""
+    for sr_code, sr_extra, want_rate in [
+        (12, (8, 33), 33000),      # 8-bit kHz
+        (13, (16, 44056), 44056),  # 16-bit Hz
+        (14, (16, 4410), 44100),   # 16-bit Hz/10
+    ]:
+        n = 8
+        bw = _BitWriter()
+        _frame_header(bw, 6, sr_code, 0, 4, number=0, variable=True,
+                      bs_extra=(8, n - 1), sr_extra=sr_extra)
+        bw.write(0, 1)
+        bw.write(0, 6)
+        bw.write(0, 1)
+        bw.write_signed(99, 16)
+        p = str(tmp_path / f"r{sr_code}.flac")
+        with open(p, "wb") as f:
+            f.write(_container(_finish_frame(bw), rate=want_rate, ch=1,
+                               bits=16, total=n))
+        dec, si = read_flac_codes(p, verify_md5=False)
+        assert (dec == 99).all()
+        # the frame-level rate must parse; STREAMINFO carries it too
+        assert si.sample_rate == want_rate
+
+
+def test_decode_wasted_bits(tmp_path, decode_path):
+    """A constant subframe with 3 wasted bits: stored at 13 bits, output
+    left-shifted by 3 (RFC 9639 sec. 9.2.2)."""
+    n = 8
+    bw = _BitWriter()
+    _frame_header(bw, 6, 9, 0, 4, number=0, bs_extra=(8, n - 1))
+    bw.write(0, 1)
+    bw.write(0, 6)
+    bw.write(1, 1)          # wasted-bits flag
+    bw.write(1, 3)          # unary 2 -> wasted = 3
+    bw.write_signed(-500, 13)
+    p = str(tmp_path / "w.flac")
+    with open(p, "wb") as f:
+        f.write(_container(_finish_frame(bw), ch=1, bits=16, total=n))
+    dec, _ = read_flac_codes(p, verify_md5=False)
+    assert (dec == -500 << 3).all()
+
+
+def test_utf8_coded_number_roundtrip():
+    for n in [0, 1, 0x7F, 0x80, 0x7FF, 0x800, 0xFFFF, 0x10FFFF,
+              (1 << 31) - 1, (1 << 36) - 1]:
+        enc = _utf8_coded(n)
+        br = _BitReader(enc)
+        assert _read_utf8_num(br) == n, n
+    with pytest.raises(ValueError):
+        _utf8_coded(1 << 36)
+
+
+def test_id3_tag_skipped(tmp_path):
+    codes = tonal(1, 500, 16)
+    p = str(tmp_path / "t.flac")
+    write_flac_codes(p, codes, 44100, bits=16)
+    raw = open(p, "rb").read()
+    tagged = str(tmp_path / "tagged.flac")
+    body = b"\x00" * 40
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, len(body) >> 7, len(body) & 0x7F])
+    with open(tagged, "wb") as f:
+        f.write(id3 + body + raw)
+    dec, _ = read_flac_codes(tagged)
+    assert np.array_equal(dec, codes)
+
+
+# --------------------------------------------------------------------------
+# corruption / robustness
+# --------------------------------------------------------------------------
+
+def test_corrupt_frame_detected(tmp_path, decode_path):
+    codes = tonal(2, 8000, 16)
+    p = str(tmp_path / "t.flac")
+    write_flac_codes(p, codes, 44100, bits=16)
+    raw = bytearray(open(p, "rb").read())
+    raw[len(raw) // 2] ^= 0x40           # flip a bit mid-frame
+    open(p, "wb").write(bytes(raw))
+    with pytest.raises(ValueError):
+        read_flac_codes(p)
+
+
+def test_truncated_stream_detected(tmp_path, decode_path):
+    codes = tonal(1, 9000, 16)
+    p = str(tmp_path / "t.flac")
+    write_flac_codes(p, codes, 44100, bits=16)
+    raw = open(p, "rb").read()
+    open(p, "wb").write(raw[: len(raw) - len(raw) // 3])
+    with pytest.raises(ValueError, match="truncated|CRC|sync"):
+        read_flac_codes(p)
+
+
+def test_unknown_length_rejected(tmp_path):
+    p = str(tmp_path / "t.flac")
+    with open(p, "wb") as f:
+        f.write(_container(b"", total=0))
+    with pytest.raises(ValueError, match="unknown length"):
+        probe_flac(p)
+
+
+def test_not_flac_rejected(tmp_path):
+    p = str(tmp_path / "t.flac")
+    open(p, "wb").write(b"RIFFxxxxWAVE")
+    with pytest.raises(ValueError, match="not a FLAC"):
+        probe_flac(p)
+
+
+# --------------------------------------------------------------------------
+# incremental reader
+# --------------------------------------------------------------------------
+
+def test_reader_chunk_invariance(tmp_path, decode_path):
+    codes = tonal(2, 20000, 24, seed=9)
+    p = str(tmp_path / "t.flac")
+    write_flac_codes(p, codes, 48000, bits=24)
+    whole, _ = read_flac(p)
+    for step in (1, 100, 4096, 4097, 19999):
+        with FlacReader(p) as r:
+            parts = [r.read(i, step) for i in range(0, 20000, step)]
+        assert np.array_equal(np.concatenate(parts, axis=1), whole), step
+
+
+def test_reader_backward_seek_and_eof(tmp_path, decode_path):
+    codes = tonal(1, 15000, 16, seed=4)
+    p = str(tmp_path / "t.flac")
+    write_flac_codes(p, codes, 44100, bits=16)
+    whole, _ = read_flac(p)
+    with FlacReader(p) as r:
+        assert r.num_frames == 15000 and r.sample_rate == 44100
+        tail = r.read(14000, 5000)          # clipped at EOF
+        assert np.array_equal(tail, whole[:, 14000:])
+        back = r.read(37, 100)              # backward seek after EOF read
+        assert np.array_equal(back, whole[:, 37:137])
+        assert r.read(15000, 10).shape == (1, 0)
+        assert r.read(-5, 3).shape == (1, 3)
+
+
+# --------------------------------------------------------------------------
+# dispatch + pipeline surface
+# --------------------------------------------------------------------------
+
+def test_codec_dispatch(tmp_path):
+    codes = tonal(2, 1000, 16)
+    p = str(tmp_path / "t.flac")
+    write_flac_codes(p, codes, 44100, bits=16)
+    assert codec.is_supported(p)
+    info = codec.probe(p)
+    assert info.container == "flac"
+    x, rate = codec.read_audio(p)
+    assert rate == 44100 and x.shape == (2, 1000)
+    with codec.open_reader(p) as r:
+        assert np.array_equal(r.read(0, 1000), x)
+    with pytest.raises(ValueError, match="no raw-PCM"):
+        codec.read_raw_pcm(p)
+
+
+def test_lossy_formats_rejected_with_reason(tmp_path):
+    for ext, frag in [(".ogg", "lossy"), (".mp3", "lossy"),
+                      (".m4a", "not supported")]:
+        p = str(tmp_path / f"x{ext}")
+        open(p, "wb").write(b"\x00" * 64)
+        assert not codec.is_supported(p)
+        with pytest.raises(ValueError, match=frag):
+            codec.probe(p)
+
+
+def test_batch_flac_matches_wav_bytes(tmp_path):
+    """A FLAC source and a WAV source holding the SAME samples produce
+    byte-identical batch output with dither off (FLAC decodes on the host;
+    24-bit WAV rides the raw device wire — the two decode paths must
+    agree bitwise)."""
+    from f9tpu.config import ProcessingConfig
+    from f9tpu.pipeline.scheduler import BatchProcessor
+
+    n = 44100
+    t = np.arange(n)
+    x = np.stack([0.5 * np.sin(2 * np.pi * 440 * t / 44100),
+                  0.4 * np.sin(2 * np.pi * 220 * t / 44100)])
+    codes = np.clip(np.round(x * (1 << 23)), -(1 << 23),
+                    (1 << 23) - 1).astype(np.int64)
+    xq = (codes / (1 << 23)).astype(np.float32)
+    fp = str(tmp_path / "src_a.flac")
+    wp = str(tmp_path / "src_b.wav")
+    write_flac_codes(fp, codes, 44100, bits=24)
+    write_wav(wp, xq, 44100, bits=24)
+    out = str(tmp_path / "out")
+    cfg = ProcessingConfig(target_rate=48000, output_dir=out, bits=24,
+                           dither=False)
+    res = BatchProcessor(cfg).run([fp, wp])
+    assert res.completed == 2 and res.failed == 0
+    a, _ = read_wav(os.path.join(out, "src_a_processed.wav"))
+    b, _ = read_wav(os.path.join(out, "src_b_processed.wav"))
+    assert np.array_equal(a, b)
+
+
+def test_stream_flac_matches_wav_bytes(tmp_path):
+    from f9tpu.config import ProcessingConfig
+    from f9tpu.pipeline.stream import stream_resample_file
+
+    n = 44100 * 2
+    t = np.arange(n)
+    x = np.stack([0.5 * np.sin(2 * np.pi * 440 * t / 44100),
+                  0.4 * np.sin(2 * np.pi * 220 * t / 44100)])
+    codes = np.clip(np.round(x * (1 << 23)), -(1 << 23),
+                    (1 << 23) - 1).astype(np.int64)
+    xq = (codes / (1 << 23)).astype(np.float32)
+    fp = str(tmp_path / "src.flac")
+    wp = str(tmp_path / "src.wav")
+    write_flac_codes(fp, codes, 44100, bits=24)
+    write_wav(wp, xq, 44100, bits=24)
+    cfg = ProcessingConfig(target_rate=48000, output_dir=str(tmp_path),
+                           bits=24, dither=False)
+    o1, o2 = str(tmp_path / "o1.wav"), str(tmp_path / "o2.wav")
+    stream_resample_file(fp, o1, cfg, chunk_seconds=0.7)
+    stream_resample_file(wp, o2, cfg, chunk_seconds=0.7)
+    a, _ = read_wav(o1)
+    b, _ = read_wav(o2)
+    assert np.array_equal(a, b)
+
+
+def test_batch_flac_output(tmp_path):
+    """output_format='flac': the batch scheduler writes decodable FLAC
+    deliverables at every depth, and the 24-bit one carries the same codes
+    as the WAV deliverable from an identical run (the payload wire is
+    container-independent)."""
+    from f9tpu.config import ProcessingConfig
+    from f9tpu.pipeline.scheduler import BatchProcessor
+    from f9tpu.io.wav import read_wav as _read_wav
+
+    n = 44100
+    t = np.arange(n)
+    x = np.stack([0.5 * np.sin(2 * np.pi * 440 * t / 44100),
+                  0.4 * np.sin(2 * np.pi * 220 * t / 44100)]
+                 ).astype(np.float32)
+    src = str(tmp_path / "src.wav")
+    write_wav(src, x, 44100, bits=24)
+    outs = {}
+    for fmt in ("flac", "wav"):
+        out = str(tmp_path / f"out_{fmt}")
+        cfg = ProcessingConfig(target_rate=48000, output_dir=out, bits=24,
+                               output_format=fmt)
+        res = BatchProcessor(cfg).run([src])
+        assert res.completed == 1 and res.failed == 0
+        outs[fmt] = os.path.join(out, f"src_processed.{fmt}")
+    yf, rf = read_flac(outs["flac"])
+    yw, rw = _read_wav(outs["wav"])
+    assert rf == rw == 48000
+    assert np.array_equal(yf, yw)
+    # lossless container: smaller than the PCM twin for tonal material
+    assert os.path.getsize(outs["flac"]) < os.path.getsize(outs["wav"])
+
+
+def test_stream_flac_output_chunk_invariant(tmp_path):
+    """Streamed FLAC deliverables are bitwise chunk-size invariant — the
+    codes contract all containers share, surviving FLAC's own framing."""
+    from f9tpu.config import ProcessingConfig
+    from f9tpu.pipeline.stream import stream_resample_file
+
+    n = 44100 * 2
+    t = np.arange(n)
+    x = np.stack([0.5 * np.sin(2 * np.pi * 440 * t / 44100),
+                  0.4 * np.sin(2 * np.pi * 220 * t / 44100)]
+                 ).astype(np.float32)
+    src = str(tmp_path / "src.wav")
+    write_wav(src, x, 44100, bits=24)
+    cfg = ProcessingConfig(target_rate=48000, output_dir=str(tmp_path),
+                           bits=24, output_format="flac")
+    o1, o2 = str(tmp_path / "o1.flac"), str(tmp_path / "o2.flac")
+    stream_resample_file(src, o1, cfg, chunk_seconds=0.311)
+    stream_resample_file(src, o2, cfg, chunk_seconds=1.13)
+    assert open(o1, "rb").read() == open(o2, "rb").read()
+    # and the codes equal the WAV-container stream byte-for-byte
+    o3 = str(tmp_path / "o3.wav")
+    cfg_wav = ProcessingConfig(target_rate=48000, output_dir=str(tmp_path),
+                               bits=24, output_format="wav")
+    stream_resample_file(src, o3, cfg_wav, chunk_seconds=0.311)
+    yf, _ = read_flac(o1)
+    yw, _ = read_wav(o3)
+    assert np.array_equal(yf, yw)
+
+
+def test_stream_flac_output_16bit(tmp_path):
+    """16-bit stream: the i16 D2H wire feeds FlacWriter.append_codes."""
+    from f9tpu.config import ProcessingConfig
+    from f9tpu.pipeline.stream import stream_resample_file
+
+    x = (0.5 * np.sin(2 * np.pi * 440 * np.arange(22050) / 44100)
+         ).astype(np.float32)[None, :]
+    src = str(tmp_path / "src.wav")
+    write_wav(src, x, 44100, bits=24)
+    cfg = ProcessingConfig(target_rate=48000, output_dir=str(tmp_path),
+                           bits=16, output_format="flac")
+    o = str(tmp_path / "o.flac")
+    stream_resample_file(src, o, cfg, chunk_seconds=0.4)
+    y, rate = read_flac(o)
+    assert rate == 48000 and y.shape[0] == 1
+    info = probe_flac(o)
+    assert info.bit_depth == 16
+
+
+def test_md5_detects_payload_tamper(tmp_path, decode_path):
+    """A stream whose frames are individually valid but whose STREAMINFO
+    MD5 disagrees must be rejected: re-encode one frame's worth of audio
+    with different content but keep the original STREAMINFO."""
+    codes = tonal(1, 4096, 16, seed=5)
+    p1, p2 = str(tmp_path / "a.flac"), str(tmp_path / "b.flac")
+    write_flac_codes(p1, codes, 44100, bits=16)
+    write_flac_codes(p2, codes + 1, 44100, bits=16)
+    head = open(p1, "rb").read()
+    body = open(p2, "rb").read()
+    si_end = 4 + 4 + 34
+    franken = head[:si_end] + body[si_end:]
+    open(p1, "wb").write(franken)
+    with pytest.raises(ValueError, match="MD5"):
+        read_flac_codes(p1)
