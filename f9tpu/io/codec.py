@@ -136,7 +136,9 @@ def carry_metadata(in_path: str, out_path: str, output_format: str,
     """Same-container metadata passthrough (--keep-metadata): WAV->WAV
     carries bext/LIST/cue/smpl/iXML with sample-indexed fields rescaled;
     AIFF->AIFF carries NAME/AUTH/ANNO/COMT/MARK/INST with marker positions
-    rescaled.  Chunk formats don't translate across RIFF <-> IFF, so
+    rescaled; FLAC->FLAC carries VORBIS_COMMENT/PICTURE/APPLICATION blocks
+    verbatim (position-free).  Chunk formats don't translate across
+    containers, so
     cross-container jobs carry nothing.  The ONE carry rule for the batch
     encode worker and the streaming path (they must never drift: metadata
     survival would otherwise depend on file length via the oversized-file
@@ -155,3 +157,9 @@ def carry_metadata(in_path: str, out_path: str, output_format: str,
 
         append_chunks_aiff(out_path, scale_metadata_chunks_aiff(
             read_extra_chunks_aiff(in_path), rate_in, rate_out))
+    elif src_kind == "flac" and output_format == "flac":
+        # VORBIS_COMMENT tags / PICTURE art / APPLICATION blocks are
+        # position-free: carried verbatim, nothing to rescale
+        from .flac import insert_blocks_flac, read_extra_blocks_flac
+
+        insert_blocks_flac(out_path, read_extra_blocks_flac(in_path))

@@ -1163,6 +1163,96 @@ def write_flac_payload(path: str, payload: np.ndarray, channels: int,
                 progress_cb(min(1.0, (pos + chunk_frames) / max(n, 1)))
 
 
+# metadata block types worth carrying through processing: APPLICATION,
+# VORBIS_COMMENT (tags), PICTURE (cover art).  All position-free, so —
+# unlike WAV cue/smpl or AIFF MARK — nothing needs rescaling to the
+# output rate.  SEEKTABLE/CUESHEET hold sample positions for the OLD
+# stream and are deliberately not carried.
+_CARRY_BLOCK_TYPES = (2, 4, 6)
+
+
+def read_extra_blocks_flac(path: str, max_bytes: int = 1 << 24
+                           ) -> list[tuple[int, bytes]]:
+    """Carryable metadata blocks as [(block_type, payload), ...] in file
+    order (the FLAC twin of `wav.read_extra_chunks`).  Oversized blocks
+    (> max_bytes) are skipped — almost certainly corrupt sizes."""
+    out: list[tuple[int, bytes]] = []
+    with open(path, "rb") as f:
+        head = f.read(4)
+        if head[:3] == b"ID3":
+            rest = f.read(6)
+            size = ((rest[2] & 0x7F) << 21) | ((rest[3] & 0x7F) << 14) \
+                | ((rest[4] & 0x7F) << 7) | (rest[5] & 0x7F)
+            f.seek(size, os.SEEK_CUR)
+            head = f.read(4)
+        if head != _MAGIC:
+            raise ValueError(f"{path}: not a FLAC file")
+        while True:
+            hdr = f.read(4)
+            if len(hdr) < 4:
+                raise ValueError(f"{path}: truncated metadata")
+            last = bool(hdr[0] & 0x80)
+            btype = hdr[0] & 0x7F
+            size = int.from_bytes(hdr[1:4], "big")
+            if btype in _CARRY_BLOCK_TYPES and size <= max_bytes:
+                out.append((btype, f.read(size)))
+            else:
+                f.seek(size, os.SEEK_CUR)
+            if last:
+                break
+    return out
+
+
+def insert_blocks_flac(path: str, blocks: list[tuple[int, bytes]]) -> None:
+    """Insert metadata blocks into an existing FLAC file's metadata chain
+    (FLAC blocks precede the frames, so unlike RIFF/IFF appends this is a
+    splice: head + blocks + frames into a sibling temp, then an atomic
+    replace — the original stays valid on any failure)."""
+    if not blocks:
+        return
+    with open(path, "rb") as f:
+        si = _scan_metadata(f, path)
+    tmp = f"{path}.meta-tmp-{os.getpid()}"
+    try:
+        with open(path, "rb") as src, open(tmp, "wb") as dst:
+            head = src.read(si.first_frame_offset)
+            # clear the is-last flag on the existing final metadata block:
+            # walk the chain inside `head` to find it
+            magic_off = 0
+            if head[:3] == b"ID3":
+                magic_off = 10 + (((head[6] & 0x7F) << 21)
+                                  | ((head[7] & 0x7F) << 14)
+                                  | ((head[8] & 0x7F) << 7)
+                                  | (head[9] & 0x7F))
+            if head[magic_off:magic_off + 4] != _MAGIC:
+                raise ValueError(f"{path}: not a FLAC file")
+            pos = magic_off + 4
+            while True:
+                flag = head[pos]
+                size = int.from_bytes(head[pos + 1:pos + 4], "big")
+                if flag & 0x80:
+                    head = head[:pos] + bytes([flag & 0x7F]) + head[pos + 1:]
+                    break
+                pos += 4 + size
+            dst.write(head)
+            for i, (btype, payload) in enumerate(blocks):
+                last = 0x80 if i == len(blocks) - 1 else 0
+                dst.write(bytes([last | btype])
+                          + len(payload).to_bytes(3, "big") + payload)
+            while True:
+                chunk = src.read(1 << 22)
+                if not chunk:
+                    break
+                dst.write(chunk)
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+
+
 def write_flac(path: str, x: np.ndarray, rate: int, bits: int = 24) -> None:
     """Planar float32 in [-1, 1) -> FLAC, quantized by round-to-nearest
     with clip (the `write_wav` contract; callers wanting shaped dither

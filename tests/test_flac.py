@@ -603,6 +603,85 @@ def test_stream_flac_output_16bit(tmp_path):
     assert info.bit_depth == 16
 
 
+def _vorbis_comment(pairs):
+    vendor = b"f9tpu-test"
+    body = len(vendor).to_bytes(4, "little") + vendor
+    body += len(pairs).to_bytes(4, "little")
+    for k, v in pairs:
+        kv = f"{k}={v}".encode()
+        body += len(kv).to_bytes(4, "little") + kv
+    return body
+
+
+def test_metadata_blocks_roundtrip(tmp_path):
+    """read_extra_blocks_flac / insert_blocks_flac: tags and art survive a
+    splice and the spliced file still decodes with its MD5 intact."""
+    from f9tpu.io.flac import insert_blocks_flac, read_extra_blocks_flac
+
+    codes = tonal(2, 5000, 16)
+    p = str(tmp_path / "t.flac")
+    write_flac_codes(p, codes, 44100, bits=16)
+    vc = _vorbis_comment([("TITLE", "Night Stem"), ("ARTIST", "F9")])
+    pic = b"\x00" * 16 + b"fakejpegbytes"
+    insert_blocks_flac(p, [(4, vc), (6, pic)])
+    got = read_extra_blocks_flac(p)
+    assert got == [(4, vc), (6, pic)]
+    dec, _ = read_flac_codes(p)                 # MD5 still verifies
+    assert np.array_equal(dec, codes)
+    # a second splice stacks more blocks without corrupting the chain
+    insert_blocks_flac(p, [(2, b"APPLbody")])
+    assert read_extra_blocks_flac(p) == [(4, vc), (6, pic), (2, b"APPLbody")]
+    dec2, _ = read_flac_codes(p)
+    assert np.array_equal(dec2, codes)
+
+
+def test_keep_metadata_flac_to_flac(tmp_path):
+    """--keep-metadata carries VORBIS_COMMENT tags through a FLAC->FLAC
+    batch job (the same-container carry rule all formats share)."""
+    from f9tpu.config import ProcessingConfig
+    from f9tpu.pipeline.scheduler import BatchProcessor
+    from f9tpu.io.flac import insert_blocks_flac, read_extra_blocks_flac
+
+    codes = tonal(2, 44100, 24, seed=8)
+    src = str(tmp_path / "tagged.flac")
+    write_flac_codes(src, codes, 44100, bits=24)
+    vc = _vorbis_comment([("ALBUM", "Parity Sessions")])
+    insert_blocks_flac(src, [(4, vc)])
+    out = str(tmp_path / "out")
+    cfg = ProcessingConfig(target_rate=48000, output_dir=out, bits=24,
+                           output_format="flac", keep_metadata=True)
+    res = BatchProcessor(cfg).run([src])
+    assert res.completed == 1 and res.failed == 0
+    op = os.path.join(out, "tagged_processed.flac")
+    assert read_extra_blocks_flac(op) == [(4, vc)]
+    y, rate = read_flac(op)                     # MD5 verifies post-splice
+    assert rate == 48000 and y.shape[0] == 2
+
+
+def test_sharded_stream_flac_input(tmp_path):
+    """FLAC input through the SHARDED stream (frames mesh) is byte-equal
+    to the single-chip stream of the same samples."""
+    from f9tpu.config import ProcessingConfig
+    from f9tpu.parallel import make_mesh
+    from f9tpu.pipeline.stream import stream_resample_file
+
+    n = 44100
+    t = np.arange(n)
+    x = np.stack([0.5 * np.sin(2 * np.pi * 440 * t / 44100),
+                  0.4 * np.sin(2 * np.pi * 220 * t / 44100)])
+    codes = np.clip(np.round(x * (1 << 23)), -(1 << 23),
+                    (1 << 23) - 1).astype(np.int64)
+    src = str(tmp_path / "src.flac")
+    write_flac_codes(src, codes, 44100, bits=24)
+    cfg = ProcessingConfig(target_rate=48000, output_dir=str(tmp_path),
+                           bits=24)
+    o1, o2 = str(tmp_path / "o1.wav"), str(tmp_path / "o2.wav")
+    stream_resample_file(src, o1, cfg, chunk_seconds=0.25)
+    mesh = make_mesh(num_files_shards=2, num_frames_shards=4)
+    stream_resample_file(src, o2, cfg, chunk_seconds=0.25, mesh=mesh)
+    assert open(o1, "rb").read() == open(o2, "rb").read()
+
+
 def test_md5_detects_payload_tamper(tmp_path, decode_path):
     """A stream whose frames are individually valid but whose STREAMINFO
     MD5 disagrees must be rejected: re-encode one frame's worth of audio
