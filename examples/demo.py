@@ -1,6 +1,6 @@
-"""End-to-end demo: 11 configurations — BASELINE.json's five plus the
-round-2/3 feature surface (insert chain, varispeed AIFF, normalization,
-streaming, minphase).
+"""End-to-end demo: 12 configurations — BASELINE.json's five plus the
+round-2/3/4 feature surface (insert chain, varispeed AIFF, normalization,
+streaming, minphase, FLAC in/out).
 
 Generates a small synthetic library, then exercises each configuration
 through the public CLI/API. Run on any backend (TPU when attached):
@@ -177,6 +177,27 @@ def run(workdir: str) -> None:
     y11, r11 = read_wav(f"{workdir}/c11/hit_processed.wav")
     assert r11 == 48000 and np.isfinite(y11).all()
     print("[11] minimum-phase resample (no pre-ringing)")
+
+    # --- config 12 (round 4): FLAC in -> FLAC out with tags carried —
+    # the registerBasicFormats surface (Source/MainComponent.cpp:13) plus
+    # a lossless deliverable format the reference's writer doesn't offer ---
+    from f9tpu.io.flac import (insert_blocks_flac, read_extra_blocks_flac,
+                               read_flac, write_flac)
+
+    stem12 = (0.2 * rng.standard_normal((2, 44100))).astype(np.float32)
+    write_flac(f"{lib}/stem.flac", stem12, 44100, bits=24)
+    vc = (b"\x0a\x00\x00\x00f9tpu-demo\x01\x00\x00\x00"
+          b"\x10\x00\x00\x00TITLE=Demo Stem!")
+    insert_blocks_flac(f"{lib}/stem.flac", [(4, vc)])
+    rc = main(["process", f"{lib}/stem.flac", "--out", f"{workdir}/c12",
+                 "--rate", "48000", "--format", "flac", "--keep-metadata",
+                 "--seed", "1"])
+    assert rc == 0
+    y12, r12 = read_flac(f"{workdir}/c12/stem_processed.flac")
+    assert r12 == 48000 and y12.shape == (2, 48000)
+    assert read_extra_blocks_flac(f"{workdir}/c12/stem_processed.flac") == \
+        [(4, vc)]
+    print("[12] FLAC -> FLAC (tags carried, MD5-verified lossless output)")
     print("demo complete:", workdir)
 
 
