@@ -1055,8 +1055,8 @@ class FlacWriter:
                 self._pend = self._pend[:, :0]
         # full blocks straight from the incoming array (no re-buffering)
         nfull = cur.shape[1] // B
-        for i in range(nfull):
-            self._emit(cur[:, i * B:(i + 1) * B])
+        if nfull:
+            self._emit_run(cur[:, :nfull * B])
         rest = cur[:, nfull * B:]
         if rest.shape[1]:
             self._pend = np.ascontiguousarray(rest)
@@ -1091,6 +1091,28 @@ class FlacWriter:
             except Exception:
                 self._native = False
         return self._native
+
+    def _emit_run(self, region: np.ndarray) -> None:
+        """A run of FULL blocks: one multithreaded native encode when
+        available (frames are independent, so bytes are identical to the
+        sequential form at any thread count), else per-block emits."""
+        B = self._block
+        nfull = region.shape[1] // B
+        native = self._native_mod()
+        if not native or nfull <= 1:
+            for i in range(nfull):
+                self._emit(region[:, i * B:(i + 1) * B])
+            return
+        data, lens = native.flac_encode_frames_mt(
+            region, self._si.bits, self._frame_no, B,
+            self._si.sample_rate)
+        self._f.write(data)
+        self._frame_no += nfull
+        self._total += region.shape[1]
+        self._md5_block(region)
+        mn = int(lens.min())
+        self._minf = mn if self._minf is None else min(self._minf, mn)
+        self._maxf = max(self._maxf, int(lens.max()))
 
     def _emit(self, block: np.ndarray) -> None:
         native = self._native_mod()

@@ -96,6 +96,11 @@ def _load() -> ctypes.CDLL | None:
             lib.f9_flac_encode_frame.argtypes = [
                 pi32, c_i64, c_i64, c_i32, c_i32, c_i64, c_i32, c_i32,
                 pu8, c_i64]
+            pi64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+            lib.f9_flac_encode_frames_mt.restype = c_i64
+            lib.f9_flac_encode_frames_mt.argtypes = [
+                pi32, c_i64, c_i64, c_i32, c_i32, c_i64, c_i32, c_i32,
+                c_i32, pu8, c_i64, pi64]
             lib.f9_native_abi_version.restype = c_i32
             abi = int(lib.f9_native_abi_version())
             if abi != 2:
@@ -257,6 +262,33 @@ def flac_encode_frame(codes: np.ndarray, bits: int, frame_no: int,
     if rc < 0:
         raise ValueError(f"flac: native encode error {rc}")
     return out[:rc].tobytes()
+
+
+def flac_encode_frames_mt(codes: np.ndarray, bits: int, first_frame_no: int,
+                          block: int, sample_rate: int,
+                          n_threads: int | None = None
+                          ) -> tuple[bytes, np.ndarray]:
+    """Encode a run of `block`-sized frames (final one partial) in
+    parallel: (concatenated frame bytes, per-frame lengths).  Frames are
+    independent under fixed predictors, so the result is byte-identical
+    to the sequential encoder at any thread count."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native library unavailable: {_build_error}")
+    codes = np.ascontiguousarray(codes, np.int32)
+    ch, n = codes.shape
+    n_frames = -(-n // block)
+    cap = n * ch * 8 + 256 * n_frames
+    out = np.empty(cap, np.uint8)
+    lens = np.empty(n_frames, np.int64)
+    if n_threads is None:
+        n_threads = min(8, os.cpu_count() or 1)
+    rc = lib.f9_flac_encode_frames_mt(codes, n, n, ch, bits, first_frame_no,
+                                      block, sample_rate, n_threads,
+                                      out, cap, lens)
+    if rc < 0:
+        raise ValueError(f"flac: native encode error {rc}")
+    return out[:rc].tobytes(), lens
 
 
 def flac_decode_all(data, si) -> np.ndarray:

@@ -1070,3 +1070,59 @@ int64_t f9_flac_encode_frame(const int32_t* codes, int64_t n, int64_t stride,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Encode a RUN of frames in parallel (frames are independent: fixed
+// predictors only see in-block samples, so per-frame bytes are identical
+// to the sequential form — the thread count can never change the output).
+// codes: planar (channels, n_total); frames are `block`-sized with a
+// final partial.  out: concatenated frames; frame_lens[i] = each length.
+// Returns total bytes or a negative error.
+int64_t f9_flac_encode_frames_mt(const int32_t* codes, int64_t n_total,
+                                 int64_t stride, int32_t channels,
+                                 int32_t bits, int64_t first_frame_no,
+                                 int32_t block, int32_t sample_rate,
+                                 int32_t n_threads,
+                                 uint8_t* out, int64_t out_cap,
+                                 int64_t* frame_lens) {
+    if (block < 1 || n_total < 1) return -7;
+    const int64_t n_frames = (n_total + block - 1) / block;
+    const int64_t slot = (int64_t)block * channels * 8 + 256;
+    std::vector<uint8_t> scratch((size_t)(n_frames * slot));
+    std::atomic<int64_t> next{0};
+    std::atomic<int64_t> err{0};
+    auto work = [&]() {
+        for (;;) {
+            const int64_t i = next.fetch_add(1);
+            if (i >= n_frames || err.load()) return;
+            const int64_t lo = i * block;
+            const int64_t n = (lo + block <= n_total) ? block : n_total - lo;
+            const int64_t rc = f9_flac_encode_frame(
+                codes + lo, n, stride, channels, bits, first_frame_no + i,
+                block, sample_rate, scratch.data() + i * slot, slot);
+            if (rc < 0) { err.store(rc); return; }
+            frame_lens[i] = rc;
+        }
+    };
+    int nt = n_threads < 1 ? 1 : n_threads;
+    if (nt > n_frames) nt = (int)n_frames;
+    if (nt <= 1) {
+        work();
+    } else {
+        std::vector<std::thread> ts;
+        for (int t = 0; t < nt; ++t) ts.emplace_back(work);
+        for (auto& th : ts) th.join();
+    }
+    if (err.load()) return err.load();
+    int64_t total = 0;
+    for (int64_t i = 0; i < n_frames; ++i) {
+        if (total + frame_lens[i] > out_cap) return -8;
+        std::memcpy(out + total, scratch.data() + i * slot,
+                    (size_t)frame_lens[i]);
+        total += frame_lens[i];
+    }
+    return total;
+}
+
+}  // extern "C"

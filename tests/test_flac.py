@@ -153,6 +153,31 @@ def test_native_encoder_bit_parity():
         assert py == nat, (trial, bits, ch, n, kind)
 
 
+def test_mt_encode_thread_count_invariant():
+    """The multithreaded frame encoder is byte-identical to the
+    sequential one at ANY thread count (frames are independent under
+    fixed predictors) — including a final partial frame."""
+    from f9tpu import native
+
+    if not native.available():
+        pytest.skip(f"native unavailable: {native.build_error()}")
+    codes = tonal(2, 4096 * 5 + 777, 24, seed=12)
+    ref = None
+    for nt in (1, 2, 4, 7):
+        data, lens = native.flac_encode_frames_mt(
+            codes, 24, 3, 4096, 48000, n_threads=nt)
+        assert len(lens) == 6 and sum(lens) == len(data)
+        if ref is None:
+            ref = data
+        else:
+            assert data == ref, nt
+    # and equal to single-frame sequential encodes
+    seq = b"".join(
+        native.flac_encode_frame(codes[:, i * 4096:(i + 1) * 4096], 24,
+                                 3 + i, 4096, 48000) for i in range(6))
+    assert seq == ref
+
+
 def test_actually_compresses(tmp_path):
     codes = tonal(2, 44100, 16, seed=1)
     p = str(tmp_path / "t.flac")
