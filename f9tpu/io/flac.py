@@ -375,12 +375,16 @@ def _restore_lpc(warm: list[int], coefs: list[int], shift: int,
     x[:o] = [int(v) for v in warm]
     rl = res.tolist()
     c = coefs
-    for i in range(o, n):
+    lim = 1 << 40               # valid samples fit 33 bits; corrupt LPC
+    for i in range(o, n):       # params otherwise grow unbounded bignums
         acc = 0
         base = i - 1
         for j in range(o):
             acc += c[j] * x[base - j]
-        x[i] = (acc >> shift) + rl[i - o]
+        v = (acc >> shift) + rl[i - o]
+        if not -lim <= v <= lim:
+            raise ValueError("flac: LPC sample out of range (corrupt stream)")
+        x[i] = v
     return np.array(x, np.int64)
 
 
@@ -464,6 +468,8 @@ def _decode_frame(br: _BitReader, si: StreamInfo) -> _Frame:
         blocksize = br.read(16) + 1
     else:
         blocksize = 256 << (bs_code - 8)
+    if blocksize > 65535:       # spec max; a code-7 header can claim 65536
+        raise ValueError("flac: blocksize exceeds the 65535 spec maximum")
     if sr_code == 0:
         rate = si.sample_rate
     elif sr_code in _RATE_FROM_CODE:

@@ -48,9 +48,12 @@ def _build() -> str | None:
     # writes into a half-ELF at the final name, which the mtime staleness
     # check would then treat as up to date forever
     tmp = f"{_LIB}.tmp.{os.getpid()}"
+    # -fwrapv: corrupt FLAC frames can overflow the int64 LPC accumulator
+    # before the CRC-16 rejects the frame; wrapping is then defined
+    # behaviour (the garbage never escapes — the CRC check fails)
     cmd = [
-        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-        "-o", tmp, _SRC, "-lpthread",
+        "g++", "-O3", "-march=native", "-fwrapv", "-shared", "-fPIC",
+        "-std=c++17", "-o", tmp, _SRC, "-lpthread",
     ]
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True, timeout=120)

@@ -479,7 +479,11 @@ static int decode_subframe(BR& br, int64_t blocksize, int bps, int64_t* x) {
     if (br.read(1)) return FLAC_ERR_VALUE;  // padding bit
     uint32_t t = (uint32_t)br.read(6);
     int wasted = 0;
-    if (br.read(1)) wasted = (int)br.unary() + 1;
+    if (br.read(1)) {
+        const int64_t w = br.unary();
+        if (w > 40) return FLAC_ERR_VALUE;  // legal max is bps-1 <= 31;
+        wasted = (int)w + 1;                // bound before narrowing
+    }
     if (br.err) return FLAC_ERR_TRUNCATED;
     const int eb = bps - wasted;
     if (eb <= 0) return FLAC_ERR_VALUE;
@@ -582,6 +586,9 @@ int32_t f9_flac_decode(const uint8_t* data, int64_t nbytes,
         else if (bs_code == 6) blocksize = (int64_t)br.read(8) + 1;
         else if (bs_code == 7) blocksize = (int64_t)br.read(16) + 1;
         else blocksize = 256ll << (bs_code - 8);
+        // spec max blocksize is 65535; a crafted code-7 header can claim
+        // 65536, which would overflow the per-channel scratch slots
+        if (blocksize > MAXBLOCK) return FLAC_ERR_VALUE;
         if (sr_code == 12) (void)br.read(8);
         else if (sr_code == 13 || sr_code == 14) (void)br.read(16);
         else if (sr_code == 15) return FLAC_ERR_VALUE;

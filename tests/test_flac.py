@@ -410,6 +410,47 @@ def test_corrupt_frame_detected(tmp_path, decode_path):
         read_flac_codes(p)
 
 
+def test_corruption_fuzz_never_crashes(tmp_path, decode_path):
+    """Random byte tampering anywhere in the stream must produce a clean
+    ValueError (CRC / sync / truncation / MD5), never a crash, hang, or
+    silent wrong output — on BOTH the native and Python decoders.  Also
+    covers the crafted blocksize-65536 header that would overflow a naive
+    scratch buffer."""
+    codes = tonal(2, 12000, 16, seed=13)
+    p = str(tmp_path / "t.flac")
+    write_flac_codes(p, codes, 44100, bits=16)
+    raw = open(p, "rb").read()
+    rng = np.random.default_rng(99)
+    hits = 0
+    for _ in range(60):
+        buf = bytearray(raw)
+        for _ in range(int(rng.integers(1, 4))):
+            buf[int(rng.integers(42, len(buf)))] ^= int(rng.integers(1, 256))
+        open(p, "wb").write(bytes(buf))
+        try:
+            dec, _ = read_flac_codes(p)
+            assert np.array_equal(dec, codes)  # flips may hit padding only
+        except ValueError:
+            hits += 1
+    assert hits > 40            # almost every tamper is detected loudly
+
+
+def test_oversized_blocksize_header_rejected(tmp_path, decode_path):
+    """bs_code 7 with value 0xFFFF claims blocksize 65536 (> the 65535
+    spec max) — must be a clean error on both decoders."""
+    bw = _BitWriter()
+    _frame_header(bw, 7, 9, 0, 4, number=0, bs_extra=(16, 65535))
+    bw.write(0, 1)
+    bw.write(0, 6)
+    bw.write(0, 1)
+    bw.write_signed(1, 16)
+    p = str(tmp_path / "big.flac")
+    with open(p, "wb") as f:
+        f.write(_container(_finish_frame(bw), ch=1, bits=16, total=65536))
+    with pytest.raises(ValueError):
+        read_flac_codes(p, verify_md5=False)
+
+
 def test_truncated_stream_detected(tmp_path, decode_path):
     codes = tonal(1, 9000, 16)
     p = str(tmp_path / "t.flac")
