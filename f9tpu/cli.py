@@ -504,7 +504,12 @@ def cmd_stream(args) -> int:
         dither=not args.no_dither,
         remove_dc=not args.keep_dc,
         output_dir=os.path.dirname(os.path.abspath(args.out)) or ".",
-        output_format=getattr(args, "output_format", "wav"),
+        # explicit --format wins; otherwise the --out extension decides
+        # (streaming WAV bytes into a .flac name helps nobody)
+        output_format=(getattr(args, "output_format", None)
+                       or {".aif": "aiff", ".aiff": "aiff",
+                           ".flac": "flac"}.get(
+                           os.path.splitext(args.out)[1].lower(), "wav")),
         keep_metadata=getattr(args, "keep_metadata", False),
         seed=None if args.seed == -1 else args.seed,
         gain_db=getattr(args, "gain", 0.0),
@@ -1021,15 +1026,17 @@ def main(argv: list[str] | None = None) -> int:
 
     p = sub.add_parser("stream", help="constant-memory resample of one long file")
     p.add_argument("input")
-    p.add_argument("--out", required=True, help="output WAV/AIFF path")
+    p.add_argument("--out", required=True, help="output WAV/AIFF/FLAC path")
     p.add_argument("--log-jsonl", default=None, metavar="PATH",
                    help="append stream_start/progress/completed events to "
                         "PATH as one JSON object per line (the structured "
                         "journal process/watch have)")
     _add_common_src_args(p)
     p.add_argument("--bits", type=int, default=24, choices=[16, 24, 32])
-    p.add_argument("--format", dest="output_format", default="wav",
-                   choices=["wav", "aiff", "flac"], help="output container")
+    p.add_argument("--format", dest="output_format", default=None,
+                   choices=["wav", "aiff", "flac"],
+                   help="output container (default: inferred from the "
+                        "--out extension, else wav)")
     p.add_argument("--keep-metadata", action="store_true",
                    help="carry bext/LIST/cue metadata (WAV outputs)")
     p.add_argument("--seed", type=int, default=0,

@@ -669,6 +669,22 @@ def test_stream_flac_output_16bit(tmp_path):
     assert info.bit_depth == 16
 
 
+def test_cli_stream_infers_flac_from_extension(tmp_path):
+    """`stream --out x.flac` without --format writes real FLAC (explicit
+    --format still wins when given)."""
+    from f9tpu.cli import main
+
+    x = (0.4 * np.sin(2 * np.pi * 440 * np.arange(22050) / 44100)
+         ).astype(np.float32)[None, :]
+    src = str(tmp_path / "src.wav")
+    write_wav(src, x, 44100, bits=24)
+    out = str(tmp_path / "o.flac")
+    rc = main(["stream", src, "--out", out, "--rate", "48000"])
+    assert rc == 0
+    y, rate = read_flac(out)            # real FLAC, not WAV bytes
+    assert rate == 48000 and y.shape[0] == 1
+
+
 def _vorbis_comment(pairs):
     vendor = b"f9tpu-test"
     body = len(vendor).to_bytes(4, "little") + vendor
