@@ -30,6 +30,7 @@ actionable message rather than silently ignoring the file.
 
 from __future__ import annotations
 
+import bisect
 import hashlib
 import os
 import struct
@@ -223,11 +224,11 @@ def _read_utf8_num(br: _BitReader) -> int:
 class StreamInfo:
     __slots__ = ("min_block", "max_block", "min_frame", "max_frame",
                  "sample_rate", "channels", "bits", "total_samples", "md5",
-                 "first_frame_offset")
+                 "first_frame_offset", "seekpoints")
 
     def __init__(self, min_block, max_block, min_frame, max_frame,
                  sample_rate, channels, bits, total_samples, md5,
-                 first_frame_offset):
+                 first_frame_offset, seekpoints=None):
         self.min_block = min_block
         self.max_block = max_block
         self.min_frame = min_frame
@@ -238,6 +239,9 @@ class StreamInfo:
         self.total_samples = total_samples
         self.md5 = md5
         self.first_frame_offset = first_frame_offset
+        #: [(first_sample, byte_offset_from_first_frame), ...] from a
+        #: SEEKTABLE block (placeholder points skipped)
+        self.seekpoints = seekpoints or []
 
 
 def _pack_streaminfo_simple(si: StreamInfo) -> bytes:
@@ -285,6 +289,7 @@ def _scan_metadata(f, path: str) -> StreamInfo:
     if head != _MAGIC:
         raise ValueError(f"{path}: not a FLAC file")
     si = None
+    seekpoints: list[tuple[int, int]] = []
     while True:
         hdr = f.read(4)
         if len(hdr) < 4:
@@ -295,6 +300,12 @@ def _scan_metadata(f, path: str) -> StreamInfo:
         if btype == _BLOCK_STREAMINFO:
             body = f.read(size)
             si = _parse_streaminfo(body, 0)
+        elif btype == 3 and size % 18 == 0:      # SEEKTABLE
+            body = f.read(size)
+            for off in range(0, size, 18):
+                sample, byte_off, _span = struct.unpack_from(">QQH", body, off)
+                if sample != 0xFFFFFFFFFFFFFFFF:  # skip placeholders
+                    seekpoints.append((sample, byte_off))
         else:
             f.seek(size, os.SEEK_CUR)
         if last:
@@ -302,6 +313,7 @@ def _scan_metadata(f, path: str) -> StreamInfo:
     if si is None:
         raise ValueError(f"{path}: missing STREAMINFO")
     si.first_frame_offset = f.tell()
+    si.seekpoints = seekpoints
     return si
 
 
@@ -646,8 +658,13 @@ class FlacReader:
         self.bits = self._si.bits
         self._f = open(path, "rb")
         # (first_sample, byte_offset) for every frame boundary seen so far,
-        # in increasing order; seeded with the first frame
+        # in increasing order; seeded with the first frame plus any
+        # SEEKTABLE points (a wrong point surfaces as a loud sync error)
         self._index: list[tuple[int, int]] = [(0, self._si.first_frame_offset)]
+        for sample, boff in sorted(self._si.seekpoints):
+            if 0 < sample < self._si.total_samples:
+                self._note_boundary(sample,
+                                    self._si.first_frame_offset + boff)
         self._cur_sample = 0
         self._cur_off = self._si.first_frame_offset
         self._buf: bytes = b""          # undecoded tail of the last read
@@ -665,18 +682,20 @@ class FlacReader:
         self.close()
 
     def _seek_to(self, sample: int) -> None:
-        if sample >= self._cur_sample:
-            pass                        # decode forward from the cursor
-        else:
-            # restart from the last indexed boundary <= sample
-            lo, hi = 0, len(self._index)
-            while lo + 1 < hi:
-                mid = (lo + hi) // 2
-                if self._index[mid][0] <= sample:
-                    lo = mid
-                else:
-                    hi = mid
-            self._cur_sample, self._cur_off = self._index[lo]
+        """Position the cursor on the best known frame boundary <= sample:
+        backward seeks restart there; forward seeks JUMP there when it
+        beats decoding ahead from the cursor (seek points make far first
+        reads O(interval), not O(file))."""
+        lo, hi = 0, len(self._index)
+        while lo + 1 < hi:
+            mid = (lo + hi) // 2
+            if self._index[mid][0] <= sample:
+                lo = mid
+            else:
+                hi = mid
+        best_s, best_off = self._index[lo]
+        if sample < self._cur_sample or best_s > self._cur_sample:
+            self._cur_sample, self._cur_off = best_s, best_off
             self._buf = b""
             self._buf_off = self._cur_off
 
@@ -689,9 +708,13 @@ class FlacReader:
         self._buf += more
 
     def _note_boundary(self, sample: int, off: int) -> None:
-        last = self._index[-1]
-        if sample > last[0]:
-            self._index.append((sample, off))
+        # sorted insert: pre-seeded seek points mean boundaries discovered
+        # by sequential decode land BETWEEN existing entries (the shifted
+        # tail is at most the remaining seed points — cheap)
+        i = bisect.bisect_left(self._index, (sample, -1))
+        if i < len(self._index) and self._index[i][0] == sample:
+            return
+        self._index.insert(i, (sample, off))
 
     def _trim(self) -> None:
         """Drop buffered bytes behind the cursor so an hour-long stream
@@ -787,6 +810,8 @@ class FlacReader:
 # --------------------------------------------------------------------------
 
 _DEFAULT_BLOCK = 4096
+#: SEEKTABLE placeholder point (sample number all-ones; RFC 9639 sec. 8.5)
+_PLACEHOLDER_POINT = b"\xFF" * 8 + b"\x00" * 10
 
 
 def _zigzag(res: np.ndarray) -> np.ndarray:
@@ -1016,8 +1041,11 @@ class FlacWriter:
     place — so both the batch encode worker and the streaming emitter can
     target FLAC without buffering the programme."""
 
+    #: reserved seek points (placeholders filled at close); 128 x 18 bytes
+    _SEEK_SLOTS = 128
+
     def __init__(self, path: str, channels: int, rate: int, bits: int = 24,
-                 block: int = _DEFAULT_BLOCK):
+                 block: int = _DEFAULT_BLOCK, seek_interval_s: float = 10.0):
         if bits not in _SSIZE_CODE:
             raise ValueError(f"flac: unsupported bit depth {bits}")
         if not 1 <= channels <= 8:
@@ -1036,12 +1064,40 @@ class FlacWriter:
         self._minf, self._maxf = None, 0
         self._md5 = hashlib.md5()
         self._native = None             # lazy tri-state: None/module/False
+        # seek table: collect (first_sample, byte_offset) every
+        # ~seek_interval_s during emit; placeholders reserved now so close
+        # fills them in place instead of splicing the whole file
+        self._seek_spacing = max(int(seek_interval_s * rate), block)
+        self._next_mark = 0
+        self._seekpoints: list[tuple[int, int]] = []
         self._f = open(path, "wb")
         self._f.write(_MAGIC)
-        self._f.write(bytes([0x80 | _BLOCK_STREAMINFO]) +
-                      (34).to_bytes(3, "big"))
+        self._f.write(bytes([_BLOCK_STREAMINFO]) + (34).to_bytes(3, "big"))
         self._si_off = self._f.tell()
         self._f.write(_pack_streaminfo_simple(self._si))
+        self._f.write(bytes([0x80 | 3])
+                      + (self._SEEK_SLOTS * 18).to_bytes(3, "big"))
+        self._seek_off = self._f.tell()
+        self._f.write(_PLACEHOLDER_POINT * self._SEEK_SLOTS)
+        self._frames_start = self._f.tell()
+
+    def _mark_frames(self, first_sample: int, lens) -> None:
+        """Record seek points for a run of frames about to be written at
+        the current file position (one per ~seek_interval)."""
+        off = self._f.tell() - self._frames_start
+        s = first_sample
+        for fl in lens:
+            if s >= self._next_mark:
+                if len(self._seekpoints) >= self._SEEK_SLOTS:
+                    # slots full: thin to every other point and double the
+                    # spacing, so arbitrarily long streams keep an evenly
+                    # spaced table instead of a 21-minute prefix
+                    self._seekpoints = self._seekpoints[::2]
+                    self._seek_spacing *= 2
+                self._seekpoints.append((s, off))
+                self._next_mark = s + self._seek_spacing
+            off += int(fl)
+            s += self._block
 
     def append_codes(self, codes: np.ndarray) -> None:
         """codes: planar (channels, n) integer samples (two's complement
@@ -1112,6 +1168,7 @@ class FlacWriter:
         data, lens = native.flac_encode_frames_mt(
             region, self._si.bits, self._frame_no, B,
             self._si.sample_rate)
+        self._mark_frames(self._total, lens)
         self._f.write(data)
         self._frame_no += nfull
         self._total += region.shape[1]
@@ -1129,6 +1186,7 @@ class FlacWriter:
         else:
             frame = _encode_frame(block, self._frame_no, self._si,
                                   self._block)
+        self._mark_frames(self._total, [len(frame)])
         self._f.write(frame)
         self._frame_no += 1
         self._total += block.shape[1]
@@ -1153,6 +1211,10 @@ class FlacWriter:
         si.md5 = self._md5.digest()
         self._f.seek(self._si_off)
         self._f.write(_pack_streaminfo_simple(si))
+        self._f.seek(self._seek_off)
+        for sample, off in self._seekpoints:
+            span = min(self._block, self._total - sample)
+            self._f.write(struct.pack(">QQH", sample, off, span))
         self._f.close()
 
     def __enter__(self):

@@ -669,6 +669,54 @@ def test_stream_flac_output_16bit(tmp_path):
     assert info.bit_depth == 16
 
 
+def test_seektable_written_and_used(tmp_path):
+    """The writer emits a SEEKTABLE (one point per ~interval, placeholders
+    reserved at open and filled at close); the reader seeds its boundary
+    index from it so a far FIRST read jumps instead of decoding the whole
+    prefix — and the jumped read is byte-identical to sequential decode."""
+    n = 44100 * 30
+    codes = tonal(1, n, 16, seed=17)
+    p = str(tmp_path / "long.flac")
+    write_flac_codes(p, codes, 44100, bits=16)
+    with open(p, "rb") as f:
+        si = flac._scan_metadata(f, p)
+    assert len(si.seekpoints) >= 3                 # ~10 s spacing over 30 s
+    assert si.seekpoints == sorted(si.seekpoints)
+    whole, _ = read_flac(p)
+    with FlacReader(p) as r:
+        assert len(r._index) > 1                   # seeded from the table
+        target = 44100 * 25
+        got = r.read(target, 1000)
+        assert np.array_equal(got, whole[:, target:target + 1000])
+        # the cursor jumped via a seek point: it never visited sample 0..
+        # (the first boundary it decoded from is a table point, not 0)
+        assert r._cur_sample >= si.seekpoints[1][0]
+    # a table point with a corrupt offset fails loudly, not silently
+    raw = bytearray(open(p, "rb").read())
+    off = raw.index(b"\xFF" * 8) - 18 * 2          # second real point
+    raw[off + 15] ^= 0x55                          # flip its byte offset
+    open(p, "wb").write(bytes(raw))
+    with FlacReader(p) as r:
+        with pytest.raises(ValueError):
+            r.read(44100 * 12, 100)
+
+
+def test_seektable_thinning_long_stream(tmp_path):
+    """Past 128 points the table thins (double spacing) instead of only
+    covering the stream's head."""
+    w = FlacWriter(str(tmp_path / "x.flac"), 1, 8000, bits=16,
+                   seek_interval_s=0.1)            # 800-sample spacing
+    blk = np.zeros((1, 4096), np.int64)
+    for _ in range(400):                           # 400 frames, 1 point each
+        w.append_codes(blk)
+    w.close()
+    with open(str(tmp_path / "x.flac"), "rb") as f:
+        si = flac._scan_metadata(f, "x")
+    assert 64 <= len(si.seekpoints) <= 128
+    assert si.seekpoints == sorted(si.seekpoints)
+    assert si.seekpoints[-1][0] > 4096 * 300       # covers the tail
+
+
 def test_cli_stream_infers_flac_from_extension(tmp_path):
     """`stream --out x.flac` without --format writes real FLAC (explicit
     --format still wins when given)."""
