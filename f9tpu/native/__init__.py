@@ -50,10 +50,14 @@ def _build() -> str | None:
     tmp = f"{_LIB}.tmp.{os.getpid()}"
     # -fwrapv: corrupt FLAC frames can overflow the int64 LPC accumulator
     # before the CRC-16 rejects the frame; wrapping is then defined
-    # behaviour (the garbage never escapes — the CRC check fails)
+    # behaviour (the garbage never escapes — the CRC check fails).
+    # -ffp-contract=off: the FLAC encoder's LPC analysis (autocorrelation,
+    # Levinson, coefficient quantization) must produce bit-identical
+    # float64 to the Python oracle; FMA contraction (g++'s C++ default
+    # even without -ffast-math) would change the roundings.
     cmd = [
-        "g++", "-O3", "-march=native", "-fwrapv", "-shared", "-fPIC",
-        "-std=c++17", "-o", tmp, _SRC, "-lpthread",
+        "g++", "-O3", "-march=native", "-fwrapv", "-ffp-contract=off",
+        "-shared", "-fPIC", "-std=c++17", "-o", tmp, _SRC, "-lpthread",
     ]
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True, timeout=120)

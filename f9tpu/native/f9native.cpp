@@ -883,12 +883,137 @@ static int64_t abs_cost(const int64_t* x, int64_t n,
     return c;
 }
 
+// ---- LPC analysis: bit-for-bit mirror of flac.py (_windowed_autocorr /
+// _levinson / _quantize_lpc / _lpc_residual / _pick_lpc).  Every float64
+// operation happens in the same order with no FMA contraction (the build
+// passes -ffp-contract=off), so both sides produce identical doubles;
+// everything downstream of quantization is exact integer math.
+
+static const int LPC_PRECISION = 15;
+static const int LPC_ORDERS[2] = {4, 8};
+static const int LPC_MAX_ORDER = 8;
+
+static void windowed_autocorr(const int64_t* xs, int64_t n, int max_lag,
+                              double* r, std::vector<double>& wd) {
+    // Welch window (1 - d^2): pure arithmetic — no libm cos whose
+    // last-ulp platform differences would break the parity contract
+    wd.resize((size_t)n);
+    const double half = (double)(n - 1) / 2.0;
+    for (int64_t i = 0; i < n; ++i) {
+        const double d = ((double)i - half) / half;
+        wd[(size_t)i] = (double)xs[i] * (1.0 - d * d);
+    }
+    for (int k = 0; k <= max_lag; ++k) {
+        double acc = 0.0;
+        const double* w = wd.data();
+        for (int64_t i = 0; i < n - k; ++i) acc += w[i] * w[i + k];
+        r[k] = acc;
+    }
+}
+
+// per-order coefficients; returns how many orders were produced
+static int levinson(const double* r, int max_order,
+                    double coefs[LPC_MAX_ORDER][LPC_MAX_ORDER]) {
+    double lpc[LPC_MAX_ORDER], nxt[LPC_MAX_ORDER];
+    double err = r[0];
+    int produced = 0;
+    for (int i = 0; i < max_order; ++i) {
+        if (err <= 0.0) break;     // NaN compares false -> continue, as in
+        double acc = r[i + 1];     // the Python oracle
+        for (int j = 0; j < i; ++j) acc -= lpc[j] * r[i - j];
+        const double k = acc / err;
+        for (int j = 0; j < i; ++j) nxt[j] = lpc[j] - k * lpc[i - 1 - j];
+        nxt[i] = k;
+        err = err * (1.0 - k * k);
+        for (int j = 0; j <= i; ++j) { lpc[j] = nxt[j]; coefs[i][j] = nxt[j]; }
+        produced = i + 1;
+    }
+    return produced;
+}
+
+static void quantize_lpc(const double* c, int order, int precision,
+                         int64_t* q, int* shift_out) {
+    double cmax = 0.0;
+    for (int j = 0; j < order; ++j) {
+        const double a = c[j] < 0.0 ? -c[j] : c[j];
+        if (a > cmax) cmax = a;
+    }
+    if (cmax <= 0.0) {
+        for (int j = 0; j < order; ++j) q[j] = 0;
+        *shift_out = 0;
+        return;
+    }
+    int e;
+    std::frexp(cmax, &e);          // 2^(e-1) <= cmax < 2^e
+    int shift = precision - 1 - e;
+    if (shift > 15) shift = 15;
+    if (shift < 0) shift = 0;
+    const int64_t qmax = ((int64_t)1 << (precision - 1)) - 1;
+    const int64_t qmin = -((int64_t)1 << (precision - 1));
+    const double scale = (double)((int64_t)1 << shift);
+    double ferr = 0.0;
+    for (int j = 0; j < order; ++j) {
+        const double v = c[j] * scale + ferr;
+        double qd = std::floor(v + 0.5);
+        int64_t qi = (int64_t)qd;
+        if (qi > qmax) qi = qmax;
+        else if (qi < qmin) qi = qmin;
+        ferr = v - (double)qi;
+        q[j] = qi;
+    }
+    *shift_out = shift;
+}
+
+struct LpcPlan {
+    int order = 0;
+    int shift = 0;
+    int64_t q[LPC_MAX_ORDER];
+    int64_t cost = -1;             // -1: no viable candidate
+};
+
+static void pick_lpc(const int64_t* xs, int64_t n, LpcPlan* plan,
+                     std::vector<double>& wd, std::vector<int64_t>& res) {
+    plan->cost = -1;
+    if (n <= (int64_t)LPC_MAX_ORDER * 2) return;
+    double r[LPC_MAX_ORDER + 1];
+    windowed_autocorr(xs, n, LPC_MAX_ORDER, r, wd);
+    if (r[0] == 0.0) return;
+    double coefs[LPC_MAX_ORDER][LPC_MAX_ORDER];
+    const int produced = levinson(r, LPC_MAX_ORDER, coefs);
+    for (int oi = 0; oi < 2; ++oi) {
+        const int o = LPC_ORDERS[oi];
+        if (o > produced) continue;
+        int64_t q[LPC_MAX_ORDER];
+        int shift;
+        quantize_lpc(coefs[o - 1], o, LPC_PRECISION, q, &shift);
+        bool any = false;
+        for (int j = 0; j < o; ++j) any = any || (q[j] != 0);
+        if (!any) continue;
+        res.resize((size_t)(n - o));
+        int64_t cost = 0;
+        for (int64_t i = o; i < n; ++i) {
+            int64_t acc = 0;
+            for (int j = 0; j < o; ++j) acc += q[j] * xs[i - 1 - j];
+            const int64_t v = xs[i] - (acc >> shift);
+            res[(size_t)(i - o)] = v;
+            cost += v < 0 ? -v : v;
+        }
+        if (plan->cost < 0 || cost < plan->cost) {
+            plan->order = o;
+            plan->shift = shift;
+            for (int j = 0; j < o; ++j) plan->q[j] = q[j];
+            plan->cost = cost;
+        }
+    }
+}
+
 static void encode_subframe(BW& bw, const int64_t* x_in, int64_t n, int bps,
                             std::vector<int64_t>& xs,
                             std::vector<int64_t>& d_scratch,
                             std::vector<int64_t>& res_scratch,
                             std::vector<uint64_t>& u_scratch,
-                            std::vector<PartPlan>& plan_scratch) {
+                            std::vector<PartPlan>& plan_scratch,
+                            std::vector<double>& wd_scratch) {
     bool all_equal = true;
     for (int64_t i = 1; i < n; ++i)
         if (x_in[i] != x_in[0]) { all_equal = false; break; }
@@ -908,6 +1033,34 @@ static void encode_subframe(BW& bw, const int64_t* x_in, int64_t n, int bps,
     xs.resize((size_t)n);
     for (int64_t i = 0; i < n; ++i) xs[i] = x_in[i] >> wasted;
     const int order = pick_fixed_order(xs.data(), n, d_scratch, res_scratch);
+    int64_t fcost = 0;
+    for (int64_t v : res_scratch) fcost += v < 0 ? -v : v;
+    LpcPlan lp;
+    pick_lpc(xs.data(), n, &lp, wd_scratch, d_scratch);
+    if (lp.cost >= 0 && lp.cost < fcost) {
+        const int o = lp.order;
+        bw.write(0, 1);
+        bw.write((uint64_t)(32 + (o - 1)), 6);  // LPC
+        if (wasted) {
+            bw.write(1, 1);
+            bw.write(1, wasted);
+        } else {
+            bw.write(0, 1);
+        }
+        for (int i = 0; i < o; ++i) bw.write_signed(xs[(size_t)i], eb);
+        bw.write(LPC_PRECISION - 1, 4);
+        bw.write_signed(lp.shift, 5);
+        for (int j = 0; j < o; ++j) bw.write_signed(lp.q[j], LPC_PRECISION);
+        res_scratch.resize((size_t)(n - o));   // winner's residual, exact
+        for (int64_t i = o; i < n; ++i) {
+            int64_t a2 = 0;
+            for (int j = 0; j < o; ++j) a2 += lp.q[j] * xs[i - 1 - j];
+            res_scratch[(size_t)(i - o)] = xs[i] - (a2 >> lp.shift);
+        }
+        encode_residual(bw, res_scratch.data(), n, o, u_scratch,
+                        plan_scratch);
+        return;
+    }
     bw.write(0, 1);
     bw.write((uint64_t)(8 + order), 6);  // FIXED
     if (wasted) {
@@ -988,6 +1141,7 @@ int64_t f9_flac_encode_frame(const int32_t* codes, int64_t n, int64_t stride,
     std::vector<int64_t> L, R, S, M, xs, d1, d2, res;
     std::vector<uint64_t> uz;
     std::vector<PartPlan> plan;
+    std::vector<double> wd;
     int ch_code;
     if (channels == 2) {
         L.resize((size_t)n); R.resize((size_t)n);
@@ -1051,20 +1205,20 @@ int64_t f9_flac_encode_frame(const int32_t* codes, int64_t n, int64_t stride,
 
     if (channels == 2 && ch_code >= 8) {
         if (ch_code == 8) {
-            encode_subframe(bw, L.data(), n, bits, xs, d1, res, uz, plan);
-            encode_subframe(bw, S.data(), n, bits + 1, xs, d1, res, uz, plan);
+            encode_subframe(bw, L.data(), n, bits, xs, d1, res, uz, plan, wd);
+            encode_subframe(bw, S.data(), n, bits + 1, xs, d1, res, uz, plan, wd);
         } else if (ch_code == 9) {
-            encode_subframe(bw, S.data(), n, bits + 1, xs, d1, res, uz, plan);
-            encode_subframe(bw, R.data(), n, bits, xs, d1, res, uz, plan);
+            encode_subframe(bw, S.data(), n, bits + 1, xs, d1, res, uz, plan, wd);
+            encode_subframe(bw, R.data(), n, bits, xs, d1, res, uz, plan, wd);
         } else {
-            encode_subframe(bw, M.data(), n, bits, xs, d1, res, uz, plan);
-            encode_subframe(bw, S.data(), n, bits + 1, xs, d1, res, uz, plan);
+            encode_subframe(bw, M.data(), n, bits, xs, d1, res, uz, plan, wd);
+            encode_subframe(bw, S.data(), n, bits + 1, xs, d1, res, uz, plan, wd);
         }
     } else {
         std::vector<int64_t> chan((size_t)n);
         for (int c = 0; c < channels; ++c) {
             for (int64_t i = 0; i < n; ++i) chan[(size_t)i] = codes[c * stride + i];
-            encode_subframe(bw, chan.data(), n, bits, xs, d1, res, uz, plan);
+            encode_subframe(bw, chan.data(), n, bits, xs, d1, res, uz, plan, wd);
         }
     }
     bw.align();
