@@ -124,8 +124,9 @@ def read_raw_pcm(path: str):
 
         return _wav_raw(path)
     if k == "flac":
-        raise ValueError(f"{path}: FLAC has no raw-PCM payload (the frames "
-                         "are entropy-coded); decode on the host instead")
+        from .flac import read_raw_pcm_flac
+
+        return read_raw_pcm_flac(path)
     from .aiff import read_raw_pcm_aiff
 
     return read_raw_pcm_aiff(path)

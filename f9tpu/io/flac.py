@@ -734,12 +734,14 @@ class FlacReader:
                 self._native = False
         return self._native
 
-    def read(self, start_frame: int, count: int) -> np.ndarray:
+    def read_codes(self, start_frame: int, count: int) -> np.ndarray:
+        """Planar int64 codes for frames [start, start+count) clipped to
+        the file; shorter at EOF."""
         ch = self.num_channels
         start_frame = max(0, start_frame)
         count = max(0, min(count, self.num_frames - start_frame))
         if count == 0:
-            return np.zeros((ch, 0), np.float32)
+            return np.zeros((ch, 0), np.int64)
         self._seek_to(start_frame)
         out = np.empty((ch, count), np.int64)
         filled = 0
@@ -761,8 +763,33 @@ class FlacReader:
             self._trim()
             if self._cur_sample >= self.num_frames:
                 break
+        return np.ascontiguousarray(out[:, :filled])
+
+    def read(self, start_frame: int, count: int) -> np.ndarray:
+        codes = self.read_codes(start_frame, count)
         scale = np.float32(1.0 / (1 << (self.bits - 1)))
-        return out[:, :filled].astype(np.float32) * scale
+        return codes.astype(np.float32) * scale
+
+    def raw_wire(self) -> tuple[int, bool] | None:
+        """``(bits, big_endian)`` when this stream's samples can ride the
+        raw H2D upload wire: decoded codes re-pack to the SAME
+        interleaved little-endian payload an integer-PCM WAV ships, so
+        FLAC input moves 2-3 B/sample over the link instead of float32's
+        4 (the link is the stream bottleneck; the native frame decode at
+        ~95x RT is not)."""
+        if self.bits in (16, 24):
+            return self.bits, False
+        return None
+
+    def read_raw(self, start_frame: int, count: int) -> np.ndarray:
+        """Interleaved little-endian payload bytes (uint8) for frames
+        [start, start+count) — the raw upload wire (`raw_wire` must be
+        non-None).  Bitwise-identical floats after the on-device decode
+        (power-of-two scaling both sides)."""
+        if self.raw_wire() is None:
+            raise ValueError(f"{self.path}: no raw wire for {self.bits}-bit")
+        codes = self.read_codes(start_frame, count)
+        return _pack_payload(codes, self.bits)
 
     def _decode_block(self, want: int) -> tuple[np.ndarray, int]:
         """>= 1 whole frame (natively: a batch covering `want` samples)
@@ -803,6 +830,44 @@ class FlacReader:
                 need = (len(self._buf) - rel) * 2
             except ValueError as e:
                 raise ValueError(f"{self.path}: {e}") from None
+
+
+def _pack_payload(codes: np.ndarray, bits: int) -> np.ndarray:
+    """Planar int codes -> interleaved little-endian payload bytes (the
+    integer-PCM WAV data-chunk layout `f9tpu.ops.devcodec` decodes)."""
+    inter = np.ascontiguousarray(codes.T.astype(np.int32)).reshape(-1)
+    if bits == 16:
+        return inter.astype("<i2").view(np.uint8).copy()
+    try:
+        from .. import native
+
+        if native.available():
+            return native.pack24_from_i32(inter)
+    except ImportError:
+        pass
+    b4 = inter.astype("<i4").view(np.uint8).reshape(-1, 4)
+    return np.ascontiguousarray(b4[:, :3]).reshape(-1)
+
+
+def read_raw_pcm_flac(path: str):
+    """Raw interleaved payload bytes + metadata for the on-device codec —
+    the FLAC arm of `codec.read_raw_pcm`.  FLAC has no raw payload in the
+    container, so this decodes (native, ~95x RT) and re-packs to the WAV
+    byte layout: the H2D link (the batch bottleneck) then carries
+    2-3 B/sample instead of float32's 4, and the on-device decode yields
+    bitwise the same floats as the host conversion."""
+    codes, si = read_flac_codes(path)
+    if si.bits not in (16, 24):
+        raise ValueError(
+            f"{path}: raw path supports 16/24-bit only (got {si.bits})")
+    from .wav import AudioFileInfo
+
+    info = AudioFileInfo(path=path, sample_rate=si.sample_rate,
+                         num_channels=si.channels,
+                         num_frames=si.total_samples, bit_depth=si.bits,
+                         is_float=False, container="flac",
+                         byte_order="little")
+    return _pack_payload(codes, si.bits), info
 
 
 # --------------------------------------------------------------------------
