@@ -768,6 +768,56 @@ def test_seektable_thinning_long_stream(tmp_path):
     assert si.seekpoints[-1][0] > 4096 * 300       # covers the tail
 
 
+def test_watch_sweeps_flac_drop(tmp_path):
+    """The serving daemon's drop zone accepts .flac (the reference's
+    drop filter spans registerBasicFormats)."""
+    from f9tpu.cli import main
+
+    d = tmp_path / "inbox"
+    d.mkdir()
+    codes = tonal(2, 3000, 24, seed=23)
+    write_flac_codes(str(d / "drop.flac"), codes, 44100, bits=24)
+    rc = main(["watch", str(d), "--out", str(tmp_path / "o"),
+               "--rate", "48000", "--quality", "low", "--seed", "3",
+               "--interval", "0.05", "--sweeps", "2"])
+    assert rc == 0
+    y, rate = read_wav(str(tmp_path / "o" / "drop_processed.wav"))
+    assert rate == 48000 and y.shape[0] == 2
+
+
+def test_preview_flac_item(tmp_path):
+    """Preview playlists accept FLAC items; samples match the WAV twin."""
+    from f9tpu.pipeline.preview import render_playlist
+
+    n = 8000
+    codes = tonal(2, n, 24, seed=24)
+    fp = str(tmp_path / "a.flac")
+    wp = str(tmp_path / "a.wav")
+    write_flac_codes(fp, codes, 44100, bits=24)
+    from f9tpu.io.wav import write_wav_codes
+
+    write_wav_codes(wp, codes.astype(np.int32), 44100, bits=24)
+    pf, _, _ = render_playlist([fp], 44100)
+    pw, _, _ = render_playlist([wp], 44100)
+    assert np.array_equal(pf, pw)
+
+
+def test_probe_json_flac(tmp_path, capsys):
+    import json as _json
+
+    from f9tpu.cli import main
+
+    codes = tonal(2, 4321, 24, seed=25)
+    p = str(tmp_path / "t.flac")
+    write_flac_codes(p, codes, 96000, bits=24)
+    rc = main(["probe", p, "--json"])
+    assert rc == 0
+    doc = _json.loads(capsys.readouterr().out)
+    row = doc["files"][0] if isinstance(doc, dict) else doc[0]
+    assert row["container"] == "flac"
+    assert row["sample_rate"] == 96000 and row["frames"] == 4321
+
+
 def test_cli_stream_infers_flac_from_extension(tmp_path):
     """`stream --out x.flac` without --format writes real FLAC (explicit
     --format still wins when given)."""
