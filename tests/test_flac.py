@@ -768,6 +768,39 @@ def test_seektable_thinning_long_stream(tmp_path):
     assert si.seekpoints[-1][0] > 4096 * 300       # covers the tail
 
 
+def test_batch_resume_with_flac_outputs(tmp_path):
+    """Checkpoint/resume with FLAC deliverables: a second run skips the
+    completed file (CRC-verified), a tampered output is re-rendered."""
+    from f9tpu.config import ProcessingConfig
+    from f9tpu.pipeline.manifest import FileStatus, JobManifest
+    from f9tpu.pipeline.scheduler import BatchProcessor
+
+    codes = tonal(2, 22050, 24, seed=26)
+    src = str(tmp_path / "src.flac")
+    write_flac_codes(src, codes, 44100, bits=24)
+    out = str(tmp_path / "out")
+    mpath = str(tmp_path / "manifest.json")
+    cfg = ProcessingConfig(target_rate=48000, output_dir=out, bits=24,
+                           output_format="flac")
+    res1 = BatchProcessor(cfg).run([src], manifest_path=mpath)
+    assert res1.completed == 1
+    op = os.path.join(out, "src_processed.flac")
+    first = open(op, "rb").read()
+    mtime = os.path.getmtime(op)
+    res2 = BatchProcessor(cfg).run([src], manifest_path=mpath)
+    assert res2.completed == 1 and res2.skipped == 1
+    assert os.path.getmtime(op) == mtime        # not re-rendered
+    # tamper the deliverable: CRC verification must force a re-render
+    raw = bytearray(first)
+    raw[-10] ^= 0xFF
+    open(op, "wb").write(bytes(raw))
+    m = JobManifest.load_or_create([src], mpath)
+    assert m.get(src).status == FileStatus.PENDING
+    res3 = BatchProcessor(cfg).run([src], manifest_path=mpath)
+    assert res3.completed == 1 and res3.skipped == 0
+    assert open(op, "rb").read() == first       # byte-identical re-render
+
+
 def test_watch_sweeps_flac_drop(tmp_path):
     """The serving daemon's drop zone accepts .flac (the reference's
     drop filter spans registerBasicFormats)."""
