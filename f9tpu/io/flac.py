@@ -671,6 +671,10 @@ class FlacReader:
         self._buf_off = self._si.first_frame_offset
         self._fsize = os.path.getsize(path)
         self._native = None             # lazy tri-state: None/module/False
+        #: (first_sample, codes) of the last decoded span: reads smaller than
+        #: a FLAC block would otherwise re-decode the SAME frame every call
+        #: (the cursor has moved past them, which reads as a backward seek)
+        self._cache: tuple[int, np.ndarray] | None = None
 
     def close(self):
         self._f.close()
@@ -742,6 +746,19 @@ class FlacReader:
         count = max(0, min(count, self.num_frames - start_frame))
         if count == 0:
             return np.zeros((ch, 0), np.int64)
+        if self._cache is not None:
+            # serve (the head of) the window from the last decoded span:
+            # sub-block monotonic reads hit here instead of re-decoding the
+            # same frame once per call
+            cs, cb = self._cache
+            if cs <= start_frame < cs + cb.shape[1]:
+                off = start_frame - cs
+                take = min(count, cb.shape[1] - off)
+                head = cb[:, off : off + take]
+                if take == count:
+                    return head.copy()
+                rest = self.read_codes(start_frame + take, count - take)
+                return np.concatenate([head, rest], axis=1)
         self._seek_to(start_frame)
         out = np.empty((ch, count), np.int64)
         filled = 0
@@ -751,6 +768,8 @@ class FlacReader:
             fs = self._cur_sample
             block, consumed = self._decode_block(end - fs)
             m = block.shape[1]
+            if m <= (1 << 20):  # bound cache memory for huge native batches
+                self._cache = (fs, block)
             lo = max(fs, start_frame)
             hi = min(fs + m, end, self.num_frames)
             if hi > lo:
