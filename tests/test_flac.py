@@ -491,6 +491,31 @@ def test_reader_chunk_invariance(tmp_path, decode_path):
         assert np.array_equal(np.concatenate(parts, axis=1), whole), step
 
 
+def test_reader_subblock_reads_decode_each_frame_once(tmp_path, decode_path):
+    """Monotonic reads smaller than a FLAC block must be served from the
+    last-decoded-block cache: without it every read re-decoded the same
+    frame (the cursor had advanced past it, which read as a backward seek)
+    — O(frames * blocksize) work for an O(frames) scan."""
+    codes = tonal(2, 3 * 4096, 24, seed=11)
+    p = str(tmp_path / "t.flac")
+    write_flac_codes(p, codes, 48000, bits=24)
+    with FlacReader(p) as r:
+        calls = []
+        orig = r._decode_block
+
+        def counting(want):
+            out = orig(want)
+            calls.append(out[0].shape[1])
+            return out
+
+        r._decode_block = counting
+        parts = [r.read_codes(i, 100) for i in range(0, 3 * 4096, 100)]
+        assert np.array_equal(np.concatenate(parts, axis=1), codes)
+        # every input frame decoded exactly once (native may batch frames)
+        assert sum(calls) == 3 * 4096, calls
+        assert len(calls) <= 3, calls
+
+
 def test_reader_backward_seek_and_eof(tmp_path, decode_path):
     codes = tonal(1, 15000, 16, seed=4)
     p = str(tmp_path / "t.flac")
