@@ -138,6 +138,11 @@ def test_random_streaming_config_end_to_end(tmp_path, trial):
     n2 = stream_resample_file(src, o2, cfg, chunk_seconds=0.34,
                               latency_frames=lat)
     assert n1 == n2, (trial, kw, lat)
+    # the central streaming contract: emitted BYTES are chunk-size
+    # invariant (position-keyed dither, fixed-grid pre-passes, per-stage
+    # chain state) — not just the length
+    with open(o1, "rb") as f1, open(o2, "rb") as f2:
+        assert f1.read() == f2.read(), (trial, kw, lat)
     bank = design_cycle_bank(44100, cfg.target_rate, quality="low",
                              kind=cfg.kind)
     expect = bank.out_len(frames)
