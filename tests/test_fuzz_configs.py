@@ -114,7 +114,9 @@ def test_random_streaming_config_end_to_end(tmp_path, trial):
               dither=bool(rng.integers(2)),
               remove_dc=bool(rng.integers(2)),
               seed=int(rng.integers(100)),
-              gain_db=float(rng.choice([0.0, -3.0])))
+              gain_db=float(rng.choice([0.0, -3.0])),
+              # all three incremental writers under random feature combos
+              output_format=str(rng.choice(["wav", "aiff", "flac"])))
     lat = 0
     if rng.integers(2):
         lat = int(rng.integers(1, 300))
@@ -131,8 +133,9 @@ def test_random_streaming_config_end_to_end(tmp_path, trial):
         kw["max_tail_seconds"] = 0.3
     cfg = ProcessingConfig(**kw)
 
-    o1 = str(tmp_path / "o1.wav")
-    o2 = str(tmp_path / "o2.wav")
+    ext = {"aiff": "aiff", "flac": "flac"}.get(cfg.output_format, "wav")
+    o1 = str(tmp_path / f"o1.{ext}")
+    o2 = str(tmp_path / f"o2.{ext}")
     n1 = stream_resample_file(src, o1, cfg, chunk_seconds=0.11,
                               latency_frames=lat)
     n2 = stream_resample_file(src, o2, cfg, chunk_seconds=0.34,
@@ -150,7 +153,9 @@ def test_random_streaming_config_end_to_end(tmp_path, trial):
         assert expect <= n1 <= expect + int(0.3 * cfg.target_rate)
     else:
         assert n1 == expect
-    y, r = read_wav(o1)
+    from f9tpu.io import codec as _codec
+
+    y, r = _codec.read_audio(o1)
     assert r == cfg.target_rate and np.isfinite(y).all()
     assert y.shape[1] == n1
     if "channel_routing" in kw:
