@@ -811,18 +811,20 @@ def test_cli_gate_and_limit_flags():
             chain_gate="-50", chain_limit=None))
 
 
-def test_chain_apply_stream_fuzz_random_stacks():
+def test_chain_apply_stream_fuzz_random_stacks(seed: int = 99,
+                                               trials: int = 5):
     """Property fuzz over the streaming-state API: random stage stacks in
     random orders, streamed in random grid-respecting chunkings, must equal
     the whole-signal apply at 0 ULP.  Catches state-threading mistakes no
     hand-picked chain would (stage interactions, repeated stage types,
-    grid/EOF edge chunks)."""
+    grid/EOF edge chunks).  ``seed``/``trials`` default to the pinned CI
+    values; soak harnesses call this with fresh seeds."""
     from f9tpu.ops.chain import (Biquad, Compressor, ConvolutionReverb,
                                  Delay, Expander, FIRInsert, Gain, Limiter,
                                  Saturator, StereoWidth)
 
     rate = 48000
-    rng = np.random.default_rng(99)
+    rng = np.random.default_rng(seed)
 
     def pool():
         ir = (0.05 * np.exp(-np.arange(9000) / 3000.0)
@@ -855,7 +857,7 @@ def test_chain_apply_stream_fuzz_random_stacks():
                             release_db_per_s=float(rng.uniform(100, 600))),
         ]
 
-    for trial in range(5):
+    for trial in range(trials):
         makers = pool()
         n_stages = int(rng.integers(1, 5))
         chain = Chain(*(makers[rng.integers(len(makers))]()
