@@ -644,7 +644,13 @@ def _stream_resample_impl(
         # carries the IDENTICAL dither noise stream (keyed by absolute
         # output frame position: chunk-size invariant — ops/dither.py).
         # Streamed output is byte-identical across chunk sizes, shardings
-        # and runs; versus the BATCH graph the signal under the noise
+        # and runs ON TPU (verified bitwise for 5/11/17/34-cycle chunks on
+        # hardware).  Scope note: XLA:CPU's conv lowering is not
+        # shape-invariant for every ratio — different chunk lengths can
+        # flip occasional float rounding ties (44.1k->32k measured ~2
+        # frames per 15k under the virtual-device test flag; the fuzz
+        # bounds it to <=1 code at <=0.1% of frames — docs/PERF.md round 4
+        # session 3).  Versus the BATCH graph the signal under the noise
         # differs at SRC float-rounding level (~3 LSB at 24 bit: the two
         # paths associate the resampler dots differently by design — the
         # tested "dither contract", test_stream_features._assert_dither_contract)
