@@ -761,9 +761,11 @@ class Compressor:
         return jnp.minimum(0.0, -slope * over)
 
     def _gain_db(self, y: jax.Array, rate: int) -> jax.Array:
+        # moving averages via the position-invariant fold (`_uniform_ma_past`)
+        # — the streamed form must round identically per sample on every
+        # backend, which the conv lowering does not guarantee
         win = max(1, int(round(self.detector_ms * rate / 1000.0)))
-        p = _direct_convolve(jnp.square(y),
-                             np.full(win, 1.0 / win, np.float32))
+        p = _uniform_ma_past(jnp.square(y), win)
         if y.ndim >= 2:
             p = jnp.max(p, axis=-2, keepdims=True)       # stereo/bus link
         level_db = 10.0 * jnp.log10(jnp.maximum(p, 1e-20))
@@ -771,7 +773,7 @@ class Compressor:
         gr = self._gr_from_env(env_db)
         win_a = max(1, int(round(self.attack_ms * rate / 1000.0)))
         if win_a > 1:
-            gr = _direct_convolve(gr, np.full(win_a, 1.0 / win_a, np.float32))
+            gr = _uniform_ma_past(gr, win_a)
         return gr + np.float32(self.makeup_db)
 
     def apply(self, y: jax.Array, rate: int) -> jax.Array:
@@ -801,8 +803,7 @@ class Compressor:
         x_tail, gr_tail, m, env_carry = state
         win = max(1, int(round(self.detector_ms * rate / 1000.0)))
         xin = (jnp.concatenate([x_tail, y], axis=-1) if win > 1 else y)
-        p = _direct_convolve(jnp.square(xin),
-                             np.full(win, 1.0 / win, np.float32))
+        p = _uniform_ma_past(jnp.square(xin), win)
         p = p[..., xin.shape[-1] - y.shape[-1]:]
         if y.ndim >= 2:
             p = jnp.max(p, axis=-2, keepdims=True)       # stereo/bus link
@@ -813,7 +814,7 @@ class Compressor:
         win_a = max(1, int(round(self.attack_ms * rate / 1000.0)))
         if win_a > 1:
             gc = jnp.concatenate([gr_tail, gr], axis=-1)
-            sm = _direct_convolve(gc, np.full(win_a, 1.0 / win_a, np.float32))
+            sm = _uniform_ma_past(gc, win_a)
             sm = sm[..., gc.shape[-1] - gr.shape[-1]:]
             gr_tail = gc[..., gc.shape[-1] - (win_a - 1):]
             gr = sm
@@ -822,6 +823,41 @@ class Compressor:
         if win > 1:
             x_tail = xin[..., xin.shape[-1] - (win - 1):]
         return y * gain, (x_tail, gr_tail, m, env_carry)
+
+
+#: `_uniform_ma_past` falls back to the conv above this window (a Python
+#: fold emits one HLO add per tap; thousands would bloat the trace).  8 ms
+#: at 192 kHz is 1536 taps, so every practical dynamics window folds.
+_MA_FOLD_MAX = 4096
+
+
+def _uniform_ma_past(x: jax.Array, win: int) -> jax.Array:
+    """Causal uniform moving average with POSITION-INVARIANT numerics:
+    ``out[n] = (sum_{k<win} x[n-k]) / win`` evaluated as an explicit
+    fixed-order fold of ``win`` shifted copies, so every output element's
+    float32 op sequence is independent of the array's length or offset.
+
+    The MXU/Eigen conv lowering does NOT guarantee that: the same window
+    summed as a conv column can round differently depending on the spatial
+    extent and the column's position in it (measured: last-ulp flips on
+    XLA:CPU edge columns, and up to ~1e-5 on TPU for stride-1 convs of
+    +-6-range values — docs/PERF.md round 4 session 3c).  The dynamics
+    stages' byte-exact streaming contract (chunked == whole at 0 ULP on
+    EVERY backend) therefore rides on this fold, not on the conv.  Windows
+    beyond `_MA_FOLD_MAX` taps fall back to the conv (no practical
+    dynamics window reaches that; the fallback trades bitwise chunk
+    invariance for trace size)."""
+    if win <= 1:
+        return x
+    if win > _MA_FOLD_MAX:
+        return _direct_convolve(x, np.full(win, 1.0 / win, np.float32))
+    pad = [(0, 0)] * (x.ndim - 1) + [(win - 1, 0)]
+    xp = jnp.pad(x, pad)
+    T = x.shape[-1]
+    acc = xp[..., win - 1 : win - 1 + T]
+    for k in range(1, win):
+        acc = acc + xp[..., win - 1 - k : win - 1 - k + T]
+    return acc * np.float32(1.0 / win)
 
 
 def _window_max_past(a: jax.Array, W: int) -> jax.Array:
@@ -969,7 +1005,7 @@ class Limiter:
         atten_rel = Compressor._slanted_cummax(
             atten, self.release_db_per_s / rate)
         b = _window_max_past(atten_rel, L + 1)
-        return _direct_convolve(b, np.full(L + 1, 1.0 / (L + 1), np.float32))
+        return _uniform_ma_past(b, L + 1)
 
     def apply(self, x: jax.Array, rate: int) -> jax.Array:
         L = self.lookahead_frames(rate)
@@ -1005,8 +1041,7 @@ class Limiter:
         ac = jnp.concatenate([ar_tail, atten_rel], axis=-1)
         b = _window_max_past(ac, L + 1)[..., L:]
         bc = jnp.concatenate([b_tail, b], axis=-1)
-        s_db = _direct_convolve(
-            bc, np.full(L + 1, 1.0 / (L + 1), np.float32))[..., L:]
+        s_db = _uniform_ma_past(bc, L + 1)[..., L:]
         xc = jnp.concatenate([x_tail, x], axis=-1)
         xd = xc[..., : x.shape[-1]]
         out = xd * 10.0 ** (s_db * np.float32(-1.0 / 20.0))

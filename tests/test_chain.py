@@ -602,8 +602,9 @@ def test_dynamics_chain_in_graph_and_stream(tmp_path):
     # is the three SRC forms' float rounding (eager / presliced-stream /
     # batch-graph differ by design at ~3 LSB, the repo-wide dither
     # contract), amplified by the compressor's envelope latching a slightly
-    # different detector peak for the release span (measured 6 / 20 LSB)
-    np.testing.assert_allclose(got, ref, atol=8.0 / (1 << 23))
+    # different detector peak for the release span (measured 18 / 20 / 19
+    # LSB with the position-invariant moving-average fold)
+    np.testing.assert_allclose(got, ref, atol=24.0 / (1 << 23))
 
     # and through the fixed-shape batch graph (valid-length masked)
     valid = np.full(1, T, np.int32)
