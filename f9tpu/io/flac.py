@@ -302,6 +302,8 @@ def _scan_metadata(f, path: str) -> StreamInfo:
             si = _parse_streaminfo(body, 0)
         elif btype == 3 and size % 18 == 0:      # SEEKTABLE
             body = f.read(size)
+            if len(body) != size:
+                raise ValueError(f"{path}: truncated metadata")
             for off in range(0, size, 18):
                 sample, byte_off, _span = struct.unpack_from(">QQH", body, off)
                 if sample != 0xFFFFFFFFFFFFFFFF:  # skip placeholders
@@ -903,11 +905,17 @@ def _zigzag(res: np.ndarray) -> np.ndarray:
 
 
 def _signed_bits(arr: np.ndarray) -> int:
-    """Minimum two's-complement width holding every value in `arr`."""
+    """Minimum two's-complement width holding every value in `arr`.
+
+    Mirrors the native ``signed_bits_range`` (f9native.cpp) EXACTLY: a
+    non-positive maximum contributes nothing (an all ``-2**k`` partition
+    needs k+1 bits, not k+2 — e.g. all -1 fits one bit).  The two encoders'
+    rice-vs-escape decisions hinge on this width, so any disagreement
+    breaks the BIT-IDENTICAL invariant (round-4 advisor finding)."""
     if len(arr) == 0:
         return 1
     mx, mn = int(np.max(arr)), int(np.min(arr))
-    need = mx.bit_length() + 1
+    need = mx.bit_length() + 1 if mx > 0 else 1
     if mn < 0:
         need = max(need, (~mn).bit_length() + 1)
     return need
@@ -1282,6 +1290,12 @@ class FlacWriter:
             raise ValueError(f"flac: unsupported bit depth {bits}")
         if not 1 <= channels <= 8:
             raise ValueError(f"flac: unsupported channel count {channels}")
+        if not 16 <= block <= 65535:
+            # the frame header's blocksize-minus-1 field is 16-bit and the
+            # STREAMINFO spec minimum is 16: outside this range the masked
+            # value would silently corrupt the stream (advisor finding)
+            raise ValueError(f"flac: block size out of range [16, 65535]: "
+                             f"{block}")
         self.path = path
         self.channels = channels
         self.rate = rate

@@ -528,10 +528,17 @@ static int decode_subframe(BR& br, int64_t blocksize, int bps, int64_t* x) {
         for (int i = 0; i < order; ++i) coefs[i] = br.read_signed(prec);
         int rc = decode_residual(br, blocksize, order, x + order);
         if (rc) return rc;
+        // Range check mirrors flac.py _restore_lpc: valid samples fit 33
+        // bits, so a reconstruction past 2^40 means corrupt LPC params.  A
+        // crafted stream can carry a valid CRC over its own bytes, so CRC-16
+        // alone does not reject it — without this both decoders must agree
+        // to fail, not silently wrap (round-4 advisor finding).
+        const int64_t LPC_LIM = (int64_t)1 << 40;
         for (int64_t i = order; i < blocksize; ++i) {
             int64_t acc = 0;
             for (int j = 0; j < order; ++j) acc += coefs[j] * x[i - 1 - j];
             x[i] += acc >> shift;
+            if (x[i] > LPC_LIM || x[i] < -LPC_LIM) return FLAC_ERR_VALUE;
         }
     } else {
         return FLAC_ERR_RESERVED;
@@ -1089,6 +1096,10 @@ int64_t f9_flac_encode_frame(const int32_t* codes, int64_t n, int64_t stride,
     using flacdec::crc8;
     using flacdec::crc16;
     if (channels < 1 || channels > 8 || n < 1) return -7;
+    // the frame header's blocksize-minus-1 field is 16-bit: larger frames
+    // would silently truncate (mirrors FlacWriter's [16, 65535] validation;
+    // a final partial frame below 16 is legal, so only the cap binds here)
+    if (n > 65535) return -7;
     BW bw;
     bw.buf.reserve((size_t)(n * channels * 5 + 64));
     bw.write(0x3FFE, 14);

@@ -153,6 +153,52 @@ def test_native_encoder_bit_parity():
         assert py == nat, (trial, bits, ch, n, kind)
 
 
+def test_signed_bits_minimal_negative_widths():
+    """An all ``-2**k`` partition needs exactly k+1 bits (the advisor's
+    round-4 finding: the old form returned k+2, flipping the rice-vs-escape
+    decision away from the native encoder's)."""
+    for k in range(0, 31):
+        arr = np.full(17, -(1 << k), np.int64)
+        assert flac._signed_bits(arr) == k + 1, k
+    assert flac._signed_bits(np.zeros(5, np.int64)) == 1
+    assert flac._signed_bits(np.array([], np.int64)) == 1
+    assert flac._signed_bits(np.array([3, -4], np.int64)) == 3
+    assert flac._signed_bits(np.array([4, -4], np.int64)) == 4
+
+
+def test_native_encoder_parity_all_negative_pow2_partitions():
+    """Signals engineered so residual partitions are runs of exactly -2^k
+    (constant-slope ramps under fixed prediction): the width computation's
+    rice-vs-escape flip must agree between Python and native bit-for-bit."""
+    from f9tpu import native
+
+    if not native.available():
+        pytest.skip(f"native unavailable: {native.build_error()}")
+    rng = np.random.default_rng(97)
+    n = 4096
+    t = np.arange(n, dtype=np.int64)
+    cases = []
+    # pure ramps: order-1 residuals are a constant -2^k everywhere
+    for k in (0, 1, 4, 7):
+        cases.append((-(1 << k) * t)[None, :] % (1 << 23) - (1 << 22))
+    # random walk with aligned constant-slope runs of -1 (advisor's class):
+    # partitions covering the run see all-(-1) order-1 residuals
+    for trial in range(8):
+        steps = rng.integers(-2, 3, n).astype(np.int64)
+        a, b = 512 * rng.integers(0, 4), 512 * rng.integers(4, 8)
+        steps[a:b] = -1
+        walk = np.cumsum(steps)
+        ch = int(rng.choice([1, 2]))
+        cases.append(np.stack([walk + 7 * c for c in range(ch)]))
+    for i, codes in enumerate(cases):
+        codes = np.clip(codes, -(1 << 22), (1 << 22) - 1)
+        py = flac._encode_frame(codes, i, flac.StreamInfo(
+            4096, 4096, 0, 0, 48000, codes.shape[0], 24, n,
+            b"\x00" * 16, 0), 4096)
+        nat = native.flac_encode_frame(codes, 24, i, 4096, 48000)
+        assert py == nat, i
+
+
 def test_mt_encode_thread_count_invariant():
     """The multithreaded frame encoder is byte-identical to the
     sequential one at ANY thread count (frames are independent under
@@ -303,6 +349,63 @@ def test_decode_lpc_subframe(tmp_path, decode_path):
     dec, _ = read_flac_codes(p, verify_md5=False)
     assert dec.shape == (1, n)
     assert dec[0].tolist() == exp
+
+
+def test_hostile_lpc_rejected_identically(tmp_path, decode_path):
+    """A CRC-valid stream whose LPC params drive the reconstruction past
+    the 2^40 bound (valid samples fit 33 bits) must be REJECTED by both
+    decoders — CRC-16 covers the crafted bytes, so only the range check
+    stands between the caller and wrapped-garbage samples (round-4
+    advisor finding: the native path used to wrap silently)."""
+    n, order, shift = 16, 1, 0
+    bw = _BitWriter()
+    _frame_header(bw, 6, 9, 0, 7, number=0, bs_extra=(8, n - 1))
+    bw.write(0, 1)
+    bw.write(32 + (order - 1), 6)             # LPC, order 1
+    bw.write(0, 1)                            # no wasted bits
+    bw.write_signed(2**31 - 1, 32)            # warmup at full 32-bit scale
+    prec = 15
+    bw.write(prec - 1, 4)
+    bw.write_signed(shift, 5)
+    bw.write_signed(2**14 - 1, prec)          # x[i] ~= 16383 * x[i-1]
+    bw.write(0, 2)                            # residual method 0
+    bw.write(0, 4)                            # partition order 0
+    bw.write(0, 4)                            # rice k = 0
+    for _ in range(n - order):
+        bw.write(1, 1)                        # all-zero residuals
+    p = str(tmp_path / "hostile.flac")
+    with open(p, "wb") as f:
+        f.write(_container(_finish_frame(bw), ch=1, bits=32, total=n))
+    with pytest.raises(ValueError):
+        read_flac_codes(p, verify_md5=False)
+
+
+def test_truncated_seektable_raises_valueerror(tmp_path):
+    """A SEEKTABLE whose body is cut short must raise the module's
+    documented ValueError contract, not struct.error (advisor finding)."""
+    si = flac.StreamInfo(4096, 4096, 0, 0, 44100, 1, 16, 0, b"\x00" * 16, 0)
+    blob = (b"fLaC" + bytes([flac._BLOCK_STREAMINFO])
+            + (34).to_bytes(3, "big") + flac._pack_streaminfo_simple(si)
+            + bytes([0x83]) + (36).to_bytes(3, "big")   # SEEKTABLE, 2 points
+            + b"\x00" * 10)                             # ...but only 10 bytes
+    p = str(tmp_path / "trunc.flac")
+    with open(p, "wb") as f:
+        f.write(blob)
+    with pytest.raises(ValueError, match="truncated"):
+        probe_flac(p)
+
+
+def test_flac_writer_block_range_validated(tmp_path):
+    """Blocks outside [16, 65535] would corrupt the 16-bit frame-header
+    field / violate the STREAMINFO minimum — rejected up front."""
+    for bad in (0, 8, 15, 65536, 1 << 20):
+        with pytest.raises(ValueError, match="block"):
+            FlacWriter(str(tmp_path / "b.flac"), 1, 48000, block=bad)
+    w = FlacWriter(str(tmp_path / "ok.flac"), 1, 48000, block=16)
+    w.append_codes(np.zeros((1, 40), np.int64))
+    w.close()
+    dec, _ = read_flac_codes(str(tmp_path / "ok.flac"))
+    assert dec.shape == (1, 40)
 
 
 def test_decode_verbatim_and_constant(tmp_path, decode_path):
