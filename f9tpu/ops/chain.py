@@ -24,11 +24,13 @@ static argument (a changed IR is a changed chain — same invalidation
 semantics as the reference's settings key,
 Models/ProcessingSettings.swift:60-65).
 
-TPU notes: the FIR insert lowers to the same MXU-tiled strided conv as the
-SRC core (precision=HIGHEST — TPU fp32 convs default to bf16 passes);
-long convolutions (reverb IRs) use uniform-partitioned overlap-save FFT
-convolution with a frequency-domain delay line carried through ``lax.scan``,
-so memory stays O(K·N) regardless of capture length.
+TPU notes: short FIR inserts evaluate as a position-invariant shifted-MAC
+fold (`_fir_fold` — one fused VPU pass whose per-element rounding is
+independent of buffer offset, the property the byte-exact streaming
+contract rides on); long convolutions (reverb IRs, long FIR/biquad IRs)
+use uniform-partitioned overlap-save FFT convolution with a
+frequency-domain delay line carried through ``lax.scan``, so memory stays
+O(K·N) regardless of capture length.
 """
 
 from __future__ import annotations
@@ -64,6 +66,45 @@ def _array_sig(a: np.ndarray) -> tuple:
     graph, so the digest must be collision-free in practice."""
     a = np.ascontiguousarray(a)
     return (a.shape, hashlib.blake2b(a.tobytes(), digest_size=16).hexdigest())
+
+
+#: direct FIR-type stages (FIRInsert / Biquad truncated IRs) evaluate as the
+#: position-invariant shifted-MAC fold up to this tap count; above it they
+#: route to partitioned-FFT (UPOLS), whose batch and grid-keyed streaming
+#: forms are byte-identical by construction.  The backend conv lowering is
+#: NOT position/shape-invariant (XLA:CPU flips last-ulp ties on edge
+#:  columns; the real TPU differs by up to ~1.3e-5 for the same window at a
+#: different buffer offset — docs/PERF.md round 4 session 3c and round 5),
+#: so the byte-exact streaming contract cannot ride on `_direct_convolve`.
+#: The fold emits ~2 HLO ops per tap (bounded trace), runs on the VPU as one
+#: fused pass, and its pairwise-tree association keeps rounding error
+#: O(eps·log2 W) — measured at or below the conv's accuracy vs float64.
+FIR_FOLD_MAX = 1024
+
+
+def _fir_fold(x: jax.Array, taps: np.ndarray) -> jax.Array:
+    """Causal direct FIR along the last axis with POSITION-INVARIANT
+    numerics: ``out[n] = sum_k taps[k] * x[n-k]`` evaluated as ``W`` shifted
+    scalar multiplies combined by a fixed pairwise tree, so every output
+    element's float32 op sequence is independent of the array's length or
+    offset (the property the chain's 0-ULP streaming contract rides on —
+    same move as `_uniform_ma_past`, hardware-verified for dynamics in
+    round 4 session 3c).  The tree association also bounds rounding at
+    O(eps·log2 W) vs the sequential fold's O(eps·W)."""
+    taps = np.asarray(taps, np.float32).reshape(-1)
+    W = int(taps.shape[0])
+    if W == 1:
+        return x * taps[0]
+    T = x.shape[-1]
+    pad = [(0, 0)] * (x.ndim - 1) + [(W - 1, 0)]
+    xp = jnp.pad(x, pad)
+    terms = [xp[..., W - 1 - k : W - 1 - k + T] * taps[k] for k in range(W)]
+    while len(terms) > 1:
+        nxt = [terms[i] + terms[i + 1] for i in range(0, len(terms) - 1, 2)]
+        if len(terms) % 2:
+            nxt.append(terms[-1])
+        terms = nxt
+    return terms[0]
 
 
 def _direct_convolve(x: jax.Array, taps: np.ndarray) -> jax.Array:
@@ -287,9 +328,6 @@ class FIRInsert:
     group delay — e.g. a linear-phase FIR delays by (W-1)/2 frames, which
     calibration must measure and trim (LATENCY_TRIMMING_FIX.md contract)."""
 
-    #: above this tap count the MXU direct form loses to FFT convolution
-    DIRECT_MAX = 8192
-
     #: per-channel stage: safe to run inside a channel shard
     channel_local = True
 
@@ -305,21 +343,22 @@ class FIRInsert:
         return int(self.taps.shape[0]) - 1
 
     def apply(self, y: jax.Array, rate: int) -> jax.Array:
-        if self.taps.shape[0] <= self.DIRECT_MAX:
-            return _direct_convolve(y, self.taps)
+        if self.taps.shape[0] <= FIR_FOLD_MAX:
+            return _fir_fold(y, self.taps)
         return fft_convolve(y, self.taps)
 
-    # --- streaming (round 4): direct taps ride the generic input ring;
-    # long taps carry the UPOLS frequency-domain delay line on the absolute
-    # block grid, so chunked output is byte-exact too ---
+    # --- streaming: foldable taps ride the generic input ring (the fold is
+    # position-invariant, so the ring continuation is byte-exact on every
+    # backend); longer taps carry the UPOLS frequency-domain delay line on
+    # the absolute block grid, byte-exact with the batch `fft_convolve` ---
 
     def stream_grid(self, rate: int) -> int:
-        if self.taps.shape[0] <= self.DIRECT_MAX:
+        if self.taps.shape[0] <= FIR_FOLD_MAX:
             return 1
         return _fft_block_size(int(self.taps.shape[0]))
 
     def stream_state(self, rate: int, channels: int):
-        if self.taps.shape[0] <= self.DIRECT_MAX:
+        if self.taps.shape[0] <= FIR_FOLD_MAX:
             return jnp.zeros((channels, self.tail_frames(rate)), jnp.float32)
         B = self.stream_grid(rate)
         K = -(-int(self.taps.shape[0]) // B)
@@ -328,7 +367,7 @@ class FIRInsert:
                 jnp.zeros((K, channels, B + 1), jnp.float32))
 
     def apply_stream(self, x: jax.Array, state, rate: int, pos) -> tuple:
-        if self.taps.shape[0] <= self.DIRECT_MAX:
+        if self.taps.shape[0] <= FIR_FOLD_MAX:
             return _ring_stream(self, x, state, rate)
         B = self.stream_grid(rate)
         h_re, h_im = _partition_ir(self.taps.astype(np.float32), B)
@@ -461,19 +500,19 @@ class Biquad:
 
     def apply(self, y: jax.Array, rate: int) -> jax.Array:
         h = self.impulse_response(rate).astype(np.float32)
-        if h.shape[0] <= FIRInsert.DIRECT_MAX:
-            return _direct_convolve(y, h)
+        if h.shape[0] <= FIR_FOLD_MAX:
+            return _fir_fold(y, h)
         return fft_convolve(y, h)
 
-    # --- streaming: same dispatch as apply (direct ring / UPOLS state) ---
+    # --- streaming: same dispatch as apply (fold ring / UPOLS state) ---
 
     def stream_grid(self, rate: int) -> int:
         n = int(self.impulse_response(rate).shape[0])
-        return 1 if n <= FIRInsert.DIRECT_MAX else _fft_block_size(n)
+        return 1 if n <= FIR_FOLD_MAX else _fft_block_size(n)
 
     def stream_state(self, rate: int, channels: int):
         n = int(self.impulse_response(rate).shape[0])
-        if n <= FIRInsert.DIRECT_MAX:
+        if n <= FIR_FOLD_MAX:
             return jnp.zeros((channels, n - 1), jnp.float32)
         B = _fft_block_size(n)
         K = -(-n // B)
@@ -483,7 +522,7 @@ class Biquad:
 
     def apply_stream(self, x: jax.Array, state, rate: int, pos) -> tuple:
         h = self.impulse_response(rate).astype(np.float32)
-        if h.shape[0] <= FIRInsert.DIRECT_MAX:
+        if h.shape[0] <= FIR_FOLD_MAX:
             return _ring_stream(self, x, state, rate)
         B = _fft_block_size(int(h.shape[0]))
         h_re, h_im = _partition_ir(h, B)
@@ -1226,8 +1265,11 @@ class Chain:
         """Apply the chain to one streamed chunk with exact continuation:
         each stage threads its own state, so the emitted chunk equals the
         corresponding span of the whole-stream :meth:`apply` BYTE-exactly —
-        delays, FIRs (direct and partitioned-FFT), biquad IRs, reverb IRs
-        and dynamics alike.  Contract: when `stream_grid(rate)` > 1, every
+        delays, FIRs (shifted-MAC fold and partitioned-FFT), biquad IRs,
+        reverb IRs and dynamics alike, on every backend (the fold and the
+        grid-keyed UPOLS are position-invariant; the backend conv the
+        FIR-type stages previously streamed through is not —
+        docs/PERF.md round 5).  Contract: when `stream_grid(rate)` > 1, every
         chunk's length (and therefore ``pos``) must be a multiple of it, so
         the UPOLS block grid stays keyed to absolute stream positions (the
         streaming pipeline's chunk sizing guarantees this).  ``pos`` is the
