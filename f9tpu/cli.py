@@ -496,6 +496,12 @@ def cmd_selftest(args) -> int:
 def cmd_stream(args) -> int:
     from .pipeline.stream import stream_resample_file
 
+    out_ext = os.path.splitext(args.out)[1].lower()
+    if out_ext in (".ogg", ".oga", ".mp3", ".m4a"):
+        print(f"error: lossy output format '{out_ext}' is not supported; "
+              "deliverables are WAV/AIFF/FLAC (Ogg Vorbis is input-only)",
+              file=sys.stderr)
+        return 2
     cfg = ProcessingConfig(
         target_rate=args.rate,
         quality=args.quality,

@@ -1,10 +1,10 @@
-"""Format dispatch: one entry point for .wav/.aif/.aiff/.flac — the
+"""Format dispatch: one entry point for .wav/.aif/.aiff/.flac/.ogg — the
 drop-zone filter of the reference (Source/FileListAndLogComponent.cpp:150-181)
 whose format set comes from JUCE ``registerBasicFormats()``
-(Source/MainComponent.cpp:13): WAV, AIFF, FLAC, Ogg Vorbis.  The first
-three are implemented natively; Ogg Vorbis is perceptual-lossy — wrong as
-a mastering source and pointless as a deliverable — so it is rejected
-with an actionable message instead of a generic one."""
+(Source/MainComponent.cpp:13): WAV, AIFF, FLAC, Ogg Vorbis.  All four are
+implemented natively; Ogg Vorbis is INPUT-only (the JUCE registration is
+a reader too) — perceptual-lossy deliverables stay pointless, so lossy
+OUTPUT formats are rejected with an actionable message."""
 
 from __future__ import annotations
 
@@ -19,13 +19,11 @@ __all__ = ["SUPPORTED_EXTENSIONS", "probe", "read_audio",
            "read_audio_progress", "read_raw_pcm", "is_supported",
            "open_reader"]
 
-SUPPORTED_EXTENSIONS = (".wav", ".aif", ".aiff", ".flac")
+SUPPORTED_EXTENSIONS = (".wav", ".aif", ".aiff", ".flac", ".ogg", ".oga")
 
 # formats the reference's GUI shell could list via OS codecs but that a
 # lossless mastering pipeline should refuse, each with the reason
 _KNOWN_LOSSY = {
-    ".ogg": "Ogg Vorbis is lossy; transcode to WAV/AIFF/FLAC first",
-    ".oga": "Ogg Vorbis is lossy; transcode to WAV/AIFF/FLAC first",
     ".mp3": "MP3 is lossy; transcode to WAV/AIFF/FLAC first",
     ".m4a": "AAC/ALAC containers are not supported; transcode to "
             "WAV/AIFF/FLAC first",
@@ -44,6 +42,8 @@ def _kind(path: str) -> str:
         return "aiff"
     if ext == ".flac":
         return "flac"
+    if ext in (".ogg", ".oga"):
+        return "ogg"
     if ext in _KNOWN_LOSSY:
         raise ValueError(f"{path}: {_KNOWN_LOSSY[ext]}")
     raise ValueError(f"unsupported audio file type: {path}")
@@ -57,6 +57,10 @@ def probe(path: str) -> AudioFileInfo:
         from .flac import probe_flac
 
         return probe_flac(path)
+    if k == "ogg":
+        from .vorbis import probe_ogg
+
+        return probe_ogg(path)
     return probe_aiff(path)
 
 
@@ -69,6 +73,10 @@ def read_audio(path: str) -> tuple[np.ndarray, int]:
         from .flac import read_flac
 
         return read_flac(path)
+    if k == "ogg":
+        from .vorbis import read_ogg
+
+        return read_ogg(path)
     return read_aiff(path)
 
 
@@ -108,6 +116,10 @@ def open_reader(path: str):
         from .flac import FlacReader
 
         return FlacReader(path)
+    if k == "ogg":
+        from .vorbis import OggVorbisReader
+
+        return OggVorbisReader(path)
     from .aiff import AiffReader
 
     return AiffReader(path)
@@ -127,6 +139,11 @@ def read_raw_pcm(path: str):
         from .flac import read_raw_pcm_flac
 
         return read_raw_pcm_flac(path)
+    if k == "ogg":
+        # Vorbis decodes to float, not integer PCM: there is no narrow
+        # wire to ride (the scheduler's raw_bits grouping never selects
+        # ogg — container gate at pipeline/scheduler.py)
+        raise ValueError(f"{path}: Ogg Vorbis has no raw integer payload")
     from .aiff import read_raw_pcm_aiff
 
     return read_raw_pcm_aiff(path)
