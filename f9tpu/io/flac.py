@@ -1027,26 +1027,38 @@ def _pick_fixed_order(x: np.ndarray) -> tuple[int, np.ndarray]:
 
 
 _LPC_PRECISION = 15        # qlp coefficient precision (libFLAC's default)
-_LPC_ORDERS = (4, 8)       # candidate orders, scored by exact residual cost
+_LPC_ORDERS = (4, 8, 12, 16)   # candidate orders, scored by residual cost
+
+#: apodization candidates (round 5): Welch (1 - d^2) plus the quartic
+#: biweight ((1 - d^2)^2) — a stronger taper whose lower sidelobes win on
+#: strongly tonal material, still pure arithmetic (the window set is
+#: restricted to DETERMINISTIC POLYNOMIALS: libFLAC's Tukey needs libm
+#: cos, whose last-ulp platform differences would break the
+#: native/python bit-parity contract)
+_LPC_WINDOWS = ("welch", "biweight")
 
 
-def _windowed_autocorr(xs: list[int], max_lag: int) -> list[float]:
-    """Welch-windowed float64 autocorrelation with a FIXED sequential
-    summation order (mirrored 1:1 in C++; neither side permits FMA
-    contraction or reduction reordering, so the doubles are
-    bit-identical).  Welch (1 - d^2) rather than libFLAC's Tukey because
-    it needs no libm cos — whose last-ulp differences across platforms
-    would break the native/python bit-parity contract.  The window fixes
-    the rectangular-autocorrelation leakage that made strong tones
+def _windowed_autocorr(xs: list[int], max_lag: int,
+                       window: str = "welch") -> list[float]:
+    """Apodized float64 autocorrelation with a FIXED sequential summation
+    order (mirrored 1:1 in C++; neither side permits FMA contraction or
+    reduction reordering, so the doubles are bit-identical).  The window
+    fixes the rectangular-autocorrelation leakage that made strong tones
     predict WORSE than fixed order 4 (measured: order-8 mean|res| 10270
     rectangular -> 832 Welch on a 3-tone block, matching the
     covariance-method least-squares optimum)."""
     n = len(xs)
     half = (n - 1) / 2.0
     wd = [0.0] * n
-    for i in range(n):
-        d = (i - half) / half
-        wd[i] = xs[i] * (1.0 - d * d)
+    if window == "welch":
+        for i in range(n):
+            d = (i - half) / half
+            wd[i] = xs[i] * (1.0 - d * d)
+    else:                                      # biweight (1 - d^2)^2
+        for i in range(n):
+            d = (i - half) / half
+            t = 1.0 - d * d
+            wd[i] = xs[i] * (t * t)
     out = []
     for k in range(max_lag + 1):
         acc = 0.0
@@ -1128,30 +1140,34 @@ def _lpc_residual(xs: list[int], q: list[int], shift: int) -> list[int]:
 
 
 def _pick_lpc(xs: np.ndarray):
-    """Best LPC candidate as (order, q, shift, res ndarray, cost) or None
-    (degenerate/too short).  Every decision is exact-integer or
-    fixed-order float64, so the C++ twin reproduces it bit-for-bit."""
+    """Best LPC candidate over the (window x order) sweep as
+    (order, q, shift, res ndarray, cost) or None (degenerate/too short).
+    Every decision is exact-integer or fixed-order float64, and the
+    candidate iteration order (windows outer, orders inner, strict-<
+    keeps the earlier winner) is part of the contract, so the C++ twin
+    reproduces it bit-for-bit."""
     n = len(xs)
     max_order = max(o for o in _LPC_ORDERS)
     if n <= max_order * 2:
         return None
     xl = [int(v) for v in xs]
-    rf = _windowed_autocorr(xl, max_order)
-    if rf[0] == 0.0:
-        return None
-    per_order = _levinson(rf, max_order)
     best = None
-    for o in _LPC_ORDERS:
-        if o > len(per_order):
+    for window in _LPC_WINDOWS:
+        rf = _windowed_autocorr(xl, max_order, window)
+        if rf[0] == 0.0:
             continue
-        coefs, _err = per_order[o - 1]
-        q, shift = _quantize_lpc(coefs, _LPC_PRECISION)
-        if not any(q):
-            continue
-        res = _lpc_residual(xl, q, shift)
-        cost = sum(v if v >= 0 else -v for v in res)
-        if best is None or cost < best[4]:
-            best = (o, q, shift, np.array(res, np.int64), cost)
+        per_order = _levinson(rf, max_order)
+        for o in _LPC_ORDERS:
+            if o > len(per_order):
+                continue
+            coefs, _err = per_order[o - 1]
+            q, shift = _quantize_lpc(coefs, _LPC_PRECISION)
+            if not any(q):
+                continue
+            res = _lpc_residual(xl, q, shift)
+            cost = sum(v if v >= 0 else -v for v in res)
+            if best is None or cost < best[4]:
+                best = (o, q, shift, np.array(res, np.int64), cost)
     return best
 
 

@@ -897,18 +897,30 @@ static int64_t abs_cost(const int64_t* x, int64_t n,
 // everything downstream of quantization is exact integer math.
 
 static const int LPC_PRECISION = 15;
-static const int LPC_ORDERS[2] = {4, 8};
-static const int LPC_MAX_ORDER = 8;
+static const int LPC_ORDERS[4] = {4, 8, 12, 16};
+static const int LPC_MAX_ORDER = 16;
+static const int LPC_N_WINDOWS = 2;   // 0 = Welch, 1 = biweight
 
 static void windowed_autocorr(const int64_t* xs, int64_t n, int max_lag,
-                              double* r, std::vector<double>& wd) {
-    // Welch window (1 - d^2): pure arithmetic — no libm cos whose
-    // last-ulp platform differences would break the parity contract
+                              int window, double* r,
+                              std::vector<double>& wd) {
+    // deterministic polynomial windows only — no libm cos whose last-ulp
+    // platform differences would break the parity contract.  0: Welch
+    // (1 - d^2); 1: biweight ((1 - d^2)^2), the round-5 second
+    // apodization candidate (stronger taper wins on tonal material)
     wd.resize((size_t)n);
     const double half = (double)(n - 1) / 2.0;
-    for (int64_t i = 0; i < n; ++i) {
-        const double d = ((double)i - half) / half;
-        wd[(size_t)i] = (double)xs[i] * (1.0 - d * d);
+    if (window == 0) {
+        for (int64_t i = 0; i < n; ++i) {
+            const double d = ((double)i - half) / half;
+            wd[(size_t)i] = (double)xs[i] * (1.0 - d * d);
+        }
+    } else {
+        for (int64_t i = 0; i < n; ++i) {
+            const double d = ((double)i - half) / half;
+            const double t = 1.0 - d * d;
+            wd[(size_t)i] = (double)xs[i] * (t * t);
+        }
     }
     for (int k = 0; k <= max_lag; ++k) {
         double acc = 0.0;
@@ -980,36 +992,41 @@ struct LpcPlan {
 
 static void pick_lpc(const int64_t* xs, int64_t n, LpcPlan* plan,
                      std::vector<double>& wd, std::vector<int64_t>& res) {
+    // the candidate iteration order (windows outer, orders inner,
+    // strict-< keeps the earlier winner) is part of the parity contract
+    // with flac.py::_pick_lpc — do not reorder
     plan->cost = -1;
     if (n <= (int64_t)LPC_MAX_ORDER * 2) return;
-    double r[LPC_MAX_ORDER + 1];
-    windowed_autocorr(xs, n, LPC_MAX_ORDER, r, wd);
-    if (r[0] == 0.0) return;
-    double coefs[LPC_MAX_ORDER][LPC_MAX_ORDER];
-    const int produced = levinson(r, LPC_MAX_ORDER, coefs);
-    for (int oi = 0; oi < 2; ++oi) {
-        const int o = LPC_ORDERS[oi];
-        if (o > produced) continue;
-        int64_t q[LPC_MAX_ORDER];
-        int shift;
-        quantize_lpc(coefs[o - 1], o, LPC_PRECISION, q, &shift);
-        bool any = false;
-        for (int j = 0; j < o; ++j) any = any || (q[j] != 0);
-        if (!any) continue;
-        res.resize((size_t)(n - o));
-        int64_t cost = 0;
-        for (int64_t i = o; i < n; ++i) {
-            int64_t acc = 0;
-            for (int j = 0; j < o; ++j) acc += q[j] * xs[i - 1 - j];
-            const int64_t v = xs[i] - (acc >> shift);
-            res[(size_t)(i - o)] = v;
-            cost += v < 0 ? -v : v;
-        }
-        if (plan->cost < 0 || cost < plan->cost) {
-            plan->order = o;
-            plan->shift = shift;
-            for (int j = 0; j < o; ++j) plan->q[j] = q[j];
-            plan->cost = cost;
+    for (int win = 0; win < LPC_N_WINDOWS; ++win) {
+        double r[LPC_MAX_ORDER + 1];
+        windowed_autocorr(xs, n, LPC_MAX_ORDER, win, r, wd);
+        if (r[0] == 0.0) continue;
+        double coefs[LPC_MAX_ORDER][LPC_MAX_ORDER];
+        const int produced = levinson(r, LPC_MAX_ORDER, coefs);
+        for (int oi = 0; oi < 4; ++oi) {
+            const int o = LPC_ORDERS[oi];
+            if (o > produced) continue;
+            int64_t q[LPC_MAX_ORDER];
+            int shift;
+            quantize_lpc(coefs[o - 1], o, LPC_PRECISION, q, &shift);
+            bool any = false;
+            for (int j = 0; j < o; ++j) any = any || (q[j] != 0);
+            if (!any) continue;
+            res.resize((size_t)(n - o));
+            int64_t cost = 0;
+            for (int64_t i = o; i < n; ++i) {
+                int64_t acc = 0;
+                for (int j = 0; j < o; ++j) acc += q[j] * xs[i - 1 - j];
+                const int64_t v = xs[i] - (acc >> shift);
+                res[(size_t)(i - o)] = v;
+                cost += v < 0 ? -v : v;
+            }
+            if (plan->cost < 0 || cost < plan->cost) {
+                plan->order = o;
+                plan->shift = shift;
+                for (int j = 0; j < o; ++j) plan->q[j] = q[j];
+                plan->cost = cost;
+            }
         }
     }
 }

@@ -126,7 +126,7 @@ def test_native_encoder_bit_parity():
         ch = int(rng.choice([1, 2, 2, 2, 6]))
         n = int(rng.choice([1, 2, 192, 1000, 4096, 4097]))
         lim = 1 << (bits - 1)
-        kind = int(rng.integers(0, 6))
+        kind = int(rng.integers(0, 8))
         if kind == 0:
             codes = np.zeros((ch, n), np.int64)
         elif kind == 1:
@@ -140,12 +140,28 @@ def test_native_encoder_bit_parity():
             codes = np.stack([
                 ((lim >> 9) * np.sin(2 * np.pi * (99 + 31 * c) * t / 44100)
                  ).astype(np.int64) << 5 for c in range(ch)])
-        else:  # near-identical channels: exercises mid/side & left/side
+        elif kind == 5:  # near-identical channels: mid/side & left/side
             t = np.arange(n)
             base = (0.6 * lim * np.sin(2 * np.pi * 123 * t / 44100)
                     ).astype(np.int64)
             codes = np.stack([base + rng.integers(-3, 4, n)
                               for _ in range(ch)])
+        elif kind == 6:  # many partials: favors the order-12/16 sweep
+            t = np.arange(n)
+            codes = np.zeros((ch, n), np.float64)
+            for c in range(ch):
+                for h in range(1, 9):
+                    codes[c] += np.sin(2 * np.pi * (150 * h + 7 * c)
+                                       * t / 44100) / h
+            codes = (0.12 * lim * codes).astype(np.int64)
+        else:  # AR(12) process: high-order prediction + biweight window
+            e = rng.standard_normal((ch, n + 64))
+            a = 0.96 * np.array([1.6, -0.8, 0.3, -0.1])
+            y = e.copy()
+            for i in range(4, n + 64):
+                y[:, i] = e[:, i] + a @ y[:, i - 4:i][:, ::-1].T
+            codes = np.clip((lim >> 6) * y[:, 64:], -lim,
+                            lim - 1).astype(np.int64)
         si = flac.StreamInfo(4096, 4096, 0, 0, 44100, ch, bits, n,
                              b"\x00" * 16, 0)
         py = flac._encode_frame(codes, trial, si, 4096)
@@ -658,13 +674,20 @@ def test_codec_dispatch(tmp_path):
 
 
 def test_lossy_formats_rejected_with_reason(tmp_path):
-    for ext, frag in [(".ogg", "lossy"), (".mp3", "lossy"),
-                      (".m4a", "not supported")]:
+    for ext, frag in [(".mp3", "lossy"), (".m4a", "not supported")]:
         p = str(tmp_path / f"x{ext}")
         open(p, "wb").write(b"\x00" * 64)
         assert not codec.is_supported(p)
         with pytest.raises(ValueError, match=frag):
             codec.probe(p)
+    # .ogg is a supported INPUT since round 5 (decode-only parity with the
+    # reference's registerBasicFormats reader); garbage bytes still raise
+    # an actionable container error
+    p = str(tmp_path / "x.ogg")
+    open(p, "wb").write(b"\x00" * 64)
+    assert codec.is_supported(p)
+    with pytest.raises(ValueError, match="capture pattern"):
+        codec.probe(p)
 
 
 def test_batch_flac_matches_wav_bytes(tmp_path):
@@ -1089,3 +1112,39 @@ def test_md5_detects_payload_tamper(tmp_path, decode_path):
     open(p1, "wb").write(franken)
     with pytest.raises(ValueError, match="MD5"):
         read_flac_codes(p1)
+
+
+def test_lpc_sweep_ratio_vs_reference_encoder():
+    """Round 5 (VERDICT item 7): the (window x order) LPC sweep must land
+    within a few % of a mainstream -5-level FLAC encoder.  Reference:
+    the system libavcodec FLAC encoder at defaults (max order 8, level-5
+    analysis) via tests/avref.py — f9tpu's sweep (orders 4/8/12/16,
+    Welch + biweight) measures BELOW it on tonal/harmonic material."""
+    import avref
+
+    if not avref.available():
+        pytest.skip(f"avref unavailable: {avref.build_error()}")
+    from f9tpu import native
+
+    if not native.available():
+        pytest.skip(f"native unavailable: {native.build_error()}")
+    rng = np.random.default_rng(1)
+    rate = 44100
+    T = 6 * rate
+    lim = 1 << 23
+    t = np.arange(T)
+    mats = {}
+    x = np.zeros((2, T))
+    for c in range(2):
+        for h in range(1, 16):
+            x[c] += np.sin(2 * np.pi * (110 * h + 3 * c) * t / rate) / h
+    mats["harmonic"] = np.clip(0.25 * lim * x + rng.normal(0, 100, (2, T)),
+                               -lim, lim - 1).astype(np.int64)
+    x = sum(0.2 * np.sin(2 * np.pi * f * t / rate) for f in (220, 997, 3001))
+    mats["tones"] = np.clip(lim * np.stack([x, x * 0.9])
+                            + rng.normal(0, 300, (2, T)),
+                            -lim, lim - 1).astype(np.int64)
+    for kind, codes in mats.items():
+        ours, _ = native.flac_encode_frames_mt(codes, 24, 0, 4096, rate)
+        ref = avref.encode_size("flac", codes, rate, 24)
+        assert len(ours) <= 1.03 * ref, (kind, len(ours), ref)
