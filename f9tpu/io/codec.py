@@ -1,10 +1,12 @@
-"""Format dispatch: one entry point for .wav/.aif/.aiff/.flac/.ogg — the
-drop-zone filter of the reference (Source/FileListAndLogComponent.cpp:150-181)
-whose format set comes from JUCE ``registerBasicFormats()``
-(Source/MainComponent.cpp:13): WAV, AIFF, FLAC, Ogg Vorbis.  All four are
-implemented natively; Ogg Vorbis is INPUT-only (the JUCE registration is
-a reader too) — perceptual-lossy deliverables stay pointless, so lossy
-OUTPUT formats are rejected with an actionable message."""
+"""Format dispatch: one entry point for .wav/.aif/.aiff/.flac/.ogg/.caf/
+.m4a — the drop-zone filter of the reference
+(Source/FileListAndLogComponent.cpp:150-181).  WAV/AIFF/FLAC/Ogg come from
+JUCE ``registerBasicFormats()`` (Source/MainComponent.cpp:13); CAF (LPCM +
+Apple Lossless) and ALAC .m4a come from the Swift shell's AVAudioFile
+surface (Models/AudioFile.swift:38).  All are implemented natively;
+Ogg Vorbis and ALAC are INPUT-only — perceptual-lossy deliverables stay
+pointless, so lossy OUTPUT formats are rejected with an actionable
+message, and AAC .m4a input is rejected the same way."""
 
 from __future__ import annotations
 
@@ -19,14 +21,13 @@ __all__ = ["SUPPORTED_EXTENSIONS", "probe", "read_audio",
            "read_audio_progress", "read_raw_pcm", "is_supported",
            "open_reader"]
 
-SUPPORTED_EXTENSIONS = (".wav", ".aif", ".aiff", ".flac", ".ogg", ".oga")
+SUPPORTED_EXTENSIONS = (".wav", ".aif", ".aiff", ".flac", ".ogg", ".oga",
+                        ".caf", ".m4a")
 
 # formats the reference's GUI shell could list via OS codecs but that a
 # lossless mastering pipeline should refuse, each with the reason
 _KNOWN_LOSSY = {
     ".mp3": "MP3 is lossy; transcode to WAV/AIFF/FLAC first",
-    ".m4a": "AAC/ALAC containers are not supported; transcode to "
-            "WAV/AIFF/FLAC first",
 }
 
 
@@ -44,6 +45,10 @@ def _kind(path: str) -> str:
         return "flac"
     if ext in (".ogg", ".oga"):
         return "ogg"
+    if ext == ".caf":
+        return "caf"
+    if ext == ".m4a":
+        return "m4a"           # ALAC only; AAC raises the lossy message
     if ext in _KNOWN_LOSSY:
         raise ValueError(f"{path}: {_KNOWN_LOSSY[ext]}")
     raise ValueError(f"unsupported audio file type: {path}")
@@ -61,6 +66,14 @@ def probe(path: str) -> AudioFileInfo:
         from .vorbis import probe_ogg
 
         return probe_ogg(path)
+    if k == "caf":
+        from .caf import probe_caf
+
+        return probe_caf(path)
+    if k == "m4a":
+        from .mp4 import probe_m4a
+
+        return probe_m4a(path)
     return probe_aiff(path)
 
 
@@ -77,6 +90,14 @@ def read_audio(path: str) -> tuple[np.ndarray, int]:
         from .vorbis import read_ogg
 
         return read_ogg(path)
+    if k == "caf":
+        from .caf import read_caf
+
+        return read_caf(path)
+    if k == "m4a":
+        from .mp4 import read_m4a
+
+        return read_m4a(path)
     return read_aiff(path)
 
 
@@ -120,6 +141,14 @@ def open_reader(path: str):
         from .vorbis import OggVorbisReader
 
         return OggVorbisReader(path)
+    if k == "caf":
+        from .caf import CafReader
+
+        return CafReader(path)
+    if k == "m4a":
+        from .mp4 import M4aReader
+
+        return M4aReader(path)
     from .aiff import AiffReader
 
     return AiffReader(path)
@@ -139,11 +168,11 @@ def read_raw_pcm(path: str):
         from .flac import read_raw_pcm_flac
 
         return read_raw_pcm_flac(path)
-    if k == "ogg":
-        # Vorbis decodes to float, not integer PCM: there is no narrow
-        # wire to ride (the scheduler's raw_bits grouping never selects
-        # ogg — container gate at pipeline/scheduler.py)
-        raise ValueError(f"{path}: Ogg Vorbis has no raw integer payload")
+    if k in ("ogg", "caf", "m4a"):
+        # no raw wire: Vorbis decodes to float; ALAC/CAF payloads are
+        # compressed or layout-varied (the scheduler's raw_bits grouping
+        # never selects these — container gate at pipeline/scheduler.py)
+        raise ValueError(f"{path}: no raw integer PCM payload to ship")
     from .aiff import read_raw_pcm_aiff
 
     return read_raw_pcm_aiff(path)

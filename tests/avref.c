@@ -34,7 +34,8 @@ long avref_encode(const char *codec_name, const char *path, const char *fmt,
     if (!cc) return -2;
     enum AVSampleFormat want = codec->sample_fmts ? codec->sample_fmts[0]
                                                   : AV_SAMPLE_FMT_S32;
-    /* prefer a 32-bit fmt when offered (24-bit material) */
+    /* prefer a 32-bit integer fmt when offered (24-bit material); fall
+     * back to whatever the codec lists first (float for aac/f32 pcm) */
     if (codec->sample_fmts) {
         for (int i = 0; codec->sample_fmts[i] != AV_SAMPLE_FMT_NONE; ++i) {
             enum AVSampleFormat f = codec->sample_fmts[i];
@@ -98,24 +99,24 @@ long avref_encode(const char *codec_name, const char *path, const char *fmt,
                 const int planar = av_sample_fmt_is_planar(want);
                 const int s16 = (want == AV_SAMPLE_FMT_S16
                                  || want == AV_SAMPLE_FMT_S16P);
+                const int flt = (want == AV_SAMPLE_FMT_FLT
+                                 || want == AV_SAMPLE_FMT_FLTP);
                 const int shift = s16 ? (bits > 16 ? bits - 16 : 0)
                                       : (32 - bits);
+                const float fscale = 1.0f / (float)(1u << (bits - 1));
                 for (int c = 0; c < ch; ++c) {
                     for (long i = 0; i < todo; ++i) {
                         int32_t v = pcm[(pos + i) * ch + c];
-                        if (s16) {
-                            int16_t s = (int16_t)(shift ? (v >> shift) : v);
-                            if (planar)
-                                ((int16_t *)frame->data[c])[i] = s;
-                            else
-                                ((int16_t *)frame->data[0])[i * ch + c] = s;
-                        } else {
-                            int32_t s = v << shift;  /* left-justified */
-                            if (planar)
-                                ((int32_t *)frame->data[c])[i] = s;
-                            else
-                                ((int32_t *)frame->data[0])[i * ch + c] = s;
-                        }
+                        uint8_t *base = planar ? frame->data[c]
+                                               : frame->data[0];
+                        const long idx = planar ? i : (long)i * ch + c;
+                        if (flt)
+                            ((float *)base)[idx] = (float)v * fscale;
+                        else if (s16)
+                            ((int16_t *)base)[idx] =
+                                (int16_t)(shift ? (v >> shift) : v);
+                        else
+                            ((int32_t *)base)[idx] = v << shift;
                     }
                 }
                 frame->pts = pts;
@@ -237,9 +238,11 @@ long avref_decode(const char *path, int32_t *out, long cap, int *ch_out,
                         else if (bytes == 4 && (f == AV_SAMPLE_FMT_S32
                                                 || f == AV_SAMPLE_FMT_S32P))
                             v = ((const int32_t *)base)[idx] >> (32 - bits);
-                        else if (bytes == 4)  /* float */
+                        else if (bytes == 4) { /* float: 24-bit convention */
                             v = (int32_t)(((const float *)base)[idx]
                                           * 8388608.0f);
+                            *bits_out = 24;
+                        }
                         out[got * ch + c] = v;
                     }
                     ++got;

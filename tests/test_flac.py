@@ -674,20 +674,22 @@ def test_codec_dispatch(tmp_path):
 
 
 def test_lossy_formats_rejected_with_reason(tmp_path):
-    for ext, frag in [(".mp3", "lossy"), (".m4a", "not supported")]:
+    p = str(tmp_path / "x.mp3")
+    open(p, "wb").write(b"\x00" * 64)
+    assert not codec.is_supported(p)
+    with pytest.raises(ValueError, match="lossy"):
+        codec.probe(p)
+    # .ogg/.caf/.m4a are supported INPUTS since round 5 (decode-only
+    # parity with the reference's registerBasicFormats reader + the Swift
+    # shell's AVAudioFile surface); garbage bytes still raise actionable
+    # container errors
+    for ext, frag in [(".ogg", "capture pattern"), (".caf", "not a CAF"),
+                      (".m4a", "moov|box")]:
         p = str(tmp_path / f"x{ext}")
         open(p, "wb").write(b"\x00" * 64)
-        assert not codec.is_supported(p)
+        assert codec.is_supported(p)
         with pytest.raises(ValueError, match=frag):
             codec.probe(p)
-    # .ogg is a supported INPUT since round 5 (decode-only parity with the
-    # reference's registerBasicFormats reader); garbage bytes still raise
-    # an actionable container error
-    p = str(tmp_path / "x.ogg")
-    open(p, "wb").write(b"\x00" * 64)
-    assert codec.is_supported(p)
-    with pytest.raises(ValueError, match="capture pattern"):
-        codec.probe(p)
 
 
 def test_batch_flac_matches_wav_bytes(tmp_path):

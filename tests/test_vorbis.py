@@ -161,7 +161,7 @@ def test_codec_dispatch_ogg(tmp_path):
     with codec.open_reader(p) as rd:
         c = rd.read(100, 200)
         assert np.array_equal(c, y[:, 100:300])
-    with pytest.raises(ValueError, match="raw integer payload"):
+    with pytest.raises(ValueError, match="raw integer"):
         codec.read_raw_pcm(p)
     assert codec.is_supported(p)
 
