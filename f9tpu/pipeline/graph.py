@@ -273,7 +273,8 @@ def _process_impl(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("rate_in", "rate_out", "cfg_key", "raw_in"),
+    static_argnames=("rate_in", "rate_out", "cfg_key", "raw_in",
+                     "packed_out"),
 )
 def _process_impl_rows(
     x: jax.Array,
@@ -284,6 +285,7 @@ def _process_impl_rows(
     rate_out: int,
     cfg_key: tuple,
     raw_in: tuple[int, int] | None = None,
+    packed_out: bool = False,
     gain_lin=None,
 ):
     """Rows-layout fast path (no reverb, zero chain latency).
@@ -391,11 +393,20 @@ def _process_impl_rows(
     if routing is not None and any(r < 0 for r in routing):
         silent = jnp.asarray([r < 0 for r in routing]).reshape(1, -1, 1, 1)
         codes = jnp.where(silent, 0, codes)
-    # NOTE: no device-side byte packing here — a (..., C, 3) uint8 tail gets
-    # tile-padded to 128 lanes in HBM (~42x D2H inflation); int32 codes in
-    # (files, C, n, L) transfer cleanly and the host packs with the native
-    # C++ loop instead.
     terminated = jnp.ones((files,), bool)
+    if packed_out:
+        # Device-side payload packing for the raw wire (round 5): packing
+        # INSIDE the rows tiling would grow a (..., C, 3) uint8 tail that
+        # HBM pads to 128 lanes (~42x D2H inflation) — but a flat reshape
+        # first gives the same wide byte vector the flat path downloads.
+        # The reshape relayout costs ~3-4 ms/batch on device; the payload
+        # is 3/4 (24-bit) or 1/2 (16-bit) of the int32 bytes, measured
+        # 0.82-0.91x wall on the link-bound D2H (docs/PERF.md round 5).
+        from ..ops.devcodec import pack_interleaved
+
+        flat = codes.reshape(codes.shape[0], codes.shape[1], -1)
+        return (pack_interleaved(flat, bits), out_valid, terminated,
+                pk_db, level_db, nf_est)
     return codes, out_valid, terminated, pk_db, level_db, nf_est
 
 
@@ -561,13 +572,15 @@ def process_batch_raw(
             rate_out=cfg.target_rate,
             cfg_key=_cfg_key(cfg, 0),
             raw_in=(in_channels, in_bits, in_big_endian),
+            packed_out=True,
         )
-        # int32 codes in rows layout (device packing would tile-pad the byte
-        # dims); the host flattens and packs with the native loop
+        # rows results on the raw wire pack ON DEVICE (via a flat reshape —
+        # see _process_impl_rows) and download the 2/3-byte payload, so the
+        # collector/encode treat this exactly like the flat payload path
         return ProcessResult(codes=codes, out_frames=out_frames,
                              tail_terminated=terminated, peak_db=pk,
                              rms_db=level, noise_floor_db=nf_est,
-                             layout="rows")
+                             layout="flat")
     pad_frames = _default_pad_frames(cfg, rate_in, latency_frames)
     if noise_floor_db is None:
         noise_floor_db = cfg.noise_floor_db

@@ -706,6 +706,16 @@ class BatchProcessor:
                 # thread -> these waits never overlap and compose with wall.
                 t_blk = time.time()
                 try:
+                    # start ALL host copies before blocking on any: the
+                    # four scalar metric arrays each pay a tunnel round
+                    # trip (~25 ms measured) that otherwise serializes
+                    # AFTER the big codes transfer (docs/PERF.md round 5)
+                    for a in (res.codes, res.out_frames, res.peak_db,
+                              res.rms_db, res.noise_floor_db):
+                        try:
+                            a.copy_to_host_async()
+                        except AttributeError:
+                            break          # non-jax array (tests/CPU stubs)
                     codes = np.asarray(res.codes)
                     if res.layout == "rows":
                         # host-side flatten of the device rows tiling

@@ -1257,12 +1257,12 @@ def test_rows_layout_raw_path(tmp_path):
                                key, in_channels=2, in_bits=24, rows_layout=True)
     of = int(np.asarray(r_flat.out_frames)[0])
     assert int(np.asarray(r_rows.out_frames)[0]) == of
-    # flat raw path emits a device-packed byte payload; rows emits int32 codes
-    # (host packs) — reconstruct bytes from the rows codes and compare
-    assert r_rows.layout == "rows"
-    from f9tpu.io.wav import _pack24
-    rows_codes = np.asarray(r_rows.codes).reshape(1, 2, -1)[0, :, :of]
-    pr = _pack24(np.ascontiguousarray(rows_codes.T).reshape(-1))
+    # both raw paths emit a device-packed byte payload since round 5 (the
+    # rows result reshapes flat on device, then rides the same packer —
+    # 3/4 the D2H bytes on the link-bound path); the deliverable bytes
+    # must be identical
+    assert r_rows.layout == "flat"
+    pr = np.asarray(r_rows.codes)[0, : of * 2 * 3]
     pf = np.asarray(r_flat.codes)[0, : of * 2 * 3]
     assert np.array_equal(pf, pr)
 
