@@ -41,6 +41,13 @@ _CRC_TAB = _make_crc_table()
 
 
 def ogg_crc(data: bytes) -> int:
+    try:                              # C++ hot loop (same table; the page
+        from .. import native         # scan is per-page, ~4 KB calls)
+
+        if native.available():
+            return native.ogg_crc_native(data)
+    except Exception:
+        pass
     crc = 0
     tab = _CRC_TAB
     for b in data:

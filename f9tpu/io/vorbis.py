@@ -1011,6 +1011,20 @@ class VorbisStreamDecoder:
             raise VorbisError("not a Vorbis setup header")
         self.setup = _Setup(setup, self.info)
         self.mode_bits = _ilog(len(self.setup.modes) - 1)
+        # native front half (f9native.cpp): packet -> (residue, curve)
+        # bitwise identical to the Python path; floor0 streams and
+        # native-unavailable hosts stay pure Python
+        self._nat = None
+        try:
+            blob = _native_setup_blob(self.setup, self.mode_bits)
+            if blob is not None:
+                from .. import native
+
+                if native.available():
+                    self._nat = native.VorbisNative(
+                        blob, self.info.channels, self.info.blocksize1)
+        except Exception:
+            self._nat = None                    # any native hiccup: Python
         self.reset()
 
     def reset(self) -> None:
@@ -1040,6 +1054,13 @@ class VorbisStreamDecoder:
         """Decode one packet; returns (channels, frames) float32 — the
         lapped output, empty for the priming packet — or None for packets
         that decode to nothing (non-audio type, bad mode number)."""
+        if self._nat is not None:
+            r = self._nat.decode_packet(pkt)
+            if r is None:
+                return None
+            n, prev_flag, next_flag, res, curve = r
+            spectrum = res.astype(np.float64) * curve
+            return self._lap(spectrum, n, prev_flag, next_flag)
         s = self.setup
         info = self.info
         ch = info.channels
@@ -1099,14 +1120,17 @@ class VorbisStreamDecoder:
             fl = s.floors[mapping.submap_floor[mapping.mux[c]]]
             spectrum[c] = (residue_out[c].astype(np.float64)
                            * fl.curve(floor_data[c], n2))
+        return self._lap(spectrum, n, prev_flag, next_flag)
 
-        # --- IMDCT + window ---
-        pcm = _imdct(spectrum) * s.window(n, prev_flag, next_flag)
-
-        # --- overlap-add lap (spec 4.3.9): emitted samples span the
-        # previous block's center to this block's center; both windows are
-        # zero outside their slopes, so plain aligned adds are exact for
-        # every long/short pairing ---
+    def _lap(self, spectrum: np.ndarray, n: int, prev_flag: bool,
+             next_flag: bool) -> np.ndarray:
+        """IMDCT + window + overlap-add (spec 4.3.7-4.3.9): emitted
+        samples span the previous block's center to this block's center;
+        both windows are zero outside their slopes, so plain aligned adds
+        are exact for every long/short pairing."""
+        n2 = n // 2
+        ch = spectrum.shape[0]
+        pcm = _imdct(spectrum) * self.setup.window(n, prev_flag, next_flag)
         if self._prev_right is None:
             self._prev_right = pcm[:, n2:].copy()
             self._prev_n = n
@@ -1439,3 +1463,76 @@ def probe_ogg(path: str):
                          num_channels=info.channels, num_frames=num,
                          bit_depth=32, is_float=True, container="ogg",
                          byte_order="little")
+
+
+# --------------------------------------------------------------------------
+# native front-half serialization (f9native.cpp "Vorbis packet front half")
+
+
+def _native_setup_blob(s: _Setup, mode_bits: int) -> bytes | None:
+    """Serialize the parsed setup for the C++ packet front half: all
+    int32 little-endian + raw float32 arrays, in the exact order
+    ``f9_vorbis_setup`` reads.  Returns None for configurations the
+    native path does not cover (floor type 0 — extinct in the wild)."""
+    import struct as _s
+
+    if any(isinstance(f, _Floor0) for f in s.floors):
+        return None
+    out = bytearray()
+
+    def i32(*vs):
+        out.extend(_s.pack(f"<{len(vs)}i", *vs))
+
+    info = s.info
+    i32(info.channels, info.blocksize0, info.blocksize1, mode_bits,
+        len(s.books))
+    z256 = np.zeros(256, np.int32).tobytes()
+    for b in s.books:
+        i32(b.dim, b.entries, b.single_entry, b.single_bits)
+        if b.tree is None:
+            i32(0)
+            out.extend(z256 * 3)
+        else:
+            i32(b.tree.shape[0])
+            out.extend(np.ascontiguousarray(b.tree, np.int32).tobytes())
+            out.extend(np.ascontiguousarray(b.fast_entry,
+                                            np.int32).tobytes())
+            out.extend(np.ascontiguousarray(b.fast_len, np.int32).tobytes())
+            out.extend(np.ascontiguousarray(b.fast_node, np.int32).tobytes())
+        if b.vq is None:
+            i32(0)
+        else:
+            i32(1)
+            out.extend(np.ascontiguousarray(b.vq, np.float32).tobytes())
+    i32(len(s.floors))
+    for f in s.floors:
+        i32(len(f.partition_class_list), *f.partition_class_list)
+        nc = len(f.class_dimensions)
+        i32(nc, *f.class_dimensions)
+        i32(*f.class_subclasses)
+        i32(*f.class_masterbooks)
+        for row in f.subclass_books:
+            i32(*(row + [-1] * (8 - len(row))))
+        i32(f.multiplier, len(f.x_list), *f.x_list)
+        i32(*[int(v) for v in f.sort_order])
+        i32(*[int(v) for v in f.low_neighbor])
+        i32(*[int(v) for v in f.high_neighbor])
+    i32(len(s.residues))
+    for r in s.residues:
+        i32(r.rtype, r.begin, r.end, r.partition_size, r.classifications,
+            r.classbook)
+        for row in r.books:
+            i32(*row)
+    i32(len(s.mappings))
+    for m in s.mappings:
+        i32(len(m.coupling))
+        for pair in m.coupling:
+            i32(*pair)
+        i32(*m.mux)
+        i32(len(m.submap_floor), *m.submap_floor)
+        i32(*m.submap_residue)
+    i32(len(s.modes))
+    i32(*[bf for bf, _ in s.modes])
+    i32(*[mp for _, mp in s.modes])
+    out.extend(_FLOOR1_INVERSE_DB.tobytes())
+    return bytes(out)

@@ -108,10 +108,19 @@ def _load() -> ctypes.CDLL | None:
             lib.f9_flac_encode_frames_mt.argtypes = [
                 pi32, c_i64, c_i64, c_i32, c_i32, c_i64, c_i32, c_i32,
                 c_i32, pu8, c_i64, pi64]
+            lib.f9_vorbis_setup.restype = ctypes.c_void_p
+            lib.f9_vorbis_setup.argtypes = [pu8, c_i64]
+            lib.f9_vorbis_free.argtypes = [ctypes.c_void_p]
+            lib.f9_vorbis_packet.restype = c_i64
+            lib.f9_vorbis_packet.argtypes = [
+                ctypes.c_void_p, pu8, c_i64, pf, pf,
+                np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")]
+            lib.f9_ogg_crc.restype = ctypes.c_uint32
+            lib.f9_ogg_crc.argtypes = [pu8, c_i64, ctypes.c_uint32]
             lib.f9_native_abi_version.restype = c_i32
             abi = int(lib.f9_native_abi_version())
-            if abi != 2:
-                raise OSError(f"ABI version {abi} != 2 (stale library?)")
+            if abi != 3:
+                raise OSError(f"ABI version {abi} != 3 (stale library?)")
         except (OSError, AttributeError) as e:
             # missing symbol / ABI mismatch (stale or hand-built .so) must
             # fall back like a failed build, not raise out of available()
@@ -403,3 +412,60 @@ class AsyncLoader:
 
     def __exit__(self, *exc):
         self.close()
+
+
+# --------------------------------------------------------------------------
+# Vorbis packet front half (see f9native.cpp "Vorbis packet front half"):
+# the C++ twin of io/vorbis.py's packet decode up to the (residue, curve)
+# pair — bitwise identical to the Python oracle by construction.
+
+
+class VorbisNative:
+    """Owns one native setup handle; decode_packet mirrors the Python
+    front half and returns (n, prev, next, residue, curve) or None for
+    non-audio packets."""
+
+    def __init__(self, blob: bytes, channels: int, bs1: int):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError(f"native library unavailable: {_build_error}")
+        self._lib = lib
+        b = np.frombuffer(blob, np.uint8)
+        self._handle = lib.f9_vorbis_setup(b, b.size)
+        if not self._handle:
+            raise ValueError("native Vorbis setup rejected the blob")
+        self._ch = channels
+        self._cap = bs1 // 2
+        self._flags = np.zeros(2, np.int32)
+
+    def close(self):
+        if getattr(self, "_handle", None):
+            self._lib.f9_vorbis_free(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def decode_packet(self, pkt: bytes):
+        res = np.empty((self._ch, self._cap), np.float32)
+        curve = np.empty((self._ch, self._cap), np.float32)
+        p = np.frombuffer(pkt, np.uint8)
+        n = int(self._lib.f9_vorbis_packet(
+            self._handle, p, p.size, res.reshape(-1), curve.reshape(-1),
+            self._flags))
+        if n <= 0:
+            return None
+        n2 = n // 2
+        return (n, bool(self._flags[0]), bool(self._flags[1]),
+                res[:, :n2], curve[:, :n2])
+
+
+def ogg_crc_native(data: bytes, crc: int = 0) -> int:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native library unavailable: {_build_error}")
+    b = np.frombuffer(data, np.uint8)
+    return int(lib.f9_ogg_crc(b, b.size, np.uint32(crc)))

@@ -134,7 +134,7 @@ void f9_deinterleave_f32(const float* src, int64_t channels, int64_t frames,
     }
 }
 
-int32_t f9_native_abi_version(void) { return 2; }
+int32_t f9_native_abi_version(void) { return 3; }
 
 }  // extern "C"
 
@@ -1312,6 +1312,536 @@ int64_t f9_flac_encode_frames_mt(const int32_t* codes, int64_t n_total,
         total += frame_lens[i];
     }
     return total;
+}
+
+}  // extern "C"
+
+// ===========================================================================
+// Vorbis packet front half — bit-for-bit mirror of f9tpu/io/vorbis.py's
+// packet decode UP TO the spectrum (mode/window bits, floor1 decode +
+// curve render, residue types 0/1/2, square-polar inverse coupling).
+// The float32 residue adds and coupling run per element in the same order
+// as the numpy oracle, so the (residue, curve) pair returned to Python is
+// BITWISE identical to the pure-Python decode; Python keeps the float64
+// curve multiply, the FFT-based IMDCT, the window lap and all granule
+// logic.  Floor type 0 streams (extinct; hand-built test vectors only)
+// stay on the Python path — the setup serializer refuses them.
+// ===========================================================================
+
+namespace vorbis {
+
+struct Eop {};                       // spec "end-of-packet condition"
+struct Bad {};                       // malformed stream (fatal, not EOP)
+
+struct VBits {
+    const uint8_t* d;
+    int64_t pos, n;
+    VBits(const uint8_t* data, int64_t len) : d(data), pos(0), n(8 * len) {}
+    uint64_t read(int k) {
+        int64_t p = pos, e = p + k;
+        if (e > n) { pos = n; throw Eop{}; }
+        int64_t b0 = p >> 3, b1 = (e + 7) >> 3;
+        uint64_t chunk = 0;
+        for (int64_t i = b1 - 1; i >= b0; --i) chunk = (chunk << 8) | d[i];
+        pos = e;
+        return (chunk >> (p & 7)) & ((k == 64) ? ~0ull : ((1ull << k) - 1));
+    }
+    int read_bit() {
+        if (pos >= n) throw Eop{};
+        int b = (d[pos >> 3] >> (pos & 7)) & 1;
+        ++pos;
+        return b;
+    }
+    int peek8() const {
+        int64_t b0 = pos >> 3;
+        uint64_t chunk = d[b0];
+        if (b0 + 1 < (n + 7) / 8) chunk |= (uint64_t)d[b0 + 1] << 8;
+        return (int)((chunk >> (pos & 7)) & 0xFF);
+    }
+};
+
+struct VCodebook {
+    int dim = 0, entries = 0;
+    std::vector<int64_t> tree;           // n_nodes * 2
+    int32_t fe[256], fl[256], fn[256];
+    int single_entry = -1, single_bits = 0;
+    std::vector<float> vq;               // entries * dim (empty: scalar)
+
+    int walk(VBits& br, int64_t ni) const {
+        for (;;) {
+            ni = tree[(size_t)(ni * 2 + br.read_bit())];
+            if (ni < 0) return (int)~ni;
+        }
+    }
+    int decode_scalar(VBits& br) const {
+        if (single_entry >= 0) { br.read(single_bits); return single_entry; }
+        if (tree.empty()) throw Bad{};   // empty book: malformed stream
+        const int p = br.peek8();
+        const int e = fe[p];
+        if (e >= 0) {
+            const int l = fl[p];
+            if (br.pos + l > br.n) return walk(br, 0);
+            br.pos += l;
+            return e;
+        }
+        if (br.pos + 8 > br.n) return walk(br, 0);
+        br.pos += 8;
+        return walk(br, fn[p]);
+    }
+    const float* decode_vq(VBits& br) const {
+        return &vq[(size_t)decode_scalar(br) * dim];
+    }
+};
+
+struct VFloor1 {
+    std::vector<int32_t> pcl, dims, subs, masters, subbooks;  // subbooks: 8/class
+    int multiplier = 1;
+    std::vector<int32_t> x_list, order, low_nb, high_nb;
+};
+
+struct VResidue {
+    int type = 0, begin = 0, end = 0, psize = 0, nclass = 0, classbook = 0;
+    std::vector<int32_t> books;          // nclass * 8
+};
+
+struct VMapping {
+    std::vector<int32_t> coupling;       // pairs flattened
+    std::vector<int32_t> mux, sm_floor, sm_residue;
+};
+
+struct VSetup {
+    int channels = 0, bs0 = 0, bs1 = 0, mode_bits = 0;
+    std::vector<VCodebook> books;
+    std::vector<VFloor1> floors;
+    std::vector<VResidue> residues;
+    std::vector<VMapping> mappings;
+    std::vector<int32_t> mode_blockflag, mode_mapping;
+    float inv_db[256];
+};
+
+struct BlobReader {
+    const uint8_t* d;
+    int64_t pos, n;
+    bool bad = false;
+    BlobReader(const uint8_t* data, int64_t len) : d(data), pos(0), n(len) {}
+    int32_t i32() {
+        if (pos + 4 > n) { bad = true; return 0; }
+        int32_t v;
+        std::memcpy(&v, d + pos, 4);
+        pos += 4;
+        return v;
+    }
+    void i32v(std::vector<int32_t>& out, int64_t count) {
+        out.resize((size_t)count);
+        if (pos + 4 * count > n) { bad = true; return; }
+        std::memcpy(out.data(), d + pos, (size_t)(4 * count));
+        pos += 4 * count;
+    }
+    void f32v(float* out, int64_t count) {
+        if (pos + 4 * count > n) { bad = true; return; }
+        std::memcpy(out, d + pos, (size_t)(4 * count));
+        pos += 4 * count;
+    }
+};
+
+static int64_t render_point(int64_t x0, int64_t y0, int64_t x1, int64_t y1,
+                            int64_t x) {
+    const int64_t dy = y1 - y0, adx = x1 - x0;
+    const int64_t off = (dy < 0 ? -dy : dy) * (x - x0) / adx;
+    return dy < 0 ? y0 - off : y0 + off;
+}
+
+static void render_line(int64_t x0, int64_t y0, int64_t x1, int64_t y1,
+                        int64_t* v, int64_t lim) {
+    const int64_t dy = y1 - y0, adx = x1 - x0;
+    int64_t ady = dy < 0 ? -dy : dy;
+    const int64_t base = ady / adx * (dy >= 0 ? 1 : -1);
+    const int64_t sy = dy >= 0 ? base + 1 : base - 1;
+    ady -= (base < 0 ? -base : base) * adx;
+    int64_t y = y0, err = 0;
+    if (x0 < lim) v[x0] = y;
+    const int64_t xe = x1 < lim ? x1 : lim;
+    for (int64_t x = x0 + 1; x < xe; ++x) {
+        err += ady;
+        if (err >= adx) { err -= adx; y += sy; }
+        else y += base;
+        v[x] = y;
+    }
+}
+
+}  // namespace vorbis
+
+extern "C" {
+
+void* f9_vorbis_setup(const uint8_t* blob, int64_t len) {
+    using namespace vorbis;
+    auto s = new VSetup();
+    BlobReader r(blob, len);
+    s->channels = r.i32();
+    s->bs0 = r.i32();
+    s->bs1 = r.i32();
+    s->mode_bits = r.i32();
+    const int nb = r.i32();
+    s->books.resize((size_t)nb);
+    for (auto& b : s->books) {
+        b.dim = r.i32();
+        b.entries = r.i32();
+        b.single_entry = r.i32();
+        b.single_bits = r.i32();
+        const int n_nodes = r.i32();
+        std::vector<int32_t> t;
+        r.i32v(t, (int64_t)n_nodes * 2);
+        b.tree.assign(t.begin(), t.end());
+        std::vector<int32_t> f;
+        r.i32v(f, 256); std::memcpy(b.fe, f.data(), 1024);
+        r.i32v(f, 256); std::memcpy(b.fl, f.data(), 1024);
+        r.i32v(f, 256); std::memcpy(b.fn, f.data(), 1024);
+        const int has_vq = r.i32();
+        if (has_vq) {
+            b.vq.resize((size_t)b.entries * b.dim);
+            r.f32v(b.vq.data(), (int64_t)b.entries * b.dim);
+        }
+    }
+    const int nf = r.i32();
+    s->floors.resize((size_t)nf);
+    for (auto& fl : s->floors) {
+        const int np = r.i32();
+        r.i32v(fl.pcl, np);
+        const int nc = r.i32();
+        r.i32v(fl.dims, nc);
+        r.i32v(fl.subs, nc);
+        r.i32v(fl.masters, nc);
+        r.i32v(fl.subbooks, (int64_t)nc * 8);
+        fl.multiplier = r.i32();
+        const int nx = r.i32();
+        r.i32v(fl.x_list, nx);
+        r.i32v(fl.order, nx);
+        r.i32v(fl.low_nb, nx);
+        r.i32v(fl.high_nb, nx);
+    }
+    const int nr = r.i32();
+    s->residues.resize((size_t)nr);
+    for (auto& re : s->residues) {
+        re.type = r.i32();
+        re.begin = r.i32();
+        re.end = r.i32();
+        re.psize = r.i32();
+        re.nclass = r.i32();
+        re.classbook = r.i32();
+        r.i32v(re.books, (int64_t)re.nclass * 8);
+    }
+    const int nm = r.i32();
+    s->mappings.resize((size_t)nm);
+    for (auto& m : s->mappings) {
+        const int ncpl = r.i32();
+        r.i32v(m.coupling, (int64_t)ncpl * 2);
+        r.i32v(m.mux, s->channels);
+        const int nsm = r.i32();
+        r.i32v(m.sm_floor, nsm);
+        r.i32v(m.sm_residue, nsm);
+    }
+    const int nmodes = r.i32();
+    r.i32v(s->mode_blockflag, nmodes);
+    r.i32v(s->mode_mapping, nmodes);
+    r.f32v(s->inv_db, 256);
+    if (r.bad || r.pos != r.n) { delete s; return nullptr; }
+    return s;
+}
+
+void f9_vorbis_free(void* p) { delete (vorbis::VSetup*)p; }
+
+// Decode one packet's front half.  res_out/curve_out: channels * (bs1/2)
+// float32, fully overwritten.  flags_out[0/1] = prev/next window flags.
+// Returns the block size n, 0 for non-audio/undecodable packets, -1 on a
+// malformed-stream error.
+int64_t f9_vorbis_packet(void* setup, const uint8_t* pkt, int64_t len,
+                         float* res_out, float* curve_out,
+                         int32_t* flags_out) {
+    using namespace vorbis;
+    const VSetup& s = *(const VSetup*)setup;
+    VBits br(pkt, len);
+    int n, prev_flag = 1, next_flag = 1, mapping_i;
+    try {
+        if (br.read_bit() != 0) return 0;
+        const int mode_i = s.mode_bits ? (int)br.read(s.mode_bits) : 0;
+        if (mode_i >= (int)s.mode_blockflag.size()) return 0;
+        const int blockflag = s.mode_blockflag[(size_t)mode_i];
+        mapping_i = s.mode_mapping[(size_t)mode_i];
+        n = blockflag ? s.bs1 : s.bs0;
+        if (blockflag) {
+            prev_flag = br.read_bit();
+            next_flag = br.read_bit();
+        }
+    } catch (Eop&) {
+        return 0;
+    }
+    const int64_t n2 = n / 2;
+    const int ch = s.channels;
+    try {
+    const int64_t cap = (int64_t)s.bs1 / 2;
+    const VMapping& mp = s.mappings[(size_t)mapping_i];
+    std::fill(res_out, res_out + (int64_t)ch * cap, 0.0f);
+    std::fill(curve_out, curve_out + (int64_t)ch * cap, 0.0f);
+
+    // --- floor1 decode, per channel ---
+    // y vectors (None -> used=false); EOP leaves the rest unused
+    std::vector<std::vector<int64_t>> ys((size_t)ch);
+    std::vector<char> used((size_t)ch, 0);
+    try {
+        for (int c = 0; c < ch; ++c) {
+            const VFloor1& fl =
+                s.floors[(size_t)mp.sm_floor[(size_t)mp.mux[(size_t)c]]];
+            if (!br.read_bit()) continue;
+            static const int ranges[4] = {256, 128, 86, 64};
+            const int rng = ranges[fl.multiplier - 1];
+            int bits = 0;
+            while ((1 << bits) <= rng - 1) ++bits;   // ilog(rng - 1)
+            auto& y = ys[(size_t)c];
+            y.push_back((int64_t)br.read(bits));
+            y.push_back((int64_t)br.read(bits));
+            for (size_t pi = 0; pi < fl.pcl.size(); ++pi) {
+                const int cls = fl.pcl[pi];
+                const int cdim = fl.dims[(size_t)cls];
+                const int cbits = fl.subs[(size_t)cls];
+                const int csub = (1 << cbits) - 1;
+                int64_t cval = 0;
+                if (cbits)
+                    cval = s.books[(size_t)fl.masters[(size_t)cls]]
+                               .decode_scalar(br);
+                for (int j = 0; j < cdim; ++j) {
+                    const int book = fl.subbooks[(size_t)cls * 8
+                                                 + (cval & csub)];
+                    cval >>= cbits;
+                    y.push_back(book >= 0
+                                    ? s.books[(size_t)book].decode_scalar(br)
+                                    : 0);
+                }
+            }
+            used[(size_t)c] = 1;
+        }
+    } catch (Eop&) {
+        // remaining floors unused (their y stays empty, used stays 0)
+        for (int c = 0; c < ch; ++c)
+            if (used[(size_t)c] && ys[(size_t)c].empty()) used[(size_t)c] = 0;
+    }
+
+    // --- nonzero vector propagate ---
+    std::vector<char> no_res((size_t)ch);
+    for (int c = 0; c < ch; ++c) no_res[(size_t)c] = !used[(size_t)c];
+    for (size_t k = 0; k + 1 < mp.coupling.size(); k += 2) {
+        const int m = mp.coupling[k], a = mp.coupling[k + 1];
+        if (!(no_res[(size_t)m] && no_res[(size_t)a]))
+            no_res[(size_t)m] = no_res[(size_t)a] = 0;
+    }
+
+    // --- residues per submap ---
+    const size_t nsm = mp.sm_floor.size();
+    for (size_t sm = 0; sm < nsm; ++sm) {
+        std::vector<int> ch_idx;
+        for (int c = 0; c < ch; ++c)
+            if ((size_t)mp.mux[(size_t)c] == sm) ch_idx.push_back(c);
+        const VResidue& re = s.residues[(size_t)mp.sm_residue[sm]];
+        const int nch = (int)ch_idx.size();
+        if (!nch) continue;
+        std::vector<float*> vecs;
+        std::vector<char> dnd;
+        std::vector<float> joint;
+        bool is2 = re.type == 2;
+        if (is2) {
+            bool all_dnd = true;
+            for (int c : ch_idx) all_dnd = all_dnd && no_res[(size_t)c];
+            if (all_dnd) continue;
+            joint.assign((size_t)nch * n2, 0.0f);
+            vecs.push_back(joint.data());
+            dnd.push_back(0);
+        } else {
+            for (int c : ch_idx) {
+                vecs.push_back(res_out + (int64_t)c * cap);
+                dnd.push_back(no_res[(size_t)c]);
+            }
+        }
+        const int64_t actual = is2 ? (int64_t)nch * n2 : n2;
+        const int64_t begin = re.begin < actual ? re.begin : actual;
+        const int64_t end = re.end < actual ? re.end : actual;
+        const int64_t to_read = end - begin;
+        if (to_read > 0) {
+            const int64_t parts = to_read / re.psize;
+            const VCodebook& cb = s.books[(size_t)re.classbook];
+            const int cpc = cb.dim;
+            const int nv = (int)vecs.size();
+            std::vector<int64_t> classif((size_t)nv * (parts + cpc), 0);
+            try {
+                for (int pass = 0; pass < 8; ++pass) {
+                    int64_t pcount = 0;
+                    while (pcount < parts) {
+                        if (pass == 0) {
+                            for (int j = 0; j < nv; ++j) {
+                                if (dnd[(size_t)j]) continue;
+                                int64_t temp = cb.decode_scalar(br);
+                                for (int i = cpc - 1; i >= 0; --i) {
+                                    classif[(size_t)j * (parts + cpc)
+                                            + pcount + i] =
+                                        temp % re.nclass;
+                                    temp /= re.nclass;
+                                }
+                            }
+                        }
+                        for (int i = 0; i < cpc && pcount < parts; ++i) {
+                            for (int j = 0; j < nv; ++j) {
+                                if (dnd[(size_t)j]) continue;
+                                const int64_t cl =
+                                    classif[(size_t)j * (parts + cpc)
+                                            + pcount];
+                                const int vq =
+                                    re.books[(size_t)cl * 8 + pass];
+                                if (vq < 0) continue;
+                                float* v = vecs[(size_t)j];
+                                const int64_t off =
+                                    begin + pcount * re.psize;
+                                const VCodebook& bk = s.books[(size_t)vq];
+                                const int dim = bk.dim;
+                                if (re.type == 0) {
+                                    const int64_t step = re.psize / dim;
+                                    for (int64_t t = 0; t < step; ++t) {
+                                        const float* tv = bk.decode_vq(br);
+                                        for (int dd = 0; dd < dim; ++dd)
+                                            v[off + t + dd * step] += tv[dd];
+                                    }
+                                } else {
+                                    int64_t t = 0;
+                                    while (t < re.psize) {
+                                        const float* tv = bk.decode_vq(br);
+                                        for (int dd = 0; dd < dim; ++dd)
+                                            v[off + t + dd] += tv[dd];
+                                        t += dim;
+                                    }
+                                }
+                            }
+                            ++pcount;
+                        }
+                    }
+                }
+            } catch (Eop&) { /* rest of the vector stays zero */ }
+        }
+        if (is2) {
+            for (int k = 0; k < nch; ++k) {
+                float* dst = res_out + (int64_t)ch_idx[(size_t)k] * cap;
+                for (int64_t i = 0; i < n2; ++i)
+                    dst[i] = joint[(size_t)(i * nch + k)];
+            }
+        }
+    }
+
+    // --- inverse coupling, reverse declaration order ---
+    for (int64_t k = (int64_t)mp.coupling.size() - 2; k >= 0; k -= 2) {
+        float* M = res_out + (int64_t)mp.coupling[(size_t)k] * cap;
+        float* A = res_out + (int64_t)mp.coupling[(size_t)k + 1] * cap;
+        for (int64_t i = 0; i < n2; ++i) {
+            const float m = M[i], a = A[i];
+            float nm, na;
+            if (m > 0.0f) {
+                if (a > 0.0f) { nm = m; na = m - a; }
+                else          { nm = m + a; na = m; }
+            } else {
+                if (a > 0.0f) { nm = m; na = m + a; }
+                else          { nm = m - a; na = m; }
+            }
+            M[i] = nm;
+            A[i] = na;
+        }
+    }
+
+    // --- floor curves (spec 7.2.4 integer math + inverse-dB table) ---
+    std::vector<int64_t> out_i((size_t)n2);
+    for (int c = 0; c < ch; ++c) {
+        float* cv = curve_out + (int64_t)c * cap;
+        if (!used[(size_t)c]) continue;          // curve stays zero
+        const VFloor1& fl =
+            s.floors[(size_t)mp.sm_floor[(size_t)mp.mux[(size_t)c]]];
+        const auto& y = ys[(size_t)c];
+        static const int ranges[4] = {256, 128, 86, 64};
+        const int64_t rng = ranges[fl.multiplier - 1];
+        const size_t nx = fl.x_list.size();
+        std::vector<int64_t> final_y(nx, 0);
+        std::vector<char> step2(nx, 0);
+        final_y[0] = y[0];
+        final_y[1] = y[1];
+        step2[0] = step2[1] = 1;
+        for (size_t i = 2; i < nx; ++i) {
+            const int lo = fl.low_nb[i], hi = fl.high_nb[i];
+            const int64_t predicted = render_point(
+                fl.x_list[(size_t)lo], final_y[(size_t)lo],
+                fl.x_list[(size_t)hi], final_y[(size_t)hi], fl.x_list[i]);
+            const int64_t val = i < y.size() ? y[i] : 0;
+            const int64_t highroom = rng - predicted;
+            const int64_t lowroom = predicted;
+            const int64_t room =
+                2 * (highroom < lowroom ? highroom : lowroom);
+            if (val) {
+                step2[(size_t)lo] = step2[(size_t)hi] = step2[i] = 1;
+                if (val >= room) {
+                    final_y[i] = highroom > lowroom
+                                     ? val - lowroom + predicted
+                                     : predicted - (val - highroom) - 1;
+                } else if (val & 1) {
+                    final_y[i] = predicted - ((val + 1) >> 1);
+                } else {
+                    final_y[i] = predicted + (val >> 1);
+                }
+            } else {
+                step2[i] = 0;
+                final_y[i] = predicted;
+            }
+        }
+        std::fill(out_i.begin(), out_i.end(), 0);
+        const int64_t mul = fl.multiplier;
+        auto clampy = [rng](int64_t v) {
+            return v < 0 ? (int64_t)0 : (v > rng - 1 ? rng - 1 : v);
+        };
+        int64_t lx = 0;
+        int64_t ly = clampy(final_y[(size_t)fl.order[0]]) * mul;
+        int64_t hx = lx, hy = ly;
+        for (size_t oi = 1; oi < nx; ++oi) {
+            const int idx = fl.order[oi];
+            if (!step2[(size_t)idx]) continue;
+            hx = fl.x_list[(size_t)idx];
+            hy = clampy(final_y[(size_t)idx]) * mul;
+            if (lx < n2) render_line(lx, ly, hx, hy, out_i.data(), n2);
+            lx = hx;
+            ly = hy;
+        }
+        if (hx < n2)
+            for (int64_t i = hx; i < n2; ++i) out_i[(size_t)i] = hy;
+        for (int64_t i = 0; i < n2; ++i) {
+            int64_t v = out_i[(size_t)i];
+            cv[i] = s.inv_db[v > 255 ? 255 : v];
+        }
+    }
+    } catch (Bad&) {
+        return -1;                   // mirrors the oracle's VorbisError
+    }
+    flags_out[0] = prev_flag;
+    flags_out[1] = next_flag;
+    return n;
+}
+
+// RFC 3533 Ogg CRC-32 (0x04c11db7, unreflected, init/xorout 0) — the page
+// scan's hot loop (io/ogg.py computes the identical table in Python).
+uint32_t f9_ogg_crc(const uint8_t* data, int64_t len, uint32_t crc) {
+    static uint32_t tab[256];
+    static bool init = false;
+    if (!init) {
+        for (uint32_t i = 0; i < 256; ++i) {
+            uint32_t r = i << 24;
+            for (int k = 0; k < 8; ++k)
+                r = (r << 1) ^ ((r & 0x80000000u) ? 0x04C11DB7u : 0u);
+            tab[i] = r;
+        }
+        init = true;
+    }
+    for (int64_t i = 0; i < len; ++i)
+        crc = (crc << 8) ^ tab[((crc >> 24) ^ data[i]) & 0xFF];
+    return crc;
 }
 
 }  // extern "C"

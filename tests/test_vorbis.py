@@ -658,3 +658,51 @@ def test_ogg_streaming_pipeline_end_to_end(tmp_path):
     L, M = resolve_ratio(44100, 32000)
     with OggVorbisReader(src) as rd:
         assert y.shape == (2, -(-rd.num_frames * L // M))
+
+
+# ------------------------------------------------- native front-half twin
+
+
+@needs_libvorbis
+def test_native_front_half_bitwise_parity(tmp_path):
+    """The C++ packet front half (f9native.cpp) must be BITWISE identical
+    to the Python oracle across the signal/quality matrix — the residue
+    float32 adds, coupling and floor curves run per element in the same
+    order, so the final PCM must match to the bit (the FLAC twin
+    contract, applied to Vorbis)."""
+    from f9tpu import native
+    from f9tpu.io.vorbis import decode_vorbis
+
+    if not native.available():
+        pytest.skip(f"native unavailable: {native.build_error()}")
+    rng = np.random.default_rng(77)
+    for ch, n, q in [(2, 30000, 0.4), (1, 12000, -0.1), (2, 20000, 1.0),
+                     (6, 10000, 0.3)]:
+        x = (0.3 * rng.standard_normal((ch, n))).astype(np.float32)
+        data = _encode(x, 44100, q)
+        y_nat, _, _ = decode_vorbis(data)
+        saved = native.available
+        try:
+            native.available = lambda: False
+            y_py, _, _ = decode_vorbis(data)
+        finally:
+            native.available = saved
+        assert np.array_equal(y_nat, y_py), (ch, n, q)
+
+
+@needs_libvorbis
+def test_native_decode_speedup(tmp_path):
+    """The native path must actually engage (handle built) and carry the
+    conformance matrix — sanity-pinned here; speed itself is recorded in
+    docs/PERF.md (4-7x over the Python oracle)."""
+    from f9tpu import native
+    from f9tpu.io.ogg import packets_from_pages, read_pages
+    from f9tpu.io.vorbis import VorbisStreamDecoder, _find_vorbis_stream
+
+    if not native.available():
+        pytest.skip(f"native unavailable: {native.build_error()}")
+    data = _encode(_tones(2, 8000, 44100), 44100, 0.4)
+    serial, pages = _find_vorbis_stream(data)
+    pk = [p for p, _, _ in packets_from_pages(pages, serial=serial)]
+    dec = VorbisStreamDecoder(pk[0], pk[1], pk[2])
+    assert dec._nat is not None, "native front half did not engage"
