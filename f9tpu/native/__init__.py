@@ -117,6 +117,9 @@ def _load() -> ctypes.CDLL | None:
                 np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")]
             lib.f9_ogg_crc.restype = ctypes.c_uint32
             lib.f9_ogg_crc.argtypes = [pu8, c_i64, ctypes.c_uint32]
+            lib.f9_alac_decode_packet.restype = c_i64
+            lib.f9_alac_decode_packet.argtypes = [
+                c_i32, c_i32, c_i32, c_i32, c_i32, c_i32, pu8, c_i64, pi32]
             lib.f9_native_abi_version.restype = c_i32
             abi = int(lib.f9_native_abi_version())
             if abi != 3:
@@ -469,3 +472,22 @@ def ogg_crc_native(data: bytes, crc: int = 0) -> int:
         raise RuntimeError(f"native library unavailable: {_build_error}")
     b = np.frombuffer(data, np.uint8)
     return int(lib.f9_ogg_crc(b, b.size, np.uint32(crc)))
+
+
+def alac_decode_packet(cfg, data: bytes) -> np.ndarray | None:
+    """Native ALAC packet decode (bit-identical twin of
+    io/alac.py::AlacDecoder.decode_packet); returns (channels, n) int32
+    or None when the native library is unavailable.  Raises ValueError
+    on malformed/hostile packets (the Python oracle's AlacError is a
+    ValueError too, so callers catch one type)."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.zeros((cfg.num_channels, cfg.frame_length), np.int32)
+    p = np.frombuffer(data, np.uint8)
+    n = int(lib.f9_alac_decode_packet(
+        cfg.frame_length, cfg.bit_depth, cfg.pb, cfg.mb, cfg.kb,
+        cfg.num_channels, p, p.size, out.reshape(-1)))
+    if n < 0:
+        raise ValueError("malformed ALAC packet")
+    return out[:, :n]

@@ -1845,3 +1845,287 @@ uint32_t f9_ogg_crc(const uint8_t* data, int64_t len, uint32_t crc) {
 }
 
 }  // extern "C"
+
+// ===========================================================================
+// ALAC packet decoder — bit-for-bit mirror of f9tpu/io/alac.py (the pure
+// integer spec oracle): adaptive Golomb-Rice with the decaying history,
+// zero-run blocks and escapes; the sign-adaptive FIR predictor (orders
+// 1-30, order-31 first difference, mode-15 double stage); bytes_shifted
+// low-byte reattachment; stereo decorrelation; AAC-style element
+// sequences with the Apple channel-layout remap.  Exact integer math
+// throughout, so the two decoders can never drift (the FLAC twin rule).
+// ===========================================================================
+
+namespace alac {
+
+struct Err {};                        // malformed/truncated/hostile packet
+
+struct ABits {
+    const uint8_t* d;
+    int64_t pos, n;
+    ABits(const uint8_t* data, int64_t len) : d(data), pos(0), n(8 * len) {}
+    uint64_t read(int k) {
+        int64_t p = pos, e = p + k;
+        if (e > n) throw Err{};
+        pos = e;
+        uint64_t v = 0;
+        int64_t first = p >> 3, last = (e + 7) >> 3;
+        for (int64_t i = first; i < last; ++i) v = (v << 8) | d[i];
+        v >>= (last << 3) - e;
+        return k == 64 ? v : (v & ((1ull << k) - 1));
+    }
+    int64_t read_signed(int k) {
+        uint64_t v = read(k);
+        if (k && (v >> (k - 1))) return (int64_t)v - ((int64_t)1 << k);
+        return (int64_t)v;
+    }
+    int unary_ones_max9() {
+        int count = 0;
+        while (count < 9) {
+            if (pos >= n) throw Err{};
+            const int bit = (d[pos >> 3] >> (7 - (pos & 7))) & 1;
+            ++pos;
+            if (!bit) return count;
+            ++count;
+        }
+        return count;
+    }
+};
+
+static inline int64_t sign_ext(int64_t v, int bits) {
+    v &= ((int64_t)1 << bits) - 1;
+    if (v >> (bits - 1)) v -= (int64_t)1 << bits;
+    return v;
+}
+
+static inline int bitlen(int64_t x) {
+    int b = 0;
+    while (x > 0) { ++b; x >>= 1; }
+    return b;
+}
+
+static int64_t decode_scalar(ABits& br, int k, int bps) {
+    const int x = br.unary_ones_max9();
+    if (x > 8) return (int64_t)br.read(bps);
+    if (k == 1) return x;
+    const int64_t extra = (int64_t)br.read(k);
+    int64_t v = ((int64_t)x << k) - x;
+    if (extra > 1) return v + extra - 1;
+    br.pos -= 1;                      // remainder 0 uses k-1 bits
+    return v;
+}
+
+struct Cfg {
+    int frame_length, bit_depth, pb, mb, kb, channels;
+};
+
+static void rice_decompress(ABits& br, int64_t* out, int64_t nb, int bps,
+                            const Cfg& cfg, int history_mult) {
+    int64_t history = cfg.mb;
+    int64_t sign_modifier = 0;
+    int64_t i = 0;
+    while (i < nb) {
+        int k = bitlen((history >> 9) + 3) - 1;
+        if (k > cfg.kb) k = cfg.kb;
+        const int64_t x = decode_scalar(br, k, bps) + sign_modifier;
+        sign_modifier = 0;
+        out[i] = (x >> 1) ^ -(x & 1);
+        if (x > 0xFFFF) history = 0xFFFF;
+        else history += x * history_mult - ((history * history_mult) >> 9);
+        if (history < 128 && i + 1 < nb) {
+            int kk = 7 - (history ? bitlen(history) - 1 : 0)
+                     + (int)((history + 16) >> 6);
+            if (kk > cfg.kb) kk = cfg.kb;
+            int64_t block_size = decode_scalar(br, kk, 16);
+            if (block_size > 0) {
+                if (block_size >= nb - i) block_size = nb - i - 1;
+                for (int64_t j = 0; j < block_size; ++j) out[i + 1 + j] = 0;
+                i += block_size;
+            }
+            if (block_size <= 0xFFFF) sign_modifier = 1;
+            history = 0;
+        }
+        ++i;
+    }
+}
+
+static void lpc_predict(const int64_t* errs, int64_t* out, int64_t nb,
+                        int bps, int64_t* coefs, int order, int quant) {
+    if (nb == 0) return;
+    out[0] = errs[0];
+    if (order == 0) {
+        for (int64_t i = 1; i < nb; ++i) out[i] = errs[i];
+        return;
+    }
+    if (order == 31) {
+        int64_t acc = errs[0];
+        out[0] = acc;
+        for (int64_t i = 1; i < nb; ++i) {
+            acc = sign_ext(acc + errs[i], bps);
+            out[i] = acc;
+        }
+        return;
+    }
+    if (quant <= 0) throw Err{};
+    int64_t i = 1;
+    for (; i <= order && i < nb; ++i)
+        out[i] = sign_ext(out[i - 1] + errs[i], bps);
+    const int64_t lim = (int64_t)1 << 40;
+    for (; i < nb; ++i) {
+        int64_t error_val = errs[i];
+        const int64_t base = i - order;
+        const int64_t d0 = out[base - 1];
+        int64_t val = 0;
+        for (int j = 0; j < order; ++j) val += (out[base + j] - d0) * coefs[j];
+        val = (val + ((int64_t)1 << (quant - 1))) >> quant;
+        val += d0 + error_val;
+        if (val > lim || val < -lim) throw Err{};   // hostile-stream guard
+        out[i] = sign_ext(val, bps);
+        if (error_val > 0) {
+            for (int j = 0; j < order && error_val > 0; ++j) {
+                const int64_t v = d0 - out[base + j];
+                const int64_t sign = (v > 0) - (v < 0);
+                coefs[j] -= sign;
+                error_val -= ((v * sign) >> quant) * (j + 1);
+            }
+        } else if (error_val < 0) {
+            for (int j = 0; j < order && error_val < 0; ++j) {
+                const int64_t v = d0 - out[base + j];
+                const int64_t sign = -((v > 0) - (v < 0));
+                coefs[j] -= sign;
+                error_val -= ((v * sign) >> quant) * (j + 1);
+            }
+        }
+    }
+}
+
+static const int CH_SLOTS[8][8] = {
+    {0}, {0, 1}, {2, 0, 1}, {2, 0, 1, 3}, {2, 0, 1, 3, 4},
+    {2, 0, 1, 4, 5, 3}, {2, 0, 1, 4, 5, 6, 3}, {2, 6, 7, 0, 1, 4, 5, 3}};
+
+}  // namespace alac
+
+extern "C" {
+
+// Decode one ALAC packet.  out: channels * frame_length int32 (planar,
+// channel-layout remapped).  Returns the sample count, or -1 on a
+// malformed/truncated/hostile packet.
+int64_t f9_alac_decode_packet(
+    int32_t frame_length, int32_t bit_depth, int32_t pb, int32_t mb,
+    int32_t kb, int32_t channels, const uint8_t* pkt, int64_t len,
+    int32_t* out) {
+    using namespace alac;
+    const Cfg cfg{frame_length, bit_depth, pb, mb, kb, channels};
+    ABits br(pkt, len);
+    std::vector<int64_t> bufs((size_t)2 * frame_length);
+    std::vector<int64_t> errs((size_t)frame_length);
+    std::vector<int64_t> shift_vals((size_t)2 * frame_length);
+    std::vector<int64_t> chan((size_t)channels * frame_length);
+    try {
+        int ch_index = 0;
+        int64_t nb_packet = -1;
+        for (;;) {
+            const int element = (int)br.read(3);
+            if (element == 7) break;                    // END
+            int nch;
+            if (element == 0 || element == 3) nch = 1;  // SCE / LFE
+            else if (element == 1) nch = 2;             // CPE
+            else return -1;
+            if (ch_index + nch > channels) return -1;
+            br.read(4);                                 // instance tag
+            if (br.read(12) != 0) return -1;
+            const int has_size = (int)br.read(1);
+            const int bytes_shifted = (int)br.read(2);
+            if (bytes_shifted == 3) return -1;
+            const int uncompressed = (int)br.read(1);
+            int64_t nb = has_size ? (int64_t)br.read(32) : frame_length;
+            if (nb > frame_length) return -1;
+            const int extra_bits = bytes_shifted * 8;
+            const int bps = bit_depth - extra_bits + nch - 1;
+            if (bps <= 0 || bps > 32) return -1;
+            std::fill(bufs.begin(), bufs.end(), 0);
+            if (!uncompressed) {
+                const int decorr_shift = (int)br.read(8);
+                const int64_t decorr_weight = br.read_signed(8);
+                int modes[2], quants[2], pbfs[2], orders[2];
+                int64_t coefs[2][32];
+                for (int c = 0; c < nch; ++c) {
+                    modes[c] = (int)br.read(4);
+                    quants[c] = (int)br.read(4);
+                    pbfs[c] = (int)br.read(3);
+                    orders[c] = (int)br.read(5);
+                    for (int j = orders[c] - 1; j >= 0; --j)
+                        coefs[c][j] = br.read_signed(16);
+                    if (modes[c] != 0 && modes[c] != 15) return -1;
+                }
+                if (bytes_shifted) {
+                    for (int64_t i = 0; i < nb; ++i)
+                        for (int c = 0; c < nch; ++c)
+                            shift_vals[(size_t)(c * frame_length + i)] =
+                                (int64_t)br.read(extra_bits);
+                }
+                for (int c = 0; c < nch; ++c) {
+                    const int hist_mult = (cfg.pb * pbfs[c]) >> 2;
+                    rice_decompress(br, errs.data(), nb, bps, cfg,
+                                    hist_mult);
+                    if (modes[c] == 15) {
+                        for (int64_t i = 1; i < nb; ++i)
+                            errs[(size_t)i] = sign_ext(
+                                errs[(size_t)i] + errs[(size_t)(i - 1)],
+                                bps);
+                    }
+                    lpc_predict(errs.data(),
+                                bufs.data() + (size_t)c * frame_length, nb,
+                                bps, coefs[c], orders[c], quants[c]);
+                }
+                if (nch == 2 && decorr_weight) {
+                    int64_t* a = bufs.data();
+                    int64_t* b = bufs.data() + frame_length;
+                    for (int64_t i = 0; i < nb; ++i) {
+                        const int64_t aa =
+                            a[i] - ((b[i] * decorr_weight) >> decorr_shift);
+                        const int64_t bb = b[i] + aa;
+                        a[i] = bb;
+                        b[i] = aa;
+                    }
+                }
+                if (bytes_shifted) {
+                    for (int c = 0; c < nch; ++c) {
+                        int64_t* v = bufs.data() + (size_t)c * frame_length;
+                        const int64_t* sv =
+                            shift_vals.data() + (size_t)c * frame_length;
+                        for (int64_t i = 0; i < nb; ++i)
+                            v[i] = (v[i] << extra_bits) | sv[i];
+                    }
+                }
+            } else {
+                for (int64_t i = 0; i < nb; ++i)
+                    for (int c = 0; c < nch; ++c)
+                        bufs[(size_t)c * frame_length + i] =
+                            br.read_signed(bit_depth);
+            }
+            for (int c = 0; c < nch; ++c) {
+                const int row = channels <= 8
+                                    ? CH_SLOTS[channels - 1][ch_index + c]
+                                    : ch_index + c;
+                std::memcpy(chan.data() + (size_t)row * frame_length,
+                            bufs.data() + (size_t)c * frame_length,
+                            (size_t)nb * 8);
+            }
+            ch_index += nch;
+            if (nb_packet < 0) nb_packet = nb;
+            else if (nb != nb_packet) return -1;
+        }
+        if (ch_index != channels) return -1;
+        const int64_t n = nb_packet < 0 ? 0 : nb_packet;
+        for (int c = 0; c < channels; ++c)
+            for (int64_t i = 0; i < n; ++i)
+                out[(size_t)c * frame_length + i] =
+                    (int32_t)chan[(size_t)c * frame_length + i];
+        return n;
+    } catch (Err&) {
+        return -1;
+    }
+}
+
+}  // extern "C"

@@ -30,6 +30,22 @@ needs_avref = pytest.mark.skipif(
     not avref.available(), reason=f"avref unavailable")
 
 
+@pytest.fixture(params=["native", "python"])
+def decode_path(request, monkeypatch):
+    """Run decoder tests against BOTH the native C++ packet decoder and
+    the pure-Python spec oracle (they must agree bit-for-bit) — the FLAC
+    suite's dual-path pattern."""
+    if request.param == "python":
+        monkeypatch.setattr(AlacDecoder, "decode_packet",
+                            AlacDecoder._decode_packet_py)
+    else:
+        from f9tpu import native
+
+        if not native.available():
+            pytest.skip(f"native unavailable: {native.build_error()}")
+    return request.param
+
+
 def _sig(ch, T, bits, kind="tones", seed=0):
     rng = np.random.default_rng(seed)
     lim = 1 << (bits - 1)
@@ -61,7 +77,8 @@ def _sig(ch, T, bits, kind="tones", seed=0):
     (4, 16000, 24, "tones"),       # SCE/CPE multichannel + remap
     (6, 12000, 16, "tones"),       # 5.1 layout
 ])
-def test_alac_cross_check(tmp_path, fmt, ext, ch, T, bits, kind):
+def test_alac_cross_check(tmp_path, fmt, ext, ch, T, bits, kind,
+                          decode_path):
     codes = _sig(ch, T, bits, kind)
     p = str(tmp_path / f"v.{ext}")
     avref.encode_file("alac", p, fmt, codes, 44100, bits)
@@ -220,7 +237,7 @@ def _rice_encode(bw, values, bps, cfg, history_mult):
         assert history >= 128, "test signal dipped into zero-run territory"
 
 
-def test_handbuilt_verbatim_element():
+def test_handbuilt_verbatim_element(decode_path):
     """Escape (uncompressed) element: raw bit_depth-bit samples."""
     cfg = _cookie(frame_length=8, bits=16, ch=1)
     vals = [100, -200, 32767, -32768, 0, 5, -5, 1]
@@ -239,7 +256,7 @@ def test_handbuilt_verbatim_element():
     assert out[0].tolist() == vals
 
 
-def test_handbuilt_order31_first_difference():
+def test_handbuilt_order31_first_difference(decode_path):
     """lpc_order == 31: pure cumulative sum of the residuals."""
     cookie = _cookie(frame_length=16, bits=16, ch=1)
     cfg = parse_alac_cookie(cookie)
@@ -267,7 +284,7 @@ def test_handbuilt_order31_first_difference():
     assert out[0].tolist() == expect.tolist()
 
 
-def test_handbuilt_mode15_and_bytes_shifted():
+def test_handbuilt_mode15_and_bytes_shifted(decode_path):
     """mode 15 (extra first-difference stage) + bytes_shifted=1 (low
     byte stored raw): both undone in the documented order."""
     cookie = _cookie(frame_length=8, bits=24, ch=1)
@@ -299,7 +316,7 @@ def test_handbuilt_mode15_and_bytes_shifted():
     assert out[0].tolist() == expect
 
 
-def test_hostile_lpc_guard():
+def test_hostile_lpc_guard(decode_path):
     """A crafted packet whose adaptive prediction blows past 2^40 must
     raise, not emit wrapped garbage (the FLAC decoder's rule)."""
     cookie = _cookie(frame_length=64, bits=32, ch=1, kb=31)
@@ -321,13 +338,14 @@ def test_hostile_lpc_guard():
     res = [1 << 30] * 64
     _rice_encode(bw, res, 32, cfg, (cfg.pb * 4) >> 2)
     bw.w(7, 3)
-    with pytest.raises(AlacError, match="out of range|truncated"):
+    with pytest.raises(AlacError,
+                       match="out of range|truncated|malformed"):
         AlacDecoder(cookie).decode_packet(bw.bytes())
 
 
-def test_truncated_packet_raises():
+def test_truncated_packet_raises(decode_path):
     cfg = _cookie(frame_length=64, bits=16, ch=2)
-    with pytest.raises(AlacError):
+    with pytest.raises(AlacError, match="truncated|malformed"):
         AlacDecoder(cfg).decode_packet(b"\x00\x01")
 
 
