@@ -833,8 +833,8 @@ def test_chain_apply_stream_fuzz_random_stacks(seed: int = 99,
         return [
             lambda: Gain(float(rng.uniform(-6, 6))),
             lambda: Delay(float(rng.uniform(0.0, 0.01))),
-            lambda: FIRInsert(np.hanning(int(rng.integers(3, 200)))
-                              .astype(np.float32)),
+            lambda: FIRInsert(np.hanning(int(rng.integers(3, 1400)))
+                              .astype(np.float32)),   # crosses FIR_FOLD_MAX
             lambda: Biquad("peaking", float(rng.uniform(100, 8000)),
                            float(rng.uniform(0.5, 4.0)),
                            float(rng.uniform(-6, 6))),

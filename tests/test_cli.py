@@ -991,3 +991,64 @@ def test_watch_with_files_shards(tmp_path):
         a = open(tmp_path / "o_dp" / f"w{i}_processed.wav", "rb").read()
         b = open(tmp_path / "o_1" / f"w{i}_processed.wav", "rb").read()
         assert a == b
+
+
+def test_cli_watch_picks_up_round5_formats(tmp_path):
+    """The watch daemon's drop-zone accepts the FULL round-5 input
+    surface: .ogg, .caf (ALAC) and .m4a sources land and process like
+    WAV/AIFF/FLAC ones."""
+    import avref
+    import vorbis_ref
+
+    if not (avref.available() and vorbis_ref.available()):
+        pytest.skip("reference encoders unavailable")
+    indir = tmp_path / "drop"
+    indir.mkdir()
+    rng = np.random.default_rng(9)
+    x = (0.2 * rng.standard_normal((2, 5000))).astype(np.float32)
+    codes = np.clip((x * (1 << 23)), -(1 << 23),
+                    (1 << 23) - 1).astype(np.int64)
+    with open(indir / "v.ogg", "wb") as f:
+        f.write(vorbis_ref.encode_ogg(x, 44100, 0.4))
+    avref.encode_file("alac", str(indir / "a.caf"), "caf", codes, 44100, 24)
+    avref.encode_file("alac", str(indir / "m.m4a"), "ipod", codes, 44100, 24)
+    rc = main(["watch", str(indir), "--out", str(tmp_path / "out"),
+               "--rate", "48000", "--quality", "low", "--seed", "1",
+               "--interval", "0.05", "--sweeps", "30"])
+    assert rc == 0
+    outs = sorted(os.listdir(tmp_path / "out"))
+    for stem in ("v", "a", "m"):
+        assert f"{stem}_processed.wav" in outs, outs
+    # the CAF and M4A sources hold the SAME samples: with the same seed
+    # their deliverables differ only by the path-keyed dither
+    ya, _ = read_wav(str(tmp_path / "out" / "a_processed.wav"))
+    ym, _ = read_wav(str(tmp_path / "out" / "m_processed.wav"))
+    assert ya.shape == ym.shape
+
+
+def test_cli_preview_accepts_ogg_items(tmp_path):
+    """Preview playlists mix .ogg items with WAV ones (the reference's
+    preview plays anything its format manager reads)."""
+    import vorbis_ref
+
+    if not vorbis_ref.available():
+        pytest.skip("libvorbis unavailable")
+    rng = np.random.default_rng(3)
+    x = (0.2 * rng.standard_normal((1, 6000))).astype(np.float32)
+    a = str(tmp_path / "a.wav")
+    write_wav(a, x, 44100, bits=24)
+    b = str(tmp_path / "b.ogg")
+    with open(b, "wb") as f:
+        f.write(vorbis_ref.encode_ogg(x, 44100, 0.4))
+    out = str(tmp_path / "mix.wav")
+    rc = main(["preview", a, b, "--out", out, "--rate", "44100",
+               "--quality", "low", "--silence-ms", "10"])
+    assert rc == 0
+    y, r = read_wav(out)
+    assert r == 44100 and y.shape[0] == 2
+    from f9tpu.io import probe
+    from f9tpu.pipeline.preview import playlist_item_frames
+
+    want = (playlist_item_frames(a, 44100)
+            + playlist_item_frames(b, 44100) + 441)
+    assert probe(out).num_frames == want
