@@ -177,17 +177,22 @@ class M4aReader:
 
     def __init__(self, path: str):
         self.path = path
+        # the box walk parses the moov tables from one read; audio
+        # packets then stream FROM DISK by sample-table offset, so the
+        # reader never holds the mdat payload (an hour of 24-bit ALAC is
+        # hundreds of MB)
         with open(path, "rb") as f:
             data = f.read()
         stbl = _parse_track(data, path)
         cookie, _ch, sizes, offsets, frames = _parse_stbl(data, stbl, path)
+        del data
         self._dec = AlacDecoder(cookie)
         cfg = self._dec.cfg
         self.sample_rate = cfg.sample_rate
         self.num_channels = cfg.num_channels
         self.bits = cfg.bit_depth
         self._scale = np.float32(1 << (self.bits - 1))
-        self._data = data
+        self._f = open(path, "rb")
         self._sizes = sizes
         self._offsets = offsets
         #: stream position of each packet's first frame (+ total sentinel)
@@ -196,7 +201,7 @@ class M4aReader:
         self._cache: tuple[int, np.ndarray] | None = None
 
     def close(self):
-        self._data = b""
+        self._f.close()
         self._cache = None
 
     def __enter__(self):
@@ -208,8 +213,8 @@ class M4aReader:
     def _packet(self, p: int) -> np.ndarray:
         if self._cache is not None and self._cache[0] == p:
             return self._cache[1]
-        off = self._offsets[p]
-        raw = self._data[off: off + self._sizes[p]]
+        self._f.seek(self._offsets[p])
+        raw = self._f.read(self._sizes[p])
         try:
             codes = self._dec.decode_packet(raw)
         except AlacError as e:
