@@ -1,12 +1,13 @@
 """Format dispatch: one entry point for .wav/.aif/.aiff/.flac/.ogg/.caf/
-.m4a — the drop-zone filter of the reference
+.m4a/.mp3 — the drop-zone filter of the reference
 (Source/FileListAndLogComponent.cpp:150-181).  WAV/AIFF/FLAC/Ogg come from
 JUCE ``registerBasicFormats()`` (Source/MainComponent.cpp:13); CAF (LPCM +
-Apple Lossless) and ALAC .m4a come from the Swift shell's AVAudioFile
-surface (Models/AudioFile.swift:38).  All are implemented natively;
-Ogg Vorbis and ALAC are INPUT-only — perceptual-lossy deliverables stay
-pointless, so lossy OUTPUT formats are rejected with an actionable
-message, and AAC .m4a input is rejected the same way."""
+Apple Lossless), ALAC .m4a and MPEG audio come from the Swift shell's
+AVAudioFile surface (Models/AudioFile.swift:38).  All are implemented
+natively; Ogg Vorbis, ALAC and MPEG audio are INPUT-only —
+perceptual-lossy deliverables stay pointless, so lossy OUTPUT formats are
+rejected with an actionable message, and AAC .m4a input is rejected the
+same way."""
 
 from __future__ import annotations
 
@@ -22,13 +23,7 @@ __all__ = ["SUPPORTED_EXTENSIONS", "probe", "read_audio",
            "open_reader"]
 
 SUPPORTED_EXTENSIONS = (".wav", ".aif", ".aiff", ".flac", ".ogg", ".oga",
-                        ".caf", ".m4a")
-
-# formats the reference's GUI shell could list via OS codecs but that a
-# lossless mastering pipeline should refuse, each with the reason
-_KNOWN_LOSSY = {
-    ".mp3": "MP3 is lossy; transcode to WAV/AIFF/FLAC first",
-}
+                        ".caf", ".m4a", ".mp3", ".mp2", ".mp1")
 
 
 def is_supported(path: str) -> bool:
@@ -49,8 +44,8 @@ def _kind(path: str) -> str:
         return "caf"
     if ext == ".m4a":
         return "m4a"           # ALAC only; AAC raises the lossy message
-    if ext in _KNOWN_LOSSY:
-        raise ValueError(f"{path}: {_KNOWN_LOSSY[ext]}")
+    if ext in (".mp3", ".mp2", ".mp1"):
+        return "mp3"           # MPEG-1/2/2.5 Layers I-III, decode only
     raise ValueError(f"unsupported audio file type: {path}")
 
 
@@ -74,6 +69,10 @@ def probe(path: str) -> AudioFileInfo:
         from .mp4 import probe_m4a
 
         return probe_m4a(path)
+    if k == "mp3":
+        from .mp3 import probe_mp3
+
+        return probe_mp3(path)
     return probe_aiff(path)
 
 
@@ -98,6 +97,10 @@ def read_audio(path: str) -> tuple[np.ndarray, int]:
         from .mp4 import read_m4a
 
         return read_m4a(path)
+    if k == "mp3":
+        from .mp3 import read_mp3
+
+        return read_mp3(path)
     return read_aiff(path)
 
 
@@ -149,6 +152,10 @@ def open_reader(path: str):
         from .mp4 import M4aReader
 
         return M4aReader(path)
+    if k == "mp3":
+        from .mp3 import Mp3Reader
+
+        return Mp3Reader(path)
     from .aiff import AiffReader
 
     return AiffReader(path)
@@ -168,7 +175,7 @@ def read_raw_pcm(path: str):
         from .flac import read_raw_pcm_flac
 
         return read_raw_pcm_flac(path)
-    if k in ("ogg", "caf", "m4a"):
+    if k in ("ogg", "caf", "m4a", "mp3"):
         # no raw wire: Vorbis decodes to float; ALAC/CAF payloads are
         # compressed or layout-varied (the scheduler's raw_bits grouping
         # never selects these — container gate at pipeline/scheduler.py)

@@ -18,6 +18,9 @@ extern "C" {
 
 extern "C" long avref_encode(const char *, const char *, const char *,
                              const int32_t *, int, long, int, int);
+extern "C" long avref_encode2(const char *, const char *, const char *,
+                              const int32_t *, int, long, int, int,
+                              long, const char *);
 extern "C" long avref_decode(const char *, int32_t *, long, int *, int *,
                              int *);
 
@@ -28,6 +31,16 @@ extern "C" long avref_decode(const char *, int32_t *, long, int *, int *,
  * Returns total compressed bytes, or a negative error. */
 long avref_encode(const char *codec_name, const char *path, const char *fmt,
                   const int32_t *pcm, int ch, long n, int rate, int bits) {
+    return avref_encode2(codec_name, path, fmt, pcm, ch, n, rate, bits,
+                         0, NULL);
+}
+
+/* As avref_encode, plus an explicit bit rate (0 = codec default) and an
+ * AVDictionary options string ("key=val:key=val", passed to
+ * avcodec_open2 — e.g. libmp3lame "abr=1", mp2 "b=..."). */
+long avref_encode2(const char *codec_name, const char *path, const char *fmt,
+                   const int32_t *pcm, int ch, long n, int rate, int bits,
+                   long bit_rate, const char *opts) {
     const AVCodec *codec = avcodec_find_encoder_by_name(codec_name);
     if (!codec) return -1;
     AVCodecContext *cc = avcodec_alloc_context3(codec);
@@ -51,12 +64,16 @@ long avref_encode(const char *codec_name, const char *path, const char *fmt,
     cc->sample_rate = rate;
     cc->bits_per_raw_sample = bits;
     av_channel_layout_default(&cc->ch_layout, ch);
+    if (bit_rate > 0) cc->bit_rate = bit_rate;
     long total = -3;
     AVFormatContext *oc = NULL;
     AVStream *st = NULL;
     AVFrame *frame = NULL;
     AVPacket *pkt = NULL;
-    if (avcodec_open2(cc, codec, NULL) < 0) goto done0;
+    AVDictionary *d = NULL;
+    if (opts && av_dict_parse_string(&d, opts, "=", ":", 0) < 0) goto done0;
+    if (avcodec_open2(cc, codec, &d) < 0) { av_dict_free(&d); goto done0; }
+    av_dict_free(&d);
     if (path) {
         cc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;  /* mp4 wants extradata */
         /* reopen with the flag (must be set before open); cheap: redo */
@@ -67,8 +84,13 @@ long avref_encode(const char *codec_name, const char *path, const char *fmt,
         cc->sample_rate = rate;
         cc->bits_per_raw_sample = bits;
         av_channel_layout_default(&cc->ch_layout, ch);
+        if (bit_rate > 0) cc->bit_rate = bit_rate;
         cc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
-        if (avcodec_open2(cc, codec, NULL) < 0) goto done0;
+        d = NULL;
+        if (opts && av_dict_parse_string(&d, opts, "=", ":", 0) < 0)
+            goto done0;
+        if (avcodec_open2(cc, codec, &d) < 0) { av_dict_free(&d); goto done0; }
+        av_dict_free(&d);
         if (avformat_alloc_output_context2(&oc, NULL, fmt, path) < 0)
             goto done0;
         st = avformat_new_stream(oc, NULL);
@@ -257,5 +279,90 @@ done:
     if (pkt) av_packet_free(&pkt);
     if (cc) avcodec_free_context(&cc);
     if (ic) avformat_close_input(&ic);
+    return got;
+}
+
+/* Decode a raw MPEG-audio elementary stream with the named codec
+ * ("mp1float"/"mp2float"/"mp3float"), one fixed-size frame per packet —
+ * bypasses avformat entirely, so hand-assembled conformance frames are
+ * immune to the format prober's content heuristics.  Output is
+ * interleaved 24-bit codes (float decoders).  Returns frames decoded or
+ * a negative error. */
+extern "C" long avref_decode_raw(const char *codec_name, const uint8_t *data,
+                                 long len, long frame_bytes, int32_t *out,
+                                 long cap, int *ch_out, int *rate_out);
+long avref_decode_raw(const char *codec_name, const uint8_t *data, long len,
+                      long frame_bytes, int32_t *out, long cap,
+                      int *ch_out, int *rate_out) {
+    const AVCodec *dec = avcodec_find_decoder_by_name(codec_name);
+    if (!dec) return -1;
+    AVCodecContext *cc = avcodec_alloc_context3(dec);
+    if (!cc) return -2;
+    long got = -3;
+    AVFrame *frame = av_frame_alloc();
+    AVPacket *pkt = av_packet_alloc();
+    if (!frame || !pkt) goto done;
+    if (avcodec_open2(cc, dec, NULL) < 0) goto done;
+    got = 0;
+    {
+        long off = 0;
+        int draining = 0;
+        for (;;) {
+            int ret;
+            if (!draining) {
+                if (off >= len) {
+                    draining = 1;
+                    avcodec_send_packet(cc, NULL);
+                } else {
+                    long n = frame_bytes;
+                    if (off + n > len) n = len - off;
+                    if (av_new_packet(pkt, (int)n) < 0) { got = -4; break; }
+                    memcpy(pkt->data, data + off, n);
+                    off += n;
+                    ret = avcodec_send_packet(cc, pkt);
+                    av_packet_unref(pkt);
+                    if (ret < 0) { got = -5; break; }
+                }
+            }
+            for (;;) {
+                ret = avcodec_receive_frame(cc, frame);
+                if (ret == AVERROR(EAGAIN)) break;
+                if (ret == AVERROR_EOF) goto flushed;
+                if (ret < 0) { got = -6; goto done; }
+                const int ch = cc->ch_layout.nb_channels;
+                const enum AVSampleFormat f =
+                    (enum AVSampleFormat)frame->format;
+                const int planar = av_sample_fmt_is_planar(f);
+                const int bytes = av_get_bytes_per_sample(f);
+                *ch_out = ch;
+                *rate_out = cc->sample_rate;
+                for (int i = 0; i < frame->nb_samples; ++i) {
+                    if (got >= cap) goto flushed;
+                    for (int c = 0; c < ch; ++c) {
+                        const uint8_t *base = planar ? frame->data[c]
+                                                     : frame->data[0];
+                        const long idx = planar ? i : (long)i * ch + c;
+                        int32_t v = 0;
+                        if (bytes == 2)
+                            v = ((const int16_t *)base)[idx] << 8;
+                        else if (bytes == 4 && (f == AV_SAMPLE_FMT_S32
+                                                || f == AV_SAMPLE_FMT_S32P))
+                            v = ((const int32_t *)base)[idx] >> 8;
+                        else if (bytes == 4)
+                            v = (int32_t)(((const float *)base)[idx]
+                                          * 8388608.0f);
+                        out[got * ch + c] = v;
+                    }
+                    ++got;
+                }
+            }
+            if (draining) break;
+        }
+    }
+flushed:
+done:
+    if (frame) av_frame_free(&frame);
+    if (pkt) av_packet_free(&pkt);
+    avcodec_free_context(&cc);
     return got;
 }

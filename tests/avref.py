@@ -56,10 +56,20 @@ def _load():
         _lib.avref_encode.argtypes = [C.c_char_p, C.c_char_p, C.c_char_p,
                                       C.POINTER(C.c_int32), C.c_int,
                                       C.c_long, C.c_int, C.c_int]
+        _lib.avref_encode2.restype = C.c_long
+        _lib.avref_encode2.argtypes = [C.c_char_p, C.c_char_p, C.c_char_p,
+                                       C.POINTER(C.c_int32), C.c_int,
+                                       C.c_long, C.c_int, C.c_int,
+                                       C.c_long, C.c_char_p]
         _lib.avref_decode.restype = C.c_long
         _lib.avref_decode.argtypes = [C.c_char_p, C.POINTER(C.c_int32),
                                       C.c_long, C.POINTER(C.c_int),
                                       C.POINTER(C.c_int), C.POINTER(C.c_int)]
+        _lib.avref_decode_raw.restype = C.c_long
+        _lib.avref_decode_raw.argtypes = [C.c_char_p, C.c_char_p, C.c_long,
+                                          C.c_long, C.POINTER(C.c_int32),
+                                          C.c_long, C.POINTER(C.c_int),
+                                          C.POINTER(C.c_int)]
     return _lib
 
 
@@ -99,6 +109,23 @@ def encode_file(codec: str, path: str, fmt: str, codes: np.ndarray,
     return int(r)
 
 
+def encode_file_opts(codec: str, path: str, fmt: str, codes: np.ndarray,
+                     rate: int, bits: int, bit_rate: int = 0,
+                     opts: str | None = None) -> int:
+    """encode_file plus an explicit bit rate and codec AVOptions string
+    ('key=val:key=val') — MPEG-audio coverage vectors need bitrate/mode
+    control (libmp3lame 'abr', mp2 rates, ...)."""
+    lib = _load()
+    assert lib is not None, _err
+    inter = np.ascontiguousarray(codes.T, np.int32)
+    r = lib.avref_encode2(codec.encode(), path.encode(), fmt.encode(),
+                          inter.ctypes.data_as(C.POINTER(C.c_int32)),
+                          codes.shape[0], codes.shape[1], rate, bits,
+                          bit_rate, opts.encode() if opts else None)
+    assert r >= 0, f"avref_encode2 failed: {r}"
+    return int(r)
+
+
 def decode_file(path: str, max_frames: int = 1 << 24):
     """Decode any audio file: ((channels, frames) int32 codes, rate, bits).
     Float streams come back as 24-bit codes (bits reported as stream
@@ -118,3 +145,23 @@ def decode_file(path: str, max_frames: int = 1 << 24):
     ch_v = ch.value
     codes = out[: r * ch_v].reshape(r, ch_v).T.copy()
     return codes, rate.value, bits.value
+
+
+def decode_raw(codec: str, data: bytes, frame_bytes: int,
+               max_frames: int = 1 << 22):
+    """Decode a raw MPEG-audio elementary stream frame-by-frame with the
+    named libavcodec decoder (mp1float/mp2float/mp3float), bypassing the
+    avformat prober — hand-assembled conformance frames are fed one
+    fixed-size frame per packet.  Returns ((ch, n) 24-bit codes, rate)."""
+    lib = _load()
+    assert lib is not None, _err
+    out = np.zeros(max_frames * 2, np.int32)
+    ch = C.c_int(0)
+    rate = C.c_int(0)
+    r = lib.avref_decode_raw(codec.encode(), data, len(data), frame_bytes,
+                             out.ctypes.data_as(C.POINTER(C.c_int32)),
+                             max_frames, C.byref(ch), C.byref(rate))
+    assert r >= 0, f"avref_decode_raw failed: {r}"
+    ch_v = ch.value
+    codes = out[: r * ch_v].reshape(r, ch_v).T.copy()
+    return codes, rate.value

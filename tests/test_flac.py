@@ -674,17 +674,18 @@ def test_codec_dispatch(tmp_path):
 
 
 def test_lossy_formats_rejected_with_reason(tmp_path):
-    p = str(tmp_path / "x.mp3")
+    # a truly unknown extension is rejected outright
+    p = str(tmp_path / "x.aac")
     open(p, "wb").write(b"\x00" * 64)
     assert not codec.is_supported(p)
-    with pytest.raises(ValueError, match="lossy"):
+    with pytest.raises(ValueError, match="unsupported"):
         codec.probe(p)
-    # .ogg/.caf/.m4a are supported INPUTS since round 5 (decode-only
+    # .ogg/.caf/.m4a/.mp3 are supported INPUTS since round 5 (decode-only
     # parity with the reference's registerBasicFormats reader + the Swift
     # shell's AVAudioFile surface); garbage bytes still raise actionable
     # container errors
     for ext, frag in [(".ogg", "capture pattern"), (".caf", "not a CAF"),
-                      (".m4a", "moov|box")]:
+                      (".m4a", "moov|box"), (".mp3", "no MPEG audio")]:
         p = str(tmp_path / f"x{ext}")
         open(p, "wb").write(b"\x00" * 64)
         assert codec.is_supported(p)

@@ -87,7 +87,7 @@ def test_codec_dispatch(tmp_path):
         (write_wav if name.endswith("wav") else write_aiff)(p, x, 44100, bits=24)
         y, rate = read_audio(p)
         assert rate == 44100 and y.shape == x.shape
-    assert is_supported("x.WAV") and is_supported("y.Aiff") and not is_supported("z.mp3")
+    assert is_supported("x.WAV") and is_supported("y.Aiff") and not is_supported("z.aac")
 
 
 def test_mono_file(tmp_path):

@@ -166,11 +166,11 @@ def test_codec_dispatch_ogg(tmp_path):
     assert codec.is_supported(p)
 
 
-def test_codec_still_rejects_lossy_non_ogg(tmp_path):
-    p = str(tmp_path / "x.mp3")
+def test_codec_still_rejects_unknown_extensions(tmp_path):
+    p = str(tmp_path / "x.aac")
     with open(p, "wb") as f:
-        f.write(b"\xff\xfb")
-    with pytest.raises(ValueError, match="lossy"):
+        f.write(b"\xff\xf1")
+    with pytest.raises(ValueError, match="unsupported"):
         codec.read_audio(p)
     assert not codec.is_supported(p)
 
