@@ -282,9 +282,27 @@ def _parse_tag(b, off: int, h: FrameHeader, nbytes: int) -> _StreamInfo:
 # synthesis filterbank (shared by all three layers)
 
 
+_SYNTH_DA = SYNTH_WINDOW.reshape(8, 64)[:, :32].copy()    # (8, 32)
+_SYNTH_DB = SYNTH_WINDOW.reshape(8, 64)[:, 32:].copy()
+_SYNTH_ROWS: dict = {}
+
+
+def _synth_rows(T: int):
+    """Gather-row indices (8, T) for the windowed shift structure."""
+    r = _SYNTH_ROWS.get(T)
+    if r is None:
+        b = np.arange(8)[:, None]
+        t = np.arange(T)[None, :]
+        r = ((15 - 2 * b) + t, (14 - 2 * b) + t)
+        _SYNTH_ROWS[T] = r
+    return r
+
+
 class _Synth:
     """Polyphase synthesis (ISO 11172-3 2.4.3.2), vectorised over a whole
-    granule of subband steps.  State: the last 15 matrixed V blocks."""
+    granule of subband steps.  State: the last 15 matrixed V blocks.
+    One gather + two reductions replace the 8-tap shift loop:
+    U[64b + j] = V_{t-2b}[j], U[64b + 32 + j] = V_{t-2b-1}[32 + j]."""
 
     def __init__(self, channels: int):
         self.v = np.zeros((channels, 15, 64))
@@ -294,14 +312,9 @@ class _Synth:
         T = S.shape[0]
         V = np.concatenate([self.v[ch], S @ SYNTH_MATRIX.T], axis=0)
         self.v[ch] = V[-15:]
-        A, B = V[:, :32], V[:, 32:]
-        D = SYNTH_WINDOW
-        out = np.zeros((T, 32))
-        for b in range(8):
-            # U[64b + j]      = V_{t-2b}[j]      -> window D[64b + j]
-            # U[64b + 32 + j] = V_{t-2b-1}[32+j] -> window D[64b + 32 + j]
-            out += A[15 - 2 * b:15 - 2 * b + T] * D[64 * b:64 * b + 32]
-            out += B[14 - 2 * b:14 - 2 * b + T] * D[64 * b + 32:64 * b + 64]
+        ra, rb = _synth_rows(T)
+        out = (V[ra, :32] * _SYNTH_DA[:, None, :]).sum(0)
+        out += (V[rb, 32:] * _SYNTH_DB[:, None, :]).sum(0)
         return out.reshape(-1)
 
 
@@ -522,20 +535,19 @@ def _read_scalefacs_lsf(br: _Bits, g: _Granule, intensity: bool):
     return sfl, sfs, bits, (illegal, gl, gs)
 
 
-def _huffman_decode(data, pos: int, end: int, g: _Granule, hdr: FrameHeader):
-    """Decode big-values + count1 regions -> (is_[576] int32, rzero, pos)."""
-    is_ = np.zeros(576, np.int32)
-    band_long = BAND_LONG[hdr.rate]
-    bounds = np.cumsum([0] + band_long)
+def _hregions(g: _Granule, hdr: FrameHeader):
+    """Big-values region line boundaries -> (big_end, r1, r2), clamped.
+
+    For window-switching granules the split is implicit (ISO 2.4.2.7 /
+    13818-3), in terms of the ACTUAL band tables: pure short granules end
+    region0 after the first three short scalefactor bands (x3 windows);
+    start/stop and mixed granules end it after long band 8.  Both give
+    the familiar 36 at MPEG-1 rates; at LSF rates they differ (54; and
+    72/108 at MPEG-2.5 8 kHz) — verified against libavcodec on 8 kHz
+    streams, where a fixed 36 misparses the Huffman stream entirely."""
+    bounds = np.cumsum([0] + BAND_LONG[hdr.rate])
     big_end = min(2 * g.big_values, 576)
     if g.window_switching:
-        # implicit region split (ISO 2.4.2.7 / 13818-3), in terms of the
-        # ACTUAL band tables: pure short granules end region0 after the
-        # first three short scalefactor bands (x3 windows); start/stop and
-        # mixed granules end it after long band 8.  Both give the familiar
-        # 36 at MPEG-1 rates; at LSF rates they differ (54; and 72/108 at
-        # MPEG-2.5 8 kHz) — verified against libavcodec on 8 kHz streams,
-        # where a fixed 36 misparses the Huffman stream entirely.
         if g.block_type == 2 and not g.mixed:
             bs = BAND_SHORT[hdr.rate]
             r1 = 3 * (bs[0] + bs[1] + bs[2])
@@ -545,8 +557,52 @@ def _huffman_decode(data, pos: int, end: int, g: _Granule, hdr: FrameHeader):
     else:
         r1 = int(bounds[min(g.region0_count + 1, 22)])
         r2 = int(bounds[min(g.region0_count + g.region1_count + 2, 22)])
-    r1 = min(r1, big_end)
-    r2 = min(r2, big_end)
+    return big_end, min(r1, big_end), min(r2, big_end)
+
+
+_NATIVE = None
+
+
+def _native_mod():
+    """The native C++ twin of `_huffman_decode` (f9native.cpp
+    f9_mp3_huffman — bit-identical by construction, dual-path tested), or
+    None when the toolchain is unavailable."""
+    global _NATIVE
+    if _NATIVE is None:
+        try:
+            from f9tpu import native
+
+            _NATIVE = native if native.mp3_huff_available() else False
+        except Exception:
+            _NATIVE = False
+    return _NATIVE or None
+
+
+def _huffman_eval(data, pos: int, end: int, g: _Granule, hdr: FrameHeader):
+    """Dispatch one granule-channel Huffman walk to the native twin when
+    available, else the Python oracle below.  Same (is_, rzero, pos)
+    triple, same Mp3Error conditions, on both paths."""
+    nat = _native_mod()
+    if nat is None:
+        return _huffman_decode(data, pos, end, g, hdr)
+    big_end, r1, r2 = _hregions(g, hdr)
+    tids = []
+    linbs = []
+    for t in g.table_select:
+        tbl, lb = HUFF_SELECT[t]
+        tids.append(-1 if tbl is None else tbl)
+        linbs.append(lb)
+    try:
+        return nat.mp3_huffman_native(data, pos, end, big_end, r1, r2,
+                                      tids, linbs, g.count1table)
+    except ValueError:
+        raise Mp3Error("bad Huffman code") from None
+
+
+def _huffman_decode(data, pos: int, end: int, g: _Granule, hdr: FrameHeader):
+    """Decode big-values + count1 regions -> (is_[576] int32, rzero, pos)."""
+    is_ = np.zeros(576, np.int32)
+    big_end, r1, r2 = _hregions(g, hdr)
     regions = [(0, r1, g.table_select[0]), (r1, r2, g.table_select[1]),
                (r2, big_end, g.table_select[2])]
     d = data
@@ -632,63 +688,80 @@ def _huffman_decode(data, pos: int, end: int, g: _Granule, hdr: FrameHeader):
     return is_, rzero, pos
 
 
-def _requantize(is_: np.ndarray, g: _Granule, hdr: FrameHeader,
-                sfl: np.ndarray, sfs: np.ndarray):
-    """ISO 2.4.3.4 requantization + short-block reordering -> xr[576]."""
-    band_long = BAND_LONG[hdr.rate]
-    band_short = BAND_SHORT[hdr.rate]
-    shift = 2 * (1 + g.scalefac_scale)
-    quarters = np.zeros(576)
-    short = g.window_switching and g.block_type == 2
-    if short:
-        widths = np.asarray(band_short)
-        starts3 = np.cumsum(np.concatenate([[0], widths * 3]))
-        nlong = 0
-        if g.mixed:
-            # first two subbands (36 lines) stay long
-            bl = np.cumsum([0] + band_long)
-            nlong_sfb = int(np.searchsorted(bl, 36))
-            nlong = 36
-            pre = PRETAB * g.preflag
-            for sfb in range(nlong_sfb):
-                a, b = int(bl[sfb]), int(bl[sfb + 1])
-                quarters[a:b] = (g.global_gain - 210
-                                 - shift * (int(sfl[sfb]) + int(pre[sfb])))
-        # short region with reorder: decoded order is sfb-major,
-        # window-minor; target order interleaves lines per subband triple
-        xr = np.zeros(576)
-        sgn = np.sign(is_).astype(np.float64)
-        mag = np.abs(is_).astype(np.float64) ** (4.0 / 3.0)
-        if nlong:
-            q = quarters[:nlong]
-            xr[:nlong] = sgn[:nlong] * mag[:nlong] * np.exp2(q / 4.0)
-        first_sfb = 3 if g.mixed else 0
-        src = nlong if g.mixed else 0
-        bs = np.cumsum(np.concatenate([[0], widths]))
-        for sfb in range(first_sfb, 13):
-            w = int(widths[sfb])
+# |is_| <= 15 + 2^13 - 1 (linbits cap); x^(4/3) and 2^(q/4) as lookups —
+# same numpy ops at table-build time, so values are bitwise what the
+# elementwise forms produced
+_POW43 = np.arange(8207, dtype=np.float64) ** (4.0 / 3.0)
+_EXP2Q_OFF = 512
+_EXP2Q = np.exp2(np.arange(-_EXP2Q_OFF, 64) / 4.0)
+
+_REQ_LONG: dict = {}      # rate -> (576,) long sfb index per line
+_REQ_SHORT: dict = {}     # (rate, mixed) -> (TGT, SRC, SFB, WIN, nlong)
+
+
+def _req_long_idx(rate: int) -> np.ndarray:
+    m = _REQ_LONG.get(rate)
+    if m is None:
+        m = np.repeat(np.arange(22), BAND_LONG[rate])
+        _REQ_LONG[rate] = m
+    return m
+
+
+def _req_short_maps(rate: int, mixed: bool):
+    key = (rate, mixed)
+    m = _REQ_SHORT.get(key)
+    if m is None:
+        widths = BAND_SHORT[rate]
+        bs = np.cumsum([0] + widths)
+        tgt, src_i, sfb_i, win_i = [], [], [], []
+        src = 36 if mixed else 0
+        for sfb in range(3 if mixed else 0, 13):
+            w = widths[sfb]
             base3 = 3 * int(bs[sfb])
             for win in range(3):
-                q = (g.global_gain - 210 - 8 * g.subblock_gain[win]
-                     - shift * int(sfs[sfb, win]))
-                scale = 2.0 ** (q / 4.0)
-                seg = slice(src, src + w)
-                vals = sgn[seg] * mag[seg] * scale
-                xr[base3 + win:base3 + 3 * w + win:3] = vals
+                for line in range(w):
+                    tgt.append(base3 + 3 * line + win)
+                    src_i.append(src + line)
+                    sfb_i.append(sfb)
+                    win_i.append(win)
                 src += w
             if src >= 576:
                 break
-        return xr
-    bl = np.cumsum([0] + band_long)
-    pre = PRETAB * g.preflag
-    for sfb in range(22):
-        a, b = int(bl[sfb]), int(bl[sfb + 1])
-        sf = int(sfl[sfb]) if sfb < 21 else 0
-        p = int(pre[sfb]) if sfb < 22 else 0
-        quarters[a:b] = g.global_gain - 210 - shift * (sf + p)
+        m = (np.asarray(tgt), np.asarray(src_i), np.asarray(sfb_i),
+             np.asarray(win_i), 36 if mixed else 0)
+        _REQ_SHORT[key] = m
+    return m
+
+
+def _requantize(is_: np.ndarray, g: _Granule, hdr: FrameHeader,
+                sfl: np.ndarray, sfs: np.ndarray):
+    """ISO 2.4.3.4 requantization + short-block reordering -> xr[576]."""
+    shift = 2 * (1 + g.scalefac_scale)
     sgn = np.sign(is_).astype(np.float64)
-    mag = np.abs(is_).astype(np.float64) ** (4.0 / 3.0)
-    return sgn * mag * np.exp2(quarters / 4.0)
+    mag = _POW43[np.abs(is_)]
+    base = g.global_gain - 210
+    pre = PRETAB * g.preflag
+    if g.window_switching and g.block_type == 2:
+        tgt, src, sfb_i, win_i, nlong = _req_short_maps(hdr.rate, g.mixed)
+        xr = np.zeros(576)
+        if nlong:
+            # first two subbands (36 lines) stay long in mixed blocks
+            lidx = _req_long_idx(hdr.rate)[:nlong]
+            q = base - shift * (sfl[lidx] + pre[lidx])
+            xr[:nlong] = sgn[:nlong] * mag[:nlong] \
+                * _EXP2Q[q + _EXP2Q_OFF]
+        # short region with reorder: decoded order is sfb-major,
+        # window-major; target interleaves the three windows per line
+        sbg = np.asarray(g.subblock_gain, np.int64)
+        qmat = base - 8 * sbg[None, :] - shift * sfs.astype(np.int64)
+        q = np.clip(qmat[sfb_i, win_i], -_EXP2Q_OFF, 63)
+        xr[tgt] = sgn[src] * mag[src] * _EXP2Q[q + _EXP2Q_OFF]
+        return xr
+    lidx = _req_long_idx(hdr.rate)
+    sfv = sfl.astype(np.int64).copy()
+    sfv[21] = 0                   # lines of sfb 21 carry no scalefactor
+    q = np.clip(base - shift * (sfv + pre)[lidx], -_EXP2Q_OFF, 63)
+    return sgn * mag * _EXP2Q[q + _EXP2Q_OFF]
 
 
 _IS_RATIO = np.tan(np.arange(7) * np.pi / 12.0)
@@ -870,6 +943,8 @@ class _L3Decoder:
         side_len = (9 if ch == 1 else 17) if hdr.lsf else \
             (17 if ch == 1 else 32)
         p = off + 4 + (2 if hdr.crc else 0)
+        if p + side_len > len(b):
+            raise Mp3Error("truncated frame")
         br = _Bits(b, p * 8)
         if hdr.lsf:
             mdb, scfsi, grs = _parse_side_lsf(br, ch)
@@ -888,7 +963,15 @@ class _L3Decoder:
                     steps = _hybrid(np.zeros(576), z, self.overlap[c])
                     out[c, gr * 576:(gr + 1) * 576] = self.synth.run(c, steps)
             return out
-        data = (self.res[len(self.res) - mdb:] if mdb else b"") + main
+        # 80 zero pad bytes bound every legal overrun past
+        # part2_3_length: the <=19-bit Huffman lookup slack plus
+        # linbits+signs (<64 bits), and the scalefactor reads of a
+        # hostile granule that declares part2_3_length shorter than its
+        # slen sums (<=216 bits).  With the per-granule end guard below,
+        # neither the Python nor the native path ever reads out of the
+        # buffer.
+        data = (self.res[len(self.res) - mdb:] if mdb else b"") + main \
+            + b"\x00" * 80
         self.res = (self.res + main)[-511:]
         pos = 0
         for gr in range(ngr):
@@ -899,6 +982,8 @@ class _L3Decoder:
             for c in range(ch):
                 g = grs[gr][c]
                 start = pos
+                if start + g.part2_3_length + 576 > 8 * len(data):
+                    raise Mp3Error("truncated main data")
                 if hdr.lsf:
                     intensity = bool(hdr.mode_ext & 1) and c == 1 \
                         and hdr.mode == 1
@@ -911,9 +996,9 @@ class _L3Decoder:
                         brm, g, scfsi[c], self.prev_sf[c], gr)
                     self.prev_sf[c] = sfl.copy()
                     lsf_extra_c = None
-                is_, rzero, _ = _huffman_decode(
-                    data, start + p2, start + g.part2_3_length, g, hdr)
-                pos = start + g.part2_3_length
+                end = start + g.part2_3_length
+                is_, rzero, _ = _huffman_eval(data, start + p2, end, g, hdr)
+                pos = end
                 xr[c] = _requantize(is_, g, hdr, sfl, sfs)
                 if c == 1:
                     rzero_r = rzero

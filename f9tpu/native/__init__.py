@@ -120,10 +120,18 @@ def _load() -> ctypes.CDLL | None:
             lib.f9_alac_decode_packet.restype = c_i64
             lib.f9_alac_decode_packet.argtypes = [
                 c_i32, c_i32, c_i32, c_i32, c_i32, c_i32, pu8, c_i64, pi32]
+            lib.f9_mp3_huff_init.restype = c_i32
+            lib.f9_mp3_huff_init.argtypes = [pi32, c_i64]
+            lib.f9_mp3_huffman.restype = c_i32
+            lib.f9_mp3_huffman.argtypes = [
+                pu8, c_i64, c_i64, c_i64, c_i32, c_i32, c_i32,
+                c_i32, c_i32, c_i32, c_i32, c_i32, c_i32, c_i32,
+                pi32, np.ctypeslib.ndpointer(np.int64,
+                                             flags="C_CONTIGUOUS")]
             lib.f9_native_abi_version.restype = c_i32
             abi = int(lib.f9_native_abi_version())
-            if abi != 3:
-                raise OSError(f"ABI version {abi} != 3 (stale library?)")
+            if abi != 4:
+                raise OSError(f"ABI version {abi} != 4 (stale library?)")
         except (OSError, AttributeError) as e:
             # missing symbol / ABI mismatch (stale or hand-built .so) must
             # fall back like a failed build, not raise out of available()
@@ -491,3 +499,57 @@ def alac_decode_packet(cfg, data: bytes) -> np.ndarray | None:
     if n < 0:
         raise ValueError("malformed ALAC packet")
     return out[:, :n]
+
+
+_mp3_huff_ready = False
+_mp3_huff_lock = threading.Lock()
+
+
+def mp3_huff_available() -> bool:
+    """Build + initialize the MP3 Huffman trees (from io/mp3tables.py —
+    the SAME published table data the Python oracle decodes with)."""
+    global _mp3_huff_ready
+    lib = _load()
+    if lib is None:
+        return False
+    if _mp3_huff_ready:
+        return True
+    with _mp3_huff_lock:
+        if _mp3_huff_ready:
+            return True
+        from f9tpu.io.mp3tables import HUFF_TABLES, QUAD_A, QUAD_B
+
+        rows = []
+        for tid, table in HUFF_TABLES.items():
+            for (length, code), (x, y) in table.items():
+                rows.append((tid, length, code, (x << 4) | y))
+        for (length, code), v in QUAD_A.items():
+            rows.append((32, length, code, v))
+        for (length, code), v in QUAD_B.items():
+            rows.append((33, length, code, v))
+        ent = np.ascontiguousarray(np.asarray(rows, np.int32).reshape(-1))
+        if int(lib.f9_mp3_huff_init(ent, len(rows))) != 0:
+            return False
+        _mp3_huff_ready = True
+        return True
+
+
+def mp3_huffman_native(data, pos: int, end: int, big_end: int, r1: int,
+                       r2: int, tids, linbits, count1table: int):
+    """One granule-channel Huffman walk; returns (is_[576] int32, rzero,
+    pos_after) or raises ValueError exactly where the Python oracle
+    raises Mp3Error.  ``data`` must already carry the >=8 zero pad bytes
+    (io/mp3.py pads the reservoir+main buffer)."""
+    lib = _lib
+    d = np.frombuffer(data, np.uint8)
+    is_ = np.empty(576, np.int32)
+    meta = np.empty(2, np.int64)
+    rc = int(lib.f9_mp3_huffman(
+        d, d.size, pos, end, big_end, r1, r2,
+        tids[0], tids[1], tids[2], linbits[0], linbits[1], linbits[2],
+        count1table, is_, meta))
+    if rc == -1:
+        raise ValueError("bad Huffman code")
+    if rc != 0:
+        raise RuntimeError(f"f9_mp3_huffman internal error {rc}")
+    return is_, int(meta[0]), int(meta[1])

@@ -134,7 +134,7 @@ void f9_deinterleave_f32(const float* src, int64_t channels, int64_t frames,
     }
 }
 
-int32_t f9_native_abi_version(void) { return 3; }
+int32_t f9_native_abi_version(void) { return 4; }
 
 }  // extern "C"
 
@@ -2126,6 +2126,207 @@ int64_t f9_alac_decode_packet(
     } catch (Err&) {
         return -1;
     }
+}
+
+}  // extern "C"
+
+// ===========================================================================
+// MPEG audio Layer III Huffman front half (io/mp3.py `_huffman_decode`).
+//
+// The big-values + count1 bitstream walk is the serial integer core of MP3
+// decode (~2/3 of pure-Python decode time); everything float (requantize,
+// stereo, IMDCT, synthesis) stays in NumPy.  This twin is BIT-IDENTICAL to
+// the Python oracle by construction: the code trees are built from the SAME
+// (length, symbol) lists io/mp3tables.py ships (passed in at init — single
+// source of truth), and the walk mirrors the Python loop bit for bit,
+// including the error conditions (reserved table, >19-bit lookup, count1
+// overrun rollback) and the end+19 slack the spec's padding tolerance
+// allows.  tests/test_mp3.py runs every decode through BOTH paths.
+
+namespace mp3huff {
+
+struct Node { int32_t kid[2]; int16_t sym; };  // sym >= 0 iff leaf
+
+struct Tree {
+    std::vector<Node> nodes;  // nodes[0] = root (present iff !empty)
+    void clear() { nodes.clear(); }
+    bool empty() const { return nodes.empty(); }
+    int32_t add() {
+        nodes.push_back(Node{{-1, -1}, -1});
+        return (int32_t)nodes.size() - 1;
+    }
+    bool insert(int32_t length, int32_t code, int32_t sym) {
+        if (nodes.empty()) add();
+        int32_t cur = 0;
+        for (int32_t i = length - 1; i >= 0; --i) {
+            if (nodes[(size_t)cur].sym >= 0) return false;  // prefix clash
+            const int bit = (code >> i) & 1;
+            int32_t nxt = nodes[(size_t)cur].kid[bit];
+            if (nxt < 0) {
+                nxt = add();
+                nodes[(size_t)cur].kid[bit] = nxt;
+            }
+            cur = nxt;
+        }
+        if (nodes[(size_t)cur].sym >= 0 || nodes[(size_t)cur].kid[0] >= 0 ||
+            nodes[(size_t)cur].kid[1] >= 0)
+            return false;
+        nodes[(size_t)cur].sym = (int16_t)sym;
+        return true;
+    }
+};
+
+static Tree g_tables[34];   // 0..31 big-values ids, 32 = quad A, 33 = quad B
+static std::mutex g_mu;
+static bool g_ready = false;
+
+static inline int bit_at(const uint8_t* d, int64_t pos) {
+    return (d[pos >> 3] >> (7 - (pos & 7))) & 1;
+}
+
+}  // namespace mp3huff
+
+extern "C" {
+
+// entries: flattened (table_id, length, code, symbol) int32 quads.
+// table_id 1..31 = big-value tables ((x<<4)|y symbols), 32 = count1 A,
+// 33 = count1 B.  Returns 0, or -1 on malformed input.
+int32_t f9_mp3_huff_init(const int32_t* entries, int64_t n) {
+    using namespace mp3huff;
+    std::lock_guard<std::mutex> lk(g_mu);
+    for (auto& t : g_tables) t.clear();
+    g_ready = false;
+    for (int64_t i = 0; i < n; ++i) {
+        const int32_t tid = entries[4 * i];
+        const int32_t len = entries[4 * i + 1];
+        const int32_t code = entries[4 * i + 2];
+        const int32_t sym = entries[4 * i + 3];
+        if (tid < 1 || tid > 33 || len < 1 || len > 24 || sym < 0 ||
+            sym > 255)
+            return -1;
+        if (!g_tables[tid].insert(len, code, sym)) return -1;
+    }
+    g_ready = true;
+    return 0;
+}
+
+// One granule-channel: big-values regions + count1.  `pos`/`end` are bit
+// positions into `data` (reservoir tail + main data + >=8 zero pad bytes —
+// the caller guarantees end + 64 bits fit, mirroring the Python guard).
+// tid* = resolved code table id (0 = all zeros, -1 = reserved), linb* =
+// linbits per region; r1/r2/big_end are the clamped region line bounds.
+// Outputs is_out[576] and meta_out[2] = {rzero, pos_after}; returns 0,
+// or -1 exactly where the Python oracle raises Mp3Error.
+int32_t f9_mp3_huffman(const uint8_t* data, int64_t nbytes, int64_t pos,
+                       int64_t end, int32_t big_end, int32_t r1, int32_t r2,
+                       int32_t tid0, int32_t tid1, int32_t tid2,
+                       int32_t linb0, int32_t linb1, int32_t linb2,
+                       int32_t count1table, int32_t* is_out,
+                       int64_t* meta_out) {
+    using namespace mp3huff;
+    if (!g_ready) return -2;
+    const int64_t hard = nbytes * 8;   // absolute safety bound (pad bytes)
+    if (end + 64 > hard || pos < 0 || pos > end) return -3;
+    std::memset(is_out, 0, 576 * sizeof(int32_t));
+    const int32_t starts[3] = {0, r1, r2};
+    const int32_t stops[3] = {r1, r2, big_end};
+    const int32_t tids[3] = {tid0, tid1, tid2};
+    const int32_t linbs[3] = {linb0, linb1, linb2};
+    for (int reg = 0; reg < 3; ++reg) {
+        const int32_t start = starts[reg], stop = stops[reg];
+        if (stop <= start) continue;
+        const int32_t tid = tids[reg];
+        if (tid < 0) return -1;           // reserved table named in frame
+        if (tid == 0) continue;           // table 0: all zeros
+        const Tree& tree = g_tables[tid];
+        if (tree.empty()) return -2;
+        const int32_t linbits = linbs[reg];
+        for (int32_t line = start; line < stop; line += 2) {
+            int32_t cur = 0;
+            int32_t length = 0;
+            for (;;) {
+                const int bit = bit_at(data, pos);
+                ++pos;
+                ++length;
+                cur = tree.nodes[(size_t)cur].kid[bit];
+                if (cur >= 0 && tree.nodes[(size_t)cur].sym >= 0) break;
+                if (cur < 0 || length > 19 || pos >= end + 19) return -1;
+            }
+            const int32_t sym = tree.nodes[(size_t)cur].sym;
+            int32_t x = sym >> 4, y = sym & 15;
+            if (x == 15 && linbits) {
+                int32_t ext = 0;
+                for (int32_t k = 0; k < linbits; ++k) {
+                    ext = (ext << 1) | bit_at(data, pos);
+                    ++pos;
+                }
+                x += ext;
+            }
+            if (x) {
+                if (bit_at(data, pos)) x = -x;
+                ++pos;
+            }
+            is_out[line] = x;
+            if (y == 15 && linbits) {
+                int32_t ext = 0;
+                for (int32_t k = 0; k < linbits; ++k) {
+                    ext = (ext << 1) | bit_at(data, pos);
+                    ++pos;
+                }
+                y += ext;
+            }
+            if (y) {
+                if (bit_at(data, pos)) y = -y;
+                ++pos;
+            }
+            is_out[line + 1] = y;
+        }
+    }
+    const Tree& qt = g_tables[count1table ? 33 : 32];
+    if (qt.empty()) return -2;
+    int32_t line = big_end;
+    while (pos < end && line < 576) {
+        const int64_t sp = pos;
+        int32_t cur = 0;
+        int32_t length = 0;
+        int32_t v = -1;
+        while (length < 7) {
+            const int bit = bit_at(data, pos);
+            ++pos;
+            ++length;
+            cur = qt.nodes[(size_t)cur].kid[bit];
+            if (cur < 0) return -1;
+            if (qt.nodes[(size_t)cur].sym >= 0) {
+                v = qt.nodes[(size_t)cur].sym;
+                break;
+            }
+        }
+        if (v < 0) return -1;
+        const int32_t quad[4] = {(v >> 3) & 1, (v >> 2) & 1, (v >> 1) & 1,
+                                 v & 1};
+        for (int k = 0; k < 4; ++k) {
+            int32_t q = quad[k];
+            if (q) {
+                if (bit_at(data, pos)) q = -q;
+                ++pos;
+            }
+            if (line + k < 576) is_out[line + k] = q;
+        }
+        if (pos > end) {
+            // final quad overran part2_3_length: the encoder's padding
+            // bits happened to look like a codeword — discard it
+            for (int k = 0; k < 4 && line + k < 576; ++k)
+                is_out[line + k] = 0;
+            pos = sp;
+            break;
+        }
+        line += 4;
+    }
+    int32_t rzero = line < 576 ? line : 576;
+    while (rzero > 0 && is_out[rzero - 1] == 0) --rzero;
+    meta_out[0] = rzero;
+    meta_out[1] = pos;
+    return 0;
 }
 
 }  // extern "C"

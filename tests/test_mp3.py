@@ -39,6 +39,22 @@ needs_avref = pytest.mark.skipif(
     not avref.available(), reason="avref unavailable")
 
 
+@pytest.fixture(params=["native", "python"], autouse=True)
+def huffman_path(request, monkeypatch):
+    """Run EVERY decode in this module through both the native C++
+    Huffman twin and the pure-Python spec oracle (they must agree
+    bit-for-bit) — the FLAC/Vorbis/ALAC dual-path pattern."""
+    if request.param == "python":
+        monkeypatch.setattr(m3, "_NATIVE", False)
+    else:
+        from f9tpu import native
+
+        if not (native.available() and native.mp3_huff_available()):
+            pytest.skip(f"native unavailable: {native.build_error()}")
+        monkeypatch.setattr(m3, "_NATIVE", None)
+    return request.param
+
+
 def _tone(ch, rate, secs=1.2, seed=0):
     rng = np.random.default_rng(seed)
     n = int(rate * secs)
@@ -465,6 +481,63 @@ def test_reader_random_access_bitwise(tmp_path):
             parts.append(c)
             pos += c.shape[1]
         assert np.array_equal(np.concatenate(parts, axis=1), whole)
+
+
+def test_huffman_native_python_direct_equivalence():
+    """Feed the SAME random bits and granule parameters to the Python
+    oracle and the native twin directly: identical (is_, rzero, pos) on
+    success, and identical error behavior on hostile streams."""
+    from f9tpu import native
+
+    if not (native.available() and native.mp3_huff_available()):
+        pytest.skip(f"native unavailable: {native.build_error()}")
+    rng = np.random.default_rng(17)
+    hdr = m3.FrameHeader(version=3, layer=3, crc=False, bitrate=128000,
+                         rate=44100, padding=0, mode=3, mode_ext=0)
+    agree = errors = 0
+    for trial in range(400):
+        g = m3._Granule()
+        g.big_values = int(rng.integers(0, 289))
+        g.count1table = int(rng.integers(0, 2))
+        g.window_switching = bool(rng.integers(0, 2))
+        if g.window_switching:
+            g.block_type = int(rng.choice([1, 2, 3]))
+            g.mixed = bool(rng.integers(0, 2))
+            g.table_select = (int(rng.integers(0, 32)),
+                              int(rng.integers(0, 32)), 0)
+        else:
+            g.table_select = tuple(int(v) for v in rng.integers(0, 32, 3))
+            g.region0_count = int(rng.integers(0, 16))
+            g.region1_count = int(rng.integers(0, 8))
+        nbytes = int(rng.integers(40, 520))
+        data = rng.integers(0, 256, nbytes, np.uint8).tobytes() \
+            + b"\x00" * 80
+        end = int(rng.integers(8, nbytes * 8))
+        try:
+            want = m3._huffman_decode(data, 0, end, g, hdr)
+            py_err = None
+        except m3.Mp3Error:
+            py_err = True
+        big_end, r1, r2 = m3._hregions(g, hdr)
+        tids, linbs = [], []
+        for t in g.table_select:
+            tbl, lb = m3.HUFF_SELECT[t]
+            tids.append(-1 if tbl is None else tbl)
+            linbs.append(lb)
+        try:
+            got = native.mp3_huffman_native(data, 0, end, big_end, r1, r2,
+                                            tids, linbs, g.count1table)
+            nat_err = None
+        except ValueError:
+            nat_err = True
+        assert py_err == nat_err, (trial, py_err, nat_err)
+        if py_err:
+            errors += 1
+            continue
+        assert np.array_equal(want[0], got[0]), trial
+        assert (want[1], want[2]) == (got[1], got[2]), trial
+        agree += 1
+    assert agree > 50 and errors > 50   # both regimes exercised
 
 
 # ------------------------------------------------ dispatch + pipeline
