@@ -200,24 +200,26 @@ def run(workdir: str) -> None:
     print("[12] FLAC -> FLAC (tags carried, MD5-verified lossless output)")
 
     # --- config 13 (round 5): the full drop-zone input surface in one
-    # batch — Ogg Vorbis, ALAC-in-CAF and ALAC-in-M4A sources (checked-in
-    # fixtures: no encoders for lossy/Apple formats ship in the product,
-    # by design) land next to a WAV and all process to 48k WAV ---
+    # batch — Ogg Vorbis, ALAC-in-CAF, ALAC-in-M4A and MP3 sources
+    # (checked-in fixtures: no encoders for lossy/Apple formats ship in
+    # the product, by design) land next to a WAV and all process to 48k
+    # WAV ---
     fx = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       "fixtures")
-    srcs13 = [f"{fx}/tone.ogg", f"{fx}/tone.caf", f"{fx}/tone.m4a"]
+    srcs13 = [f"{fx}/tone.ogg", f"{fx}/tone.caf", f"{fx}/tone.m4a",
+              f"{fx}/tone.mp3"]
     if all(os.path.exists(p) for p in srcs13):
         rc = main(["process", *srcs13, "--out", f"{workdir}/c13",
                    "--rate", "48000", "--quality", "low", "--seed", "1"])
         assert rc == 0
         outs = sorted(os.listdir(f"{workdir}/c13"))
-        # same stem from three containers: collision-safe naming suffixes
+        # same stem from four containers: collision-safe naming suffixes
         done = [o for o in outs if o.endswith(".wav")]
-        assert len(done) == 3, outs
+        assert len(done) == 4, outs
         for o in done:
             yy, rr = read_wav(f"{workdir}/c13/{o}")
             assert rr == 48000 and np.isfinite(yy).all()
-        print("[13] drop-zone surface: .ogg + .caf + .m4a -> 48k WAV")
+        print("[13] drop-zone surface: .ogg + .caf + .m4a + .mp3 -> 48k WAV")
     else:
         print("[13] skipped (fixtures missing)")
     print("demo complete:", workdir)

@@ -103,9 +103,32 @@ def test_random_streaming_config_end_to_end(tmp_path, trial):
     ch = int(rng.choice([1, 2, 4]))
     frames = int(rng.integers(3000, 30_000))
     x = (0.3 * rng.standard_normal((ch, frames))).astype(np.float32)
-    container = str(rng.choice(["wav", "aiff"]))
+    # the full lossless + MPEG input surface feeds the same streaming
+    # contract (decode is deterministic, so chunk-size byte-invariance
+    # is container-independent)
+    container = str(rng.choice(["wav", "aiff", "flac", "mp3"]))
+    if container == "mp3":
+        import avref
+
+        if not avref.available() or ch > 2:
+            container = "flac"
     src = str(tmp_path / f"s.{container}")
-    (write_wav if container == "wav" else write_aiff)(src, x, 44100, bits=24)
+    if container == "flac":
+        from f9tpu.io.flac import write_flac_codes
+
+        codes24 = np.clip(np.round(x.astype(np.float64) * (1 << 23)),
+                          -(1 << 23), (1 << 23) - 1).astype(np.int64)
+        write_flac_codes(src, codes24, 44100, bits=24)
+    elif container == "mp3":
+        import avref
+
+        codes24 = np.clip(np.round(x.astype(np.float64) * (1 << 23)),
+                          -(1 << 23), (1 << 23) - 1).astype(np.int32)
+        avref.encode_file_opts("libmp3lame", src, "mp3", codes24, 44100,
+                               24, bit_rate=192000)
+    else:
+        (write_wav if container == "wav" else write_aiff)(src, x, 44100,
+                                                          bits=24)
 
     kw = dict(output_dir=str(tmp_path), quality="low",
               target_rate=int(rng.choice([48000, 32000, 44056])),
