@@ -1025,8 +1025,12 @@ class _L12Decoder:
         self.synth.v[:] = 0.0
 
     def decode(self, b, off: int, nbytes: int, hdr: FrameHeader):
-        ch = hdr.channels
-        br = _Bits(b, (off + 4 + (2 if hdr.crc else 0)) * 8)
+        # decode from a padded copy of the frame: a corrupt allocation
+        # pattern can demand more bits than the frame carries (worst case
+        # < 47 kbit for Layer II); zero-fill keeps the output finite and
+        # the reads in bounds instead of crashing on hostile files
+        buf = bytes(b[off:off + nbytes]) + b"\x00" * 6000
+        br = _Bits(buf, (4 + (2 if hdr.crc else 0)) * 8)
         if hdr.layer == 1:
             return self._layer1(br, hdr)
         return self._layer2(br, hdr)

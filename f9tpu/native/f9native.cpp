@@ -2226,7 +2226,11 @@ int32_t f9_mp3_huffman(const uint8_t* data, int64_t nbytes, int64_t pos,
     using namespace mp3huff;
     if (!g_ready) return -2;
     const int64_t hard = nbytes * 8;   // absolute safety bound (pad bytes)
-    if (end + 64 > hard || pos < 0 || pos > end) return -3;
+    // pos may legally exceed end (a corrupt granule whose scalefactor
+    // sums overrun part2_3_length) — the walk then errors via the
+    // end+19 slack check, exactly like the Python oracle.  All reads
+    // stay below end + 576 bits, which the caller's pad guarantees.
+    if (end + 576 > hard || pos < 0 || pos > end + 576) return -3;
     std::memset(is_out, 0, 576 * sizeof(int32_t));
     const int32_t starts[3] = {0, r1, r2};
     const int32_t stops[3] = {r1, r2, big_end};

@@ -428,6 +428,38 @@ def test_id3_and_ape_tags_skipped(tmp_path):
 
 
 @needs_avref
+def test_corruption_fuzz_never_crashes(tmp_path):
+    """Random byte flips and truncations of valid L3/L2 streams must
+    either decode (finite samples) or raise Mp3Error — never crash, hang,
+    or emit NaN/inf (the watch daemon feeds arbitrary dropped files)."""
+    srcs = []
+    codes = _tone(2, 44100, 0.6)
+    p3 = str(tmp_path / "a.mp3")
+    avref.encode_file_opts("libmp3lame", p3, "mp3", codes, 44100, 24,
+                           bit_rate=128000)
+    srcs.append(open(p3, "rb").read())
+    p2 = str(tmp_path / "a.mp2")
+    avref.encode_file_opts("mp2", p2, "mp2", codes, 44100, 24,
+                           bit_rate=192000)
+    srcs.append(open(p2, "rb").read())
+    q = str(tmp_path / "mut.mp3")
+    for trial in range(60):
+        r = np.random.default_rng(1000 + trial)
+        mut = bytearray(srcs[trial % 2])
+        if r.integers(3) == 0:
+            mut = mut[:int(r.integers(8, len(mut)))]      # truncate
+        for _ in range(int(r.integers(1, 8))):
+            i = int(r.integers(0, len(mut)))
+            mut[i] ^= int(r.integers(1, 256))
+        open(q, "wb").write(bytes(mut))
+        try:
+            out, _rate = read_mp3(q)
+            assert np.isfinite(out).all(), trial
+        except ValueError:
+            pass          # Mp3Error subclasses ValueError
+
+
+@needs_avref
 def test_resync_and_truncation(tmp_path):
     p = str(tmp_path / "t.mp3")
     avref.encode_file_opts("libmp3lame", p, "mp3", _tone(1, 44100), 44100,
@@ -513,8 +545,11 @@ def test_huffman_native_python_direct_equivalence():
         data = rng.integers(0, 256, nbytes, np.uint8).tobytes() \
             + b"\x00" * 80
         end = int(rng.integers(8, nbytes * 8))
+        # pos > end is legal input (corrupt scalefactor overrun): both
+        # paths must fail/succeed identically there too
+        pos = int(rng.integers(0, end + 200)) if trial % 5 == 0 else 0
         try:
-            want = m3._huffman_decode(data, 0, end, g, hdr)
+            want = m3._huffman_decode(data, pos, end, g, hdr)
             py_err = None
         except m3.Mp3Error:
             py_err = True
@@ -525,7 +560,7 @@ def test_huffman_native_python_direct_equivalence():
             tids.append(-1 if tbl is None else tbl)
             linbs.append(lb)
         try:
-            got = native.mp3_huffman_native(data, 0, end, big_end, r1, r2,
+            got = native.mp3_huffman_native(data, pos, end, big_end, r1, r2,
                                             tids, linbs, g.count1table)
             nat_err = None
         except ValueError:
