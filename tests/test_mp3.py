@@ -600,6 +600,47 @@ def test_codec_dispatch_and_policies(tmp_path):
 
 
 @needs_avref
+def test_watch_sweeps_mp3_drop(tmp_path):
+    """The serving daemon's drop zone accepts .mp3 (the reference shell
+    lists every OS-decodable format in its drop filter)."""
+    from f9tpu.cli import main
+
+    d = tmp_path / "inbox"
+    d.mkdir()
+    avref.encode_file_opts("libmp3lame", str(d / "drop.mp3"), "mp3",
+                           _tone(2, 44100, 0.3), 44100, 24,
+                           bit_rate=192000)
+    rc = main(["watch", str(d), "--out", str(tmp_path / "o"),
+               "--rate", "48000", "--quality", "low", "--seed", "3",
+               "--interval", "0.05", "--sweeps", "2"])
+    assert rc == 0
+    y, rate = codec.read_audio(str(tmp_path / "o" / "drop_processed.wav"))
+    assert rate == 48000 and y.shape[0] == 2
+
+
+@needs_avref
+def test_preview_and_probe_mp3(tmp_path, capsys):
+    """Preview playlists accept MP3 items; probe --json reports the
+    container and the gapless-exact frame count."""
+    import json as _json
+
+    from f9tpu.cli import main
+    from f9tpu.pipeline.preview import render_playlist
+
+    p = str(tmp_path / "a.mp3")
+    avref.encode_file_opts("libmp3lame", p, "mp3", _tone(2, 44100, 0.4),
+                           44100, 24, bit_rate=192000)
+    n = probe_mp3(p).num_frames
+    pv, _, _ = render_playlist([p], 44100)
+    assert pv.shape == (2, n) and np.isfinite(pv).all()
+    rc = main(["probe", p, "--json"])
+    assert rc == 0
+    doc = _json.loads(capsys.readouterr().out)
+    row = doc["files"][0] if isinstance(doc, dict) else doc[0]
+    assert row["container"] == "mp3" and row["frames"] == n
+
+
+@needs_avref
 def test_mp3_batch_pipeline_end_to_end(tmp_path):
     from f9tpu.config import ProcessingConfig
     from f9tpu.pipeline.scheduler import BatchProcessor
