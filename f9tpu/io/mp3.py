@@ -1110,26 +1110,86 @@ class _L12Decoder:
                     else:
                         a = br.read(6); bq = br.read(6)
                         scf[c, sb] = [a, bq, bq]
+        # --- sample section, vectorised: every group reads the same
+        # field template (widths depend only on the allocation), so all
+        # 12 x E fields extract in one shot, degroup/requantize as
+        # arrays, and scatter into S by precomputed indices.  The
+        # arithmetic mirrors `_l2_read` operation for operation (float64
+        # IEEE), so values are bitwise what the serial form produced.
+        ent_sb, ent_mode, ent_cls = [], [], []
+        for sb in range(sblimit):
+            if sb < bound:
+                for c in range(ch):
+                    if alloc[c, sb]:
+                        ent_sb.append(sb); ent_mode.append(c)
+                        ent_cls.append(table[sb][1][alloc[c, sb] - 1])
+            elif alloc[0, sb]:
+                ent_sb.append(sb); ent_mode.append(2)
+                ent_cls.append(table[sb][1][alloc[0, sb] - 1])
         S = np.zeros((ch, 36, 32))
-        for grp in range(12):
-            part = grp // 4
-            for sb in range(sblimit):
-                cls0 = [table[sb][1][alloc[c, sb] - 1] if alloc[c, sb]
-                        else -1 for c in range(ch)]
-                if sb < bound:
-                    for c in range(ch):
-                        if alloc[c, sb]:
-                            vals = _l2_read(br, cls0[c])
-                            f = SCALEFACTORS[scf[c, sb, part]]
-                            for k in range(3):
-                                S[c, 3 * grp + k, sb] = vals[k] * f
-                else:
-                    if alloc[0, sb]:
-                        vals = _l2_read(br, cls0[0])
-                        for c in range(ch):
-                            f = SCALEFACTORS[scf[c, sb, part]]
-                            for k in range(3):
-                                S[c, 3 * grp + k, sb] = vals[k] * f
+        E = len(ent_sb)
+        if E:
+            ent_sb = np.asarray(ent_sb)
+            ent_mode = np.asarray(ent_mode)
+            cls = np.asarray(ent_cls)
+            bits = np.asarray(L2_BITS)[cls]
+            steps = np.asarray(L2_STEPS)[cls]
+            gm = bits < 0
+            # per-group field widths: one field per grouped entry, three
+            # per ungrouped entry, in entry order
+            nread = np.where(gm, 1, 3)
+            widths = np.repeat(np.where(gm, -bits, bits), nread)
+            G = int(widths.sum())
+            ends = np.cumsum(widths)
+            offs = (br.pos + (np.arange(12) * G)[:, None]
+                    + (ends - widths)[None, :])
+            br.pos += 12 * G
+            buf = np.frombuffer(br.d, np.uint8)
+            byte = offs >> 3
+            win = ((buf[byte].astype(np.uint32) << 24)
+                   | (buf[byte + 1].astype(np.uint32) << 16)
+                   | (buf[byte + 2].astype(np.uint32) << 8)
+                   | buf[byte + 3])
+            w32 = widths.astype(np.uint32)
+            fields = ((win >> (np.uint32(32) - w32 - (offs & 7).astype(
+                np.uint32))) & ((np.uint32(1) << w32) - np.uint32(1))
+            ).astype(np.int64)                              # (12, F)
+            # expand fields -> (12, E, 3) codes
+            codes = np.empty((12, E, 3), np.int64)
+            f_ent = np.repeat(np.arange(E), nread)          # field -> entry
+            if gm.any():
+                g = fields[:, gm[f_ent]]    # grouped: one field per entry
+                st = steps[gm][None, :]
+                codes[:, gm, 0] = g % st
+                codes[:, gm, 1] = (g // st) % st
+                codes[:, gm, 2] = g // (st * st)
+            um = ~gm
+            if um.any():
+                uf = fields[:, um[f_ent]]                   # (12, 3*sum(um))
+                codes[:, um, :] = uf.reshape(12, int(um.sum()), 3)
+            # requantize: ((code - H)/H + D) * C, same op order as
+            # _l2_read; grouped nb from steps {3:2, 5:3, 9:4}
+            nb = np.where(gm, np.select([steps == 3, steps == 5],
+                                        [2, 3], 4), bits)
+            H = (1 << nb.astype(np.int64)).astype(np.float64) / 2.0
+            C = (2.0 * H) / steps
+            D = np.where(gm, 0.5, 2.0 ** (1 - nb))
+            vals = ((codes - H[None, :, None]) / H[None, :, None]
+                    + D[None, :, None]) * C[None, :, None]  # (12, E, 3)
+            # scale + scatter: part = grp//4; entries with mode 2 feed
+            # both channels from the one decoded triple
+            part = np.repeat(np.arange(3), 4)               # (12,)
+            step_idx = (3 * np.arange(12)[:, None, None]
+                        + np.arange(3)[None, None, :])      # (12, 1, 3)
+            for c in range(ch):
+                sel = (ent_mode == c) | (ent_mode == 2)
+                if not sel.any():
+                    continue
+                f = SCALEFACTORS[scf[c, ent_sb[sel]][:, part]]  # (Es, 12)
+                v = vals[:, sel, :] * f.T[:, :, None]
+                si = np.broadcast_to(step_idx, v.shape)
+                sbi = np.broadcast_to(ent_sb[sel][None, :, None], v.shape)
+                S[c, si.reshape(-1), sbi.reshape(-1)] = v.reshape(-1)
         out = np.zeros((ch, 1152))
         for c in range(ch):
             out[c] = self.synth.run(c, S[c])
