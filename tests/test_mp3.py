@@ -515,6 +515,33 @@ def test_reader_random_access_bitwise(tmp_path):
         assert np.array_equal(np.concatenate(parts, axis=1), whole)
 
 
+@needs_avref
+def test_reader_reprime_watermark(tmp_path):
+    """A read landing INSIDE a previous restart's re-priming window (past
+    buf_start but before the certified watermark) must trigger another,
+    earlier restart — never serve samples from a still-converging decoder
+    state.  Needs a stream long enough that the keep-window creates the
+    gap."""
+    p = str(tmp_path / "long.mp3")
+    avref.encode_file_opts("libmp3lame", p, "mp3", _tone(1, 44100, 6.0),
+                           44100, 24, bit_rate=160000)
+    whole, _ = read_mp3(p)
+    spf = 1152
+    with Mp3Reader(p) as r:
+        n = r.num_frames
+        assert n > 200 * spf
+        a = r.read(n - 2000, 1000)              # deep forward read
+        fidx = (150 * spf) // spf
+        b = r.read(150 * spf, 500)              # backward -> restart
+        # now land just after the restart point, inside its prime window
+        c = r.read((fidx - 10) * spf, 300)
+        d = r.read((fidx - 3) * spf, 300)
+        for got, start, cnt in [(a, n - 2000, 1000), (b, 150 * spf, 500),
+                                (c, (fidx - 10) * spf, 300),
+                                (d, (fidx - 3) * spf, 300)]:
+            assert np.array_equal(got, whole[:, start:start + cnt]), start
+
+
 def test_huffman_native_python_direct_equivalence():
     """Feed the SAME random bits and granule parameters to the Python
     oracle and the native twin directly: identical (is_, rzero, pos) on
