@@ -460,6 +460,36 @@ def test_corruption_fuzz_never_crashes(tmp_path):
 
 
 @needs_avref
+def test_vbri_tag_frame_skipped(tmp_path):
+    """FhG-style VBRI headers (offset 32 after the side info) mark the
+    first frame as a tag frame: it must not decode as audio."""
+    import struct
+
+    p = str(tmp_path / "c.mp3")
+    avref.encode_file_opts("libmp3lame", p, "mp3", _tone(2, 44100), 44100,
+                           24, bit_rate=128000)
+    data = open(p, "rb").read()
+    st = m3._Stream(data, p)
+    audio = data[st.frames[st.first_audio][0]:]   # drop the Xing frame
+    fb = st.frames[0][2]
+    tag = bytearray(data[st.frames[0][0]:st.frames[0][0] + 4]) \
+        + bytearray(fb - 4)
+    voff = 4 + 32
+    tag[voff:voff + 4] = b"VBRI"
+    struct.pack_into(">H", tag, voff + 4, 1)
+    struct.pack_into(">I", tag, voff + 10, len(audio) + fb)
+    struct.pack_into(">I", tag, voff + 14, len(st.frames) - 1)
+    q = str(tmp_path / "vbri.mp3")
+    open(q, "wb").write(bytes(tag) + audio)
+    st2 = m3._Stream(open(q, "rb").read(), q)
+    assert st2.info.tag_frame and st2.first_audio == 1
+    assert st2.info.frames == len(st.frames) - 1
+    out, rate = read_mp3(q)
+    # no LAME delay/padding info in VBRI: whole frames, none from the tag
+    assert out.shape == (2, (len(st.frames) - 1) * 1152)
+
+
+@needs_avref
 def test_resync_and_truncation(tmp_path):
     p = str(tmp_path / "t.mp3")
     avref.encode_file_opts("libmp3lame", p, "mp3", _tone(1, 44100), 44100,
