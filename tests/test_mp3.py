@@ -546,6 +546,25 @@ def test_reader_random_access_bitwise(tmp_path):
 
 
 @needs_avref
+def test_reader_seek_worst_case_reservoir(tmp_path):
+    """32 kbps @ 48 kHz noise: 96-byte frames with main_data_begin up to
+    ~470 bytes (~6.5 frames of reservoir churn) — the hardest case for
+    the 12-frame re-prime.  Random seeks must stay bitwise equal."""
+    rng = np.random.default_rng(2)
+    x = 0.25 * rng.standard_normal((1, 48000 * 4))
+    codes = (np.clip(x, -0.99, 0.99) * (1 << 23)).astype(np.int32)
+    p = str(tmp_path / "lo.mp3")
+    avref.encode_file_opts("libmp3lame", p, "mp3", codes, 48000, 24,
+                           bit_rate=32000)
+    whole, _ = read_mp3(p)
+    with Mp3Reader(p) as r:
+        rs = np.random.default_rng(100)
+        for st_ in rs.integers(0, r.num_frames - 3000, 16):
+            got = r.read(int(st_), 2000)
+            assert np.array_equal(got, whole[:, int(st_):int(st_) + 2000])
+
+
+@needs_avref
 def test_reader_reprime_watermark(tmp_path):
     """A read landing INSIDE a previous restart's re-priming window (past
     buf_start but before the certified watermark) must trigger another,
