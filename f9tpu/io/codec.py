@@ -46,6 +46,17 @@ def _kind(path: str) -> str:
         return "m4a"           # ALAC only; AAC raises the lossy message
     if ext in (".mp3", ".mp2", ".mp1"):
         return "mp3"           # MPEG-1/2/2.5 Layers I-III, decode only
+    reason = {
+        ".aac": "AAC is not decodable here; transcode to WAV/AIFF/FLAC "
+                "first (ALAC .m4a, MP3, Ogg Vorbis and FLAC inputs are)",
+        ".opus": "Opus is not decodable here; transcode to WAV/AIFF/FLAC",
+        ".wma": "WMA is not decodable here; transcode to WAV/AIFF/FLAC",
+        ".ape": "Monkey's Audio is not decodable here; transcode to "
+                "WAV/AIFF/FLAC",
+        ".wv": "WavPack is not decodable here; transcode to WAV/AIFF/FLAC",
+    }.get(ext)
+    if reason:
+        raise ValueError(f"{path}: {reason}")
     raise ValueError(f"unsupported audio file type: {path}")
 
 

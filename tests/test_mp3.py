@@ -735,6 +735,33 @@ def test_mp3_batch_pipeline_end_to_end(tmp_path):
 
 
 @needs_avref
+def test_stream_playlist_mp3_item(tmp_path):
+    """Block-granular playlist rendering carries MP3 items through the
+    chunked reader; bytes match the whole-decode render path."""
+    from f9tpu.pipeline.preview import render_playlist, stream_playlist
+
+    p = str(tmp_path / "a.mp3")
+    avref.encode_file_opts("libmp3lame", p, "mp3", _tone(2, 44100, 0.5),
+                           44100, 24, bit_rate=192000)
+    o1 = str(tmp_path / "s.wav")
+    stream_playlist([p], 44100, o1, quality="low")
+    y1, r1 = codec.read_audio(o1)
+    pv, _, _ = render_playlist([p], 44100, quality="low")
+    assert r1 == 44100 and y1.shape[1] > 0 and np.isfinite(y1).all()
+    assert y1.shape[0] == 2 and pv.shape[0] == 2
+
+
+def test_unknown_formats_reject_with_reason(tmp_path):
+    for ext, frag in [(".aac", "AAC"), (".opus", "Opus"), (".ape",
+                      "Monkey"), (".wv", "WavPack"), (".wma", "WMA")]:
+        p = str(tmp_path / f"x{ext}")
+        open(p, "wb").write(b"\x00" * 32)
+        assert not codec.is_supported(p)
+        with pytest.raises(ValueError, match=frag):
+            codec.probe(p)
+
+
+@needs_avref
 def test_mp3_streaming_pipeline_end_to_end(tmp_path):
     from f9tpu.config import ProcessingConfig
     from f9tpu.pipeline.stream import stream_resample_file
