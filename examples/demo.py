@@ -207,7 +207,7 @@ def run(workdir: str) -> None:
     fx = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       "fixtures")
     srcs13 = [f"{fx}/tone.ogg", f"{fx}/tone.caf", f"{fx}/tone.m4a",
-              f"{fx}/tone.mp3"]
+              f"{fx}/tone.mp3", f"{fx}/tone.au"]
     if all(os.path.exists(p) for p in srcs13):
         rc = main(["process", *srcs13, "--out", f"{workdir}/c13",
                    "--rate", "48000", "--quality", "low", "--seed", "1"])
@@ -215,11 +215,11 @@ def run(workdir: str) -> None:
         outs = sorted(os.listdir(f"{workdir}/c13"))
         # same stem from four containers: collision-safe naming suffixes
         done = [o for o in outs if o.endswith(".wav")]
-        assert len(done) == 4, outs
+        assert len(done) == 5, outs
         for o in done:
             yy, rr = read_wav(f"{workdir}/c13/{o}")
             assert rr == 48000 and np.isfinite(yy).all()
-        print("[13] drop-zone surface: .ogg + .caf + .m4a + .mp3 -> 48k WAV")
+        print("[13] drop-zone surface: .ogg/.caf/.m4a/.mp3/.au -> 48k WAV")
     else:
         print("[13] skipped (fixtures missing)")
     print("demo complete:", workdir)

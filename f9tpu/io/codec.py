@@ -1,13 +1,13 @@
 """Format dispatch: one entry point for .wav/.aif/.aiff/.flac/.ogg/.caf/
-.m4a/.mp3 — the drop-zone filter of the reference
+.m4a/.mp3/.au — the drop-zone filter of the reference
 (Source/FileListAndLogComponent.cpp:150-181).  WAV/AIFF/FLAC/Ogg come from
 JUCE ``registerBasicFormats()`` (Source/MainComponent.cpp:13); CAF (LPCM +
-Apple Lossless), ALAC .m4a and MPEG audio come from the Swift shell's
-AVAudioFile surface (Models/AudioFile.swift:38).  All are implemented
-natively; Ogg Vorbis, ALAC and MPEG audio are INPUT-only —
-perceptual-lossy deliverables stay pointless, so lossy OUTPUT formats are
-rejected with an actionable message, and AAC .m4a input is rejected the
-same way."""
+Apple Lossless), ALAC .m4a, MPEG audio and Sun .au come from the Swift
+shell's AVAudioFile surface (Models/AudioFile.swift:38).  All are
+implemented natively; Ogg Vorbis, ALAC, MPEG audio and .au are INPUT-only
+— perceptual-lossy deliverables stay pointless, so lossy OUTPUT formats
+are rejected with an actionable message, and AAC .m4a input is rejected
+the same way."""
 
 from __future__ import annotations
 
@@ -23,7 +23,8 @@ __all__ = ["SUPPORTED_EXTENSIONS", "probe", "read_audio",
            "open_reader"]
 
 SUPPORTED_EXTENSIONS = (".wav", ".aif", ".aiff", ".flac", ".ogg", ".oga",
-                        ".caf", ".m4a", ".mp3", ".mp2", ".mp1")
+                        ".caf", ".m4a", ".mp3", ".mp2", ".mp1", ".au",
+                        ".snd")
 
 
 def is_supported(path: str) -> bool:
@@ -46,6 +47,8 @@ def _kind(path: str) -> str:
         return "m4a"           # ALAC only; AAC raises the lossy message
     if ext in (".mp3", ".mp2", ".mp1"):
         return "mp3"           # MPEG-1/2/2.5 Layers I-III, decode only
+    if ext in (".au", ".snd"):
+        return "au"            # Sun/NeXT audio, decode only
     reason = {
         ".aac": "AAC is not decodable here; transcode to WAV/AIFF/FLAC "
                 "first (ALAC .m4a, MP3, Ogg Vorbis and FLAC inputs are)",
@@ -84,6 +87,10 @@ def probe(path: str) -> AudioFileInfo:
         from .mp3 import probe_mp3
 
         return probe_mp3(path)
+    if k == "au":
+        from .au import probe_au
+
+        return probe_au(path)
     return probe_aiff(path)
 
 
@@ -112,6 +119,10 @@ def read_audio(path: str) -> tuple[np.ndarray, int]:
         from .mp3 import read_mp3
 
         return read_mp3(path)
+    if k == "au":
+        from .au import read_au
+
+        return read_au(path)
     return read_aiff(path)
 
 
@@ -167,6 +178,10 @@ def open_reader(path: str):
         from .mp3 import Mp3Reader
 
         return Mp3Reader(path)
+    if k == "au":
+        from .au import AuReader
+
+        return AuReader(path)
     from .aiff import AiffReader
 
     return AiffReader(path)
@@ -191,6 +206,10 @@ def read_raw_pcm(path: str):
         # compressed or layout-varied (the scheduler's raw_bits grouping
         # never selects these — container gate at pipeline/scheduler.py)
         raise ValueError(f"{path}: no raw integer PCM payload to ship")
+    if k == "au":
+        from .au import read_raw_pcm_au
+
+        return read_raw_pcm_au(path)
     from .aiff import read_raw_pcm_aiff
 
     return read_raw_pcm_aiff(path)

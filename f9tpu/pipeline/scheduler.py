@@ -192,14 +192,16 @@ class BatchProcessor:
                             # if the source content changes (watch re-drop)
                             input_size=in_st.st_size,
                             input_mtime_ns=in_st.st_mtime_ns)
-            # raw fast-path signature: integer-PCM WAV/AIFF ship their
+            # raw fast-path signature: integer-PCM WAV/AIFF/AU ship their
             # container bytes; FLAC decodes on the host (native) and
-            # re-packs to the same payload layout — all three then decode
-            # on device (f9tpu.ops.devcodec, either byte order) and move
+            # re-packs to the same payload layout, as do G.711 .au
+            # sources (exact int16 expansion) — all then decode on
+            # device (f9tpu.ops.devcodec, either byte order) and move
             # 2-3 B/sample over the link instead of float32's 4.
             raw_bits = (info.bit_depth
                         if (not info.is_float
-                            and info.container in ("wav", "aiff", "flac")
+                            and info.container in ("wav", "aiff", "flac",
+                                                   "au")
                             and info.bit_depth in (16, 24)
                             and cfg.bits in (16, 24)
                             and cfg.normalize_lufs is None)

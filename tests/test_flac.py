@@ -674,10 +674,15 @@ def test_codec_dispatch(tmp_path):
 
 
 def test_lossy_formats_rejected_with_reason(tmp_path):
-    # a truly unknown extension is rejected outright
+    # known-but-undecodable extensions get an actionable message;
+    # truly unknown ones are rejected outright
     p = str(tmp_path / "x.aac")
     open(p, "wb").write(b"\x00" * 64)
     assert not codec.is_supported(p)
+    with pytest.raises(ValueError, match="AAC"):
+        codec.probe(p)
+    p = str(tmp_path / "x.xyz")
+    open(p, "wb").write(b"\x00" * 64)
     with pytest.raises(ValueError, match="unsupported"):
         codec.probe(p)
     # .ogg/.caf/.m4a/.mp3 are supported INPUTS since round 5 (decode-only

@@ -170,7 +170,7 @@ def test_codec_still_rejects_unknown_extensions(tmp_path):
     p = str(tmp_path / "x.aac")
     with open(p, "wb") as f:
         f.write(b"\xff\xf1")
-    with pytest.raises(ValueError, match="unsupported"):
+    with pytest.raises(ValueError, match="AAC"):
         codec.read_audio(p)
     assert not codec.is_supported(p)
 
